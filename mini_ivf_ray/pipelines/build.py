@@ -1,0 +1,156 @@
+"""Index build pipeline: pages -> segments, checkpointed + resumable.
+
+Lifecycle mirrors the reference's E1/E2 traces (SURVEY §3):
+
+  1. prepare   extract html -> text, url-dedup, docID assignment
+               (reference: LoadFromFileBinary + positional ids)
+  2. stats     corpus statistics pass = "Train" (index_ivf.cpp:39-70),
+               checkpointed as the stats sidecar ("codebook",
+               quantizer.cpp:108-131)
+  3. populate  tokenize -> salted partition shuffle -> per-partition
+               block encode + atomic segment commit
+               (reference: Populate/InsertIvf + WriteClusterVector/Id,
+               index_ivfpq.cpp:83-120, 496-530)
+  4. commit    index-level manifest (reference: Finalize,
+               index_ivfpq.cpp:532-546)
+
+Resume (north_rule): stats sidecar present -> skip stats; per-partition
+manifest present -> postings for that partition are FILTERED OUT BEFORE
+the shuffle (the LoadFromBook set-difference, index_ivfpq.cpp:140-154),
+so a rerun neither recomputes nor re-shuffles committed partitions.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.stages.prepare import prepare_documents
+from mini_ivf_ray.stages.spimi import (
+    PartitionAssigner,
+    make_partition_encoder,
+    tokenize_postings_batch,
+)
+from mini_ivf_ray.stages.stats_stage import compute_stats
+from mini_ivf_ray.state import manifest as mf
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def build_index(
+    docs_ds_factory,
+    index_dir: str,
+    cfg: PipelineConfig | None = None,
+    dedup: bool = True,
+    lineage_extra: dict | None = None,
+) -> dict:
+    """Build (or resume building) an index.
+
+    ``docs_ds_factory() -> Dataset`` of pages rows; a factory (not a
+    Dataset) so each pass re-reads lazily from source instead of holding
+    a materialized Dataset across passes.
+
+    Returns the index manifest dict.
+    """
+    import ray
+
+    cfg = cfg or PipelineConfig()
+    existing = mf.read_index_manifest(index_dir)
+    if existing is not None:
+        return existing
+
+    t0 = time.perf_counter()
+    lineage = {
+        "builder": "mini_ivf_ray.build_index",
+        "config": {
+            "num_partitions": cfg.num_partitions,
+            "block_size": cfg.block_size,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "hot_df_threshold": cfg.hot_df_threshold,
+        },
+        **(lineage_extra or {}),
+    }
+
+    # ---- stage 1+2: prepare + stats (checkpointed) ---------------------
+    if CorpusStats.exists(index_dir):
+        stats = CorpusStats.load(index_dir)
+        stats_wall = 0.0
+    else:
+        ts = time.perf_counter()
+        docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
+        stats = compute_stats(docs, batch_size=cfg.tokenize_batch_size)
+        stats.save(index_dir)
+        stats_wall = time.perf_counter() - ts
+
+    # ---- stage 3: populate pending partitions --------------------------
+    pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
+    populate_wall = 0.0
+    if pending:
+        ts = time.perf_counter()
+        docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
+        postings = docs.map_batches(
+            tokenize_postings_batch,
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+        )
+        stats_ref = ray.put(stats)
+        doc_id_space = 2**64 if cfg.doc_id_from_url else stats.max_doc_id + 1
+        assigned = postings.map_batches(
+            PartitionAssigner,
+            fn_constructor_args=(stats_ref, cfg, doc_id_space),
+            batch_format="pyarrow",
+            batch_size=65536,
+            concurrency=(1, 8),
+            num_cpus=1,
+        )
+        if len(pending) < cfg.num_partitions:
+            # the "book" filter: drop committed partitions BEFORE the shuffle
+            pend_arr = pa.array(np.array(pending, dtype=np.int64))
+
+            def keep_pending(batch: pa.Table) -> pa.Table:
+                return batch.filter(pc.is_in(batch["pid"], value_set=pend_arr))
+
+            assigned = assigned.map_batches(keep_pending, batch_format="pyarrow")
+        hot_df = {t: stats.df[t] for t in stats.salt_counts(cfg)}
+        encoder = make_partition_encoder(
+            index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage
+        )
+        summary = assigned.groupby("pid").map_groups(encoder, batch_format="pyarrow")
+        summary_df = summary.to_pandas()  # small: one row per partition
+        populate_wall = time.perf_counter() - ts
+    else:
+        summary_df = None
+
+    # ---- stage 4: index-level commit -----------------------------------
+    per_part = []
+    totals = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
+    for p in range(cfg.num_partitions):
+        try:
+            pm = mf.read_partition_manifest(index_dir, p)
+        except FileNotFoundError:
+            continue  # partition got zero postings (possible at tiny scale)
+        per_part.append({"partition": p, **pm["counters"]})
+        for k in totals:
+            totals[k] += pm["counters"].get(k, 0)
+    meta = {
+        "lineage": lineage,
+        "n_docs": stats.n_docs,
+        "total_tokens": stats.total_tokens,
+        "avgdl": stats.avgdl,
+        "vocab_size": len(stats.df),
+        "num_partitions": cfg.num_partitions,
+        "partitions": per_part,
+        "counters": {
+            **totals,
+            "stats_wall_sec": round(stats_wall, 3),
+            "populate_wall_sec": round(populate_wall, 3),
+            "total_wall_sec": round(time.perf_counter() - t0, 3),
+            "partitions_built_this_run": len(pending),
+        },
+    }
+    mf.commit_index(index_dir, meta)
+    return meta

@@ -1,0 +1,95 @@
+"""Document preparation: extract -> dedup -> docID assignment.
+
+Pipeline position: the first stages of the build, before any postings
+exist.  All stateless ``map_batches`` over Arrow batches plus ONE
+``groupby(url)`` shuffle for exact url-dedup.
+
+Reference analogs: text extraction has none (input_hint addition,
+SURVEY M6); docID assignment replaces positional row ids
+(index_ivf.cpp:86-92); dedup is SURVEY §2.7's addition (docID = f(url)
+must be unique, so pages are deduped last-write-wins by warc_ts first).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions.extract import extract_text
+from mini_ivf_ray.functions.hashing import doc_ids_from_urls
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html binary -> extracted text (the pinned extractor).  Keeps only
+    the columns the build needs — html is dropped here so the url-dedup
+    shuffle never moves the heavy binary payloads."""
+    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    cols = {
+        "url": batch["url"],
+        "warc_ts": batch["warc_ts"],
+        "text": pa.array(texts, type=pa.string()),
+    }
+    if "doc_id" in batch.column_names:
+        cols["doc_id"] = batch["doc_id"]
+    return pa.table(cols)
+
+
+def _keep_latest(group: pa.Table) -> pa.Table:
+    """Within one url group keep the row with max (warc_ts, text):
+    last-write-wins, deterministic under exact-ts ties."""
+    if group.num_rows == 1:
+        return group
+    order = pc.sort_indices(
+        group,
+        sort_keys=[("url", "ascending"), ("warc_ts", "descending"), ("text", "descending")],
+    )
+    # first row per url (groups may be batched together by Ray)
+    urls = group.column("url").take(order)
+    mask = np.ones(len(order), dtype=bool)
+    u = urls.to_pylist()
+    for i in range(1, len(u)):
+        mask[i] = u[i] != u[i - 1]
+    return group.take(order.to_numpy(zero_copy_only=False)[mask])
+
+
+def dedup_by_url(ds):
+    """Exact dedup: one row per url, last-write-wins by warc_ts.
+    This is the one all-to-all shuffle before the postings shuffle; it
+    runs on pruned (url, warc_ts, text) rows only."""
+    return ds.groupby("url").map_groups(_keep_latest, batch_format="pyarrow")
+
+
+def assign_doc_ids(ds, cfg: PipelineConfig):
+    """doc_id = md5-u64(url) (stable across runs and block orders).
+    Collisions are detected downstream in the stats pass (distinct
+    doc_id count must equal distinct url count)."""
+    if not cfg.doc_id_from_url:
+        # input carries doc_id already (driver's documents table): cast
+        def cast(batch: pa.Table) -> pa.Table:
+            return batch.set_column(
+                batch.column_names.index("doc_id"),
+                "doc_id",
+                pc.cast(batch["doc_id"], pa.uint64()),
+            )
+
+        return ds.map_batches(cast, batch_format="pyarrow")
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        ids = doc_ids_from_urls(batch["url"].to_pylist())
+        if "doc_id" in batch.column_names:
+            batch = batch.drop_columns(["doc_id"])
+        return batch.append_column("doc_id", pa.array(ids, type=pa.uint64()))
+
+    return ds.map_batches(add_ids, batch_format="pyarrow")
+
+
+def prepare_documents(pages_ds, cfg: PipelineConfig, dedup: bool = True):
+    """pages -> deduped (url, warc_ts, text, doc_id) Dataset."""
+    ds = pages_ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
+    )
+    if dedup and cfg.doc_id_from_url:
+        ds = dedup_by_url(ds)
+    return assign_doc_ids(ds, cfg)
