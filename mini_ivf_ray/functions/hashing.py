@@ -45,6 +45,24 @@ def term_partition(term: str, num_partitions: int) -> int:
     return md5_u32(term) % num_partitions
 
 
+def salt_bounds(nsalt: int, doc_id_space: int) -> np.ndarray:
+    """Exact uint64 doc_id range boundaries for ``nsalt`` salt sub-lists
+    over [0, doc_id_space).  Sub-list s covers [bounds[s-1], bounds[s])
+    (with implicit 0 and doc_id_space at the ends).  Assigner and
+    encoder MUST share these exact integers — float arithmetic near the
+    boundaries would let a posting block leak across a range held by
+    another partition."""
+    return np.array(
+        [(s * doc_id_space) // nsalt for s in range(1, nsalt)], dtype=np.uint64
+    )
+
+
+def salt_of_doc_ids(doc_ids: np.ndarray, nsalt: int, doc_id_space: int) -> np.ndarray:
+    """Vectorized exact salt index per doc_id (uint64 comparisons)."""
+    bounds = salt_bounds(nsalt, doc_id_space)
+    return np.searchsorted(bounds, doc_ids.astype(np.uint64, copy=False), side="right")
+
+
 def salted_partition(term: str, salt: int, num_partitions: int) -> int:
     """Partition for salt sub-list ``salt`` of a hot term.  Sub-lists
     spread over distinct partitions via a fixed odd stride so one head

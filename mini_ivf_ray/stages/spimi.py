@@ -23,7 +23,12 @@ import pyarrow as pa
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.codec import encode_posting_run
-from mini_ivf_ray.functions.hashing import salted_partition, term_partition
+from mini_ivf_ray.functions.hashing import (
+    salt_bounds,
+    salt_of_doc_ids,
+    salted_partition,
+    term_partition,
+)
 from mini_ivf_ray.functions.tokenize import postings_arrays
 from mini_ivf_ray.state.stats import CorpusStats
 
@@ -73,15 +78,11 @@ class PartitionAssigner:
         terms = pd.Series(batch["term"].to_pylist(), dtype=object)
         pid = terms.map(self.pid_map)
         if self.salts:
-            doc_ids = batch["doc_id"].to_numpy().astype(np.float64)
+            doc_ids = batch["doc_id"].to_numpy()
             for t, pids in self.salt_pids.items():
                 m = (terms == t).to_numpy()
                 if m.any():
-                    nsalt = len(pids)
-                    s = np.minimum(
-                        (doc_ids[m] * nsalt / self.doc_id_space).astype(np.int64),
-                        nsalt - 1,
-                    )
+                    s = salt_of_doc_ids(doc_ids[m], len(pids), self.doc_id_space)
                     pid.values[m] = pids[s]
         if pid.isna().any():  # term unseen in stats (shouldn't happen same-corpus)
             missing = terms[pid.isna()]
@@ -98,6 +99,7 @@ def make_partition_encoder(
     hot_df: dict[str, int],
     cfg: PipelineConfig,
     lineage: dict,
+    doc_id_space: int = 2**64,
 ):
     """Returns the ``map_groups`` function that encodes + atomically
     commits one partition segment and yields a summary row.
@@ -153,17 +155,41 @@ def make_partition_encoder(
                 )
             df_global = hot_df.get(t, d.size)
             contrib = bm25.contributions(tf_r, dl_r, df_global, n_docs, avgdl, k1, b)
-            firsts, lasts, counts, payloads = encode_posting_run(d, tf_r, dl_r, block_size)
-            starts = np.arange(0, d.size, block_size, dtype=np.int64)
-            maxs = np.maximum.reduceat(contrib, starts)
-            nblk = len(payloads)
-            out_term.extend([t] * nblk)
-            out_first.append(firsts)
-            out_last.append(lasts)
-            out_count.append(counts)
-            out_max.append(maxs)
-            out_payload.extend(payloads)
-            out_df.append(np.full(nblk, df_global, dtype=np.int64))
+            # hot terms: several doc_id-range salt sub-lists may have
+            # collided onto this partition; cut the run at the salt
+            # boundaries so no block spans a range held elsewhere —
+            # global block disjointness is what WAND merging relies on
+            if t in hot_df:
+                nsalt = cfg.salts_for_df(df_global)
+                bounds = salt_bounds(nsalt, doc_id_space)
+                cuts = np.searchsorted(d, bounds, side="left")
+                segs = [
+                    (int(a), int(z))
+                    for a, z in zip(
+                        np.concatenate([[0], cuts]), np.concatenate([cuts, [d.size]])
+                    )
+                    if z > a
+                ]
+            else:
+                segs = [(0, d.size)]
+            for a, z in segs:
+                firsts, lasts, counts, payloads = encode_posting_run(
+                    d[a:z], tf_r[a:z], dl_r[a:z], block_size
+                )
+                local_starts = np.arange(0, z - a, block_size, dtype=np.int64)
+                maxs = (
+                    np.maximum.reduceat(contrib[a:z], local_starts)
+                    if local_starts.size
+                    else np.empty(0)
+                )
+                nblk = len(payloads)
+                out_term.extend([t] * nblk)
+                out_first.append(firsts)
+                out_last.append(lasts)
+                out_count.append(counts)
+                out_max.append(maxs)
+                out_payload.extend(payloads)
+                out_df.append(np.full(nblk, df_global, dtype=np.int64))
             n_postings += d.size
 
         blocks = pa.table(

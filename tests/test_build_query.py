@@ -1,0 +1,127 @@
+"""E2E build -> query rank-identity (reference analog: the randomized
+self-contained e2e of test_ivf.cpp:26-111, strengthened from recall@k to
+rank-identity per north_rule) + structural index checks."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.query import (
+    BM25Searcher,
+    brute_force_topk,
+    exhaustive_topk,
+    search,
+)
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def _mk_queries(docs, rng, nq=40):
+    """Head + tail + OOV mixed queries from the corpus vocabulary."""
+    vocab = sorted({t for text in docs["text"] for t in tokenize(text)})
+    qs = []
+    for qid in range(nq):
+        k = rng.integers(1, 6)
+        terms = list(rng.choice(vocab, size=k))
+        if qid % 7 == 0:
+            terms.append("zzoutofvocabzz")
+        qs.append((qid, " ".join(terms)))
+    return qs
+
+
+def test_rank_identity_wand_vs_oracle(tiny_index):
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(3)
+    queries = _mk_queries(docs, rng)
+    oracle = brute_force_topk(docs, queries, cfg).sort_values(["query_id", "rank"])
+    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
+    res = search(idx, qds, cfg).to_pandas().sort_values(["query_id", "rank"])
+    assert len(res) == len(oracle)
+    np.testing.assert_array_equal(
+        res["doc_id"].to_numpy().astype(np.uint64),
+        oracle["doc_id"].to_numpy().astype(np.uint64),
+    )
+    # scores bit-identical (same float64 accumulation order)
+    np.testing.assert_array_equal(res["score"].to_numpy(), oracle["score"].to_numpy())
+
+
+def test_exhaustive_distributed_matches_local(tiny_index):
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(5)
+    queries = _mk_queries(docs, rng, nq=10)
+    stats = CorpusStats.load(idx)
+    local = brute_force_topk(docs, queries, cfg).sort_values(["query_id", "rank"])
+    dist = exhaustive_topk(
+        ray.data.from_pandas(docs), stats, queries, cfg
+    ).sort_values(["query_id", "rank"])
+    np.testing.assert_array_equal(
+        local["doc_id"].to_numpy().astype(np.uint64),
+        dist["doc_id"].to_numpy().astype(np.uint64),
+    )
+    np.testing.assert_array_equal(local["score"].to_numpy(), dist["score"].to_numpy())
+
+
+def test_index_structure(tiny_index):
+    idx, cfg, docs = tiny_index
+    with open(os.path.join(idx, "manifest.json")) as f:
+        meta = json.load(f)
+    assert meta["n_docs"] == len(docs)
+    assert meta["counters"]["n_postings"] > 0
+    # posting invariants per partition: strictly increasing blocks per term
+    total_postings = 0
+    for part in meta["partitions"]:
+        p = part["partition"]
+        tbl = pq.read_table(os.path.join(idx, "segments", f"part={p}", "postings.parquet"))
+        total_postings += int(np.sum(tbl["count"].to_numpy()))
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        firsts = tbl["first_doc_id"].to_numpy()
+        lasts = tbl["last_doc_id"].to_numpy()
+        assert np.all(firsts <= lasts)
+        # blocks of one term have disjoint increasing ranges
+        for t in np.unique(terms):
+            m = terms == t
+            f_, l_ = firsts[m], lasts[m]
+            order = np.argsort(f_)
+            assert np.all(f_[order][1:] > l_[order][:-1])
+    assert total_postings == meta["counters"]["n_postings"]
+
+
+def test_stats_consistency(tiny_index):
+    idx, cfg, docs = tiny_index
+    stats = CorpusStats.load(idx)
+    assert stats.n_docs == len(docs)
+    # df/cf recomputed from raw docs
+    from collections import Counter
+
+    df, cf = Counter(), Counter()
+    total = 0
+    for text in docs["text"]:
+        c = Counter(tokenize(text))
+        df.update(c.keys())
+        cf.update(c)
+        total += sum(c.values())
+    assert stats.total_tokens == total
+    assert stats.df == dict(df)
+    assert stats.cf == dict(cf)
+
+
+def test_searcher_class_smoke(tiny_index):
+    """Actor __init__ exceptions surface late under Ray — smoke the
+    class directly (ray_guide pitfall)."""
+    idx, cfg, docs = tiny_index
+    s = BM25Searcher(idx, cfg)
+    res = s.topk_for_text("the data web")
+    assert 0 < len(res) <= cfg.topk
+    scores = [x[1] for x in res]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_dedup_last_write_wins(tiny_index):
+    idx, cfg, docs = tiny_index
+    # generator injected ~4% duplicate urls; post-dedup urls are unique
+    assert docs["url"].is_unique
+    assert docs["doc_id"].is_unique

@@ -1,0 +1,82 @@
+"""Resume semantics (north_rule: interrupted build recomputes no
+committed partition; reference analog: LoadFromBook set-difference,
+index_ivfpq.cpp:122-159, and FIXTURES.md §4)."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+
+import ray.data
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.pipelines.build import build_index
+from mini_ivf_ray.sources.pages import generate_pages
+from mini_ivf_ray.state import manifest as mf
+
+
+def _segment_bytes(idx, p):
+    with open(os.path.join(mf.partition_dir(idx, p), "postings.parquet"), "rb") as f:
+        return f.read()
+
+
+def test_resume_skips_committed_partitions(tmp_path):
+    cfg = PipelineConfig(num_partitions=4)
+    pages = generate_pages(400, seed=23, vocab_size=300)
+    clean = str(tmp_path / "clean")
+    build_index(lambda: ray.data.from_arrow(pages), clean, cfg)
+
+    # interrupted copy: drop index manifest + partitions 1 and 3
+    broken = str(tmp_path / "broken")
+    shutil.copytree(clean, broken)
+    os.remove(os.path.join(broken, "manifest.json"))
+    for p in (1, 3):
+        shutil.rmtree(mf.partition_dir(broken, p))
+    assert mf.pending_partitions(broken, 4) == {1, 3}
+
+    kept_before = {p: os.path.getmtime(mf.partition_manifest_path(broken, p)) for p in (0, 2)}
+    meta = build_index(lambda: ray.data.from_arrow(pages), broken, cfg)
+    assert meta["counters"]["partitions_built_this_run"] == 2
+    # committed partitions untouched
+    for p in (0, 2):
+        assert os.path.getmtime(mf.partition_manifest_path(broken, p)) == kept_before[p]
+
+    # resumed index == clean index, byte-for-byte per segment
+    for p in range(4):
+        assert _segment_bytes(clean, p) == _segment_bytes(broken, p)
+
+
+def test_leftover_tmp_and_uncommitted_dir_rebuilt(tmp_path):
+    """A partition dir without manifest.json (crash between rename and
+    manifest write) is garbage and gets rebuilt."""
+    cfg = PipelineConfig(num_partitions=2)
+    pages = generate_pages(150, seed=29, vocab_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    ref0 = _segment_bytes(idx, 0)
+
+    os.remove(os.path.join(idx, "manifest.json"))
+    os.remove(mf.partition_manifest_path(idx, 0))  # simulate torn commit
+    assert mf.pending_partitions(idx, 2) == {0}
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    assert _segment_bytes(idx, 0) == ref0
+
+
+def test_stats_checkpoint_reused(tmp_path, monkeypatch):
+    """Second run with stats sidecar present must not recompute stats."""
+    cfg = PipelineConfig(num_partitions=2)
+    pages = generate_pages(150, seed=31, vocab_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+
+    os.remove(os.path.join(idx, "manifest.json"))
+    shutil.rmtree(mf.partition_dir(idx, 1))
+
+    import mini_ivf_ray.pipelines.build as build_mod
+
+    def boom(*a, **k):
+        raise AssertionError("stats recomputed despite checkpoint")
+
+    monkeypatch.setattr(build_mod, "compute_stats", boom)
+    meta = build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    assert meta["counters"]["partitions_built_this_run"] == 1
