@@ -1,0 +1,115 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline staples (task brief): language-ID
+(marker heuristic), quality scoring, token counting, document
+fingerprinting.  No reference analog (mini-ivf is vector-only); these
+are first-class additions.  All are stateless vectorized
+``map_batches`` stages; every rule is deliberately SQL-expressible so
+the driver's DuckDB oracle can replay it exactly (see
+``__ray_entry__.oracle_sql``).
+
+Float columns are rounded to 6 decimals on BOTH sides — Python and
+DuckDB compute the same float64 expressions; rounding removes any
+last-ulp ambiguity from differing evaluation order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from mini_ivf_ray.functions.tokenize import tokenize
+
+# ---- language-ID marker profiles (iteration order = preference order) ----
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "los", "de", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+_PUNCT_RE = re.compile(r"[a-zA-Z0-9 \t\n]")
+
+
+def detect_lang(tokens: list[str]) -> str:
+    """First language (in LANG_MARKERS order) with the maximal marker
+    occurrence count; 'und' when no marker occurs.  Deterministic and
+    replayable as a SQL CASE chain."""
+    counts = {
+        lang: sum(1 for t in tokens if t in marks)
+        for lang, marks in LANG_MARKERS.items()
+    }
+    m = max(counts.values()) if counts else 0
+    if m == 0:
+        return "und"
+    for lang in LANG_MARKERS:
+        if counts[lang] == m:
+            return lang
+    return "und"
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    toks = [tokenize(t) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "detected_lang": pa.array([detect_lang(ts) for ts in toks], type=pa.string()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist()
+    toks = [tokenize(t) for t in texts]
+    n_tokens = np.array([len(ts) for ts in toks], dtype=np.int64)
+    n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+    stop = np.array(
+        [sum(1 for x in ts if x in STOPWORDS) for ts in toks], dtype=np.int64
+    )
+    tok_chars = np.array([sum(len(x) for x in ts) for ts in toks], dtype=np.int64)
+    n_punct = np.array(
+        [len(_PUNCT_RE.sub("", t)) for t in texts], dtype=np.int64
+    )
+    safe = np.maximum(n_tokens, 1).astype(np.float64)
+    safe_c = np.maximum(n_chars, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "n_chars": pa.array(n_chars),
+            "stop_ratio": pa.array(np.round(stop / safe, 6), type=pa.float64()),
+            "mean_token_len": pa.array(np.round(tok_chars / safe, 6), type=pa.float64()),
+            "punct_ratio": pa.array(np.round(n_punct / safe_c, 6), type=pa.float64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Canonical document fingerprint: md5 of the space-joined token
+    stream (normalization-stable: case/punct-insensitive)."""
+    fps = [
+        hashlib.md5(" ".join(tokenize(t)).encode("utf-8")).hexdigest()
+        for t in batch["text"].to_pylist()
+    ]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "fingerprint": pa.array(fps, type=pa.string())}
+    )
+
+
+def langid(docs_ds, batch_size: int = 1024):
+    return docs_ds.map_batches(langid_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def quality(docs_ds, batch_size: int = 1024):
+    return docs_ds.map_batches(quality_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def fingerprints(docs_ds, batch_size: int = 1024):
+    return docs_ds.map_batches(
+        fingerprint_batch, batch_format="pyarrow", batch_size=batch_size
+    )

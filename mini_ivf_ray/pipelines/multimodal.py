@@ -1,0 +1,203 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Task-brief addition (no reference analog): image decode / feature
+extraction, video frame sampling, audio features — each as an
+actor-pool ``map_batches`` stage over ``binary`` columns.  The real
+codec libraries (PIL / torchaudio / av) are NOT in this container, so
+the decode kernels are gated behind an import-try with a clearly-marked
+deterministic fake (byte-level features) — the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is real and
+tested.  Batches stay in ``batch_format="pyarrow"`` end-to-end: binary
+columns do not survive pandas round-trips cleanly (ray_guide pitfall).
+
+Synthetic payload layout (``synth_media``): a 16-byte header
+``[kind u8 | height u16 | width u16 | channels u8 | n_frames u16 |
+sample_rate u32 | reserved]`` followed by deterministic pseudo-pixel
+bytes — enough structure for the stages to parse real metadata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+KIND_IMAGE, KIND_VIDEO, KIND_AUDIO = 0, 1, 2
+
+_HEADER = np.dtype(
+    [
+        ("kind", "u1"),
+        ("height", "<u2"),
+        ("width", "<u2"),
+        ("channels", "u1"),
+        ("n_frames", "<u2"),
+        ("sample_rate", "<u4"),
+        ("reserved", "<u4"),
+    ]
+)
+
+try:  # real decoder path — absent in this container
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def synth_media(n: int, kind: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table (media_id, kind, payload, n_bytes)."""
+    rng = np.random.default_rng(seed + kind)
+    rows_payload, ids = [], []
+    for i in range(n):
+        h, w, c = int(rng.integers(8, 32)), int(rng.integers(8, 32)), 3
+        frames = int(rng.integers(2, 8)) if kind == KIND_VIDEO else 1
+        sr = 16000 if kind == KIND_AUDIO else 0
+        header = np.zeros(1, dtype=_HEADER)
+        header["kind"] = kind
+        header["height"], header["width"], header["channels"] = h, w, c
+        header["n_frames"], header["sample_rate"] = frames, sr
+        body_len = h * w * c * frames if kind != KIND_AUDIO else sr // 4
+        body = rng.integers(0, 256, body_len, dtype=np.uint8)
+        rows_payload.append(header.tobytes() + body.tobytes())
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array([kind] * n, type=pa.int32()),
+            "payload": pa.array(rows_payload, type=pa.binary()),
+            "n_bytes": pa.array([len(p) for p in rows_payload], type=pa.int64()),
+        }
+    )
+
+
+def _parse(payload: bytes) -> tuple[np.void, np.ndarray]:
+    header = np.frombuffer(payload[: _HEADER.itemsize], dtype=_HEADER)[0]
+    body = np.frombuffer(payload[_HEADER.itemsize :], dtype=np.uint8)
+    return header, body
+
+
+class ImageDecode:
+    """Actor stage: payload binary -> (height, width, channels,
+    features list<float>).  Features = 16-bin byte histogram (the
+    deterministic fake 'decode'); with PIL present this is where real
+    pixel decode would go (STUB — raises to make the boundary
+    explicit rather than silently diverging from the fake)."""
+
+    def __init__(self, use_real_decoder: bool = False, bins: int = 16):
+        if use_real_decoder and not _HAVE_PIL:
+            raise NotImplementedError(
+                "real image decode requires PIL, not present in this environment"
+            )
+        self.use_real = use_real_decoder
+        self.bins = bins
+        self.edges = np.linspace(0, 256, bins + 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ws, cs, feats = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            header, body = _parse(payload)
+            if self.use_real:
+                raise NotImplementedError("real decoder path is stubbed")
+            hist, _ = np.histogram(body, bins=self.edges)
+            f = hist / max(1, body.size)
+            hs.append(int(header["height"]))
+            ws.append(int(header["width"]))
+            cs.append(int(header["channels"]))
+            feats.append(np.round(f, 6).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "height": pa.array(hs, type=pa.int32()),
+                "width": pa.array(ws, type=pa.int32()),
+                "channels": pa.array(cs, type=pa.int32()),
+                "features": pa.array(feats, type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class FrameSample:
+    """Video payload -> one row per sampled frame (every ``stride``-th),
+    a flat_map-shaped explosion done batch-wise."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, frames = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            header, body = _parse(payload)
+            n = int(header["n_frames"])
+            fsize = int(header["height"]) * int(header["width"]) * int(header["channels"])
+            for f in range(0, n, self.stride):
+                mids.append(mid)
+                fidx.append(f)
+                frames.append(body[f * fsize : (f + 1) * fsize].tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "frame_idx": pa.array(fidx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Audio payload -> windowed RMS energy over the byte stream
+    interpreted as u8 samples (deterministic fake of real DSP)."""
+
+    def __init__(self, window: int = 512):
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, srs, rms = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            header, body = _parse(payload)
+            x = body.astype(np.float64) - 128.0
+            nwin = max(1, x.size // self.window)
+            wins = x[: nwin * self.window].reshape(nwin, -1)
+            mids.append(mid)
+            srs.append(int(header["sample_rate"]))
+            rms.append(np.round(np.sqrt((wins**2).mean(1)), 6).tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "sample_rate": pa.array(srs, type=pa.int32()),
+                "rms": pa.array(rms, type=pa.list_(pa.float64())),
+            }
+        )
+
+
+def decode_images(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    """Small batch_size on purpose: wide binary rows (ray_guide:
+    memory-aware batching for image/audio payloads)."""
+    return media_ds.map_batches(
+        ImageDecode,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def sample_frames(media_ds, stride: int = 2, concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def audio_features(media_ds, concurrency=(1, 4), batch_size: int = 64):
+    return media_ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

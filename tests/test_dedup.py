@@ -1,0 +1,99 @@
+"""Dedup operators: exact, MinHash-LSH, SimHash, Jaccard verify,
+embedding near-dup."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.dedup import (
+    MinHasher,
+    embedding_dup_pairs,
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard,
+    simhash64,
+    simhash_dup_pairs,
+    verify_pairs_exact,
+)
+
+
+def _docs_with_dups():
+    """30 base docs + near-dups (1-token perturbation) + exact dups."""
+    rng = np.random.default_rng(77)
+    vocab = [f"t{i}" for i in range(50)]
+    texts, rows = [], []
+    for i in range(30):
+        toks = list(rng.choice(vocab, size=40))
+        texts.append(" ".join(toks))
+        rows.append({"doc_id": i, "text": texts[i]})
+    # near dups of docs 0..4 (ids 100..104): change one token
+    for i in range(5):
+        toks = texts[i].split()
+        toks[5] = "zzz"
+        rows.append({"doc_id": 100 + i, "text": " ".join(toks)})
+    # exact dups of docs 10, 11 (ids 200, 201)
+    rows.append({"doc_id": 200, "text": texts[10]})
+    rows.append({"doc_id": 201, "text": texts[11]})
+    return pd.DataFrame(rows)
+
+
+def test_exact_dedup():
+    df = _docs_with_dups()
+    out = exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == len(df) - 2  # two exact dups collapse
+    dup = out[out.n_dups > 1]
+    assert set(dup.doc_id) == {10, 11}  # min doc_id kept
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(k=128, w=3)
+    a = tokenize(" ".join(f"x{i}" for i in range(100)))
+    b = tokenize(" ".join(f"x{i}" for i in range(80)))  # ~80% shingle overlap
+    sa, sb = mh.signature(a), mh.signature(b)
+    est = float(np.mean(sa == sb))
+    exact = ngram_jaccard([" ".join(a)], [" ".join(b)], w=3)[0]
+    assert abs(est - exact) < 0.15
+
+
+def test_lsh_finds_near_dups():
+    df = _docs_with_dups()
+    pairs = lsh_candidate_pairs(
+        ray.data.from_pandas(df), k=64, bands=16, threshold=0.5
+    ).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    for i in range(5):
+        assert (i, 100 + i) in found  # near-dups surfaced
+    assert (10, 200) in found and (11, 201) in found  # exact dups too
+    # verify with exact jaccard
+    verified = verify_pairs_exact(ray.data.from_pandas(df), pairs, w=3, threshold=0.6)
+    vfound = set(map(tuple, verified[["id_a", "id_b"]].to_numpy()))
+    assert (10, 200) in vfound
+    assert all(j == 1.0 for j in verified[verified.id_a == 10].jaccard)
+
+
+def test_simhash_near_dup_low_hamming():
+    df = _docs_with_dups()
+    h0 = simhash64(tokenize(df[df.doc_id == 0].text.iloc[0]))
+    h100 = simhash64(tokenize(df[df.doc_id == 100].text.iloc[0]))
+    ham = bin(h0 ^ h100).count("1")
+    assert ham <= 10  # near dup -> close simhash
+    out = simhash_dup_pairs(ray.data.from_pandas(df), max_hamming=3).to_pandas()
+    found = set(map(tuple, out[["id_a", "id_b"]].to_numpy()))
+    assert (10, 200) in found and (11, 201) in found  # exact dups: hamming 0
+
+
+def test_embedding_dup_pairs():
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    # vec 100 ~ vec 0 (tiny noise), vec 101 == vec 1
+    rows.append({"vec_id": 100, "embedding": (base[0] + rng.normal(scale=1e-3, size=16)).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[1].tolist()})
+    ds = ray.data.from_items(rows)
+    pairs = embedding_dup_pairs(ds, tau=0.99).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 100) in found and (1, 101) in found
+    # random gaussian pairs at d=16 essentially never reach 0.99
+    assert len(found) == 2

@@ -1,0 +1,92 @@
+"""ANN: brute-force vs IVF (exact at nprobe=all), IVFPQ recall
+(reference analog: recall@k checks, test_ivfpq.cpp:30-113)."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from mini_ivf_ray.pipelines.similarity import (
+    _normalize,
+    ann_search,
+    brute_force_ann,
+    build_ivf_index,
+)
+
+
+def _clustered_embeddings(n=400, d=32, k=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, d)) * 3
+    labels = rng.integers(0, k, n)
+    mat = centers[labels] + rng.normal(size=(n, d))
+    return pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [v.tolist() for v in mat], "label": labels}
+    )
+
+
+def test_ivf_exact_at_full_nprobe(tmp_path):
+    df = _clustered_embeddings()
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx, n_centroids=8, seed=7)
+    assert meta["counters"]["n_vectors"] == len(df)
+
+    qdf = df.head(10)[["vec_id", "embedding"]]
+    qds = ray.data.from_pandas(qdf)
+    res = (
+        ann_search(idx, qds, k=5, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=5).sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    np.testing.assert_array_equal(res["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
+    np.testing.assert_allclose(res["cosine"].to_numpy(), bf["cosine"].to_numpy(), atol=2e-6)
+    # self is its own nearest neighbour at rank 0
+    assert (res[res["rank"] == 0]["vec_id"].to_numpy() == qdf["vec_id"].to_numpy()).all()
+
+
+def test_ivf_partial_nprobe_recall(tmp_path):
+    df = _clustered_embeddings(n=600)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "ivf2")
+    build_ivf_index(ds, idx, n_centroids=8, seed=7)
+    qdf = df.head(20)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=10)
+    res = ann_search(idx, ray.data.from_pandas(qdf), k=10, nprobe=3).to_pandas()
+    recall = _recall(res, bf, 10)
+    assert recall >= 0.8  # clustered data, 3/8 probes
+
+
+def test_ivfpq_recall(tmp_path):
+    df = _clustered_embeddings(n=600, d=32)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "ivfpq")
+    meta = build_ivf_index(ds, idx, n_centroids=8, pq_m=16, pq_ks=64, seed=7)
+    assert meta["kind"] == "ivfpq"
+    qdf = df.head(20)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=10)
+    res = ann_search(idx, ray.data.from_pandas(qdf), k=10, nprobe=8, use_pq=True).to_pandas()
+    # PQ on raw (non-residual) vectors is lossy — the reference quantizes
+    # raw data the same way (index_ivfpq.cpp:84-86); recall bound matches
+    # an offline param sweep (m=16, ks=64 -> ~0.79 on this corpus)
+    assert _recall(res, bf, 10) >= 0.7
+
+
+def _recall(res: pd.DataFrame, truth: pd.DataFrame, k: int) -> float:
+    hits = tot = 0
+    for qid, g in truth.groupby("query_id"):
+        t = set(g["vec_id"])
+        p = set(res[res["query_id"] == qid]["vec_id"])
+        hits += len(t & p)
+        tot += len(t)
+    return hits / tot
+
+
+def test_normalize_zero_vector():
+    m = _normalize(np.array([[0.0, 0.0], [3.0, 4.0]]))
+    assert np.allclose(m[1], [0.6, 0.8]) and np.allclose(m[0], 0)
