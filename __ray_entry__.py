@@ -1,44 +1,622 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full index build over sf0.001
+documents adapted to the pages shape + WAND top-k queries).
+``queries()`` exposes one entry per implemented operator/pipeline from
+SURVEY.md §2 plus the training-data additions; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one (same column
+names, floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+from mini_ivf_ray.config import PipelineConfig
+
+# ---------------------------------------------------------------------------
+# fixed BM25 query set over the documents vocabulary (reference analog:
+# query.fvecs nq-query workload, test_ivfpq_sift1m_baseline.cpp:32-33)
+# ---------------------------------------------------------------------------
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "key value scan"),
+    (1, "spark table join"),
+    (2, "window agg stream"),
+    (3, "the a slow fast"),
+    (4, "hash merge sort order"),
+    (5, "vector dup big small"),
+    (6, "customer query line"),
+    (7, "data row column filter group batch"),
+]
+
+N_ANN_QUERIES = 8
+TOKEN_RE_SQL = "[a-z0-9]+"
+STOPWORDS_SQL = "('the','a','of','and','to','in')"
+
+_CFG = PipelineConfig(num_partitions=8, topk=10, doc_id_from_url=False)
+
+_index_cache: dict[str, str] = {}
+_ivf_cache: dict[str, str] = {}
+
+
+def _documents(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _documents_full(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (once per process per sf_dir) the fulltext index over the
+    documents table adapted to the pages shape — exercises the full
+    build pipeline including the pinned html extractor."""
+    if sf_dir in _index_cache:
+        return _index_cache[sf_dir]
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.sources.pages import documents_as_pages
+
+    idx = tempfile.mkdtemp(prefix="graft_ftidx_")
+    build_index(
+        lambda: documents_as_pages(sf_dir), idx, _CFG, dedup=False,
+        lineage_extra={"source": sf_dir},
+    )
+    _index_cache[sf_dir] = idx
+    return idx
+
+
+def _ensure_ivf(sf_dir: str, pq: bool = False) -> str:
+    key = f"{sf_dir}:{pq}"
+    if key in _ivf_cache:
+        return _ivf_cache[key]
+    from mini_ivf_ray.pipelines.similarity import build_ivf_index
+
+    idx = tempfile.mkdtemp(prefix="graft_ivf_")
+    build_ivf_index(
+        _embeddings(sf_dir), idx, n_centroids=8, seed=7,
+        pq_m=16 if pq else None, pq_ks=16,
+    )
+    _ivf_cache[key] = idx
+    return idx
+
+
+def _ann_queries(sf_dir: str):
+    import pyarrow.parquet as pqmod
+
+    t = pqmod.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    t = t.filter(pa.compute.less(t["vec_id"], N_ANN_QUERIES))
+    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    return t["vec_id"].to_numpy(), Q
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages-shaped read -> extract -> stats -> salted SPIMI
+    build -> segments -> WAND BM25 top-10 on the fixed query set."""
+    import ray.data
+
+    from mini_ivf_ray.pipelines.query import search
+
+    idx = _ensure_index("/root/testdata/sf0.001")
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+    )
+    return search(idx, qds, _CFG)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow.compute as pc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tokenize_postings(sf_dir):
+        from mini_ivf_ray.stages.spimi import tokenize_postings_batch
+
+        return (
+            _documents(sf_dir)
+            .map_batches(
+                lambda b: tokenize_postings_batch(
+                    b.set_column(
+                        b.column_names.index("doc_id"),
+                        "doc_id",
+                        pc.cast(b["doc_id"], pa.uint64()),
+                    )
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                        "term": b["term"],
+                        "tf": b["tf"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    def term_df(sf_dir):
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+        from mini_ivf_ray.stages.stats_stage import compute_stats
+
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        stats = compute_stats(docs)
+        terms = sorted(stats.df)
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array([stats.df[t] for t in terms], type=pa.int64()),
+                "cf": pa.array([stats.cf[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+    def corpus_stats(sf_dir):
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+        from mini_ivf_ray.stages.stats_stage import compute_stats
+
+        stats = compute_stats(assign_doc_ids(_documents(sf_dir), _CFG))
+        return pa.table(
+            {
+                "n_docs": pa.array([stats.n_docs], type=pa.int64()),
+                "total_tokens": pa.array([stats.total_tokens], type=pa.int64()),
+                "avgdl_r": pa.array([round(stats.avgdl, 6)], type=pa.float64()),
+            }
+        )
+
+    def doc_lengths(sf_dir):
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+        def dl(batch: pa.Table) -> pa.Table:
+            _, dls = tokenize_batch(batch["text"].to_pylist())
+            return pa.table({"doc_id": batch["doc_id"], "dl": pa.array(dls)})
+
+        return _documents(sf_dir).map_batches(dl, batch_format="pyarrow")
+
+    def top_terms(sf_dir):
+        t = term_df(sf_dir)
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        return t.take(order[:20])
+
+    def bm25_topk(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def bm25_exhaustive(sf_dir):
+        """Same top-k via the distributed exhaustive scorer (the
+        get_groundtruth analog) — no index involved."""
+        from mini_ivf_ray.pipelines.query import exhaustive_topk
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+        from mini_ivf_ray.stages.stats_stage import compute_stats
+
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        stats = compute_stats(docs)
+        res = exhaustive_topk(docs, stats, BM25_QUERIES, _CFG)
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def extract_roundtrip(sf_dir):
+        """Byte-identity of the pinned extractor: wrap each doc's text
+        in the canonical html, extract, return — must hash-match the
+        raw text column."""
+        from mini_ivf_ray.functions.extract import extract_text, wrap_html
+
+        def rt(batch: pa.Table) -> pa.Table:
+            texts = [
+                extract_text(wrap_html(t, title=str(i)))
+                for i, t in zip(
+                    batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+                )
+            ]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "text": pa.array(texts, type=pa.string())}
+            )
+
+        return _documents(sf_dir).map_batches(rt, batch_format="pyarrow")
+
+    def exact_dedup_q(sf_dir):
+        from mini_ivf_ray.pipelines.dedup import exact_dedup
+
+        return exact_dedup(_documents(sf_dir))
+
+    def quality_q(sf_dir):
+        from mini_ivf_ray.pipelines.analysis import quality
+
+        return quality(_documents(sf_dir))
+
+    def langid_q(sf_dir):
+        from mini_ivf_ray.pipelines.analysis import langid
+
+        return langid(_documents(sf_dir))
+
+    def fingerprint_q(sf_dir):
+        from mini_ivf_ray.pipelines.analysis import fingerprints
+
+        return fingerprints(_documents(sf_dir))
+
+    def ann_bruteforce(sf_dir):
+        from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+        qids, Q = _ann_queries(sf_dir)
+        res = brute_force_ann(_embeddings(sf_dir), Q, qids, k=10)
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def ann_ivf_full(sf_dir):
+        """IVF with nprobe = all partitions: exact, same oracle as
+        brute force (reference: nprobe=ncentroids degenerate config,
+        get_groundtruth.cpp:15-16)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import ann_search
+
+        idx = _ensure_ivf(sf_dir)
+        qids, Q = _ann_queries(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {"vec_id": int(i), "embedding": q.tolist()}
+                for i, q in zip(qids, Q)
+            ]
+        )
+        res = ann_search(idx, qds, k=10, nprobe=8).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def filter_project(sf_dir):
+        ds = _documents_full(sf_dir)
+        return ds.map_batches(
+            lambda b: b.filter(pc.equal(b["lang"], "en")).select(
+                ["doc_id", "n_chars"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    def source_stats(sf_dir):
+        from ray.data.aggregate import Count, Mean, Sum
+
+        out = (
+            _documents_full(sf_dir)
+            .groupby("source")
+            .aggregate(
+                Count(alias_name="n_docs"),
+                Sum("n_chars", alias_name="sum_chars"),
+                Mean("n_chars", alias_name="avg_chars"),
+            )
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "source": pa.array(out["source"], type=pa.string()),
+                "n_docs": pa.array(out["n_docs"].astype(np.int64)),
+                "sum_chars": pa.array(out["sum_chars"].astype(np.int64)),
+                "avg_chars_r": pa.array(np.round(out["avg_chars"].to_numpy(), 6)),
+            }
+        )
+
+    def limit_head(sf_dir):
+        return (
+            _documents_full(sf_dir)
+            .sort("doc_id")
+            .limit(50)
+            .select_columns(["doc_id", "lang", "n_chars"])
+        )
+
+    # ---- rows-only (non-SQL-expressible) --------------------------------
+
+    def lsh_near_dup(sf_dir):
+        from mini_ivf_ray.pipelines.dedup import lsh_candidate_pairs
+
+        return lsh_candidate_pairs(_documents(sf_dir), k=64, bands=16, threshold=0.5)
+
+    def simhash_pairs(sf_dir):
+        from mini_ivf_ray.pipelines.dedup import simhash_dup_pairs
+
+        return simhash_dup_pairs(_documents(sf_dir), max_hamming=3)
+
+    def ann_ivf_probe(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import ann_search
+
+        idx = _ensure_ivf(sf_dir)
+        qids, Q = _ann_queries(sf_dir)
+        qds = ray.data.from_items(
+            [{"vec_id": int(i), "embedding": q.tolist()} for i, q in zip(qids, Q)]
+        )
+        return ann_search(idx, qds, k=10, nprobe=2)
+
+    def ann_ivfpq(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import ann_search
+
+        idx = _ensure_ivf(sf_dir, pq=True)
+        qids, Q = _ann_queries(sf_dir)
+        qds = ray.data.from_items(
+            [{"vec_id": int(i), "embedding": q.tolist()} for i, q in zip(qids, Q)]
+        )
+        return ann_search(idx, qds, k=10, nprobe=8, use_pq=True)
+
+    def image_features(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.multimodal import (
+            KIND_IMAGE,
+            decode_images,
+            synth_media,
+        )
+
+        return decode_images(ray.data.from_arrow(synth_media(200, KIND_IMAGE)))
+
+    def video_frames(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.multimodal import (
+            KIND_VIDEO,
+            sample_frames,
+            synth_media,
+        )
+
+        return sample_frames(ray.data.from_arrow(synth_media(100, KIND_VIDEO)))
+
+    return {
+        "tokenize_postings": tokenize_postings,
+        "term_df": term_df,
+        "corpus_stats": corpus_stats,
+        "doc_lengths": doc_lengths,
+        "top_terms": top_terms,
+        "bm25_topk": bm25_topk,
+        "bm25_exhaustive": bm25_exhaustive,
+        "extract_roundtrip": extract_roundtrip,
+        "exact_dedup": exact_dedup_q,
+        "quality": quality_q,
+        "langid": langid_q,
+        "fingerprint": fingerprint_q,
+        "ann_bruteforce": ann_bruteforce,
+        "ann_ivf_full": ann_ivf_full,
+        "filter_project": filter_project,
+        "source_stats": source_stats,
+        "limit_head": limit_head,
+        "lsh_near_dup": lsh_near_dup,
+        "simhash_pairs": simhash_pairs,
+        "ann_ivf_probe": ann_ivf_probe,
+        "ann_ivfpq": ann_ivfpq,
+        "image_features": image_features,
+        "video_frames": video_frames,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}')) AS term FROM documents)"
+)
+
+
+def _bm25_values() -> str:
+    rows = []
+    for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _bm25_sql() -> str:
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+"""
+
+
+def _ann_sql() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+           WHERE vec_id < {N_ANN_QUERIES}),
+sims AS (SELECT q.query_id, e.vec_id,
+                list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, vec_id ASC) - 1 AS rank
+           FROM sims)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 4) AS cosine_r
+FROM ranked WHERE rank < 10
+"""
+
+
+def _langid_sql() -> str:
+    from mini_ivf_ray.pipelines.analysis import LANG_MARKERS
+
+    cols, cases = [], []
+    for lang, marks in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in marks)
+        cols.append(
+            f"sum(CASE WHEN term IN ({inlist}) THEN 1 ELSE 0 END) AS c_{lang}"
+        )
+    great = "greatest(" + ", ".join(f"coalesce(c_{l}, 0)" for l in LANG_MARKERS) + ")"
+    for lang in LANG_MARKERS:
+        cases.append(f"WHEN coalesce(c_{lang}, 0) = {great} THEN '{lang}'")
+    return f"""
+WITH {_TOK_CTE},
+c AS (SELECT doc_id, {', '.join(cols)} FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN {great} = 0 OR {great} IS NULL THEN 'und'
+            {' '.join(cases)}
+            ELSE 'und' END AS detected_lang
+FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    postings_sql = f"""
+WITH {_TOK_CTE}
+SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
+"""
+    term_df_sql = f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2)
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM postings GROUP BY term
+"""
+    return {
+        "tokenize_postings": postings_sql,
+        "term_df": term_df_sql,
+        "corpus_stats": f"""
+WITH {_TOK_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM tok)::BIGINT AS total_tokens,
+       round((SELECT count(*) FROM tok)::DOUBLE
+             / (SELECT count(*) FROM documents)::DOUBLE, 6) AS avgdl_r
+""",
+        "doc_lengths": f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS dl
+FROM documents
+""",
+        "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
+        "bm25_topk": _bm25_sql(),
+        "bm25_exhaustive": _bm25_sql(),
+        "extract_roundtrip": "SELECT doc_id, text FROM documents",
+        "exact_dedup": """
+SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "quality": f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
+           FROM documents)
+SELECT doc_id,
+       len(tokens)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(CASE WHEN len(tokens) = 0 THEN 0.0
+             ELSE list_sum(list_transform(tokens,
+                    x -> CASE WHEN x IN {STOPWORDS_SQL} THEN 1 ELSE 0 END))::DOUBLE
+                  / len(tokens) END, 6) AS stop_ratio,
+       round(CASE WHEN len(tokens) = 0 THEN 0.0
+             ELSE list_sum(list_transform(tokens, x -> length(x)))::DOUBLE
+                  / len(tokens) END, 6) AS mean_token_len,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM t
+""",
+        "langid": _langid_sql(),
+        "fingerprint": f"""
+SELECT doc_id,
+       md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' '))
+         AS fingerprint
+FROM documents
+""",
+        "ann_bruteforce": _ann_sql(),
+        "ann_ivf_full": _ann_sql(),
+        "filter_project": "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
+        "source_stats": """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       round(avg(n_chars), 6) AS avg_chars_r
+FROM documents GROUP BY source
+""",
+        "limit_head": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
+        # image_features / video_frames: intentionally no SQL oracle
+        # (hash-function- or approximation-dependent) -> rows-only check
+    }
