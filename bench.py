@@ -1,0 +1,179 @@
+"""Benchmark harness (driver-run per round -> BENCH_r{N}.json).
+
+Headline pipeline (the reference's measurement protocol, BASELINE.md):
+index-build throughput (docs/s) + BM25 top-10 query QPS, measured over a
+deterministic synthetic Common-Crawl-style pages corpus (the sf tables
+are too small to exercise parallelism), plus timed operator benchmarks
+over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "qps": ...}
+
+--scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
+and reports both throughputs + scaling efficiency (the sandbox stand-in
+for the north_rule's N vs 4N-node cluster runs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+import warnings
+
+warnings.filterwarnings("ignore")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2000"))
+PAGES_DIR = f"/tmp/graft_bench_pages_{BENCH_DOCS}"
+
+
+def _bench_queries(n: int, seed: int = 9):
+    """Deterministic query workload over the bench corpus vocabulary
+    (head + tail mix, reference analog: nq=1000 query set)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    head = ["the", "a", "of", "to", "and", "in", "data", "web", "page", "time"]
+    out = []
+    for qid in range(n):
+        k = int(rng.integers(1, 5))
+        terms = [
+            head[int(rng.integers(0, len(head)))]
+            if rng.random() < 0.3
+            else f"w{int(rng.integers(10, 5000)):05d}"
+            for _ in range(k)
+        ]
+        out.append((qid, " ".join(terms)))
+    return out
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from mini_ivf_ray.config import PipelineConfig
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.query import search
+    from mini_ivf_ray.sources.pages import write_pages_corpus
+
+    timings: dict[str, float] = {}
+
+    # ---- corpus (generation untimed, cached across runs) ----------------
+    write_pages_corpus(PAGES_DIR, BENCH_DOCS, seed=42, num_files=64)
+    pages_factory = lambda: ray.data.read_parquet(PAGES_DIR)  # noqa: E731
+    # warm OS page cache so we measure compute+shuffle, not first disk read
+    pages_factory().count()
+
+    cfg = PipelineConfig(
+        num_partitions=32,
+        query_concurrency=NUM_CPUS,
+        tokenize_batch_size=512,
+        topk=10,
+    )
+
+    # ---- index build (reference: Timer around Populate) -----------------
+    idx = f"/tmp/graft_bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.perf_counter()
+    meta = build_index(pages_factory, idx, cfg)
+    build_sec = time.perf_counter() - t0
+    n_docs = meta["n_docs"]
+    timings["build_index"] = round(build_sec, 3)
+    timings["build_stats_pass"] = meta["counters"]["stats_wall_sec"]
+    timings["build_populate"] = meta["counters"]["populate_wall_sec"]
+
+    # ---- query serving (reference: Timer around the query loop) ---------
+    queries = _bench_queries(BENCH_QUERIES)
+    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
+    t0 = time.perf_counter()
+    n_res = search(idx, qds, cfg).count()
+    query_sec = time.perf_counter() - t0
+    timings["query_topk"] = round(query_sec, 3)
+
+    # ---- operator benchmarks over the sf dir ----------------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ["term_df", "tokenize_postings", "quality", "lsh_near_dup", "ann_bruteforce"]:
+        t0 = time.perf_counter()
+        res = qs[name](SF_DIR)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+
+    headline = round(build_sec + query_sec, 3)
+    return {
+        "metric": "index-build + BM25 top-10 query wall time "
+        f"({n_docs} docs, {BENCH_QUERIES} queries)",
+        "value": headline,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "n_results": n_res,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "qps": round(BENCH_QUERIES / query_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    # efficiency on the headline wall time (build + query)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    result = {
+        "metric": "scaling efficiency (8 vs 32 CPUs, same corpus + queries)",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "qps_8": lo["qps"],
+        "qps_32": hi["qps"],
+        "build_eff": round((lo["queries"]["build_index"] / hi["queries"]["build_index"]) / 4, 3),
+        "query_eff": round((lo["queries"]["query_topk"] / hi["queries"]["query_topk"]) / 4, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -20,9 +20,13 @@ class PipelineConfig:
     scale set to O(nodes * few); groups must stream through one task."""
 
     # --- posting block geometry (reference: PQ code packing) -------------
-    block_size: int = 128
+    block_size: int = 512
     """Postings per compressed block; per-block max-score metadata makes
-    this the WAND skipping granularity (analog of per-list PQ payload)."""
+    this the WAND skipping granularity (analog of per-list PQ payload).
+    Classic C engines use 64-128 for maximum pruning; here evaluation is
+    vectorized numpy per block while round bookkeeping is Python, so
+    larger blocks win — pruning granularity is traded for ~4x fewer
+    per-round overheads."""
 
     # --- BM25 (reference: L2 distance kernel, distance.cpp) --------------
     k1: float = 1.2

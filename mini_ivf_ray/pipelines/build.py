@@ -75,14 +75,47 @@ def build_index(
         **(lineage_extra or {}),
     }
 
-    # ---- stage 1+2: prepare + stats (checkpointed) ---------------------
+    # ---- stage 1: prepare (extract -> dedup -> docID), checkpointed ----
+    # Staged to Parquet once: both the stats pass and the populate pass
+    # read the slim (doc_id, text) table instead of re-running the
+    # extract + dedup shuffle; the staged table doubles as the
+    # docID <-> url sidecar (SURVEY §7.3).
+    import os
+
+    import ray.data
+
+    prep_dir = os.path.join(index_dir, "prepared")
+    prep_marker = os.path.join(prep_dir, "_DONE")
+    prepare_wall = 0.0
+    if not os.path.exists(prep_marker):
+        ts = time.perf_counter()
+        os.makedirs(index_dir, exist_ok=True)
+        tmp = prep_dir + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
+        docs.write_parquet(tmp)
+        if os.path.exists(prep_dir):
+            import shutil
+
+            shutil.rmtree(prep_dir)
+        os.replace(tmp, prep_dir)
+        with open(prep_marker, "w") as f:
+            f.write("ok")
+        prepare_wall = time.perf_counter() - ts
+
+    def prepared_docs():
+        return ray.data.read_parquet(prep_dir, columns=["doc_id", "text"])
+
+    # ---- stage 2: stats (checkpointed) ---------------------------------
     if CorpusStats.exists(index_dir):
         stats = CorpusStats.load(index_dir)
         stats_wall = 0.0
     else:
         ts = time.perf_counter()
-        docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
-        stats = compute_stats(docs, batch_size=cfg.tokenize_batch_size)
+        stats = compute_stats(prepared_docs(), batch_size=cfg.tokenize_batch_size)
         stats.save(index_dir)
         stats_wall = time.perf_counter() - ts
 
@@ -91,8 +124,7 @@ def build_index(
     populate_wall = 0.0
     if pending:
         ts = time.perf_counter()
-        docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
-        postings = docs.map_batches(
+        postings = prepared_docs().map_batches(
             tokenize_postings_batch,
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
@@ -146,6 +178,7 @@ def build_index(
         "partitions": per_part,
         "counters": {
             **totals,
+            "prepare_wall_sec": round(prepare_wall, 3),
             "stats_wall_sec": round(stats_wall, 3),
             "populate_wall_sec": round(populate_wall, 3),
             "total_wall_sec": round(time.perf_counter() - t0, 3),

@@ -19,8 +19,6 @@ score-ties at the heap threshold are never wrongly skipped.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -33,34 +31,24 @@ from mini_ivf_ray.state.stats import CorpusStats
 
 
 class TermIterator:
-    """Cursor over one term's globally sorted posting blocks.  Blocks are
-    decoded lazily — block-level skips (``shallow_to``) touch only the
-    (first, last, max_score) metadata, the analog of IVF's
-    posting_lists_lens-driven scan bookkeeping."""
+    """Block-oriented cursor over one term's globally sorted posting
+    blocks.  Block-level skips (``shallow_to``) touch only the (first,
+    last, max_score) metadata — the analog of IVF's posting_lists_lens
+    scan bookkeeping; decode (cached on the shared PostingBlocks) only
+    happens for evaluated blocks."""
 
-    __slots__ = (
-        "term", "blocks", "idf", "global_ub", "bi", "pos",
-        "_docs", "_contribs", "_ctx", "exhausted",
-    )
+    __slots__ = ("term", "blocks", "idf", "global_ub", "bi", "pos", "cur_doc", "exhausted")
 
-    def __init__(self, blocks: PostingBlocks, idf: float, n_docs: int, avgdl: float, cfg):
+    def __init__(self, blocks: PostingBlocks, idf: float, avgdl: float, cfg):
         self.term = blocks.term
         self.blocks = blocks
         self.idf = idf
-        self.global_ub = float(blocks.max_scores.max())
+        self.global_ub = float(blocks.max_scores.max()) if blocks.n_blocks else 0.0
+        blocks.set_scoring(idf, avgdl, cfg.k1, cfg.b)
         self.bi = 0
-        self.pos = 0
-        self._docs = None
-        self._contribs = None
+        self.pos = 0  # index within current block (valid postings start here)
         self.exhausted = blocks.n_blocks == 0
-        # scoring context captured for decode
-        self._ctx = (n_docs, avgdl, cfg.k1, cfg.b)
-
-    @property
-    def cur_doc(self) -> int:
-        if self._docs is not None:
-            return int(self._docs[self.pos])
-        return int(self.blocks.firsts[self.bi])
+        self.cur_doc = int(blocks.firsts[0]) if not self.exhausted else -1
 
     @property
     def block_last(self) -> int:
@@ -70,77 +58,129 @@ class TermIterator:
     def block_ub(self) -> float:
         return float(self.blocks.max_scores[self.bi])
 
-    def _decode(self) -> None:
-        docs, tfs, dls = self.blocks.decode(self.bi)
-        n_docs, avgdl, k1, b = self._ctx
-        self._docs = docs
-        self._contribs = self.idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
-
-    def score_current(self) -> float:
-        if self._docs is None:
-            self._decode()
-        return float(self._contribs[self.pos])
-
     def shallow_to(self, target: int) -> None:
-        """Move the block cursor (metadata only) so current block's last
-        >= target; never decodes."""
+        """Metadata-only: move the block cursor until block_last >= target."""
         b = self.blocks
+        moved = False
         while self.bi < b.n_blocks and int(b.lasts[self.bi]) < target:
             self.bi += 1
-            self._docs = None
-            self.pos = 0
+            moved = True
         if self.bi >= b.n_blocks:
             self.exhausted = True
+            return
+        if moved:
+            self.pos = 0
+            self.cur_doc = int(b.firsts[self.bi])
 
     def next_geq(self, target: int) -> None:
-        """Advance to the first posting with doc_id >= target."""
-        if self.exhausted:
-            return
-        if self._docs is not None and int(self._docs[-1]) >= target:
-            # stay within the decoded block
-            self.pos = int(np.searchsorted(self._docs, np.uint64(target), side="left"))
+        """Advance to the first posting with doc_id >= target (never
+        moves backward)."""
+        if self.exhausted or self.cur_doc >= target:
             return
         self.shallow_to(target)
         if self.exhausted:
             return
-        if int(self.blocks.firsts[self.bi]) >= target:
+        first = int(self.blocks.firsts[self.bi])
+        if first >= target and self.pos == 0:
+            self.cur_doc = first
+            return
+        docs, _ = self.blocks.decoded(self.bi)
+        pos = int(np.searchsorted(docs, np.uint64(target), side="left"))
+        if pos <= self.pos:
+            return
+        if pos >= len(docs):  # can't happen (block_last >= target) but guard
+            self.bi += 1
             self.pos = 0
-            self._docs = None  # cur_doc readable from metadata; decode deferred
+            if self.bi >= self.blocks.n_blocks:
+                self.exhausted = True
+            else:
+                self.cur_doc = int(self.blocks.firsts[self.bi])
             return
-        self._decode()
-        self.pos = int(np.searchsorted(self._docs, np.uint64(target), side="left"))
+        self.pos = pos
+        self.cur_doc = int(docs[pos])
 
-    def advance(self) -> None:
-        """One posting forward."""
-        if self._docs is None:
-            self._decode()
-        if self.pos + 1 < len(self._docs):
-            self.pos += 1
-            return
-        self.bi += 1
-        self._docs = None
-        self.pos = 0
-        if self.bi >= self.blocks.n_blocks:
-            self.exhausted = True
+    def slice_upto(self, hi: int) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, contribs) of current block from the cursor position up
+        to doc_id <= hi (inclusive)."""
+        docs, contribs = self.blocks.decoded(self.bi)
+        i1 = int(np.searchsorted(docs, np.uint64(hi), side="right"))
+        return docs[self.pos : i1], contribs[self.pos : i1]
+
+
+def _drain_single(
+    it: TermIterator, top_docs: np.ndarray, top_scores: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaust the last active iterator: every remaining doc scores
+    exactly its own contribution, so block-max pruning (strict <) and
+    evaluation are both single vectorized passes."""
+    b = it.blocks
+    # finish the partially-consumed current block first
+    if not it.exhausted:
+        if b.n_blocks - it.bi > 8:
+            b.decode_all()  # one vectorized decode beats per-block passes
+        docs, contribs = b.decoded(it.bi)
+        d0, c0 = docs[it.pos :], contribs[it.pos :]
+        theta = top_scores[-1] if len(top_docs) >= k else -np.inf
+        m = c0 >= theta  # per-posting exact filter (ties kept)
+        if m.any():
+            top_docs, top_scores = _merge_topk(top_docs, top_scores, d0[m], c0[m], k)
+        start = it.bi + 1
+        for bi in range(start, b.n_blocks):
+            theta = top_scores[-1] if len(top_docs) >= k else -np.inf
+            if float(b.max_scores[bi]) < theta:
+                continue
+            docs, contribs = b.decoded(bi)
+            m = contribs >= theta
+            if m.any():
+                top_docs, top_scores = _merge_topk(
+                    top_docs, top_scores, docs[m], contribs[m], k
+                )
+        it.exhausted = True
+    return top_docs, top_scores
+
+
+def _merge_topk(
+    top_docs: np.ndarray, top_scores: np.ndarray,
+    docs: np.ndarray, scores: np.ndarray, k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge candidates into the running top-k, ranked (score desc,
+    doc_id asc).  Exact: lexsort on (-score float64, doc)."""
+    all_docs = np.concatenate([top_docs, docs])
+    all_scores = np.concatenate([top_scores, scores])
+    order = np.lexsort((all_docs, -all_scores))[:k]
+    return all_docs[order], all_scores[order]
 
 
 def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
-    """Block-max WAND.  Returns [(doc_id, score)] ranked by
-    (score desc, doc_id asc), only docs containing >=1 query term.
+    """Block-max WAND, block-vectorized.  Returns [(doc_id, score)]
+    ranked by (score desc, doc_id asc), only docs with >=1 query term.
 
-    Heap entries are (score, -doc_id): the min-heap top is the weakest
-    result under the exact tie-break, so threshold pruning with STRICT
-    inequality can never drop a true top-k member.
+    Each round either (a) proves via summed CURRENT block maxima that no
+    doc up to the nearest block boundary can beat the running threshold
+    and skips there (STRICT inequality, so score-ties at the threshold
+    are never wrongly pruned), or (b) evaluates the whole qualifying
+    doc_id range at once: per-term slices scattered into a unique-doc
+    score array with one vectorized += per term in lexicographic term
+    order — the exact float64 accumulation pattern the oracles use.
     """
-    heap: list[tuple[float, int]] = []
+    top_docs = np.empty(0, dtype=np.uint64)
+    top_scores = np.empty(0, dtype=np.float64)
     active = [it for it in iters if not it.exhausted]
-    while active:
+    while True:
         active = [it for it in active if not it.exhausted]
         if not active:
             break
+        if len(active) == 1:
+            # sole remaining term: its docs' scores are single
+            # contributions — block-max filter the remaining blocks in
+            # one vectorized pass and merge once (no per-block rounds)
+            top_docs, top_scores = _drain_single(
+                active[0], top_docs, top_scores, k
+            )
+            break
         active.sort(key=lambda it: it.cur_doc)
-        full = len(heap) >= k
-        theta = heap[0][0] if full else float("-inf")
+        full = len(top_docs) >= k
+        theta = top_scores[-1] if full else float("-inf")
 
         # --- pivot: first prefix whose summed global UBs could enter ---
         acc = 0.0
@@ -153,51 +193,66 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
         if pivot < 0:
             break  # even all terms together cannot reach theta
         pivot_doc = active[pivot].cur_doc
-        # extend the pivot over cur_doc ties: every iterator sitting at
-        # pivot_doc must be inside the block-max sum / evaluation set,
-        # both for bound soundness and for strict forward progress
+        # extend over cur_doc ties (bound soundness + strict progress)
         while pivot + 1 < len(active) and active[pivot + 1].cur_doc == pivot_doc:
             pivot += 1
 
-        if active[0].cur_doc == pivot_doc:
-            # --- block-max refinement ---
-            for it in active[: pivot + 1]:
-                it.shallow_to(pivot_doc)
-            sub = [it for it in active[: pivot + 1] if not it.exhausted]
-            bub = sum(it.block_ub for it in sub)
-            if full and bub < theta:
-                # no doc up to the nearest block boundary can enter
-                boundary = min(it.block_last for it in sub) if sub else pivot_doc
-                nxt = boundary + 1
-                if pivot + 1 < len(active):
-                    nxt = min(nxt, active[pivot + 1].cur_doc)
-                for it in sub:
-                    it.next_geq(nxt)
-                continue
-            # --- full evaluation of pivot_doc ---
-            hitters = []
-            for it in active[: pivot + 1]:
-                it.next_geq(pivot_doc)
-                if not it.exhausted and it.cur_doc == pivot_doc:
-                    hitters.append(it)
-            score = 0.0
-            for it in sorted(hitters, key=lambda it: it.term):  # canonical order
-                score += it.score_current()
-            if hitters:
-                cand = (score, -pivot_doc)
-                if not full:
-                    heapq.heappush(heap, cand)
-                elif cand > heap[0]:
-                    heapq.heapreplace(heap, cand)
-            for it in hitters:
-                it.advance()
-        else:
-            # align the leading iterators up to the pivot document
+        if active[0].cur_doc < pivot_doc:
+            # prefix sum up to pivot-1 is < theta strictly: docs below
+            # pivot_doc (only coverable by that prefix) cannot enter
             for it in active[:pivot]:
                 if it.cur_doc < pivot_doc:
                     it.next_geq(pivot_doc)
-    # rank by (score desc, doc_id asc); entries hold -doc_id, negate again
-    return [(-nd, s) for s, nd in sorted(heap, key=lambda e: (-e[0], -e[1]))]
+            continue
+
+        # all of active[:pivot+1] sit at pivot_doc
+        sub = active[: pivot + 1]
+        for it in sub:
+            it.shallow_to(pivot_doc)
+        sub = [it for it in sub if not it.exhausted]
+        if not sub:
+            continue
+        L = min(it.block_last for it in sub)
+        # expand the evaluation set over every iterator whose cursor
+        # falls inside [pivot_doc, L] instead of clipping L down to it —
+        # ranges stay block-sized instead of fragmenting at each
+        # other term's cursor (rounds ~ blocks, not cursor interleavings)
+        j = pivot + 1
+        while j < len(active) and active[j].cur_doc <= L:
+            it = active[j]
+            sub.append(it)
+            L = min(L, it.block_last)
+            j += 1
+        bub = sum(it.block_ub for it in sub)
+        if full and bub < theta:
+            for it in sub:
+                it.next_geq(L + 1)
+            continue
+
+        # --- vectorized evaluation of [pivot_doc, L] ---
+        sub.sort(key=lambda it: it.term)  # canonical term order
+        parts_d, parts_c = [], []
+        for it in sub:
+            d, c = it.slice_upto(L)
+            if d.size:
+                parts_d.append(d)
+                parts_c.append(c)
+            it.next_geq(L + 1)
+        if not parts_d:
+            continue
+        if len(parts_d) == 1:
+            uniq, scores = parts_d[0], parts_c[0]
+        else:
+            # exact canonical accumulation: one vectorized += per term,
+            # in sorted-term order — the oracles' scores[idx] += contrib
+            # pattern verbatim (NOT reduceat, whose SIMD summation order
+            # differs by an ulp on small segments)
+            uniq = np.unique(np.concatenate(parts_d))
+            scores = np.zeros(len(uniq), dtype=np.float64)
+            for d, c in zip(parts_d, parts_c):
+                scores[np.searchsorted(uniq, d)] += c
+        top_docs, top_scores = _merge_topk(top_docs, top_scores, uniq, scores, k)
+    return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
 
 
 class BM25Searcher:
@@ -213,23 +268,22 @@ class BM25Searcher:
 
     def topk_for_text(self, qtext: str) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(qtext)))
-        iters = []
-        for t in terms:
-            df = self.stats.df.get(t, 0)
-            if df <= 0:
-                continue  # out-of-vocabulary term: empty posting list
-            blocks = self.reader.term_blocks(t, self.stats.term_locations(t, self.cfg))
-            if blocks is None:
-                continue
-            iters.append(
-                TermIterator(
-                    blocks,
-                    bm25.idf(df, self.stats.n_docs),
-                    self.stats.n_docs,
-                    self.stats.avgdl,
-                    self.cfg,
-                )
+        wanted = {
+            t: self.stats.term_locations(t, self.cfg)
+            for t in terms
+            if self.stats.df.get(t, 0) > 0  # OOV -> empty posting list
+        }
+        fetched = self.reader.fetch_terms(wanted)
+        iters = [
+            TermIterator(
+                blocks,
+                bm25.idf(self.stats.df[t], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg,
             )
+            for t, blocks in fetched.items()
+            if blocks is not None
+        ]
         return wand_topk(iters, self.cfg.topk)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -259,8 +313,8 @@ def search(index_dir: str, queries_ds, cfg: PipelineConfig | None = None):
         BM25Searcher,
         fn_constructor_args=(index_dir, cfg),
         batch_format="pyarrow",
-        batch_size=256,
-        concurrency=cfg.query_concurrency,
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),  # autoscale to free CPUs
         num_cpus=1,
     )
 

@@ -3,8 +3,10 @@
 Reference analog: ``LoadFromBook`` — given a book of cluster ids, load
 only those clusters' shard files (index_ivfpq.cpp:122-159).  Ours reads
 only the ``segments/part=<p>`` directories that the query's terms live
-in, and within a partition file uses Parquet predicate pushdown on the
-sorted ``term`` column to touch only the needed row groups.
+in, batching all wanted terms of a partition into ONE filtered Parquet
+read, and caches per-term block sets (LRU) plus lazily-decoded
+per-block posting arrays with precomputed BM25 contributions (which are
+constant per index: f(tf, dl, df, N, avgdl, k1, b)).
 """
 
 from __future__ import annotations
@@ -13,7 +15,7 @@ import os
 from collections import OrderedDict
 
 import numpy as np
-import pyarrow.compute as pc
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 from mini_ivf_ray.functions.codec import decode_block
@@ -22,9 +24,13 @@ from mini_ivf_ray.state.manifest import partition_dir
 
 class PostingBlocks:
     """All blocks of one term, ordered by first_doc_id (globally sorted,
-    disjoint ranges — guaranteed by range-salting)."""
+    disjoint ranges — guaranteed by range-salting).  Decoding is lazy
+    per block and cached; contributions are float64 BM25 per posting."""
 
-    __slots__ = ("term", "df", "firsts", "lasts", "counts", "max_scores", "payloads")
+    __slots__ = (
+        "term", "df", "firsts", "lasts", "counts", "max_scores", "payloads",
+        "_docs", "_contribs", "_scoring",
+    )
 
     def __init__(self, term, df, firsts, lasts, counts, max_scores, payloads):
         self.term = term
@@ -34,6 +40,9 @@ class PostingBlocks:
         self.counts = counts
         self.max_scores = max_scores
         self.payloads = payloads
+        self._docs: list = [None] * len(payloads)
+        self._contribs: list = [None] * len(payloads)
+        self._scoring = None  # (idf, avgdl, k1, b) set by the searcher
 
     @property
     def n_blocks(self) -> int:
@@ -43,8 +52,74 @@ class PostingBlocks:
     def n_postings(self) -> int:
         return int(self.counts.sum()) if self.n_blocks else 0
 
-    def decode(self, i: int):
+    def set_scoring(self, idf: float, avgdl: float, k1: float, b: float) -> None:
+        if self._scoring != (idf, avgdl, k1, b):
+            self._scoring = (idf, avgdl, k1, b)
+            self._docs = [None] * self.n_blocks
+            self._contribs = [None] * self.n_blocks
+
+    def decoded(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, float64 contributions) of block i, cached."""
+        docs = self._docs[i]
+        if docs is None:
+            from mini_ivf_ray.functions import bm25
+
+            docs, tfs, dls = decode_block(
+                self.payloads[i], int(self.firsts[i]), int(self.counts[i])
+            )
+            idf, avgdl, k1, b = self._scoring
+            self._docs[i] = docs
+            self._contribs[i] = idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
+        return self._docs[i], self._contribs[i]
+
+    def decode_raw(self, i: int):
+        """(doc_ids, tf, dl) of block i (no scoring context needed)."""
         return decode_block(self.payloads[i], int(self.firsts[i]), int(self.counts[i]))
+
+    def decode_all(self) -> None:
+        """Decode every block in one shot: varint streams are
+        self-delimiting, so ONE vectorized decode over the concatenated
+        payloads replaces n_blocks separate passes; contributions are one
+        tf_norm call over all postings.  Fills the per-block caches."""
+        if self.n_blocks == 0 or self._docs[-1] is not None and all(
+            d is not None for d in self._docs
+        ):
+            return
+        from mini_ivf_ray.functions import bm25
+        from mini_ivf_ray.functions.codec import decode_varints
+
+        vals = decode_varints(np.concatenate(
+            [np.frombuffer(p, dtype=np.uint8) for p in self.payloads]
+        ))
+        idf, avgdl, k1, b = self._scoring
+        off = 0
+        for i in range(self.n_blocks):
+            n = int(self.counts[i])
+            seg = vals[off : off + 3 * n - 1]
+            off += 3 * n - 1
+            docs = np.empty(n, dtype=np.uint64)
+            docs[0] = self.firsts[i]
+            if n > 1:
+                docs[1:] = np.uint64(self.firsts[i]) + np.cumsum(seg[: n - 1])
+            tfs = seg[n - 1 : 2 * n - 1].astype(np.int64)
+            dls = seg[2 * n - 1 :].astype(np.int64)
+            self._docs[i] = docs
+            self._contribs[i] = idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
+
+
+def _blocks_from_table(term: str, tbl: pa.Table) -> PostingBlocks:
+    firsts = tbl["first_doc_id"].to_numpy()
+    order = np.argsort(firsts, kind="stable")
+    payloads = tbl["payload"].to_pylist()
+    return PostingBlocks(
+        term=term,
+        df=int(tbl["df"][0].as_py()),
+        firsts=firsts[order],
+        lasts=tbl["last_doc_id"].to_numpy()[order],
+        counts=tbl["count"].to_numpy()[order],
+        max_scores=tbl["max_score"].to_numpy()[order],
+        payloads=[payloads[int(i)] for i in order],
+    )
 
 
 class SegmentReader:
@@ -55,53 +130,73 @@ class SegmentReader:
     book-eviction pattern of LoadFromBook (index_ivfpq.cpp:140-154).
     """
 
-    def __init__(self, index_dir: str, cache_terms: int = 4096):
+    def __init__(
+        self, index_dir: str, cache_terms: int = 16384, cache_partitions: int = 64
+    ):
         self.index_dir = index_dir
         self.cache_terms = cache_terms
+        self.cache_partitions = cache_partitions
         self._cache: OrderedDict[str, PostingBlocks | None] = OrderedDict()
-        self._paths: dict[int, str | None] = {}
+        # partition-table cache: pid -> (table, {term: (row_start, row_end)})
+        # Block rows are written term-sorted, so a term's rows are one
+        # contiguous zero-copy slice.  LRU-bounded: at cluster scale an
+        # actor serves a subset of partitions and this holds its working
+        # set; cold partitions fall back to filtered reads on re-probe.
+        self._parts: OrderedDict[int, tuple[pa.Table, dict] | None] = OrderedDict()
 
-    def _partition_path(self, p: int) -> str | None:
-        if p not in self._paths:
-            path = os.path.join(partition_dir(self.index_dir, p), "postings.parquet")
-            self._paths[p] = path if os.path.exists(path) else None
-        return self._paths[p]
-
-    def term_blocks(self, term: str, locations: list[int]) -> PostingBlocks | None:
-        """Fetch+merge a term's blocks from its partitions.  Merge =
-        sort blocks by first_doc_id (ranges are disjoint)."""
-        hit = self._cache.get(term, False)
+    def _partition(self, p: int):
+        hit = self._parts.get(p, False)
         if hit is not False:
-            self._cache.move_to_end(term)
+            self._parts.move_to_end(p)
             return hit
-        tables = []
-        for p in dict.fromkeys(locations):  # dedupe, keep order
-            path = self._partition_path(p)
-            if path is None:
-                continue
-            tbl = pq.read_table(path, filters=[("term", "==", term)])
-            if tbl.num_rows:
-                tables.append(tbl)
-        if not tables:
-            blocks = None
+        path = os.path.join(partition_dir(self.index_dir, p), "postings.parquet")
+        if not os.path.exists(path):
+            entry = None
         else:
-            import pyarrow as pa
+            tbl = pq.read_table(path)
+            terms = tbl["term"].to_pylist()
+            index: dict[str, tuple[int, int]] = {}
+            start = 0
+            for i in range(1, len(terms) + 1):
+                if i == len(terms) or terms[i] != terms[start]:
+                    index[terms[start]] = (start, i)
+                    start = i
+            entry = (tbl, index)
+        self._parts[p] = entry
+        if len(self._parts) > self.cache_partitions:
+            self._parts.popitem(last=False)
+        return entry
 
-            tbl = pa.concat_tables(tables)
-            firsts = tbl["first_doc_id"].to_numpy()
-            order = np.argsort(firsts, kind="stable")
-            blocks = PostingBlocks(
-                term=term,
-                df=int(tbl["df"][0].as_py()) if len(tables) == 1 else int(
-                    pc.max(tbl["df"]).as_py()
-                ),
-                firsts=firsts[order],
-                lasts=tbl["last_doc_id"].to_numpy()[order],
-                counts=tbl["count"].to_numpy()[order],
-                max_scores=tbl["max_score"].to_numpy()[order],
-                payloads=[tbl["payload"][int(i)].as_py() for i in order],
-            )
+    def _insert(self, term: str, blocks: PostingBlocks | None) -> None:
         self._cache[term] = blocks
         if len(self._cache) > self.cache_terms:
             self._cache.popitem(last=False)
-        return blocks
+
+    def fetch_terms(self, wanted: dict[str, list[int]]) -> dict[str, PostingBlocks | None]:
+        """Batch fetch: {term: ordered partition locations} -> blocks,
+        served from the partition-table cache by zero-copy slice."""
+        out: dict[str, PostingBlocks | None] = {}
+        for term, locs in wanted.items():
+            hit = self._cache.get(term, False)
+            if hit is not False:
+                self._cache.move_to_end(term)
+                out[term] = hit
+                continue
+            pieces = []
+            for p in dict.fromkeys(locs):
+                entry = self._partition(p)
+                if entry is None:
+                    continue
+                tbl, index = entry
+                rng = index.get(term)
+                if rng is not None:
+                    pieces.append(tbl.slice(rng[0], rng[1] - rng[0]))
+            blocks = (
+                _blocks_from_table(term, pa.concat_tables(pieces)) if pieces else None
+            )
+            self._insert(term, blocks)
+            out[term] = blocks
+        return out
+
+    def term_blocks(self, term: str, locations: list[int]) -> PostingBlocks | None:
+        return self.fetch_terms({term: locations})[term]

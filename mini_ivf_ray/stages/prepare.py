@@ -37,28 +37,37 @@ def extract_batch(batch: pa.Table) -> pa.Table:
 
 
 def _keep_latest(group: pa.Table) -> pa.Table:
-    """Within one url group keep the row with max (warc_ts, text):
+    """Within one bucket keep, per url, the row with max (warc_ts, text):
     last-write-wins, deterministic under exact-ts ties."""
-    if group.num_rows == 1:
-        return group
     order = pc.sort_indices(
         group,
         sort_keys=[("url", "ascending"), ("warc_ts", "descending"), ("text", "descending")],
     )
-    # first row per url (groups may be batched together by Ray)
-    urls = group.column("url").take(order)
+    urls = group.column("url").take(order).to_numpy(zero_copy_only=False)
     mask = np.ones(len(order), dtype=bool)
-    u = urls.to_pylist()
-    for i in range(1, len(u)):
-        mask[i] = u[i] != u[i - 1]
-    return group.take(order.to_numpy(zero_copy_only=False)[mask])
+    mask[1:] = urls[1:] != urls[:-1]
+    out = group.take(order.to_numpy(zero_copy_only=False)[mask])
+    return out.drop_columns(["bucket"]) if "bucket" in out.column_names else out
 
 
-def dedup_by_url(ds):
+def dedup_by_url(ds, num_buckets: int = 64):
     """Exact dedup: one row per url, last-write-wins by warc_ts.
-    This is the one all-to-all shuffle before the postings shuffle; it
-    runs on pruned (url, warc_ts, text) rows only."""
-    return ds.groupby("url").map_groups(_keep_latest, batch_format="pyarrow")
+
+    Hash-BUCKETED groupby, not groupby(url): a per-url grouping would
+    emit one tiny block per url (an O(N)-groups map_groups antipattern —
+    at web scale that is 10^12 one-row blocks).  Buckets come from the
+    already-computed doc_id = md5(url), so rows of one url always share
+    a bucket; within a bucket the dedup is one vectorized sort+mask."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = (batch["doc_id"].to_numpy() % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_keep_latest, batch_format="pyarrow")
+    )
 
 
 def assign_doc_ids(ds, cfg: PipelineConfig):
@@ -86,10 +95,12 @@ def assign_doc_ids(ds, cfg: PipelineConfig):
 
 
 def prepare_documents(pages_ds, cfg: PipelineConfig, dedup: bool = True):
-    """pages -> deduped (url, warc_ts, text, doc_id) Dataset."""
+    """pages -> deduped (url, warc_ts, text, doc_id) Dataset.  docIDs are
+    assigned BEFORE dedup so the dedup shuffle can bucket on them."""
     ds = pages_ds.map_batches(
         extract_batch, batch_format="pyarrow", batch_size=cfg.tokenize_batch_size
     )
+    ds = assign_doc_ids(ds, cfg)
     if dedup and cfg.doc_id_from_url:
         ds = dedup_by_url(ds)
-    return assign_doc_ids(ds, cfg)
+    return ds
