@@ -80,7 +80,11 @@ def run_bench() -> dict:
 
     # ---- corpus (generation untimed, cached across runs) ----------------
     write_pages_corpus(PAGES_DIR, BENCH_DOCS, seed=42, num_files=64)
-    pages_factory = lambda: ray.data.read_parquet(PAGES_DIR)  # noqa: E731
+    # small files coalesce to 1-2 blocks under size-based splitting,
+    # serializing the extract stage — force CPU-scaled read parallelism
+    pages_factory = lambda: ray.data.read_parquet(  # noqa: E731
+        PAGES_DIR, override_num_blocks=max(64, 4 * NUM_CPUS)
+    )
     # warm OS page cache so we measure compute+shuffle, not first disk read
     pages_factory().count()
 

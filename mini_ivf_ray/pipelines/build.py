@@ -30,11 +30,7 @@ import pyarrow.compute as pc
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.stages.prepare import prepare_documents
-from mini_ivf_ray.stages.spimi import (
-    PartitionAssigner,
-    make_partition_encoder,
-    tokenize_postings_batch,
-)
+from mini_ivf_ray.stages.spimi import TokenizeAssign, make_partition_encoder
 from mini_ivf_ray.stages.stats_stage import compute_stats
 from mini_ivf_ray.state import manifest as mf
 from mini_ivf_ray.state.stats import CorpusStats
@@ -106,8 +102,17 @@ def build_index(
             f.write("ok")
         prepare_wall = time.perf_counter() - ts
 
+    # CPU-heavy Python transforms need blocks ~ a few x cluster CPUs;
+    # the prepared table is small on disk (text compresses well), so the
+    # default size-based splitting would yield 1-2 blocks and serialize
+    # the whole tokenize pipeline on 2 tasks.
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    read_blocks = max(64, 4 * n_cpus)
+
     def prepared_docs():
-        return ray.data.read_parquet(prep_dir, columns=["doc_id", "text"])
+        return ray.data.read_parquet(
+            prep_dir, columns=["doc_id", "text"], override_num_blocks=read_blocks
+        )
 
     # ---- stage 2: stats (checkpointed) ---------------------------------
     if CorpusStats.exists(index_dir):
@@ -124,19 +129,14 @@ def build_index(
     populate_wall = 0.0
     if pending:
         ts = time.perf_counter()
-        postings = prepared_docs().map_batches(
-            tokenize_postings_batch,
-            batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-        )
         stats_ref = ray.put(stats)
         doc_id_space = 2**64 if cfg.doc_id_from_url else stats.max_doc_id + 1
-        assigned = postings.map_batches(
-            PartitionAssigner,
+        assigned = prepared_docs().map_batches(
+            TokenizeAssign,
             fn_constructor_args=(stats_ref, cfg, doc_id_space),
             batch_format="pyarrow",
-            batch_size=65536,
-            concurrency=(1, 8),
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=(1, n_cpus),
             num_cpus=1,
         )
         if len(pending) < cfg.num_partitions:
@@ -147,6 +147,10 @@ def build_index(
                 return batch.filter(pc.is_in(batch["pid"], value_set=pend_arr))
 
             assigned = assigned.map_batches(keep_pending, batch_format="pyarrow")
+        # coalesce before the groupby: the sort shuffle's wall time is
+        # dominated by the M x R block exchange, so feed it ~n_cpus
+        # blocks instead of hundreds of small tokenizer outputs
+        assigned = assigned.repartition(max(8, n_cpus))
         hot_df = {t: stats.df[t] for t in stats.salt_counts(cfg)}
         encoder = make_partition_encoder(
             index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage

@@ -56,16 +56,39 @@ def exact_dedup(docs_ds):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(tokens: list[str], w: int) -> np.ndarray:
-    """uint64 hashes of w-token shingles (md5-based, stable)."""
-    if len(tokens) < w:
-        joined = [" ".join(tokens)] if tokens else []
-    else:
-        joined = [" ".join(tokens[i : i + w]) for i in range(len(tokens) - w + 1)]
-    out = np.empty(len(joined), dtype=np.uint64)
-    for i, s in enumerate(joined):
-        out[i] = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:16], 16)
+_TOKEN_H: dict[str, int] = {}  # per-process stable md5 token hashes
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = _TOKEN_H.get(t)
+        if h is None:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            if len(_TOKEN_H) < 2_000_000:
+                _TOKEN_H[t] = h
+        out[i] = h
     return out
+
+
+def _shingle_hashes(tokens: list[str], w: int) -> np.ndarray:
+    """uint64 hashes of w-token shingles: md5 per DISTINCT token
+    (cached), folded position-wise with splitmix64 — order-sensitive,
+    deterministic, and vectorized over all shingles of a doc."""
+    th = _token_hashes(tokens)
+    if th.size == 0:
+        return th
+    with np.errstate(over="ignore"):
+        if th.size < w:
+            acc = _mix64(th[:1])
+            for j in range(1, th.size):
+                acc = _mix64(acc ^ th[j : j + 1])
+            return acc
+        n = th.size - w + 1
+        acc = _mix64(th[:n])  # mix first so position order matters
+        for j in range(1, w):
+            acc = _mix64(acc ^ th[j : j + n])
+    return acc
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -119,49 +142,83 @@ def minhash_signatures(docs_ds, k: int = 64, w: int = 3, concurrency=(1, 4)):
     )
 
 
+_GROUP_BUCKETS = 64  # low-cardinality shuffle key (O(N)-groups antipattern guard)
+
+
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    """Explode signatures to one row per band with a vectorized band
+    hash; shuffle key is gkey = band_hash % B, NOT the raw bucket id."""
     doc_ids = batch["doc_id"].to_numpy()
-    sigs = batch["sig"].to_pylist()
-    out_b, out_h, out_d, out_s = [], [], [], []
-    for did, sig in zip(doc_ids, sigs):
+    sig_list = batch["sig"].to_pylist()
+    sigs = np.array([np.asarray(s, dtype=np.uint64) for s in sig_list])  # (n, k)
+    n = len(doc_ids)
+    out = []
+    with np.errstate(over="ignore"):
         for bi in range(bands):
-            chunk = sig[bi * rows : (bi + 1) * rows]
-            bh = hashlib.md5(np.array(chunk, dtype=np.uint64).tobytes()).hexdigest()[:16]
-            out_b.append(bi)
-            out_h.append(bh)
-            out_d.append(did)
-            out_s.append(sig)
+            chunk = sigs[:, bi * rows : (bi + 1) * rows]
+            bh = _mix64(
+                chunk[:, 0] ^ np.uint64((bi * 0x9E3779B97F4A7C15) & (2**64 - 1))
+            )
+            for j in range(1, rows):
+                bh = _mix64(bh ^ chunk[:, j])
+            out.append((np.full(n, bi, dtype=np.int32), bh))
+    band = np.concatenate([b for b, _ in out])
+    bhash = np.concatenate([h for _, h in out])
     return pa.table(
         {
-            "band": pa.array(out_b, type=pa.int32()),
-            "bhash": pa.array(out_h, type=pa.string()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "sig": pa.array(out_s, type=pa.list_(pa.uint64())),
+            "band": pa.array(band),
+            "bhash": pa.array(bhash, type=pa.uint64()),
+            "gkey": pa.array((bhash % np.uint64(_GROUP_BUCKETS)).astype(np.int64)),
+            "doc_id": pa.array(np.tile(doc_ids, bands), type=pa.int64()),
+            "sig": pa.array(
+                [s for _ in range(bands) for s in sig_list],
+                type=pa.list_(pa.uint64()),
+            ),
         }
     )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sigs = np.array([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+    """One gkey group = many (band, bhash) buckets; emit candidate pairs
+    per real bucket, locally deduped."""
     out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            est = float(np.mean(sigs[i] == sigs[j]))
-            out_a.append(int(ids[i]))
-            out_b.append(int(ids[j]))
-            out_j.append(est)
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+    for _, g in group.groupby(["band", "bhash"], sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sigs = np.array([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+        for i in range(len(ids)):
+            eq = (sigs[i] == sigs[i + 1 :]).mean(axis=1)
+            for off, est in enumerate(eq):
+                j = i + 1 + off
+                if ids[i] != ids[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_j.append(float(est))
+    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+    return df.drop_duplicates(["id_a", "id_b"])
+
+
+def _dedupe_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    return group.drop_duplicates(["id_a", "id_b"]).drop(columns=["pkey"])
+
+
+def _with_pair_bucket(batch: pa.Table) -> pa.Table:
+    a = batch["id_a"].to_numpy().astype(np.uint64)
+    b = batch["id_b"].to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pk = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(_GROUP_BUCKETS))
+    return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
 
 
 def lsh_candidate_pairs(
     docs_ds, k: int = 64, w: int = 3, bands: int = 16, threshold: float = 0.5
 ):
     """MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard >= threshold),
-    id_a < id_b, deduped across bands."""
-    from ray.data.aggregate import Max
-
+    id_a < id_b, deduped across bands.  Both shuffles are keyed by
+    fixed-width hash buckets (never by the raw bucket / pair identity,
+    whose cardinality is O(N))."""
     rows = k // bands
     sigs = minhash_signatures(docs_ds, k=k, w=w)
     banded = sigs.map_batches(
@@ -170,13 +227,15 @@ def lsh_candidate_pairs(
         batch_format="pyarrow",
         batch_size=2048,
     )
-    pairs = banded.groupby(["band", "bhash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = banded.groupby("gkey").map_groups(_bucket_pairs, batch_format="pandas")
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold)),
+        batch_format="pyarrow",
     )
-    uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard")
-    )
-    return uniq.filter(lambda r: r["est_jaccard"] >= threshold)
+    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(_dedupe_pairs, batch_format="pandas")
+    return uniq
 
 
 # ---------------------------------------------------------------------------
@@ -230,53 +289,71 @@ def _sim_chunk_rows(batch: pa.Table, chunks: int = 4) -> pa.Table:
     sh = batch["simhash"].to_numpy().astype(np.uint64)
     width = 64 // chunks
     mask = np.uint64((1 << width) - 1)
-    out_c, out_v, out_d, out_s = [], [], [], []
+    out_c, out_v = [], []
     for c in range(chunks):
-        vals = (sh >> np.uint64(c * width)) & mask
-        out_c.extend([c] * len(ids))
-        out_v.extend(vals.tolist())
-        out_d.extend(ids.tolist())
-        out_s.extend(sh.tolist())
+        out_c.append(np.full(len(ids), c, dtype=np.int32))
+        out_v.append((sh >> np.uint64(c * width)) & mask)
+    vals = np.concatenate(out_v)
+    chunk = np.concatenate(out_c)
+    with np.errstate(over="ignore"):
+        gkey = _mix64(vals ^ chunk.astype(np.uint64)) % np.uint64(_GROUP_BUCKETS)
     return pa.table(
         {
-            "chunk": pa.array(out_c, type=pa.int32()),
-            "val": pa.array(np.array(out_v, dtype=np.uint64), type=pa.uint64()),
-            "doc_id": pa.array(out_d, type=pa.int64()),
-            "simhash": pa.array(np.array(out_s, dtype=np.uint64), type=pa.uint64()),
+            "chunk": pa.array(chunk),
+            "val": pa.array(vals, type=pa.uint64()),
+            "gkey": pa.array(gkey.astype(np.int64)),
+            "doc_id": pa.array(np.tile(ids, chunks), type=pa.int64()),
+            "simhash": pa.array(np.tile(sh, chunks), type=pa.uint64()),
         }
     )
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
 def _sim_bucket_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    g = group.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    sh = g["simhash"].to_numpy().astype(np.uint64)
     out_a, out_b, out_h = [], [], []
-    for i in range(len(ids)):
-        x = sh[i] ^ sh[i + 1 :]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        for off in np.flatnonzero(ham <= max_hamming):
-            j = i + 1 + off
-            if ids[i] != ids[j]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
-                out_h.append(int(ham[off]))
-    return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+    for _, g in group.groupby(["chunk", "val"], sort=False):
+        if len(g) < 2:
+            continue
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        for i in range(len(ids)):
+            ham = _popcount64(sh[i] ^ sh[i + 1 :])
+            for off in np.flatnonzero(ham <= max_hamming):
+                j = i + 1 + off
+                if ids[i] != ids[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_h.append(int(ham[off]))
+    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+    return df.drop_duplicates(["id_a", "id_b"])
 
 
 def simhash_dup_pairs(docs_ds, max_hamming: int = 3, chunks: int = 4):
     """Pigeonhole: hamming<=chunks-1 pairs share at least one exact
-    16-bit chunk -> bucket by (chunk, value), verify hamming in-bucket."""
-    from ray.data.aggregate import Min
-
+    16-bit chunk -> bucket by (chunk, value) hashed into fixed-width
+    group keys, verify hamming in-bucket (vectorized popcount)."""
     sigs = simhash_signatures(docs_ds)
     rows = sigs.map_batches(
         _sim_chunk_rows, fn_kwargs={"chunks": chunks}, batch_format="pyarrow"
     )
-    pairs = rows.groupby(["chunk", "val"]).map_groups(
+    pairs = rows.groupby("gkey").map_groups(
         _sim_bucket_pairs, fn_kwargs={"max_hamming": max_hamming}, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(_dedupe_pairs, batch_format="pandas")
+    return uniq
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,20 @@ def tokenize_postings_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+class TokenizeAssign:
+    """Fused tokenize + partition-assign actor stage: docs batches in,
+    partitioned postings out.  One stage (a) avoids Ray's operator
+    fusion applying the downstream batch_size to the upstream docs
+    input (which collapsed parallelism to 2 tasks), and (b) never ships
+    the unpartitioned postings through the object store."""
+
+    def __init__(self, stats_ref, cfg: PipelineConfig, doc_id_space: int):
+        self._assigner = PartitionAssigner(stats_ref, cfg, doc_id_space)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._assigner(tokenize_postings_batch(batch))
+
+
 class PartitionAssigner:
     """Actor-pool stage (SURVEY T1): holds the term -> partition map and
     the hot-term salt plan, built once per actor from the broadcast
@@ -122,19 +136,27 @@ def make_partition_encoder(
         if group.num_rows == 0:
             return _empty_summary()
         pid = int(group["pid"][0].as_py())
-        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        # factorize terms to int codes: lexsort on ints is ~10x faster
+        # than sorting Python string objects, and the sort dominates the
+        # encode CPU.  Sort codes by term string first so output order
+        # stays lexicographic (the segment files' term-sorted invariant).
+        codes_raw, uniques = pd.factorize(
+            pd.Series(group["term"].to_pylist(), dtype=object), sort=True
+        )
+        terms_lookup = np.asarray(uniques, dtype=object)
         doc_ids = group["doc_id"].to_numpy().astype(np.uint64)
         tfs = group["tf"].to_numpy()
         dls = group["dl"].to_numpy()
-        order = np.lexsort((doc_ids, terms))
-        terms, doc_ids, tfs, dls = terms[order], doc_ids[order], tfs[order], dls[order]
+        order = np.lexsort((doc_ids, codes_raw))
+        codes = codes_raw[order]
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
 
         # term run boundaries
-        change = np.empty(terms.size, dtype=bool)
+        change = np.empty(codes.size, dtype=bool)
         change[0] = True
-        change[1:] = terms[1:] != terms[:-1]
+        change[1:] = codes[1:] != codes[:-1]
         run_starts = np.flatnonzero(change)
-        run_ends = np.append(run_starts[1:], terms.size)
+        run_ends = np.append(run_starts[1:], codes.size)
 
         out_term: list[str] = []
         out_first: list[np.ndarray] = []
@@ -146,7 +168,7 @@ def make_partition_encoder(
         n_postings = 0
 
         for rs, re_ in zip(run_starts, run_ends):
-            t = terms[rs]
+            t = terms_lookup[codes[rs]]
             d, tf_r, dl_r = doc_ids[rs:re_], tfs[rs:re_], dls[rs:re_]
             if d.size > 1 and not np.all(d[1:] > d[:-1]):
                 raise ValueError(

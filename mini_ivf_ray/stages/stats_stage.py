@@ -59,9 +59,12 @@ def compute_stats(docs_ds, batch_size: int = 1024) -> CorpusStats:
     through the driver."""
     from ray.data.aggregate import Max, Sum
 
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     partials = docs_ds.map_batches(
         stats_partials, batch_format="pyarrow", batch_size=batch_size
-    )
+    ).repartition(max(8, n_cpus))  # coalesce: cheap M x R sort exchange
     agg = partials.groupby("term").aggregate(
         Sum("df", alias_name="df"),
         Sum("cf", alias_name="cf"),
