@@ -376,6 +376,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "lang", "n_chars"])
         )
 
+    def events_window(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.events import windowed_agg
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        return windowed_agg(ds, window_sec=3600)
+
+    def sessionize_q(sf_dir):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.events import sessionize
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+        out = sessionize(ds, gap_sec=1800).to_pandas()
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].astype(np.int64)),
+                "session_idx": pa.array(out["session_idx"].astype(np.int64)),
+                "n_events": pa.array(out["n_events"].astype(np.int64)),
+                "start_ts": pa.array(out["start_ts"].astype(np.int64)),
+                "end_ts": pa.array(out["end_ts"].astype(np.int64)),
+            }
+        )
+
     # ---- rows-only (non-SQL-expressible) --------------------------------
 
     def lsh_near_dup(sf_dir):
@@ -452,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
+        "events_window": events_window,
+        "sessionize": sessionize_q,
         "lsh_near_dup": lsh_near_dup,
         "simhash_pairs": simhash_pairs,
         "ann_ivf_probe": ann_ivf_probe,
@@ -616,6 +649,27 @@ SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
 FROM documents GROUP BY source
 """,
         "limit_head": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        "events_window": """
+SELECT event_type,
+       CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sv_r
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+o AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT user_id, t,
+             sum(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o)
+SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
+       min(t)::BIGINT AS start_ts, max(t)::BIGINT AS end_ts
+FROM s GROUP BY 1, 2
+""",
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle
         # (hash-function- or approximation-dependent) -> rows-only check

@@ -30,8 +30,8 @@ warnings.filterwarnings("ignore")
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
-BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "2000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "400000"))
+BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "6000"))
 PAGES_DIR = f"/tmp/graft_bench_pages_{BENCH_DOCS}"
 
 

@@ -161,7 +161,13 @@ def build_index(
     else:
         summary_df = None
 
-    # ---- stage 4: index-level commit -----------------------------------
+    # ---- stage 4: merge (global dictionary) + index-level commit -------
+    from mini_ivf_ray.stages.merge import build_dictionary
+
+    ts = time.perf_counter()
+    build_dictionary(index_dir, cfg.num_partitions)
+    merge_wall = time.perf_counter() - ts
+
     per_part = []
     totals = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
     for p in range(cfg.num_partitions):
@@ -185,6 +191,7 @@ def build_index(
             "prepare_wall_sec": round(prepare_wall, 3),
             "stats_wall_sec": round(stats_wall, 3),
             "populate_wall_sec": round(populate_wall, 3),
+            "merge_wall_sec": round(merge_wall, 3),
             "total_wall_sec": round(time.perf_counter() - t0, 3),
             "partitions_built_this_run": len(pending),
         },

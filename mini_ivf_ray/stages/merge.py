@@ -1,0 +1,131 @@
+"""Merge stage: stitch per-partition segments into the global dictionary.
+
+Reference analog: ``posting_lists_lens`` + the per-cluster shard layout
+(index_ivfpq.cpp:496-530) — the sidecar that tells a reader which shard
+holds what.  Here the per-term physical layout after the salted build is
+a set of disjoint docID-range runs across partitions; because runs are
+range-salted, "merging into a globally sorted posting list" is pure
+metadata: per term, the ordered location list (partitions sorted by
+their run's first docID).  This stage materializes that as
+``dictionary.parquet`` (term, df, n_postings, n_blocks, locations),
+computed distributedly: one metadata-read task per partition,
+pre-aggregated per term in-partition, then a fixed-width hash-bucketed
+groupby (never a per-term shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mini_ivf_ray.state.manifest import partition_dir
+
+_BUCKETS = 64
+
+
+def _partition_term_meta(row, index_dir: str) -> pa.Table:
+    """Per-partition task: read ONLY metadata columns and pre-aggregate
+    per term (df is global already — carried in every block row)."""
+    p = int(row["pid"])
+    path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
+    if not os.path.exists(path):
+        return pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "pid": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "n_blocks": pa.array([], type=pa.int64()),
+                "n_postings": pa.array([], type=pa.int64()),
+                "min_first": pa.array([], type=pa.uint64()),
+                "bucket": pa.array([], type=pa.int64()),
+            }
+        )
+    t = pq.read_table(path, columns=["term", "df", "count", "first_doc_id"])
+    df = pd.DataFrame(
+        {
+            "term": t["term"].to_pylist(),
+            "df": t["df"].to_numpy(),
+            "count": t["count"].to_numpy(),
+            "first": t["first_doc_id"].to_numpy(),
+        }
+    )
+    g = (
+        df.groupby("term", sort=False)
+        .agg(df=("df", "first"), n_blocks=("count", "size"),
+             n_postings=("count", "sum"), min_first=("first", "min"))
+        .reset_index()
+    )
+    bucket = np.array(
+        [
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _BUCKETS
+            for s in g["term"]
+        ],
+        dtype=np.int64,
+    )
+    return pa.table(
+        {
+            "term": pa.array(g["term"], type=pa.string()),
+            "pid": pa.array(np.full(len(g), p, dtype=np.int64)),
+            "df": pa.array(g["df"].to_numpy().astype(np.int64)),
+            "n_blocks": pa.array(g["n_blocks"].to_numpy().astype(np.int64)),
+            "n_postings": pa.array(g["n_postings"].to_numpy().astype(np.int64)),
+            "min_first": pa.array(g["min_first"].to_numpy().astype(np.uint64)),
+            "bucket": pa.array(bucket),
+        }
+    )
+
+
+def _merge_terms(group: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for term, g in group.groupby("term", sort=False):
+        g = g.sort_values("min_first", kind="mergesort")
+        out.append(
+            {
+                "term": term,
+                "df": int(g["df"].iloc[0]),
+                "n_postings": int(g["n_postings"].sum()),
+                "n_blocks": int(g["n_blocks"].sum()),
+                "locations": g["pid"].astype(np.int64).tolist(),
+            }
+        )
+    return pd.DataFrame(out)
+
+
+def build_dictionary(index_dir: str, num_partitions: int) -> str:
+    """Distributed dictionary build; atomic write.  Returns path."""
+    import ray.data
+
+    parts = ray.data.from_items([{"pid": p} for p in range(num_partitions)])
+
+    def read_meta(batch: pa.Table) -> pa.Table:
+        tables = [
+            _partition_term_meta({"pid": p}, index_dir)
+            for p in batch["pid"].to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    meta = parts.map_batches(read_meta, batch_format="pyarrow", batch_size=1)
+    merged = meta.groupby("bucket").map_groups(_merge_terms, batch_format="pandas")
+    tbl = pa.concat_tables(
+        list(merged.iter_batches(batch_format="pyarrow")),
+        promote_options="default",
+    )
+    order = pa.compute.sort_indices(tbl, sort_keys=[("term", "ascending")])
+    tbl = tbl.take(order)
+    tmp = os.path.join(index_dir, "_dictionary.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    final = os.path.join(index_dir, "dictionary.parquet")
+    os.replace(tmp, final)
+    return final
+
+
+def load_dictionary(index_dir: str) -> pa.Table | None:
+    path = os.path.join(index_dir, "dictionary.parquet")
+    if not os.path.exists(path):
+        return None
+    return pq.read_table(path)
