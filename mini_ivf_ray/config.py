@@ -47,6 +47,9 @@ class PipelineConfig:
     tokenize_batch_size: int = 1024
     """Rows per batch in the extract/tokenize stages.  html is wide
     (binary blobs); keep batches modest so block size limits hold."""
+    spill_batch_size: int = 8192
+    """Docs per batch in the SPIMI spill stage — one run file per
+    (batch, partition), so this trades run-file count against memory."""
     query_concurrency: int = 4
     """Searcher actor-pool size for query serving."""
 

@@ -30,7 +30,11 @@ import pyarrow.compute as pc
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.stages.prepare import prepare_documents
-from mini_ivf_ray.stages.spimi import TokenizeAssign, make_partition_encoder
+from mini_ivf_ray.stages.spimi import (
+    TokenizeSpill,
+    make_partition_encoder,
+    make_spill_encoder,
+)
 from mini_ivf_ray.stages.stats_stage import compute_stats
 from mini_ivf_ray.state import manifest as mf
 from mini_ivf_ray.state.stats import CorpusStats
@@ -120,7 +124,9 @@ def build_index(
         stats_wall = 0.0
     else:
         ts = time.perf_counter()
-        stats = compute_stats(prepared_docs(), batch_size=cfg.tokenize_batch_size)
+        # large batches: each batch emits ~vocab partial rows, so the
+        # term-groupby shuffle volume is n_batches x vocab
+        stats = compute_stats(prepared_docs(), batch_size=cfg.spill_batch_size)
         stats.save(index_dir)
         stats_wall = time.perf_counter() - ts
 
@@ -128,38 +134,46 @@ def build_index(
     pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
     populate_wall = 0.0
     if pending:
+        import shutil
+
         ts = time.perf_counter()
         stats_ref = ray.put(stats)
         doc_id_space = 2**64 if cfg.doc_id_from_url else stats.max_doc_id + 1
-        assigned = prepared_docs().map_batches(
-            TokenizeAssign,
-            fn_constructor_args=(stats_ref, cfg, doc_id_space),
+        # SPIMI exchange: tokenize actors append per-partition run files
+        # (filesystem-mediated, idempotent under retry; only PENDING
+        # partitions are written — the LoadFromBook set-difference);
+        # Ray's groupby sort-exchange has a flat latency floor that
+        # dominated this stage, so the postings never enter a shuffle.
+        spill_dir = os.path.join(index_dir, "spill")
+        prepared_docs().map_batches(
+            TokenizeSpill,
+            fn_constructor_args=(stats_ref, cfg, doc_id_space, spill_dir, pending),
             batch_format="pyarrow",
-            batch_size=cfg.tokenize_batch_size,
-            concurrency=(1, n_cpus),
+            batch_size=cfg.spill_batch_size // 2,
+            # warm-start half the pool (pure (1,N) autoscale spends most
+            # of a short stage ramping up) but keep headroom so the
+            # upstream read operator is never starved of CPUs
+            concurrency=(max(1, n_cpus // 2), n_cpus),
             num_cpus=1,
-        )
-        if len(pending) < cfg.num_partitions:
-            # the "book" filter: drop committed partitions BEFORE the shuffle
-            pend_arr = pa.array(np.array(pending, dtype=np.int64))
-
-            def keep_pending(batch: pa.Table) -> pa.Table:
-                return batch.filter(pc.is_in(batch["pid"], value_set=pend_arr))
-
-            assigned = assigned.map_batches(keep_pending, batch_format="pyarrow")
-        # coalesce before the groupby: the sort shuffle's wall time is
-        # dominated by the M x R block exchange, so feed it ~n_cpus
-        # blocks instead of hundreds of small tokenizer outputs
-        assigned = assigned.repartition(max(8, n_cpus))
+        ).count()  # consume: all runs on disk
+        spill_wall = time.perf_counter() - ts
         hot_df = {t: stats.df[t] for t in stats.salt_counts(cfg)}
         encoder = make_partition_encoder(
             index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage
         )
-        summary = assigned.groupby("pid").map_groups(encoder, batch_format="pyarrow")
+        summary = ray.data.from_items([{"pid": p} for p in pending]).map_batches(
+            make_spill_encoder(spill_dir, encoder),
+            batch_format="pyarrow",
+            batch_size=1,
+            num_cpus=1,
+        )
         summary_df = summary.to_pandas()  # small: one row per partition
+        shutil.rmtree(spill_dir, ignore_errors=True)
         populate_wall = time.perf_counter() - ts
+        encode_wall = populate_wall - spill_wall
     else:
         summary_df = None
+        spill_wall = encode_wall = 0.0
 
     # ---- stage 4: merge (global dictionary) + index-level commit -------
     from mini_ivf_ray.stages.merge import build_dictionary
@@ -191,6 +205,8 @@ def build_index(
             "prepare_wall_sec": round(prepare_wall, 3),
             "stats_wall_sec": round(stats_wall, 3),
             "populate_wall_sec": round(populate_wall, 3),
+            "spill_wall_sec": round(spill_wall, 3),
+            "encode_wall_sec": round(encode_wall, 3),
             "merge_wall_sec": round(merge_wall, 3),
             "total_wall_sec": round(time.perf_counter() - t0, 3),
             "partitions_built_this_run": len(pending),

@@ -255,16 +255,54 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
     return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
 
 
+def share_segments(index_dir: str, num_partitions: int) -> dict:
+    """Publish every partition's postings table to the object store ONCE
+    (parallel read tasks) and return {pid: ObjectRef}.  Searcher actors
+    on the same node then map the Arrow buffers zero-copy instead of
+    each re-reading + re-decompressing the files — per-actor segment IO
+    was the query-phase scaling ceiling.  On a multi-node cluster this
+    is one copy per node (plasma is node-local), the right trade."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def _read(p: int):
+        import os
+
+        import pyarrow.parquet as pqm
+
+        from mini_ivf_ray.state.manifest import partition_dir
+
+        path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
+        return pqm.read_table(path) if os.path.exists(path) else None
+
+    refs = {p: _read.remote(p) for p in range(num_partitions)}
+    # materialize BEFORE the searcher pool claims the CPUs: actors
+    # blocking on ray.get of still-queued read tasks serialize the pool
+    ray.wait(list(refs.values()), num_returns=len(refs))
+    return refs
+
+
 class BM25Searcher:
     """Stateful query-serving stage (actor pool; SURVEY T2): corpus
     stats + segment readers loaded once per actor in ``__init__``, then
     ``__call__`` serves query batches.  Deployed via
     ``queries_ds.map_batches(BM25Searcher, concurrency=N, ...)``."""
 
-    def __init__(self, index_dir: str, cfg: PipelineConfig | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig | None = None,
+        shared_tables: dict | None = None,
+        decoded_refs: dict | None = None,
+    ):
         self.cfg = cfg or PipelineConfig()
         self.stats = CorpusStats.load(index_dir)
-        self.reader = SegmentReader(index_dir)
+        if decoded_refs is not None:
+            from mini_ivf_ray.sources.decoded import DecodedReader
+
+            self.reader = DecodedReader(decoded_refs)
+        else:
+            self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
 
     def topk_for_text(self, qtext: str) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(qtext)))
@@ -306,12 +344,30 @@ class BM25Searcher:
         )
 
 
-def search(index_dir: str, queries_ds, cfg: PipelineConfig | None = None):
-    """queries (query_id, text) -> results (query_id, rank, doc_id, score)."""
+def search(
+    index_dir: str,
+    queries_ds,
+    cfg: PipelineConfig | None = None,
+    share: str | bool = "decoded",
+):
+    """queries (query_id, text) -> results (query_id, rank, doc_id, score).
+
+    share="decoded" (default): decode the index once into the object
+    store and give every actor zero-copy views (per-actor decode
+    duplication was the serving scaling ceiling).  share="tables":
+    share only the raw Arrow segment tables.  share=False: each actor
+    reads from disk (the cold path)."""
     cfg = cfg or PipelineConfig()
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        shared = share_segments(index_dir, cfg.num_partitions)
     return queries_ds.map_batches(
         BM25Searcher,
-        fn_constructor_args=(index_dir, cfg),
+        fn_constructor_args=(index_dir, cfg, shared, decoded),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),  # autoscale to free CPUs

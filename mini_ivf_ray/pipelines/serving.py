@@ -1,0 +1,257 @@
+"""Document-sharded query serving: partition searcher actors + merge.
+
+Reference analog (SURVEY T2): query serving as an actor pool of
+partition searchers, each holding its partitions' segments, fan-out per
+query, merge heaps.  The data-parallel ``query.search`` path replicates
+per-actor decode caches (every actor eventually touches every hot
+term), which caps scaling; here each ``RangeSearcher`` actor owns a
+docID RANGE — it decodes only the posting blocks overlapping its range
+(~1/R of the index) regardless of pool size, so warm-up work scales
+down as actors scale up.
+
+Exactness: blocks are docID-range-contiguous, so a shard's view of a
+term is a block subset; a boundary block shared by two shards is scored
+by both, producing duplicate candidates with BIT-IDENTICAL float64
+scores (same blocks, same canonical accumulation) — the merge dedupes
+on (query_id, doc_id), then ranks (score desc, doc_id asc).  Any global
+top-k doc is top-k within its shard, so the merged union contains the
+exact global top-k.
+
+This module deliberately uses raw Ray actors (not Dataset): serving
+needs query fan-out to ALL shards + a merge, which ``map_batches``'s
+one-actor-per-batch routing cannot express (SURVEY §2 custom-operator
+rule (b))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions import bm25
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.query import TermIterator, share_segments, wand_topk
+from mini_ivf_ray.sources.segments import PostingBlocks, SegmentReader
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+class RangeSearcher:
+    """One shard: all terms, posting blocks overlapping [lo, hi]."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig,
+        lo: int,
+        hi: int,
+        shared_tables: dict | None = None,
+    ):
+        self.cfg = cfg
+        self.lo, self.hi = lo, hi
+        self.stats = CorpusStats.load(index_dir)
+        self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
+        self._range_cache: dict[str, PostingBlocks | None] = {}
+
+    def _term_blocks_in_range(self, term: str) -> PostingBlocks | None:
+        hit = self._range_cache.get(term, False)
+        if hit is not False:
+            return hit
+        blocks = self.reader.term_blocks(
+            term, self.stats.term_locations(term, self.cfg)
+        )
+        out = None
+        if blocks is not None:
+            m = (blocks.lasts >= np.uint64(self.lo)) & (
+                blocks.firsts <= np.uint64(self.hi)
+            )
+            if m.any():
+                idx = np.flatnonzero(m)
+                out = PostingBlocks(
+                    term=term,
+                    df=blocks.df,
+                    firsts=blocks.firsts[idx],
+                    lasts=blocks.lasts[idx],
+                    counts=blocks.counts[idx],
+                    max_scores=blocks.max_scores[idx],
+                    payloads=[blocks.payloads[int(i)] for i in idx],
+                )
+        self._range_cache[term] = out
+        return out
+
+    def search_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        out = {"query_id": [], "doc_id": [], "score": []}
+        for qid, qtext in queries:
+            terms = sorted(set(tokenize(qtext)))
+            iters = []
+            for t in terms:
+                df = self.stats.df.get(t, 0)
+                if df <= 0:
+                    continue
+                blocks = self._term_blocks_in_range(t)
+                if blocks is None:
+                    continue
+                iters.append(
+                    TermIterator(
+                        blocks,
+                        bm25.idf(df, self.stats.n_docs),
+                        self.stats.avgdl,
+                        self.cfg,
+                    )
+                )
+            for d, s in wand_topk(iters, self.cfg.topk):
+                out["query_id"].append(qid)
+                out["doc_id"].append(d)
+                out["score"].append(s)
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+        return df
+
+
+class _ServingWorker:
+    """One persistent data-parallel serving actor: a full BM25Searcher
+    (whole index view) fed whole queries."""
+
+    def __init__(self, index_dir: str, cfg: PipelineConfig, decoded_refs: dict | None):
+        from mini_ivf_ray.pipelines.query import BM25Searcher
+
+        self.searcher = BM25Searcher(index_dir, cfg, decoded_refs=decoded_refs)
+
+    def search_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        for qid, qtext in queries:
+            for r, (d, s) in enumerate(self.searcher.topk_for_text(qtext)):
+                out["query_id"].append(qid)
+                out["rank"].append(r)
+                out["doc_id"].append(d)
+                out["score"].append(s)
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["rank"] = df["rank"].astype(np.int32)
+        return df
+
+
+class ServingPool:
+    """Persistent data-parallel serving (reference: the resident index
+    object queried by an OMP thread pool, test_ivfpq_sift1m_baseline
+    :63-76).  Each query goes to exactly ONE actor (no fan-out); the
+    decoded index is shared zero-copy via plasma, so N actors hold ~one
+    copy per node, not N.  ``warmup()`` exercises per-actor lazy caches
+    so steady-state QPS can be measured separately from pool spin-up."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig | None = None,
+        num_actors: int = 8,
+        share: bool = True,
+    ):
+        import ray
+
+        self.cfg = cfg or PipelineConfig()
+        decoded = None
+        if share:
+            from mini_ivf_ray.sources.decoded import share_decoded_index
+
+            decoded = share_decoded_index(index_dir, self.cfg)
+        cls = ray.remote(num_cpus=1)(_ServingWorker)
+        self.actors = [
+            cls.remote(index_dir, self.cfg, decoded) for _ in range(num_actors)
+        ]
+
+    def warmup(self, queries: list[tuple[int, str]]) -> None:
+        import ray
+
+        ray.get([a.search_batch.remote(queries) for a in self.actors])
+
+    def search(self, queries: list[tuple[int, str]], chunk: int = 64) -> pd.DataFrame:
+        import ray
+
+        futs = []
+        for i, s in enumerate(range(0, len(queries), chunk)):
+            a = self.actors[i % len(self.actors)]
+            futs.append(a.search_batch.remote(queries[s : s + chunk]))
+        frames = [f for f in ray.get(futs) if len(f)]
+        if not frames:
+            return pd.DataFrame({"query_id": [], "rank": [], "doc_id": [], "score": []})
+        return (
+            pd.concat(frames, ignore_index=True)
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+
+class ShardedIndex:
+    """Driver-side handle over R RangeSearcher actors."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig | None = None,
+        num_shards: int = 8,
+        share: bool = True,
+    ):
+        import ray
+
+        self.cfg = cfg or PipelineConfig()
+        self.num_shards = num_shards
+        stats = CorpusStats.load(index_dir)
+        space = 2**64 if self.cfg.doc_id_from_url else stats.max_doc_id + 1
+        bounds = [(s * space) // num_shards for s in range(num_shards + 1)]
+        shared = share_segments(index_dir, self.cfg.num_partitions) if share else None
+        cls = ray.remote(num_cpus=1)(RangeSearcher)
+        self.actors = [
+            cls.remote(index_dir, self.cfg, bounds[s], bounds[s + 1] - 1, shared)
+            for s in range(num_shards)
+        ]
+
+    def search(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """-> (query_id, rank, doc_id, score), rank-identical to the
+        exact oracle.  Fan-out: every chunk goes to every shard."""
+        import ray
+
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(a.search_batch.remote(part) for a in self.actors)
+        frames = [f for f in ray.get(futs) if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            )
+        cand = pd.concat(frames, ignore_index=True)
+        # boundary blocks are scored by both neighbours: bit-identical
+        # duplicates, drop before ranking
+        cand = cand.drop_duplicates(["query_id", "doc_id"])
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        k = self.cfg.topk
+        for qid, g in cand.groupby("query_id", sort=True):
+            g = g.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            out["query_id"].extend([int(qid)] * len(g))
+            out["rank"].extend(range(len(g)))
+            out["doc_id"].extend(g["doc_id"].tolist())
+            out["score"].extend(g["score"].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["rank"] = df["rank"].astype(np.int32)
+        return df
+
+    def shutdown(self) -> None:
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -1,0 +1,173 @@
+"""Shared decoded serving cache: decode the index ONCE into plasma.
+
+The query-phase scaling ceiling was per-actor work duplication: every
+searcher actor in a data-parallel pool eventually touches every hot
+term, so each one re-reads and re-decodes the same posting blocks —
+warm-up cost grows with pool size.  This module decodes each partition
+once (parallel Ray tasks) into flat numpy arrays — doc_ids + BAKED
+float64 BM25 contributions — published via ``ray.put``; every searcher
+actor on the node then maps them zero-copy and a term's blocks are just
+array views (``PostingBlocks.from_views``).
+
+Contributions are computed with the exact same float64 kernel and
+global df/avgdl as everywhere else, so rank-identity is unaffected.
+
+Memory: decoded arrays ~= 16 bytes/posting, held once per NODE (plasma
+is node-local) — the standard hot-serving trade; the varint segments
+remain the at-rest/cold-path format.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions import bm25
+from mini_ivf_ray.functions.codec import decode_varints
+from mini_ivf_ray.sources.segments import PostingBlocks
+from mini_ivf_ray.state.manifest import partition_dir
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def decode_partition(
+    index_dir: str, p: int, n_docs: int, avgdl: float, df_map: dict, k1: float, b: float
+):
+    """-> bundle dict of flat arrays for one partition, or None."""
+    path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
+    if not os.path.exists(path):
+        return None
+    t = pq.read_table(path)
+    terms = t["term"].to_pylist()
+    firsts = t["first_doc_id"].to_numpy()
+    lasts = t["last_doc_id"].to_numpy()
+    counts = t["count"].to_numpy()
+    max_scores = t["max_score"].to_numpy()
+    dfs = t["df"].to_numpy()
+    payloads = t["payload"].to_pylist()
+
+    nblocks = len(terms)
+    doc_off = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_off[1:])
+    total = int(doc_off[-1])
+    docs_all = np.empty(total, dtype=np.uint64)
+    contribs_all = np.empty(total, dtype=np.float64)
+
+    vals = decode_varints(
+        np.concatenate([np.frombuffer(pl, dtype=np.uint8) for pl in payloads])
+    ) if payloads else np.empty(0, dtype=np.uint64)
+    off = 0
+    # per-term idf cache (terms are sorted -> runs)
+    cur_term = None
+    cur_idf = 0.0
+    for i in range(nblocks):
+        n = int(counts[i])
+        seg = vals[off : off + 3 * n - 1]
+        off += 3 * n - 1
+        a = doc_off[i]
+        docs_all[a] = firsts[i]
+        if n > 1:
+            docs_all[a + 1 : a + n] = np.uint64(firsts[i]) + np.cumsum(seg[: n - 1])
+        if terms[i] != cur_term:
+            cur_term = terms[i]
+            cur_idf = bm25.idf(int(dfs[i]), n_docs)
+        tfs = seg[n - 1 : 2 * n - 1].astype(np.int64)
+        dls = seg[2 * n - 1 :].astype(np.int64)
+        contribs_all[a : a + n] = cur_idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
+
+    # term -> block row range (terms are contiguous, file order)
+    term_index: dict[str, tuple[int, int]] = {}
+    start = 0
+    for i in range(1, nblocks + 1):
+        if i == nblocks or terms[i] != terms[start]:
+            term_index[terms[start]] = (start, i)
+            start = i
+    return {
+        "firsts": firsts,
+        "lasts": lasts,
+        "counts": counts,
+        "max_scores": max_scores,
+        "dfs": dfs,
+        "doc_off": doc_off,
+        "docs_all": docs_all,
+        "contribs_all": contribs_all,
+        "term_index": term_index,
+    }
+
+
+def share_decoded_index(index_dir: str, cfg: PipelineConfig) -> dict:
+    """Decode all partitions in parallel and publish to the object
+    store.  Returns {pid: ObjectRef[bundle]}."""
+    import ray
+
+    stats = CorpusStats.load(index_dir)
+
+    @ray.remote(num_cpus=1)
+    def _decode(p: int):
+        return decode_partition(
+            index_dir, p, stats.n_docs, stats.avgdl, None, cfg.k1, cfg.b
+        )
+
+    refs = {p: _decode.remote(p) for p in range(cfg.num_partitions)}
+    ray.wait(list(refs.values()), num_returns=len(refs))
+    return refs
+
+
+class DecodedReader:
+    """Per-actor view assembler over the shared decoded bundles."""
+
+    def __init__(self, decoded_refs: dict):
+        import ray
+
+        self._bundles = {p: ray.get(r) for p, r in decoded_refs.items()}
+        self._cache: dict[str, PostingBlocks | None] = {}
+
+    def term_blocks(self, term: str, locations: list[int]) -> PostingBlocks | None:
+        hit = self._cache.get(term, False)
+        if hit is not False:
+            return hit
+        pieces = []  # (firsts, lasts, counts, max_scores, df, docs views, contrib views)
+        for p in dict.fromkeys(locations):
+            bnd = self._bundles.get(p)
+            if bnd is None:
+                continue
+            rng = bnd["term_index"].get(term)
+            if rng is None:
+                continue
+            s, e = rng
+            do = bnd["doc_off"]
+            docs_views = [bnd["docs_all"][do[i] : do[i + 1]] for i in range(s, e)]
+            con_views = [bnd["contribs_all"][do[i] : do[i + 1]] for i in range(s, e)]
+            pieces.append(
+                (
+                    bnd["firsts"][s:e],
+                    bnd["lasts"][s:e],
+                    bnd["counts"][s:e],
+                    bnd["max_scores"][s:e],
+                    int(bnd["dfs"][s]),
+                    docs_views,
+                    con_views,
+                )
+            )
+        if not pieces:
+            self._cache[term] = None
+            return None
+        firsts = np.concatenate([x[0] for x in pieces])
+        order = np.argsort(firsts, kind="stable")
+        lasts = np.concatenate([x[1] for x in pieces])[order]
+        counts = np.concatenate([x[2] for x in pieces])[order]
+        maxs = np.concatenate([x[3] for x in pieces])[order]
+        docs_views = [v for x in pieces for v in x[5]]
+        con_views = [v for x in pieces for v in x[6]]
+        docs_views = [docs_views[int(i)] for i in order]
+        con_views = [con_views[int(i)] for i in order]
+        blocks = PostingBlocks.from_views(
+            term, pieces[0][4], firsts[order], lasts, counts, maxs, docs_views, con_views
+        )
+        self._cache[term] = blocks
+        return blocks
+
+    def fetch_terms(self, wanted: dict[str, list[int]]) -> dict:
+        return {t: self.term_blocks(t, locs) for t, locs in wanted.items()}

@@ -40,19 +40,33 @@ class PostingBlocks:
         self.counts = counts
         self.max_scores = max_scores
         self.payloads = payloads
-        self._docs: list = [None] * len(payloads)
-        self._contribs: list = [None] * len(payloads)
+        n = len(counts) if payloads is None else len(payloads)
+        self._docs: list = [None] * n
+        self._contribs: list = [None] * n
         self._scoring = None  # (idf, avgdl, k1, b) set by the searcher
+
+    @classmethod
+    def from_views(cls, term, df, firsts, lasts, counts, max_scores, docs_views, contrib_views):
+        """Pre-decoded blocks: per-block (docs, contribs) numpy views —
+        typically zero-copy slices of plasma-shared arrays.  No payloads;
+        scoring is already baked into the contributions."""
+        b = cls(term, df, firsts, lasts, counts, max_scores, payloads=None)
+        b._docs = list(docs_views)
+        b._contribs = list(contrib_views)
+        b._scoring = "baked"
+        return b
 
     @property
     def n_blocks(self) -> int:
-        return len(self.payloads)
+        return len(self.counts)
 
     @property
     def n_postings(self) -> int:
         return int(self.counts.sum()) if self.n_blocks else 0
 
     def set_scoring(self, idf: float, avgdl: float, k1: float, b: float) -> None:
+        if self.payloads is None:
+            return  # pre-decoded views: contributions are baked in
         if self._scoring != (idf, avgdl, k1, b):
             self._scoring = (idf, avgdl, k1, b)
             self._docs = [None] * self.n_blocks
@@ -81,6 +95,8 @@ class PostingBlocks:
         self-delimiting, so ONE vectorized decode over the concatenated
         payloads replaces n_blocks separate passes; contributions are one
         tf_norm call over all postings.  Fills the per-block caches."""
+        if self.payloads is None:
+            return  # pre-decoded views
         if self.n_blocks == 0 or self._docs[-1] is not None and all(
             d is not None for d in self._docs
         ):
@@ -131,12 +147,22 @@ class SegmentReader:
     """
 
     def __init__(
-        self, index_dir: str, cache_terms: int = 16384, cache_partitions: int = 64
+        self,
+        index_dir: str,
+        cache_terms: int = 16384,
+        cache_partitions: int = 64,
+        shared_tables: dict | None = None,
     ):
         self.index_dir = index_dir
         self.cache_terms = cache_terms
         self.cache_partitions = cache_partitions
         self._cache: OrderedDict[str, PostingBlocks | None] = OrderedDict()
+        # Optional {pid: ObjectRef[pa.Table]}: segment tables published
+        # once to the object store (see pipelines.query.share_segments)
+        # and mapped zero-copy by every searcher actor on the node —
+        # without it each actor re-reads + re-decompresses every
+        # partition file it touches.
+        self._shared = shared_tables or {}
         # partition-table cache: pid -> (table, {term: (row_start, row_end)})
         # Block rows are written term-sorted, so a term's rows are one
         # contiguous zero-copy slice.  LRU-bounded: at cluster scale an
@@ -149,11 +175,18 @@ class SegmentReader:
         if hit is not False:
             self._parts.move_to_end(p)
             return hit
-        path = os.path.join(partition_dir(self.index_dir, p), "postings.parquet")
-        if not os.path.exists(path):
+        tbl = None
+        if p in self._shared:
+            import ray
+
+            tbl = ray.get(self._shared[p])  # zero-copy plasma mapping
+        if tbl is None:
+            path = os.path.join(partition_dir(self.index_dir, p), "postings.parquet")
+            if os.path.exists(path):
+                tbl = pq.read_table(path)
+        if tbl is None:
             entry = None
         else:
-            tbl = pq.read_table(path)
             terms = tbl["term"].to_pylist()
             index: dict[str, tuple[int, int]] = {}
             start = 0

@@ -63,8 +63,12 @@ def dedup_by_url(ds, num_buckets: int = 64):
         b = (batch["doc_id"].to_numpy() % np.uint64(num_buckets)).astype(np.int64)
         return batch.append_column("bucket", pa.array(b))
 
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")
+        .repartition(max(8, n_cpus))  # cheap coalesce before the exchange
         .groupby("bucket")
         .map_groups(_keep_latest, batch_format="pyarrow")
     )

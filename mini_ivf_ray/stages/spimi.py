@@ -16,9 +16,13 @@ merge stage is a metadata concat, never a re-sort (SURVEY §7.6).
 
 from __future__ import annotations
 
+import glob
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.functions import bm25
@@ -52,14 +56,66 @@ class TokenizeAssign:
     """Fused tokenize + partition-assign actor stage: docs batches in,
     partitioned postings out.  One stage (a) avoids Ray's operator
     fusion applying the downstream batch_size to the upstream docs
-    input (which collapsed parallelism to 2 tasks), and (b) never ships
-    the unpartitioned postings through the object store."""
+    input (which collapsed parallelism to 2 tasks), (b) never ships the
+    unpartitioned postings through the object store, and (c) assigns
+    partitions while the terms are still Python strings from the
+    tokenizer — an intermediate Arrow table would pay an 18ms/batch
+    string round trip just to look them up again."""
 
     def __init__(self, stats_ref, cfg: PipelineConfig, doc_id_space: int):
-        self._assigner = PartitionAssigner(stats_ref, cfg, doc_id_space)
+        a = PartitionAssigner(stats_ref, cfg, doc_id_space)
+        self.pid_map = a.pid_map
+        self.salt_pids = a.salt_pids
+        self.cfg = cfg
+        self.doc_id_space = doc_id_space
+        # per hot term: exact uint64 salt boundaries (Python ints for
+        # scalar bisect; identical values to the encoder's cuts)
+        self.salt_bounds = {
+            t: [int(b) for b in salt_bounds(len(p), doc_id_space)]
+            for t, p in self.salt_pids.items()
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self._assigner(tokenize_postings_batch(batch))
+        from bisect import bisect_right
+
+        from mini_ivf_ray.functions.tokenize import term_freqs
+
+        texts = batch["text"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        terms_out: list[str] = []
+        docs_out: list[int] = []
+        tfs_out: list[int] = []
+        dls_out: list[int] = []
+        pids_out: list[int] = []
+        pid_get = self.pid_map.get
+        n_part = self.cfg.num_partitions
+        for text, did in zip(texts, doc_ids.tolist()):
+            c = term_freqs(text)
+            if not c:
+                continue
+            dl = sum(c.values())
+            for t, f in c.items():
+                p = pid_get(t)
+                if p is None:
+                    pids = self.salt_pids.get(t)
+                    if pids is None:
+                        p = term_partition(t, n_part)
+                    else:
+                        p = int(pids[bisect_right(self.salt_bounds[t], did)])
+                terms_out.append(t)
+                docs_out.append(did)
+                tfs_out.append(f)
+                dls_out.append(dl)
+                pids_out.append(p)
+        return pa.table(
+            {
+                "term": pa.array(terms_out, type=pa.string()),
+                "doc_id": pa.array(docs_out, type=pa.uint64()),
+                "tf": pa.array(tfs_out, type=pa.int64()),
+                "dl": pa.array(dls_out, type=pa.int64()),
+                "pid": pa.array(pids_out, type=pa.int64()),
+            }
+        )
 
 
 class PartitionAssigner:
@@ -89,21 +145,83 @@ class PartitionAssigner:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms = pd.Series(batch["term"].to_pylist(), dtype=object)
-        pid = terms.map(self.pid_map)
-        if self.salts:
+        # factorize once (C speed), then resolve partitions per DISTINCT
+        # term — per-row dict maps and per-hot-term string scans were the
+        # assign hot spot at scale
+        codes, uniques = pd.factorize(
+            np.asarray(batch["term"].to_pylist(), dtype=object)
+        )
+        upids = np.empty(len(uniques), dtype=np.int64)
+        hot_codes: list[tuple[int, np.ndarray]] = []
+        for i, t in enumerate(uniques):
+            p = self.pid_map.get(t)
+            if p is None:
+                pids = self.salt_pids.get(t)
+                if pids is None:  # unseen in stats (shouldn't happen same-corpus)
+                    upids[i] = term_partition(t, self.cfg.num_partitions)
+                else:
+                    upids[i] = -1
+                    hot_codes.append((i, pids))
+            else:
+                upids[i] = p
+        pid = upids[codes]
+        if hot_codes:
             doc_ids = batch["doc_id"].to_numpy()
-            for t, pids in self.salt_pids.items():
-                m = (terms == t).to_numpy()
-                if m.any():
-                    s = salt_of_doc_ids(doc_ids[m], len(pids), self.doc_id_space)
-                    pid.values[m] = pids[s]
-        if pid.isna().any():  # term unseen in stats (shouldn't happen same-corpus)
-            missing = terms[pid.isna()]
-            pid[pid.isna()] = missing.map(
-                lambda t: term_partition(t, self.cfg.num_partitions)
-            )
-        return batch.append_column("pid", pa.array(pid.astype(np.int64).values))
+            for code, pids in hot_codes:
+                m = codes == code
+                s = salt_of_doc_ids(doc_ids[m], len(pids), self.doc_id_space)
+                pid[m] = pids[s]
+        return batch.append_column("pid", pa.array(pid))
+
+
+class TokenizeSpill(TokenizeAssign):
+    """SPIMI spill variant: instead of handing postings to a Ray
+    groupby (whose M x R object-store exchange has a flat ~tens-of-
+    seconds latency floor), each batch's postings are split by pid
+    (one vectorized argsort) and APPENDED as per-partition run files
+    under ``spill_dir/pid=<p>/``.  The exchange rides the filesystem
+    (shared storage on a cluster) — the reference's per-cluster shard
+    write (WriteClusterVector, index_ivfpq.cpp:496-514) generalized to
+    parallel writers.
+
+    Run-file names are content-derived (min doc_id, row count), so a
+    retried task overwrites its own runs instead of duplicating them."""
+
+    def __init__(self, stats_ref, cfg, doc_id_space, spill_dir: str, pending: list[int]):
+        super().__init__(stats_ref, cfg, doc_id_space)
+        self.spill_dir = spill_dir
+        self.pending = set(pending)
+        for p in pending:
+            os.makedirs(os.path.join(spill_dir, f"pid={p}"), exist_ok=True)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tbl = super().__call__(batch)
+        if tbl.num_rows == 0:
+            return pa.table({"pid": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        pids = tbl["pid"].to_numpy()
+        order = np.argsort(pids, kind="stable")
+        tbl = tbl.take(order)
+        sorted_pids = pids[order]
+        tag = f"{int(batch['doc_id'][0].as_py())}_{batch.num_rows}"
+        out_p, out_n = [], []
+        bounds = np.searchsorted(
+            sorted_pids, np.arange(self.cfg.num_partitions + 1)
+        )
+        for p in range(self.cfg.num_partitions):
+            a, z = int(bounds[p]), int(bounds[p + 1])
+            if z <= a or p not in self.pending:
+                continue
+            run = tbl.slice(a, z - a).drop_columns(["pid"])
+            path = os.path.join(self.spill_dir, f"pid={p}", f"run_{tag}.parquet")
+            pq.write_table(run, path + ".tmp", compression="lz4")
+            os.replace(path + ".tmp", path)
+            out_p.append(p)
+            out_n.append(z - a)
+        return pa.table(
+            {"pid": pa.array(out_p, type=pa.int64()),
+             "n": pa.array(out_n, type=pa.int64())}
+        )
 
 
 def make_partition_encoder(
@@ -260,3 +378,33 @@ def make_partition_encoder(
         )
 
     return encode_partition
+
+
+def make_spill_encoder(spill_dir: str, encoder):
+    """Wrap a partition encoder to source its group from spilled run
+    files: one task per pid reads ``spill_dir/pid=<p>/run_*.parquet``
+    (the reference's LoadFromBook per-cluster read, inverted for build)."""
+
+    def encode_from_spill(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["pid"].to_pylist():
+            files = sorted(glob.glob(os.path.join(spill_dir, f"pid={p}", "run_*.parquet")))
+            if not files:
+                continue
+            tbl = pa.concat_tables([pq.read_table(f) for f in files])
+            tbl = tbl.append_column(
+                "pid", pa.array(np.full(tbl.num_rows, p, dtype=np.int64))
+            )
+            outs.append(encoder(tbl))
+        if not outs:
+            return pa.table(
+                {
+                    "pid": pa.array([], type=pa.int64()),
+                    "n_terms": pa.array([], type=pa.int64()),
+                    "n_postings": pa.array([], type=pa.int64()),
+                    "n_blocks": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    return encode_from_spill
