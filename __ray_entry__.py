@@ -376,6 +376,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "lang", "n_chars"])
         )
 
+    def token_counts(sf_dir):
+        """Token counting three ways (task brief: whitespace + regex +
+        BPE-ish): exact-match SQL oracle."""
+        from mini_ivf_ray.functions.tokenize import tokenize
+
+        def counts(batch: pa.Table) -> pa.Table:
+            texts = batch["text"].to_pylist()
+            toks = [tokenize(t) for t in texts]
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_ws": pa.array(
+                        [len([w for w in t.split(" ") if w != ""]) for t in texts],
+                        type=pa.int64(),
+                    ),
+                    "n_regex": pa.array([len(ts) for ts in toks], type=pa.int64()),
+                    # BPE-ish proxy: 4-char subword chunks per token
+                    "n_subword": pa.array(
+                        [sum(-(-len(x) // 4) for x in ts) for ts in toks],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        return _documents(sf_dir).map_batches(counts, batch_format="pyarrow")
+
     def events_window(sf_dir):
         import ray.data
 
@@ -483,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
+        "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
         "lsh_near_dup": lsh_near_dup,
@@ -649,6 +676,17 @@ SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
 FROM documents GROUP BY source
 """,
         "limit_head": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        "token_counts": f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
+           FROM documents)
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x != ''))::BIGINT AS n_ws,
+       len(tokens)::BIGINT AS n_regex,
+       coalesce(list_sum(list_transform(tokens,
+                x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)::BIGINT AS n_subword
+FROM t
+""",
         "events_window": """
 SELECT event_type,
        CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,

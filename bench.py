@@ -123,6 +123,7 @@ def run_bench() -> dict:
     query_sec = time.perf_counter() - t0
     n_res = len(res)
     timings["query_topk"] = round(query_sec, 3)
+    pool_metrics = pool.metrics()
     pool.shutdown()
 
     # cold-burst Dataset path (one-shot map_batches pool), for reference
@@ -158,6 +159,7 @@ def run_bench() -> dict:
         "n_results": n_res,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "qps": round(BENCH_QUERIES / query_sec, 1),
+        "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
     }
 
 

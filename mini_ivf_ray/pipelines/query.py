@@ -109,17 +109,20 @@ class TermIterator:
 
 def _drain_single(
     it: TermIterator, top_docs: np.ndarray, top_scores: np.ndarray, k: int
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, int]:
     """Exhaust the last active iterator: every remaining doc scores
     exactly its own contribution, so block-max pruning (strict <) and
-    evaluation are both single vectorized passes."""
+    evaluation are both single vectorized passes.  Returns the number of
+    postings actually evaluated (skipped blocks don't count)."""
     b = it.blocks
+    scored = 0
     # finish the partially-consumed current block first
     if not it.exhausted:
-        if b.n_blocks - it.bi > 8:
+        if b.payloads is not None and b.n_blocks - it.bi > 8:
             b.decode_all()  # one vectorized decode beats per-block passes
         docs, contribs = b.decoded(it.bi)
         d0, c0 = docs[it.pos :], contribs[it.pos :]
+        scored += d0.size
         theta = top_scores[-1] if len(top_docs) >= k else -np.inf
         m = c0 >= theta  # per-posting exact filter (ties kept)
         if m.any():
@@ -130,13 +133,14 @@ def _drain_single(
             if float(b.max_scores[bi]) < theta:
                 continue
             docs, contribs = b.decoded(bi)
+            scored += docs.size
             m = contribs >= theta
             if m.any():
                 top_docs, top_scores = _merge_topk(
                     top_docs, top_scores, docs[m], contribs[m], k
                 )
         it.exhausted = True
-    return top_docs, top_scores
+    return top_docs, top_scores, scored
 
 
 def _merge_topk(
@@ -151,7 +155,9 @@ def _merge_topk(
     return all_docs[order], all_scores[order]
 
 
-def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
+def wand_topk(
+    iters: list[TermIterator], k: int, counters: dict | None = None
+) -> list[tuple[int, float]]:
     """Block-max WAND, block-vectorized.  Returns [(doc_id, score)]
     ranked by (score desc, doc_id asc), only docs with >=1 query term.
 
@@ -165,6 +171,9 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
     """
     top_docs = np.empty(0, dtype=np.uint64)
     top_scores = np.empty(0, dtype=np.float64)
+    scored = 0  # postings evaluated (reference: searched_cnt,
+    #             test_ivf_sift1m_baseline.cpp:59-68 / A3-A4)
+    rounds = 0
     active = [it for it in iters if not it.exhausted]
     while True:
         active = [it for it in active if not it.exhausted]
@@ -174,10 +183,12 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
             # sole remaining term: its docs' scores are single
             # contributions — block-max filter the remaining blocks in
             # one vectorized pass and merge once (no per-block rounds)
-            top_docs, top_scores = _drain_single(
+            top_docs, top_scores, n = _drain_single(
                 active[0], top_docs, top_scores, k
             )
+            scored += n
             break
+        rounds += 1
         active.sort(key=lambda it: it.cur_doc)
         full = len(top_docs) >= k
         theta = top_scores[-1] if full else float("-inf")
@@ -237,6 +248,7 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
             if d.size:
                 parts_d.append(d)
                 parts_c.append(c)
+                scored += d.size
             it.next_geq(L + 1)
         if not parts_d:
             continue
@@ -252,6 +264,10 @@ def wand_topk(iters: list[TermIterator], k: int) -> list[tuple[int, float]]:
             for d, c in zip(parts_d, parts_c):
                 scores[np.searchsorted(uniq, d)] += c
         top_docs, top_scores = _merge_topk(top_docs, top_scores, uniq, scores, k)
+    if counters is not None:
+        counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
+        counters["rounds"] = counters.get("rounds", 0) + rounds
+        counters["n_queries"] = counters.get("n_queries", 0) + 1
     return [(int(d), float(s)) for d, s in zip(top_docs, top_scores)]
 
 
@@ -303,6 +319,7 @@ class BM25Searcher:
             self.reader = DecodedReader(decoded_refs)
         else:
             self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
+        self.counters: dict = {}  # searched_cnt / rounds / n_queries (A3-A4)
 
     def topk_for_text(self, qtext: str) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(qtext)))
@@ -322,7 +339,7 @@ class BM25Searcher:
             for t, blocks in fetched.items()
             if blocks is not None
         ]
-        return wand_topk(iters, self.cfg.topk)
+        return wand_topk(iters, self.cfg.topk, counters=self.counters)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

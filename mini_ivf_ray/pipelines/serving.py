@@ -131,6 +131,9 @@ class _ServingWorker:
             df["rank"] = df["rank"].astype(np.int32)
         return df
 
+    def get_counters(self) -> dict:
+        return dict(self.searcher.counters)
+
 
 class ServingPool:
     """Persistent data-parallel serving (reference: the resident index
@@ -180,6 +183,19 @@ class ServingPool:
             .sort_values(["query_id", "rank"])
             .reset_index(drop=True)
         )
+
+    def metrics(self) -> dict:
+        """Aggregated A3/A4-style counters (reference: avg_searched_cnt,
+        test_ivfpq_sift1m_baseline.cpp:90)."""
+        import ray
+
+        totals: dict = {}
+        for c in ray.get([a.get_counters.remote() for a in self.actors]):
+            for k, v in c.items():
+                totals[k] = totals.get(k, 0) + v
+        nq = max(1, totals.get("n_queries", 0))
+        totals["avg_searched_cnt"] = round(totals.get("searched_cnt", 0) / nq, 1)
+        return totals
 
     def shutdown(self) -> None:
         import ray
