@@ -164,7 +164,13 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, 8 vs 32 CPUs (N vs 4N stand-in)."""
+    """Same job, fresh processes, N vs 4N CPUs (default 8 vs 32; set
+    GRAFT_SCALING_LEVELS="4,16" to measure below the single node's
+    memory-bandwidth saturation point — added cluster NODES bring their
+    own DRAM bandwidth, added local cores don't)."""
+    lo_n, hi_n = (
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+    )
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -179,19 +185,25 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
+    lo, hi = run(lo_n), run(hi_n)
     # efficiency on the headline wall time (build + query)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     result = {
-        "metric": "scaling efficiency (8 vs 32 CPUs, same corpus + queries)",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "docs_per_sec_8": lo["docs_per_sec"],
-        "docs_per_sec_32": hi["docs_per_sec"],
-        "qps_8": lo["qps"],
-        "qps_32": hi["qps"],
-        "build_eff": round((lo["queries"]["build_index"] / hi["queries"]["build_index"]) / 4, 3),
-        "query_eff": round((lo["queries"]["query_topk"] / hi["queries"]["query_topk"]) / 4, 3),
+        "metric": f"scaling efficiency ({lo_n} vs {hi_n} CPUs, same corpus + queries)",
+        "cpus_lo": lo_n,
+        "cpus_hi": hi_n,
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "docs_per_sec_lo": lo["docs_per_sec"],
+        "docs_per_sec_hi": hi["docs_per_sec"],
+        "qps_lo": lo["qps"],
+        "qps_hi": hi["qps"],
+        "build_eff": round(
+            (lo["queries"]["build_index"] / hi["queries"]["build_index"]) / (hi_n / lo_n), 3
+        ),
+        "query_eff": round(
+            (lo["queries"]["query_topk"] / hi["queries"]["query_topk"]) / (hi_n / lo_n), 3
+        ),
         "scaling_efficiency": round(eff, 3),
     }
     return result

@@ -145,6 +145,10 @@ def build_index(
         # Ray's groupby sort-exchange has a flat latency floor that
         # dominated this stage, so the postings never enter a shuffle.
         spill_dir = os.path.join(index_dir, "spill")
+        # stale runs from an interrupted attempt would duplicate
+        # postings (batch boundaries differ between runs); the spill is
+        # transient — resume granularity is the partition manifest
+        shutil.rmtree(spill_dir, ignore_errors=True)
         prepared_docs().map_batches(
             TokenizeSpill,
             fn_constructor_args=(stats_ref, cfg, doc_id_space, spill_dir, pending),

@@ -62,6 +62,37 @@ def test_leftover_tmp_and_uncommitted_dir_rebuilt(tmp_path):
     assert _segment_bytes(idx, 0) == ref0
 
 
+def test_interrupted_spill_discarded(tmp_path):
+    """Garbage run files from a killed spill pass must not leak into the
+    rebuilt segments (stale runs would duplicate postings)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqm
+
+    cfg = PipelineConfig(num_partitions=2)
+    pages = generate_pages(150, seed=33, vocab_size=100)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    ref = {p: _segment_bytes(idx, p) for p in range(2)}
+
+    os.remove(os.path.join(idx, "manifest.json"))
+    for p in range(2):
+        shutil.rmtree(mf.partition_dir(idx, p))
+    # simulate an interrupted spill: leftover run with bogus postings
+    os.makedirs(os.path.join(idx, "spill", "pid=0"), exist_ok=True)
+    bogus = pa.table(
+        {
+            "term": pa.array(["zzz"]),
+            "doc_id": pa.array([1], type=pa.uint64()),
+            "tf": pa.array([1], type=pa.int64()),
+            "dl": pa.array([1], type=pa.int64()),
+        }
+    )
+    pqm.write_table(bogus, os.path.join(idx, "spill", "pid=0", "run_1_1.parquet"))
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    for p in range(2):
+        assert _segment_bytes(idx, p) == ref[p]
+
+
 def test_stats_checkpoint_reused(tmp_path, monkeypatch):
     """Second run with stats sidecar present must not recompute stats."""
     cfg = PipelineConfig(num_partitions=2)
