@@ -122,11 +122,12 @@ def _adc_scores(q: np.ndarray, books: np.ndarray, codes: np.ndarray) -> np.ndarr
 
 
 class _Assigner:
-    def __init__(self, cent_ref, books_ref):
+    def __init__(self, cent_ref, books_ref, residual: bool = False):
         import ray
 
         self.cent = ray.get(cent_ref)
         self.books = ray.get(books_ref) if books_ref is not None else None
+        self.residual = residual
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
@@ -138,8 +139,13 @@ class _Assigner:
             "part": pa.array(part.astype(np.int64)),
         }
         if self.books is not None:
+            # residual PQ (Faiss-style IVFPQ): quantize x - centroid(x);
+            # the reference quantizes raw vectors (index_ivfpq.cpp:84-86)
+            # — raw mode keeps that parity, residual mode is the
+            # accuracy upgrade
+            enc_in = mat - self.cent[part] if self.residual else mat
             cols["code"] = pa.array(
-                [c.tobytes() for c in _pq_encode(mat, self.books)], type=pa.binary()
+                [c.tobytes() for c in _pq_encode(enc_in, self.books)], type=pa.binary()
             )
         return pa.table(cols)
 
@@ -152,6 +158,7 @@ def build_ivf_index(
     pq_m: int | None = None,
     pq_ks: int = 16,
     pq_iters: int = 6,
+    pq_residual: bool = False,
     train_sample: int = 100_000,
     seed: int = 42,
 ) -> dict:
@@ -177,12 +184,17 @@ def build_ivf_index(
         _, mat = _to_matrix(tbl)
         mat = _normalize(mat)
         cent = _kmeans(mat, n_centroids, train_iters, seed)
-        books = _train_pq(mat, pq_m, pq_ks, pq_iters, seed) if pq_m else None
+        if pq_m:
+            train_in = mat - cent[_assign(mat, cent)] if pq_residual else mat
+            books = _train_pq(train_in, pq_m, pq_ks, pq_iters, seed)
+        else:
+            books = None
         os.makedirs(index_dir, exist_ok=True)
         tmp = cent_path + ".tmp"
         with open(tmp, "wb") as fh:
             if books is not None:
-                np.savez(fh, cent=cent, books=books)
+                np.savez(fh, cent=cent, books=books,
+                         residual=np.array(pq_residual))
             else:
                 np.savez(fh, cent=cent)
         os.replace(tmp, cent_path)
@@ -194,7 +206,7 @@ def build_ivf_index(
         books_ref = ray.put(books) if books is not None else None
         assigned = embeddings_ds.map_batches(
             _Assigner,
-            fn_constructor_args=(cent_ref, books_ref),
+            fn_constructor_args=(cent_ref, books_ref, pq_residual),
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=(1, 8),
@@ -237,6 +249,7 @@ def build_ivf_index(
         "n_centroids": n_centroids,
         "pq_m": pq_m,
         "pq_ks": pq_ks,
+        "pq_residual": bool(pq_residual),
         "seed": seed,
         "partitions": parts,
         "counters": counters,
@@ -261,6 +274,7 @@ class IVFSearcher:
         z = np.load(os.path.join(index_dir, "centroids.npz"), allow_pickle=False)
         self.cent = z["cent"]
         self.books = z["books"] if "books" in z.files else None
+        self.residual = bool(z["residual"]) if "residual" in z.files else False
         self._parts: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray | None]] = {}
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.meta = json.load(f)
@@ -299,7 +313,8 @@ class IVFSearcher:
                 continue
             searched += len(ids)
             if self.use_pq and codes is not None:
-                d2 = _adc_scores(qn, self.books, codes)
+                q_in = qn - self.cent[int(p)] if self.residual else qn
+                d2 = _adc_scores(q_in, self.books, codes)
                 sims = 1.0 - d2 / 2.0  # approx cosine from L2^2 on unit vectors
             else:
                 sims = matv @ qn

@@ -90,3 +90,26 @@ def _recall(res: pd.DataFrame, truth: pd.DataFrame, k: int) -> float:
 def test_normalize_zero_vector():
     m = _normalize(np.array([[0.0, 0.0], [3.0, 4.0]]))
     assert np.allclose(m[1], [0.6, 0.8]) and np.allclose(m[0], 0)
+
+
+def test_ivfpq_residual_beats_raw(tmp_path):
+    """Residual PQ (Faiss-style) should recall better than raw-vector PQ
+    (the reference's mode) on clustered data."""
+    df = _clustered_embeddings(n=600, d=32)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    qdf = df.head(20)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=10)
+
+    raw_idx = str(tmp_path / "raw")
+    build_ivf_index(ds, raw_idx, n_centroids=8, pq_m=16, pq_ks=64, seed=7)
+    raw = ann_search(raw_idx, ray.data.from_pandas(qdf), k=10, nprobe=8, use_pq=True).to_pandas()
+
+    res_idx = str(tmp_path / "res")
+    build_ivf_index(ds, res_idx, n_centroids=8, pq_m=16, pq_ks=64, pq_residual=True, seed=7)
+    res = ann_search(res_idx, ray.data.from_pandas(qdf), k=10, nprobe=8, use_pq=True).to_pandas()
+
+    r_raw = _recall(raw, bf, 10)
+    r_res = _recall(res, bf, 10)
+    assert r_res >= r_raw
+    assert r_res >= 0.8
