@@ -1,0 +1,103 @@
+"""CLI entry points: ``python -m mini_ivf_ray <cmd>``.
+
+The CLI owns its Ray session (library code never calls ray.init).
+
+  build  <pages_parquet_dir> <index_dir> [--partitions N] [--no-dedup]
+  query  <index_dir> "terms ..." [--topk K]
+  stats  <index_dir>
+  synth  <out_dir> --docs N [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mini_ivf_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("pages")
+    b.add_argument("index_dir")
+    b.add_argument("--partitions", type=int, default=16)
+    b.add_argument("--no-dedup", action="store_true")
+
+    q = sub.add_parser("query")
+    q.add_argument("index_dir")
+    q.add_argument("text")
+    q.add_argument("--topk", type=int, default=10)
+
+    s = sub.add_parser("stats")
+    s.add_argument("index_dir")
+
+    g = sub.add_parser("synth")
+    g.add_argument("out_dir")
+    g.add_argument("--docs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    from mini_ivf_ray.config import PipelineConfig
+
+    if args.cmd == "synth":
+        from mini_ivf_ray.sources.pages import write_pages_corpus
+
+        write_pages_corpus(args.out_dir, args.docs, seed=args.seed)
+        print(json.dumps({"out": args.out_dir, "docs": args.docs}))
+        return 0
+
+    if args.cmd == "stats":
+        from mini_ivf_ray.state import manifest as mf
+
+        meta = mf.read_index_manifest(args.index_dir)
+        print(json.dumps(meta, indent=1) if meta else "not committed")
+        return 0 if meta else 1
+
+    _session(args.num_cpus)
+    import ray
+    import ray.data
+
+    try:
+        if args.cmd == "build":
+            from mini_ivf_ray.pipelines.build import build_index
+
+            cfg = PipelineConfig(num_partitions=args.partitions)
+            meta = build_index(
+                lambda: ray.data.read_parquet(args.pages),
+                args.index_dir,
+                cfg,
+                dedup=not args.no_dedup,
+            )
+            print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
+        elif args.cmd == "query":
+            from mini_ivf_ray.pipelines.query import BM25Searcher
+
+            cfg = PipelineConfig.from_index(args.index_dir, topk=args.topk)
+            searcher = BM25Searcher(args.index_dir, cfg)
+            for rank, (doc, score) in enumerate(searcher.topk_for_text(args.text)):
+                print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -64,6 +64,27 @@ class PipelineConfig:
         default_factory=lambda: frozenset({"the", "a", "an", "and", "of", "to", "in"})
     )
 
+    @classmethod
+    def from_index(cls, index_dir: str, **overrides) -> "PipelineConfig":
+        """Config matching a committed index's manifest — partitioning,
+        block size, BM25 params and salt threshold MUST match the build
+        or term_locations silently point at the wrong partitions."""
+        import json
+        import os
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            meta = json.load(f)
+        c = meta["lineage"]["config"]
+        fields = dict(
+            num_partitions=c["num_partitions"],
+            block_size=c["block_size"],
+            k1=c["k1"],
+            b=c["b"],
+            hot_df_threshold=c["hot_df_threshold"],
+        )
+        fields.update(overrides)
+        return cls(**fields)
+
     def salts_for_df(self, df: int) -> int:
         """Number of doc_id-range sub-lists for a term with document
         frequency ``df`` (1 = not salted)."""

@@ -311,7 +311,10 @@ class BM25Searcher:
         shared_tables: dict | None = None,
         decoded_refs: dict | None = None,
     ):
-        self.cfg = cfg or PipelineConfig()
+        # default the partitioning/scoring config FROM THE INDEX — a
+        # mismatched num_partitions/hot_df_threshold would silently
+        # resolve terms to the wrong partitions
+        self.cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
         self.stats = CorpusStats.load(index_dir)
         if decoded_refs is not None:
             from mini_ivf_ray.sources.decoded import DecodedReader
