@@ -376,6 +376,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .select_columns(["doc_id", "lang", "n_chars"])
         )
 
+    def orders_by_nation(sf_dir):
+        """Broadcast join (dimension tables shipped via ray.put) +
+        grouped aggregate: revenue-ish rollup per nation."""
+        import pandas as pd
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import broadcast_join
+        from ray.data.aggregate import Count, Sum
+
+        cust = pd.read_parquet(os.path.join(sf_dir, "customer.parquet"))[
+            ["c_custkey", "c_nationkey"]
+        ]
+        nation = pd.read_parquet(os.path.join(sf_dir, "nation.parquet"))[
+            ["n_nationkey", "n_name"]
+        ]
+        dim = cust.merge(
+            nation, left_on="c_nationkey", right_on="n_nationkey"
+        )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey", "o_totalprice"],
+        ).map_batches(
+            # exact integer cents: float sums straddle half-cent rounding
+            # boundaries differently than the SQL oracle
+            lambda b: pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "total_c": pa.array(
+                        np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = broadcast_join(orders, dim, on="o_custkey")
+        out = (
+            joined.groupby("n_name")
+            .aggregate(Count(alias_name="n_orders"), Sum("total_c", alias_name="total_c"))
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "n_name": pa.array(out["n_name"], type=pa.string()),
+                "n_orders": pa.array(out["n_orders"].astype(np.int64)),
+                "total_c": pa.array(out["total_c"].astype(np.int64)),
+            }
+        )
+
+    def order_lineitems(sf_dir):
+        """Bucketed hash join (both sides large): orders x lineitem,
+        per-order revenue."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_orderstatus"],
+        )
+        def to_cents(b: pa.Table) -> pa.Table:
+            # exact integer money: prices/discounts are 2dp decimals, so
+            # revenue*10^4 is an exact int64 — float sums would straddle
+            # half-cent rounding boundaries differently than the oracle
+            price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+            disc_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": b["l_orderkey"],
+                    "revenue_c4": pa.array(price_c * disc_c, type=pa.int64()),
+                }
+            )
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        ).map_batches(to_cents, batch_format="pyarrow")
+        from ray.data.aggregate import Count, Sum
+
+        joined = bucketed_hash_join(orders, li, on="o_orderkey", num_buckets=32)
+        out = (
+            joined.groupby(["o_orderkey", "o_orderstatus"])
+            .aggregate(
+                Count(alias_name="n_items"), Sum("revenue_c4", alias_name="revenue_c4")
+            )
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out["o_orderkey"].astype(np.int64)),
+                "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
+                "n_items": pa.array(out["n_items"].astype(np.int64)),
+                "revenue_c4": pa.array(out["revenue_c4"].astype(np.int64)),
+            }
+        )
+
     def token_counts(sf_dir):
         """Token counting three ways (task brief: whitespace + regex +
         BPE-ish): exact-match SQL oracle."""
@@ -509,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
+        "orders_by_nation": orders_by_nation,
+        "order_lineitems": order_lineitems,
         "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
@@ -676,6 +773,21 @@ SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
 FROM documents GROUP BY source
 """,
         "limit_head": "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id LIMIT 50",
+        "orders_by_nation": """
+SELECT n.n_name, count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT AS total_c
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+        "order_lineitems": """
+SELECT o.o_orderkey, o.o_orderstatus, count(*)::BIGINT AS n_items,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_c4
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+""",
         "token_counts": f"""
 WITH t AS (SELECT doc_id, text,
                   regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
