@@ -283,6 +283,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return quality(_documents(sf_dir))
 
+    def quality_filter_q(sf_dir):
+        from mini_ivf_ray.pipelines.analysis import quality_filter
+
+        return quality_filter(
+            _documents(sf_dir), min_tokens=20, max_stop_ratio=0.3, max_punct_ratio=0.05
+        )
+
     def langid_q(sf_dir):
         from mini_ivf_ray.pipelines.analysis import langid
 
@@ -597,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
         "quality": quality_q,
+        "quality_filter": quality_filter_q,
         "langid": langid_q,
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -683,6 +691,27 @@ FROM ranked WHERE rank < 10
 """
 
 
+def _quality_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text,
+                  regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
+           FROM documents)
+SELECT doc_id,
+       len(tokens)::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars,
+       round(CASE WHEN len(tokens) = 0 THEN 0.0
+             ELSE list_sum(list_transform(tokens,
+                    x -> CASE WHEN x IN {STOPWORDS_SQL} THEN 1 ELSE 0 END))::DOUBLE
+                  / len(tokens) END, 6) AS stop_ratio,
+       round(CASE WHEN len(tokens) = 0 THEN 0.0
+             ELSE list_sum(list_transform(tokens, x -> length(x)))::DOUBLE
+                  / len(tokens) END, 6) AS mean_token_len,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM t
+"""
+
+
 def _langid_sql() -> str:
     from mini_ivf_ray.pipelines.analysis import LANG_MARKERS
 
@@ -739,23 +768,10 @@ FROM documents
 SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(text)
 """,
-        "quality": f"""
-WITH t AS (SELECT doc_id, text,
-                  regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tokens
-           FROM documents)
-SELECT doc_id,
-       len(tokens)::BIGINT AS n_tokens,
-       length(text)::BIGINT AS n_chars,
-       round(CASE WHEN len(tokens) = 0 THEN 0.0
-             ELSE list_sum(list_transform(tokens,
-                    x -> CASE WHEN x IN {STOPWORDS_SQL} THEN 1 ELSE 0 END))::DOUBLE
-                  / len(tokens) END, 6) AS stop_ratio,
-       round(CASE WHEN len(tokens) = 0 THEN 0.0
-             ELSE list_sum(list_transform(tokens, x -> length(x)))::DOUBLE
-                  / len(tokens) END, 6) AS mean_token_len,
-       round(length(regexp_replace(text, '[a-zA-Z0-9 \t\n]', '', 'g'))::DOUBLE
-             / greatest(length(text), 1), 6) AS punct_ratio
-FROM t
+        "quality": _quality_sql(),
+        "quality_filter": f"""
+SELECT * FROM ({_quality_sql()}) q
+WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND punct_ratio <= 0.05
 """,
         "langid": _langid_sql(),
         "fingerprint": f"""

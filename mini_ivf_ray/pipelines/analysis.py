@@ -101,6 +101,30 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def quality_filter(
+    docs_ds,
+    min_tokens: int = 10,
+    max_stop_ratio: float = 0.5,
+    max_punct_ratio: float = 0.2,
+    batch_size: int = 1024,
+):
+    """The canonical training-data pipeline step: score -> threshold ->
+    keep (doc_id plus the scores that justified keeping it).  Stateless,
+    vectorized, streams; compose with ``.write_parquet`` for the
+    filtered-corpus materialization."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        keep = (
+            (q["n_tokens"].to_numpy() >= min_tokens)
+            & (q["stop_ratio"].to_numpy() <= max_stop_ratio)
+            & (q["punct_ratio"].to_numpy() <= max_punct_ratio)
+        )
+        return q.filter(pa.array(keep))
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
 def langid(docs_ds, batch_size: int = 1024):
     return docs_ds.map_batches(langid_batch, batch_format="pyarrow", batch_size=batch_size)
 

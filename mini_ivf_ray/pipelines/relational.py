@@ -49,8 +49,21 @@ def bucketed_hash_join(
     merge.  Hot keys can be salted into sub-buckets the same way the
     postings shuffle salts head terms."""
 
-    ls = left_ds.schema().base_schema
-    rs = right_ds.schema().base_schema
+    def _pa_schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # PandasBlockSchema (pandas-sourced datasets): names + numpy dtypes
+        def conv(t):
+            try:
+                return pa.from_numpy_dtype(t)
+            except pa.ArrowNotImplementedError:
+                return pa.string()  # object dtype: strings
+
+        return pa.schema([(n, conv(t)) for n, t in zip(base.names, base.types)])
+
+    ls = _pa_schema(left_ds)
+    rs = _pa_schema(right_ds)
     l_names = [f for f in ls.names if f != on]
     rename = {
         f: (f + suffix if f in set(ls.names) else f) for f in rs.names if f != on

@@ -1,0 +1,67 @@
+"""Join patterns vs pandas ground truth."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from mini_ivf_ray.pipelines.relational import broadcast_join, bucketed_hash_join
+
+
+def _sides(seed=7, n_left=500, n_right=1500):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "k": np.arange(n_left),
+            "lv": rng.integers(0, 100, n_left),
+            "name": [f"l{i}" for i in range(n_left)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, n_left + 50, n_right),  # some dangling keys
+            "rv": rng.normal(size=n_right),
+        }
+    )
+    return left, right
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("float"):
+            df[c] = np.round(df[c], 9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_broadcast_join_matches_pandas():
+    left, right = _sides()
+    expect = _canon(right.merge(left, on="k", how="inner"))
+    got = _canon(
+        broadcast_join(ray.data.from_pandas(right), left, on="k").to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_bucketed_hash_join_matches_pandas():
+    left, right = _sides(seed=11)
+    expect = _canon(left.merge(right, on="k", how="inner"))
+    got = _canon(
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="k",
+            num_buckets=8,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_bucketed_join_colliding_columns():
+    left = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    right = pd.DataFrame({"k": [2, 3, 4], "v": [200, 300, 400]})
+    got = bucketed_hash_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right), on="k", num_buckets=4
+    ).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+    assert list(got.columns) == ["k", "v", "v_r"]
+    assert got["k"].tolist() == [2, 3]
+    assert got["v"].tolist() == [20, 30]
+    assert got["v_r"].tolist() == [200, 300]
