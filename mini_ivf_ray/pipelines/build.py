@@ -96,6 +96,7 @@ def build_index(
 
             shutil.rmtree(tmp)
         docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
+        os.makedirs(tmp, exist_ok=True)  # empty input writes no files
         docs.write_parquet(tmp)
         if os.path.exists(prep_dir):
             import shutil
@@ -113,6 +114,10 @@ def build_index(
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
     read_blocks = max(64, 4 * n_cpus)
 
+    corpus_is_empty = not any(
+        f.endswith(".parquet") for f in os.listdir(prep_dir)
+    )
+
     def prepared_docs():
         return ray.data.read_parquet(
             prep_dir, columns=["doc_id", "text"], override_num_blocks=read_blocks
@@ -121,6 +126,10 @@ def build_index(
     # ---- stage 2: stats (checkpointed) ---------------------------------
     if CorpusStats.exists(index_dir):
         stats = CorpusStats.load(index_dir)
+        stats_wall = 0.0
+    elif corpus_is_empty:
+        stats = CorpusStats(n_docs=0, total_tokens=0)
+        stats.save(index_dir)
         stats_wall = 0.0
     else:
         ts = time.perf_counter()
@@ -132,6 +141,8 @@ def build_index(
 
     # ---- stage 3: populate pending partitions --------------------------
     pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
+    if corpus_is_empty:
+        pending = []
     populate_wall = 0.0
     if pending:
         import shutil

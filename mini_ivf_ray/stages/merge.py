@@ -111,12 +111,21 @@ def build_dictionary(index_dir: str, num_partitions: int) -> str:
 
     meta = parts.map_batches(read_meta, batch_format="pyarrow", batch_size=1)
     merged = meta.groupby("bucket").map_groups(_merge_terms, batch_format="pandas")
-    tbl = pa.concat_tables(
-        list(merged.iter_batches(batch_format="pyarrow")),
-        promote_options="default",
-    )
-    order = pa.compute.sort_indices(tbl, sort_keys=[("term", "ascending")])
-    tbl = tbl.take(order)
+    batches = list(merged.iter_batches(batch_format="pyarrow"))
+    if batches:
+        tbl = pa.concat_tables(batches, promote_options="default")
+        order = pa.compute.sort_indices(tbl, sort_keys=[("term", "ascending")])
+        tbl = tbl.take(order)
+    else:  # empty corpus
+        tbl = pa.table(
+            {
+                "term": pa.array([], type=pa.string()),
+                "df": pa.array([], type=pa.int64()),
+                "n_postings": pa.array([], type=pa.int64()),
+                "n_blocks": pa.array([], type=pa.int64()),
+                "locations": pa.array([], type=pa.list_(pa.int64())),
+            }
+        )
     tmp = os.path.join(index_dir, "_dictionary.parquet.tmp")
     pq.write_table(tbl, tmp)
     final = os.path.join(index_dir, "dictionary.parquet")

@@ -75,3 +75,32 @@ def test_single_doc_corpus(tmp_path):
     res = search(idx, qds, cfg).to_pandas()
     assert len(res) == len(oracle) == 1
     assert res["score"].iloc[0] == oracle["score"].iloc[0]
+
+
+def test_block_size_one_rank_identity(tmp_path):
+    """Degenerate 1-posting blocks: maximal block metadata churn."""
+    cfg = PipelineConfig(num_partitions=2, topk=5, block_size=1)
+    pages = _tie_corpus(5, n=30)
+    idx = str(tmp_path / "b1")
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    docs = prepare_documents(ray.data.from_arrow(pages), cfg).to_pandas()
+    queries = [(0, "alpha beta"), (1, "gamma")]
+    oracle = brute_force_topk(docs, queries, cfg).sort_values(["query_id", "rank"])
+    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
+    res = search(idx, qds, cfg).to_pandas().sort_values(["query_id", "rank"])
+    np.testing.assert_array_equal(
+        res["doc_id"].to_numpy().astype(np.uint64),
+        oracle["doc_id"].to_numpy().astype(np.uint64),
+    )
+    np.testing.assert_array_equal(res["score"].to_numpy(), oracle["score"].to_numpy())
+
+
+def test_empty_corpus(tmp_path):
+    cfg = PipelineConfig(num_partitions=2, topk=5)
+    pages = _tie_corpus(7, n=4).slice(0, 0)  # zero rows, full schema
+    idx = str(tmp_path / "empty")
+    meta = build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    assert meta["n_docs"] == 0
+    qds = ray.data.from_items([{"query_id": 0, "text": "alpha"}])
+    res = search(idx, qds, cfg).to_pandas()
+    assert len(res) == 0
