@@ -11,9 +11,11 @@ Prints ONE JSON line:
    "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
    "docs_per_sec": ..., "qps": ...}
 
---scaling: runs the same job in two fresh processes (num_cpus=8 and 32)
-and reports both throughputs + scaling efficiency (the sandbox stand-in
-for the north_rule's N vs 4N-node cluster runs).
+--scaling: runs the same job in two fresh taskset-confined processes
+(default num_cpus=4 and 16 — below the single node's memory-bandwidth
+saturation point, see BASELINE.md) and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the north_rule's N vs
+4N-node cluster runs).  Override with GRAFT_SCALING_LEVELS="8,32".
 """
 
 from __future__ import annotations
@@ -164,12 +166,12 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, N vs 4N CPUs (default 8 vs 32; set
-    GRAFT_SCALING_LEVELS="4,16" to measure below the single node's
-    memory-bandwidth saturation point — added cluster NODES bring their
-    own DRAM bandwidth, added local cores don't)."""
+    """Same job, fresh processes, N vs 4N CPUs (default 4 vs 16: below
+    the single node's memory-bandwidth saturation point — added cluster
+    NODES bring their own DRAM bandwidth, added local cores don't;
+    GRAFT_SCALING_LEVELS="8,32" for the saturated datapoint)."""
     lo_n, hi_n = (
-        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(",")
+        int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
     )
 
     def run(ncpu: int) -> dict:

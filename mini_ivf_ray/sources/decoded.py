@@ -124,13 +124,15 @@ class DecodedReader:
         self._bundles = {p: ray.get(r) for p, r in decoded_refs.items()}
         self._cache: dict[str, PostingBlocks | None] = {}
 
-    def term_blocks(self, term: str, locations: list[int]) -> PostingBlocks | None:
+    def term_blocks(self, term: str, locations: list[int] | None = None) -> PostingBlocks | None:
+        """``locations`` is only a hint: every bundle's term index is
+        consulted (a dict probe per partition), so a stale or mismatched
+        salt plan can never silently miss postings."""
         hit = self._cache.get(term, False)
         if hit is not False:
             return hit
         pieces = []  # (firsts, lasts, counts, max_scores, df, docs views, contrib views)
-        for p in dict.fromkeys(locations):
-            bnd = self._bundles.get(p)
+        for p, bnd in self._bundles.items():
             if bnd is None:
                 continue
             rng = bnd["term_index"].get(term)
