@@ -547,6 +547,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return simhash_dup_pairs(_documents(sf_dir), max_hamming=3)
 
+    def embedding_near_dup(sf_dir):
+        """SRP-LSH embedding near-dup (scale path) — exact cosine
+        verified in-bucket; rows-only (hash-bucketing not in SQL)."""
+        from mini_ivf_ray.pipelines.dedup import embedding_dup_pairs_lsh
+
+        return embedding_dup_pairs_lsh(_embeddings(sf_dir), tau=0.95)
+
     def ann_ivf_probe(sf_dir):
         import ray.data
 
@@ -619,6 +626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize_q,
         "lsh_near_dup": lsh_near_dup,
         "simhash_pairs": simhash_pairs,
+        "embedding_near_dup": embedding_near_dup,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
         "image_features": image_features,

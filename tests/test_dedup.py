@@ -97,3 +97,21 @@ def test_embedding_dup_pairs():
     assert (0, 100) in found and (1, 101) in found
     # random gaussian pairs at d=16 essentially never reach 0.99
     assert len(found) == 2
+
+
+def test_srp_lsh_finds_embedding_dups():
+    from mini_ivf_ray.pipelines.dedup import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    rows.append({"vec_id": 100, "embedding": (base[0] + rng.normal(scale=1e-3, size=16)).tolist()})
+    rows.append({"vec_id": 101, "embedding": base[1].tolist()})
+    ds = ray.data.from_items(rows)
+    pairs = embedding_dup_pairs_lsh(ds, tau=0.99).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert (0, 100) in found and (1, 101) in found
+    # agrees with the exact broadcast baseline
+    exact = embedding_dup_pairs(ds, tau=0.99).to_pandas()
+    efound = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
+    assert found == efound
