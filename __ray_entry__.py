@@ -552,7 +552,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         verified in-bucket; rows-only (hash-bucketing not in SQL)."""
         from mini_ivf_ray.pipelines.dedup import embedding_dup_pairs_lsh
 
-        return embedding_dup_pairs_lsh(_embeddings(sf_dir), tau=0.95)
+        out = embedding_dup_pairs_lsh(_embeddings(sf_dir), tau=0.95).to_pandas()
+        return pa.table(
+            {
+                "id_a": pa.array(out.get("id_a", []), type=pa.int64()),
+                "id_b": pa.array(out.get("id_b", []), type=pa.int64()),
+                "cosine": pa.array(out.get("cosine", []), type=pa.float64()),
+            }
+        )
 
     def ann_ivf_probe(sf_dir):
         import ray.data
