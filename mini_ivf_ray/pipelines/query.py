@@ -377,7 +377,7 @@ def search(
     duplication was the serving scaling ceiling).  share="tables":
     share only the raw Arrow segment tables.  share=False: each actor
     reads from disk (the cold path)."""
-    cfg = cfg or PipelineConfig()
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     shared = decoded = None
     if share == "decoded":
         from mini_ivf_ray.sources.decoded import share_decoded_index

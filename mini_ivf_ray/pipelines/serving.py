@@ -152,7 +152,7 @@ class ServingPool:
     ):
         import ray
 
-        self.cfg = cfg or PipelineConfig()
+        self.cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
         decoded = None
         if share:
             from mini_ivf_ray.sources.decoded import share_decoded_index
@@ -217,7 +217,7 @@ class ShardedIndex:
     ):
         import ray
 
-        self.cfg = cfg or PipelineConfig()
+        self.cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
         self.num_shards = num_shards
         stats = CorpusStats.load(index_dir)
         space = 2**64 if self.cfg.doc_id_from_url else stats.max_doc_id + 1
