@@ -7,8 +7,10 @@ per posting, so speed is not critical.
 
 Reference analog: positional row ids (index_ivf.cpp:86-92).  Positional
 ids are unstable under Ray's nondeterministic block order, so docID is a
-64-bit hash of the url instead; collisions are checked during the stats
-pass (see pipelines/build.py).
+64-bit hash of the url instead; collisions are checked during the
+url-dedup shuffle (stages/prepare.py ``_keep_latest`` — colliding ids
+share a dedup bucket, so the per-bucket check is globally complete),
+with a backstop duplicate-doc_id ValueError in the partition encoder.
 """
 
 from __future__ import annotations

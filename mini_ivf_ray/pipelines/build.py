@@ -173,8 +173,13 @@ def build_index(
         ).count()  # consume: all runs on disk
         spill_wall = time.perf_counter() - ts
         hot_df = {t: stats.df[t] for t in stats.salt_counts(cfg)}
+        # doc_id_space MUST match the assigner's (salt cuts replay the
+        # assigner's range boundaries; a mismatch makes hot-term blocks
+        # span doc ranges held by other partitions, breaking WAND's
+        # globally-sorted-disjoint block invariant)
         encoder = make_partition_encoder(
-            index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage
+            index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage,
+            doc_id_space=doc_id_space,
         )
         summary = ray.data.from_items([{"pid": p} for p in pending]).map_batches(
             make_spill_encoder(spill_dir, encoder),

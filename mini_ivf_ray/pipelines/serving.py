@@ -9,13 +9,18 @@ docID RANGE — it decodes only the posting blocks overlapping its range
 (~1/R of the index) regardless of pool size, so warm-up work scales
 down as actors scale up.
 
-Exactness: blocks are docID-range-contiguous, so a shard's view of a
-term is a block subset; a boundary block shared by two shards is scored
-by both, producing duplicate candidates with BIT-IDENTICAL float64
-scores (same blocks, same canonical accumulation) — the merge dedupes
-on (query_id, doc_id), then ranks (score desc, doc_id asc).  Any global
-top-k doc is top-k within its shard, so the merged union contains the
-exact global top-k.
+Exactness: blocks are docID-range-contiguous, so a doc's HOME shard
+(the one whose [lo, hi] contains its docID) sees every block that
+contains the doc and computes its FULL score with the canonical
+accumulation; a neighbouring shard reached via a boundary block may
+score the same doc with only the subset of query terms whose blocks
+cross into its range — a PARTIAL (lower-or-equal, contributions are
+positive) score.  The merge therefore keeps the MAX score per
+(query_id, doc_id) (== the home shard's full score), then ranks
+(score desc, doc_id asc).  Any global top-k doc makes its home
+shard's local top-k: every candidate that locally outranks it does so
+with a partial score <= its own full score, hence also outranks it
+globally — so the merged union contains the exact global top-k.
 
 This module deliberately uses raw Ray actors (not Dataset): serving
 needs query fan-out to ALL shards + a merge, which ``map_batches``'s
@@ -246,9 +251,16 @@ class ShardedIndex:
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}
             )
         cand = pd.concat(frames, ignore_index=True)
-        # boundary blocks are scored by both neighbours: bit-identical
-        # duplicates, drop before ranking
-        cand = cand.drop_duplicates(["query_id", "doc_id"])
+        # A doc's home shard sees every block containing it (blocks are
+        # docID-contiguous, so first <= doc <= last overlaps the home
+        # range) and thus computes the FULL score; a neighbouring shard
+        # scoring the same doc via a boundary block may only see the
+        # query terms whose blocks cross into its range — a PARTIAL
+        # score.  BM25 contributions are positive, so max == full:
+        # keep the max score per (query_id, doc_id) before ranking.
+        cand = cand.sort_values(
+            "score", ascending=False, kind="mergesort"
+        ).drop_duplicates(["query_id", "doc_id"])
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
         k = self.cfg.topk
         for qid, g in cand.groupby("query_id", sort=True):

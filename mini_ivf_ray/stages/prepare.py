@@ -47,6 +47,17 @@ def _keep_latest(group: pa.Table) -> pa.Table:
     mask = np.ones(len(order), dtype=bool)
     mask[1:] = urls[1:] != urls[:-1]
     out = group.take(order.to_numpy(zero_copy_only=False)[mask])
+    # docID-collision check (doc_id = md5-u64(url)): colliding ids always
+    # land in the same bucket (bucket = doc_id % B), so per-bucket
+    # uniqueness after url-dedup is a COMPLETE global check — two distinct
+    # urls hashing to one doc_id would silently merge into one identity.
+    kept_ids = out.column("doc_id").to_numpy(zero_copy_only=False)
+    if np.unique(kept_ids).size != len(out):
+        s = np.sort(kept_ids)
+        bad = s[1:][s[1:] == s[:-1]][0]
+        raise ValueError(
+            f"docID hash collision: distinct urls share doc_id {int(bad)}"
+        )
     return out.drop_columns(["bucket"]) if "bucket" in out.column_names else out
 
 
@@ -76,8 +87,8 @@ def dedup_by_url(ds, num_buckets: int = 64):
 
 def assign_doc_ids(ds, cfg: PipelineConfig):
     """doc_id = md5-u64(url) (stable across runs and block orders).
-    Collisions are detected downstream in the stats pass (distinct
-    doc_id count must equal distinct url count)."""
+    Collisions are detected in the dedup shuffle (``_keep_latest``:
+    per-bucket doc_id uniqueness after url-dedup)."""
     if not cfg.doc_id_from_url:
         # input carries doc_id already (driver's documents table): cast
         def cast(batch: pa.Table) -> pa.Table:
