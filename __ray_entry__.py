@@ -548,16 +548,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_dup_pairs(_documents(sf_dir), max_hamming=3)
 
     def embedding_near_dup(sf_dir):
-        """SRP-LSH embedding near-dup (scale path) — exact cosine
-        verified in-bucket; rows-only (hash-bucketing not in SQL)."""
-        from mini_ivf_ray.pipelines.dedup import embedding_dup_pairs_lsh
+        """SRP-LSH embedding near-dup (scale path).  The driver
+        embeddings are near-random (max pairwise cosine ~0.6), so the
+        raw table has NO pairs at any dedup-grade tau — the input is
+        augmented with a deterministic planted twin per vector (vec_id
+        + 1e6, first coordinate negated; cosine = 1 - 2*e1^2/|x|^2,
+        ~92% of twins land >= 0.9).  The LSH result is (a) self-checked
+        in-process against the exact broadcast baseline (raises on any
+        divergence) and (b) SQL-oracled via a DuckDB cross join over
+        the same augmentation.  Output is the id pairs only: the
+        nearest cosine to the 0.9 threshold sits ~4e-4 away, so pair
+        membership is engine-robust, while a rounded float column would
+        reintroduce rounding-boundary flakiness for zero extra
+        coverage."""
+        from mini_ivf_ray.pipelines.dedup import (
+            embedding_dup_pairs,
+            embedding_dup_pairs_lsh,
+        )
 
-        out = embedding_dup_pairs_lsh(_embeddings(sf_dir), tau=0.95).to_pandas()
+        def aug(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy().astype(np.int64)
+            mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32)
+            twin = mat.copy()
+            twin[:, 0] = -twin[:, 0]
+            return pa.concat_tables(
+                [
+                    pa.table(
+                        {
+                            "vec_id": pa.array(ids, type=pa.int64()),
+                            "embedding": pa.array(
+                                list(mat), type=pa.list_(pa.float32())
+                            ),
+                        }
+                    ),
+                    pa.table(
+                        {
+                            "vec_id": pa.array(ids + 1_000_000, type=pa.int64()),
+                            "embedding": pa.array(
+                                list(twin), type=pa.list_(pa.float32())
+                            ),
+                        }
+                    ),
+                ]
+            )
+
+        def aug_ds():
+            return _embeddings(sf_dir).map_batches(aug, batch_format="pyarrow")
+
+        lsh = embedding_dup_pairs_lsh(aug_ds(), tau=0.9).to_pandas()
+        exact = embedding_dup_pairs(aug_ds(), tau=0.9).to_pandas()
+        lset = set(zip(lsh["id_a"], lsh["id_b"]))
+        eset = set(zip(exact["id_a"], exact["id_b"]))
+        if lset != eset:
+            raise AssertionError(
+                "SRP-LSH pairs diverge from exact broadcast baseline: "
+                f"missing={sorted(eset - lset)[:5]} extra={sorted(lset - eset)[:5]}"
+            )
+        out = lsh.sort_values(["id_a", "id_b"]).reset_index(drop=True)
         return pa.table(
             {
-                "id_a": pa.array(out.get("id_a", []), type=pa.int64()),
-                "id_b": pa.array(out.get("id_b", []), type=pa.int64()),
-                "cosine": pa.array(out.get("cosine", []), type=pa.float64()),
+                "id_a": pa.array(out["id_a"].astype(np.int64)),
+                "id_b": pa.array(out["id_b"].astype(np.int64)),
             }
         )
 
@@ -850,6 +901,18 @@ s AS (SELECT user_id, t,
 SELECT user_id, session_idx::BIGINT AS session_idx, count(*)::BIGINT AS n_events,
        min(t)::BIGINT AS start_ts, max(t)::BIGINT AS end_ts
 FROM s GROUP BY 1, 2
+""",
+        "embedding_near_dup": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, list_prepend(-embedding[1], embedding[2:])
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.9
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle

@@ -11,23 +11,30 @@ first-class additions):
 * ngram_jaccard      — exact shingle-set Jaccard for candidate pairs
 * embedding_dup_pairs— cosine >= tau over an embedding column
 
-Shuffle discipline: signatures are computed batch-vectorized;
-the only all-to-all moves are the (band_id, band_hash) / hamming-chunk
-groupbys over SMALL signature rows (never text), and pair outputs are
-deduped with a second tiny groupby.  The embedding variant broadcasts
-the (normalized) matrix via ``ray.put`` — valid while one node holds
-it; the scale path is the SRP/LSH bucketing, same pattern as MinHash.
+Shuffle discipline (round-2 rework): bucket rows carry ONLY
+(bucket key, doc/vec id, 8-byte signature fingerprint) — never the full
+MinHash signature or the embedding vector.  The heavyweight evidence
+(signatures, texts, embeddings) is re-fetched for the CANDIDATE set —
+orders of magnitude smaller than the corpus — via a broadcast-id
+filtered ``map_batches`` semi-join, then verified driver-side
+(candidate-sized work).  Mega-buckets (mass-duplicated boilerplate)
+are handled by collapsing identical-fingerprint members to one
+representative instead of an O(n^2) pair loop; truncation beyond the
+cap is logged, never silent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from mini_ivf_ray.functions.tokenize import tokenize
+
+logger = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 
@@ -49,6 +56,116 @@ def exact_dedup(docs_ds):
         .groupby("h")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-set semi-join fetch (shared by all verifiers)
+# ---------------------------------------------------------------------------
+
+
+class _IdFilter:
+    """Actor stage: broadcast-once sorted wanted-id array, per batch a
+    vectorized membership filter.  The semi-join fetch pattern: only
+    candidate rows ever leave the workers."""
+
+    def __init__(self, wanted_ref, id_col: str, cols: list[str]):
+        import ray
+
+        self.wanted = ray.get(wanted_ref)
+        self.id_col = id_col
+        self.cols = cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy()
+        m = np.isin(ids, self.wanted)
+        return batch.filter(pa.array(m)).select(self.cols)
+
+
+def fetch_by_ids(ds, id_col: str, wanted_ids, cols: list[str]) -> pa.Table:
+    """Fetch ``cols`` of the rows whose ``id_col`` is in ``wanted_ids``
+    (small set).  Distributed filter, driver collects only the matches."""
+    import ray
+
+    w = np.asarray(sorted(wanted_ids), dtype=np.int64)
+    if w.size == 0:
+        return pa.table({c: pa.array([], type=ds.schema().base_schema.field(c).type)
+                         for c in cols})
+    ref = ray.put(w)
+    out = ds.map_batches(
+        _IdFilter,
+        fn_constructor_args=(ref, id_col, cols),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+    tbls = list(out.iter_batches(batch_format="pyarrow"))
+    if not tbls:
+        return pa.table({c: pa.array([], type=ds.schema().base_schema.field(c).type)
+                         for c in cols})
+    return pa.concat_tables(tbls)
+
+
+# ---------------------------------------------------------------------------
+# Mega-bucket-safe in-bucket pair enumeration
+# ---------------------------------------------------------------------------
+
+_BUCKET_CAP = 2000  # max members for the plain all-pairs loop
+
+
+def _bucket_index_pairs(
+    ids: np.ndarray, sigh: np.ndarray, cap: int = _BUCKET_CAP, label: str = ""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate index pairs (i < j positions into the bucket arrays).
+
+    <= cap members: full clique.  Beyond the cap (degenerate bucket:
+    mass-duplicated boilerplate), members with identical 8-byte
+    signature fingerprints collapse to one representative:
+      * within an identical-fingerprint group: clique if the group is
+        <= cap else a star on the min-id member (keeps the duplicate
+        component connected without an O(n^2) emit);
+      * across groups: clique over the representatives (the fingerprint
+        stands in for the full signature, so a rep pair represents all
+        cross pairs of its two groups);
+      * if even the representative count exceeds the cap, the cross
+        pairs are dropped WITH A WARNING — truncation is observable.
+    """
+    n = len(ids)
+    if n <= cap:
+        return np.triu_indices(n, k=1)
+    order = np.argsort(sigh, kind="stable")
+    s = sigh[order]
+    starts = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+    ends = np.append(starts[1:], n)
+    ii_out, jj_out = [], []
+    reps = []
+    for a, z in zip(starts, ends):
+        grp = order[a:z]
+        grp = grp[np.argsort(ids[grp], kind="stable")]
+        reps.append(grp[0])
+        g = z - a
+        if g > 1:
+            if g <= cap:
+                gi, gj = np.triu_indices(g, k=1)
+                ii_out.append(grp[gi])
+                jj_out.append(grp[gj])
+            else:
+                ii_out.append(np.full(g - 1, grp[0]))
+                jj_out.append(grp[1:])
+    reps = np.asarray(reps)
+    if len(reps) > 1:
+        if len(reps) <= cap:
+            ri, rj = np.triu_indices(len(reps), k=1)
+            ii_out.append(reps[ri])
+            jj_out.append(reps[rj])
+        else:
+            logger.warning(
+                "dedup bucket %s: %d members collapse to %d representatives "
+                "(> cap %d); cross-representative pairs dropped",
+                label, n, len(reps), cap,
+            )
+    if not ii_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    return np.concatenate(ii_out), np.concatenate(jj_out)
 
 
 # ---------------------------------------------------------------------------
@@ -146,12 +263,18 @@ _GROUP_BUCKETS = 64  # low-cardinality shuffle key (O(N)-groups antipattern guar
 
 
 def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
-    """Explode signatures to one row per band with a vectorized band
-    hash; shuffle key is gkey = band_hash % B, NOT the raw bucket id."""
+    """Explode signatures to one SLIM row per band: (band, band-hash,
+    shuffle key, doc_id, 8-byte signature fingerprint).  The full k-perm
+    signature never enters the shuffle — at 16 bands x 512 B it would
+    multiply exchange volume by roughly the corpus text size."""
     doc_ids = batch["doc_id"].to_numpy()
     sig_list = batch["sig"].to_pylist()
     sigs = np.array([np.asarray(s, dtype=np.uint64) for s in sig_list])  # (n, k)
     n = len(doc_ids)
+    with np.errstate(over="ignore"):
+        sigh = _mix64(sigs[:, 0])
+        for j in range(1, sigs.shape[1]):
+            sigh = _mix64(sigh ^ sigs[:, j])
     out = []
     with np.errstate(over="ignore"):
         for bi in range(bands):
@@ -170,33 +293,32 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
             "bhash": pa.array(bhash, type=pa.uint64()),
             "gkey": pa.array((bhash % np.uint64(_GROUP_BUCKETS)).astype(np.int64)),
             "doc_id": pa.array(np.tile(doc_ids, bands), type=pa.int64()),
-            "sig": pa.array(
-                [s for _ in range(bands) for s in sig_list],
-                type=pa.list_(pa.uint64()),
-            ),
+            "sigh": pa.array(np.tile(sigh, bands), type=pa.uint64()),
         }
     )
 
 
 def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """One gkey group = many (band, bhash) buckets; emit candidate pairs
-    per real bucket, locally deduped."""
-    out_a, out_b, out_j = [], [], []
-    for _, g in group.groupby(["band", "bhash"], sort=False):
+    """One gkey group = many (band, bhash) buckets; emit candidate id
+    pairs per real bucket (ids only — similarity is verified later from
+    fetched evidence), locally deduped, mega-bucket-collapsed."""
+    out_a, out_b = [], []
+    for key, g in group.groupby(["band", "bhash"], sort=False):
         if len(g) < 2:
             continue
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        sigs = np.array([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-        for i in range(len(ids)):
-            eq = (sigs[i] == sigs[i + 1 :]).mean(axis=1)
-            for off, est in enumerate(eq):
-                j = i + 1 + off
-                if ids[i] != ids[j]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_j.append(float(est))
-    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+        sigh = g["sigh"].to_numpy().astype(np.uint64)
+        ii, jj = _bucket_index_pairs(ids, sigh, label=f"minhash:{key}")
+        keep = ids[ii] != ids[jj]
+        out_a.append(ids[ii][keep])
+        out_b.append(ids[jj][keep])
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    df = pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    )
     return df.drop_duplicates(["id_a", "id_b"])
 
 
@@ -216,9 +338,17 @@ def lsh_candidate_pairs(
     docs_ds, k: int = 64, w: int = 3, bands: int = 16, threshold: float = 0.5
 ):
     """MinHash-LSH near-dup pairs: (id_a, id_b, est_jaccard >= threshold),
-    id_a < id_b, deduped across bands.  Both shuffles are keyed by
-    fixed-width hash buckets (never by the raw bucket / pair identity,
-    whose cardinality is O(N))."""
+    id_a < id_b, deduped across bands.
+
+    Pipeline shape: signatures -> slim band rows (ids + fingerprints
+    only) -> bucket groupby -> candidate pairs -> pair-dedup groupby ->
+    VERIFY: texts of the candidate ids are fetched via the broadcast-id
+    semi-join, re-signed with the same hasher, and est_jaccard =
+    mean(sig_a == sig_b) computed on the (small) candidate set.  Both
+    shuffles are keyed by fixed-width hash buckets (never by the raw
+    bucket / pair identity, whose cardinality is O(N))."""
+    import ray.data
+
     rows = k // bands
     sigs = minhash_signatures(docs_ds, k=k, w=w)
     banded = sigs.map_batches(
@@ -228,14 +358,29 @@ def lsh_candidate_pairs(
         batch_size=2048,
     )
     pairs = banded.groupby("gkey").map_groups(_bucket_pairs, batch_format="pandas")
-    pairs = pairs.map_batches(
-        lambda t: t.filter(pa.compute.greater_equal(t["est_jaccard"], threshold)),
-        batch_format="pyarrow",
-    )
     uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
         "pkey"
     ).map_groups(_dedupe_pairs, batch_format="pandas")
-    return uniq
+    # candidate set: small by LSH design — verify driver-side
+    pairs_df = uniq.to_pandas()
+    if not len(pairs_df):
+        return ray.data.from_pandas(
+            pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "est_jaccard": pd.Series(dtype=np.float64)})
+        )
+    wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
+    fetched = fetch_by_ids(docs_ds, "doc_id", wanted, ["doc_id", "text"])
+    mh = MinHasher(k=k, w=w)
+    sig_of = {
+        int(d): mh.signature(tokenize(t))
+        for d, t in zip(fetched["doc_id"].to_pylist(), fetched["text"].to_pylist())
+    }
+    sa = np.array([sig_of[i] for i in pairs_df["id_a"]])
+    sb = np.array([sig_of[i] for i in pairs_df["id_b"]])
+    pairs_df = pairs_df.assign(est_jaccard=(sa == sb).mean(axis=1))
+    pairs_df = pairs_df[pairs_df["est_jaccard"] >= threshold].reset_index(drop=True)
+    return ray.data.from_pandas(pairs_df)
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +442,8 @@ def _sim_chunk_rows(batch: pa.Table, chunks: int = 4) -> pa.Table:
     chunk = np.concatenate(out_c)
     with np.errstate(over="ignore"):
         gkey = _mix64(vals ^ chunk.astype(np.uint64)) % np.uint64(_GROUP_BUCKETS)
+    # simhash itself (8 B) doubles as the collapse fingerprint AND the
+    # verification evidence — unlike MinHash, nothing else to fetch
     return pa.table(
         {
             "chunk": pa.array(chunk),
@@ -321,21 +468,29 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 def _sim_bucket_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
     out_a, out_b, out_h = [], [], []
-    for _, g in group.groupby(["chunk", "val"], sort=False):
+    for key, g in group.groupby(["chunk", "val"], sort=False):
         if len(g) < 2:
             continue
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        for i in range(len(ids)):
-            ham = _popcount64(sh[i] ^ sh[i + 1 :])
-            for off in np.flatnonzero(ham <= max_hamming):
-                j = i + 1 + off
-                if ids[i] != ids[j]:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[j]))
-                    out_h.append(int(ham[off]))
-    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+        ii, jj = _bucket_index_pairs(ids, sh, label=f"simhash:{key}")
+        ham = _popcount64(sh[ii] ^ sh[jj])
+        keep = (ham <= max_hamming) & (ids[ii] != ids[jj])
+        out_a.append(ids[ii][keep])
+        out_b.append(ids[jj][keep])
+        out_h.append(ham[keep].astype(np.int64))
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "hamming": pd.Series(dtype=np.int64)})
+    df = pd.DataFrame(
+        {
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    )
     return df.drop_duplicates(["id_a", "id_b"])
 
 
@@ -378,18 +533,12 @@ def _ngrams(tokens: list[str], w: int):
 
 
 def verify_pairs_exact(docs_ds, pairs_df: pd.DataFrame, w: int = 3, threshold: float = 0.6):
-    """Join candidate pairs back to texts (broadcast the small pair set;
-    texts fetched via a filtered read) and compute exact Jaccard."""
-    import ray
-
+    """Exact n-gram Jaccard for candidate pairs.  Texts of the (small)
+    candidate-id set are fetched via the broadcast-id semi-join — the
+    corpus is filtered on the workers; only matches reach the driver."""
     wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
-    texts = {}
-    for b in docs_ds.map_batches(
-        lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        for did, tx in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if did in wanted:
-                texts[did] = tx
+    fetched = fetch_by_ids(docs_ds, "doc_id", wanted, ["doc_id", "text"])
+    texts = dict(zip(fetched["doc_id"].to_pylist(), fetched["text"].to_pylist()))
     ta = [texts[i] for i in pairs_df["id_a"]]
     tb = [texts[i] for i in pairs_df["id_b"]]
     jac = ngram_jaccard(ta, tb, w)
@@ -403,114 +552,131 @@ def verify_pairs_exact(docs_ds, pairs_df: pd.DataFrame, w: int = 3, threshold: f
 # ---------------------------------------------------------------------------
 
 
-class SRPHasher:
-    """Signed-random-projection signatures: bit i = sign(<x, r_i>).
-    P(bit match) = 1 - angle/pi, so banding buckets near-duplicates.
-    This is the scale path for embedding near-dup: shuffle volume is
-    O(n x bands) small signature rows, never the vectors themselves."""
+class SRPBander:
+    """Signed-random-projection band rows: bit = sign(<x, r>), packed
+    per band of ``band_bits`` bits.  P(bit match) = 1 - angle/pi, so a
+    pair at cosine tau shares a band with prob (1-acos(tau)/pi)^band_bits
+    and survives SOME band with prob 1-(1-p)^bands — bands=32 x 8 bits
+    gives ~1-2e-5 miss at tau=0.9.  Emits ids + band values + an 8-byte
+    full-signature fingerprint ONLY: the embedding vectors never enter
+    the shuffle (carrying them multiplied exchange volume by 8x the
+    whole embedding table in round 1)."""
 
-    def __init__(self, dim: int, n_bits: int = 64, seed: int = 99):
+    def __init__(self, dim: int, bands: int = 32, band_bits: int = 8, seed: int = 99):
         rng = np.random.default_rng(seed)
-        self.planes = rng.normal(size=(dim, n_bits))
-        self.n_bits = n_bits
+        self.planes = rng.normal(size=(dim, bands * band_bits))
+        self.bands, self.band_bits = bands, band_bits
 
-    def signatures(self, mat: np.ndarray) -> np.ndarray:
-        bits = (mat @ self.planes) > 0  # (n, n_bits)
-        out = np.zeros(len(mat), dtype=np.uint64)
-        for i in range(self.n_bits):
-            out |= bits[:, i].astype(np.uint64) << np.uint64(i)
-        return out
+    def band_values(self, mat: np.ndarray) -> np.ndarray:
+        """(n, bands) uint64 band values from normalized rows."""
+        bits = (mat @ self.planes) > 0  # (n, bands*band_bits)
+        n = len(mat)
+        vals = np.zeros((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            chunk = bits[:, b * self.band_bits : (b + 1) * self.band_bits]
+            for i in range(self.band_bits):
+                vals[:, b] |= chunk[:, i].astype(np.uint64) << np.uint64(i)
+        return vals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
         mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        vals = self.band_values(mat / nrm)  # (n, bands)
+        with np.errstate(over="ignore"):
+            sigh = _mix64(vals[:, 0])
+            for b in range(1, self.bands):
+                sigh = _mix64(sigh ^ vals[:, b])
+        n = len(ids)
+        band = np.repeat(np.arange(self.bands, dtype=np.int32), n)
+        val = vals.T.reshape(-1)  # band-major to align with `band`
+        with np.errstate(over="ignore"):
+            gkey = _mix64(
+                val ^ (band.astype(np.uint64) * np.uint64(0x9E3779B9))
+            ) % np.uint64(_GROUP_BUCKETS)
         return pa.table(
             {
-                "vec_id": batch["vec_id"],
-                "srp": pa.array(self.signatures(mat / n), type=pa.uint64()),
-                "embedding": batch["embedding"],  # carried for exact verify
+                "band": pa.array(band),
+                "val": pa.array(val, type=pa.uint64()),
+                "gkey": pa.array(gkey.astype(np.int64)),
+                "vec_id": pa.array(np.tile(ids, self.bands), type=pa.int64()),
+                "sigh": pa.array(np.tile(sigh, self.bands), type=pa.uint64()),
             }
         )
 
 
-def _srp_chunk_rows(batch: pa.Table, chunks: int) -> pa.Table:
-    ids = batch["vec_id"].to_numpy()
-    sh = batch["srp"].to_numpy().astype(np.uint64)
-    emb = batch["embedding"].to_pylist()
-    width = 64 // chunks
-    mask = np.uint64((1 << width) - 1)
-    out_c, out_v = [], []
-    for c in range(chunks):
-        out_c.append(np.full(len(ids), c, dtype=np.int32))
-        out_v.append((sh >> np.uint64(c * width)) & mask)
-    vals = np.concatenate(out_v)
-    chunk = np.concatenate(out_c)
-    with np.errstate(over="ignore"):
-        gkey = _mix64(vals ^ (chunk.astype(np.uint64) * np.uint64(0x9E3779B9))) % np.uint64(
-            _GROUP_BUCKETS
-        )
-    return pa.table(
-        {
-            "chunk": pa.array(chunk),
-            "val": pa.array(vals, type=pa.uint64()),
-            "gkey": pa.array(gkey.astype(np.int64)),
-            "vec_id": pa.array(np.tile(ids, chunks), type=pa.int64()),
-            "embedding": pa.array(emb * chunks, type=pa.list_(pa.float64())),
-        }
-    )
-
-
-def _srp_bucket_pairs(group: pd.DataFrame, tau: float) -> pd.DataFrame:
-    out_a, out_b, out_c = [], [], []
-    for _, g in group.groupby(["chunk", "val"], sort=False):
-        if len(g) < 2 or len(g) > 2000:  # degenerate mega-bucket guard
+def _srp_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    out_a, out_b = [], []
+    for key, g in group.groupby(["band", "val"], sort=False):
+        if len(g) < 2:
             continue
         g = g.sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
-        mat = np.array([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
-        n = np.linalg.norm(mat, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        mat = mat / n
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
-        for i, j in zip(ii, jj):
-            if ids[i] != ids[j]:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
-                out_c.append(round(float(sims[i, j]), 6))
-    df = pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        sigh = g["sigh"].to_numpy().astype(np.uint64)
+        ii, jj = _bucket_index_pairs(ids, sigh, label=f"srp:{key}")
+        keep = ids[ii] != ids[jj]
+        out_a.append(ids[ii][keep])
+        out_b.append(ids[jj][keep])
+    if not out_a:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64)})
+    df = pd.DataFrame(
+        {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+    )
     return df.drop_duplicates(["id_a", "id_b"])
 
 
 def embedding_dup_pairs_lsh(
-    embeddings_ds, tau: float = 0.9, n_bits: int = 64, chunks: int = 8, seed: int = 99
+    embeddings_ds, tau: float = 0.9, bands: int = 32, band_bits: int = 8, seed: int = 99
 ):
-    """SRP-LSH near-dup: candidates share at least one exact 8-bit SRP
-    chunk (recall is probabilistic — a pair at cosine tau survives a
-    chunk with prob (1-acos(tau)/pi)^(64/chunks); chunks=8 at tau=0.9
-    gives ~0.76 per chunk, >0.99 across 8 bands); exact cosine verified
-    in-bucket.  All shuffles on fixed-width hash keys."""
-    import pyarrow.parquet  # noqa: F401
+    """SRP-LSH embedding near-dup: slim band rows -> bucket groupby ->
+    candidate id pairs -> pair-dedup -> exact-cosine VERIFY on vectors
+    fetched for the candidate ids (broadcast-id semi-join).  Returns
+    (id_a, id_b, cosine) with cosine >= tau, id_a < id_b."""
+    import ray.data
 
     dim = len(embeddings_ds.take(1)[0]["embedding"])
-    sigs = embeddings_ds.map_batches(
-        SRPHasher,
-        fn_constructor_kwargs={"dim": dim, "n_bits": n_bits, "seed": seed},
+    rows = embeddings_ds.map_batches(
+        SRPBander,
+        fn_constructor_kwargs={
+            "dim": dim, "bands": bands, "band_bits": band_bits, "seed": seed,
+        },
         batch_format="pyarrow",
         batch_size=2048,
         concurrency=(1, 4),
         num_cpus=1,
     )
-    rows = sigs.map_batches(
-        _srp_chunk_rows, fn_kwargs={"chunks": chunks}, batch_format="pyarrow"
-    )
-    pairs = rows.groupby("gkey").map_groups(
-        _srp_bucket_pairs, fn_kwargs={"tau": tau}, batch_format="pandas"
-    )
-    return pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
+    pairs = rows.groupby("gkey").map_groups(_srp_bucket_pairs, batch_format="pandas")
+    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
         "pkey"
     ).map_groups(_dedupe_pairs, batch_format="pandas")
+    pairs_df = uniq.to_pandas()
+    empty = pd.DataFrame(
+        {"id_a": pd.Series(dtype=np.int64),
+         "id_b": pd.Series(dtype=np.int64),
+         "cosine": pd.Series(dtype=np.float64)}
+    )
+    if not len(pairs_df):
+        return ray.data.from_pandas(empty)
+    wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
+    fetched = fetch_by_ids(
+        embeddings_ds, "vec_id", wanted, ["vec_id", "embedding"]
+    )
+    vids = fetched["vec_id"].to_pylist()
+    mat = np.array(fetched["embedding"].to_pylist(), dtype=np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    mat = mat / nrm
+    row_of = {int(v): i for i, v in enumerate(vids)}
+    ia = np.array([row_of[i] for i in pairs_df["id_a"]])
+    ib = np.array([row_of[i] for i in pairs_df["id_b"]])
+    cos = np.einsum("ij,ij->i", mat[ia], mat[ib])
+    pairs_df = pairs_df.assign(cosine=np.round(cos, 6))
+    pairs_df = pairs_df[cos >= tau].reset_index(drop=True)
+    if not len(pairs_df):
+        return ray.data.from_pandas(empty)
+    return ray.data.from_pandas(pairs_df)
 
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,47 @@ def test_srp_lsh_finds_embedding_dups():
     exact = embedding_dup_pairs(ds, tau=0.99).to_pandas()
     efound = set(map(tuple, exact[["id_a", "id_b"]].to_numpy()))
     assert found == efound
+
+
+def test_bucket_index_pairs_small_is_full_clique():
+    from mini_ivf_ray.pipelines.dedup import _bucket_index_pairs
+
+    ids = np.array([3, 7, 9, 12])
+    sigh = np.array([1, 2, 3, 4], dtype=np.uint64)
+    ii, jj = _bucket_index_pairs(ids, sigh, cap=2000)
+    assert len(ii) == 6  # full clique of 4
+
+
+def test_bucket_index_pairs_megabucket_collapses():
+    """Beyond the cap, identical-fingerprint members collapse: stars
+    within huge identical groups, clique across representatives — never
+    an O(n^2) loop, never a silent total drop."""
+    from mini_ivf_ray.pipelines.dedup import _bucket_index_pairs
+
+    n = 50
+    ids = np.arange(n)
+    # two identical-sig groups (40 + 8) and two singletons
+    sigh = np.concatenate(
+        [np.full(40, 11), np.full(8, 22), [33], [44]]
+    ).astype(np.uint64)
+    ii, jj = _bucket_index_pairs(ids, sigh, cap=10)
+    pairs = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    # group of 40 > cap -> star on its min id
+    assert (0, 1) in pairs and (0, 39) in pairs and (1, 2) not in pairs
+    # group of 8 <= cap -> clique
+    assert (40, 41) in pairs and (41, 47) in pairs
+    # representatives (0, 40, 48, 49) form a clique
+    for a, b in [(0, 40), (0, 48), (40, 49), (48, 49)]:
+        assert (a, b) in pairs
+    # every duplicate component is connected, size stays O(n)
+    assert len(pairs) < n * 3
+
+
+def test_fetch_by_ids_semi_join():
+    from mini_ivf_ray.pipelines.dedup import fetch_by_ids
+
+    df = pd.DataFrame({"doc_id": range(100), "text": [f"t{i}" for i in range(100)]})
+    ds = ray.data.from_pandas(df)
+    out = fetch_by_ids(ds, "doc_id", {5, 50, 99}, ["doc_id", "text"])
+    got = dict(zip(out["doc_id"].to_pylist(), out["text"].to_pylist()))
+    assert got == {5: "t5", 50: "t50", 99: "t99"}
