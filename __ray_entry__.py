@@ -478,6 +478,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def supplier_nation_region(sf_dir):
+        """3-way join chain through two bucketed hash joins
+        (supplier ⨝ nation ⨝ region) — exercises join-result re-join
+        and mixed-width sides."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+        nation = ray.data.read_parquet(
+            os.path.join(sf_dir, "nation.parquet")
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "n_nationkey": b["n_nationkey"],
+                    "n_name": b["n_name"],
+                    "r_regionkey": b["n_regionkey"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        region = ray.data.read_parquet(os.path.join(sf_dir, "region.parquet"))
+        nr = bucketed_hash_join(nation, region, on="r_regionkey", num_buckets=8)
+        nr = nr.map_batches(
+            lambda b: pa.table(
+                {
+                    "s_nationkey": b["n_nationkey"],
+                    "n_name": b["n_name"],
+                    "r_name": b["r_name"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        supplier = ray.data.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey"],
+        )
+        out = bucketed_hash_join(supplier, nr, on="s_nationkey", num_buckets=8).to_pandas()
+        out = out.sort_values("s_suppkey").reset_index(drop=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(out["s_suppkey"].astype(np.int64)),
+                "s_name": pa.array(out["s_name"], type=pa.string()),
+                "n_name": pa.array(out["n_name"], type=pa.string()),
+                "r_name": pa.array(out["r_name"], type=pa.string()),
+            }
+        )
+
+    def docs_lang_join(sf_dir):
+        """STRING-keyed bucketed hash join with hot-key salting: each
+        document joined to its language's doc count.  'en' is ~45% of
+        the corpus — the salted path (left spread over sub-buckets,
+        right replicated) runs in production here, and the output must
+        still be exactly the unsalted SQL join."""
+        import ray.data
+        from ray.data.aggregate import Count
+
+        from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        )
+        agg = (
+            docs.groupby("lang").aggregate(Count(alias_name="lang_docs")).to_pandas()
+        )
+        joined = bucketed_hash_join(
+            docs,
+            ray.data.from_pandas(agg),
+            on="lang",
+            num_buckets=16,
+            hot_keys=["en"],
+            nsalt=4,
+        ).to_pandas()
+        joined = joined.sort_values("doc_id").reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(joined["doc_id"].astype(np.int64)),
+                "lang": pa.array(joined["lang"], type=pa.string()),
+                "lang_docs": pa.array(joined["lang_docs"].astype(np.int64)),
+            }
+        )
+
     def token_counts(sf_dir):
         """Token counting three ways (task brief: whitespace + regex +
         BPE-ish): exact-match SQL oracle."""
@@ -679,6 +760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
         "order_lineitems": order_lineitems,
+        "supplier_nation_region": supplier_nation_region,
+        "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
@@ -869,6 +952,18 @@ SELECT o.o_orderkey, o.o_orderstatus, count(*)::BIGINT AS n_items,
            * CAST(round((1.0 - l.l_discount) * 100) AS BIGINT))::BIGINT AS revenue_c4
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderkey, o.o_orderstatus
+""",
+        "supplier_nation_region": """
+SELECT s.s_suppkey, s.s_name, n.n_name, r.r_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+""",
+        "docs_lang_join": """
+SELECT d.doc_id, d.lang, c.lang_docs
+FROM documents d
+JOIN (SELECT lang, count(*)::BIGINT AS lang_docs
+      FROM documents GROUP BY lang) c ON c.lang = d.lang
 """,
         "token_counts": f"""
 WITH t AS (SELECT doc_id, text,

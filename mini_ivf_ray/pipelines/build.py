@@ -1,43 +1,154 @@
 """Index build pipeline: pages -> segments, checkpointed + resumable.
 
-Lifecycle mirrors the reference's E1/E2 traces (SURVEY §3):
+Lifecycle mirrors the reference's E1/E2 traces (SURVEY §3), round-2
+single-tokenize design:
 
   1. prepare   extract html -> text, url-dedup, docID assignment
                (reference: LoadFromFileBinary + positional ids)
-  2. stats     corpus statistics pass = "Train" (index_ivf.cpp:39-70),
-               checkpointed as the stats sidecar ("codebook",
-               quantizer.cpp:108-131)
-  3. populate  tokenize -> salted partition shuffle -> per-partition
-               block encode + atomic segment commit
+  2. plan      n_docs/max_doc_id from the prepared parquet METADATA
+               (no scan) + a deterministic sampled df estimate that
+               yields the hot-term SALT PLAN — the "Train" analog
+               (index_ivf.cpp:39-70) shrunk from a full corpus pass to
+               a sample; the plan is persisted with the index because
+               query-time term locations must replay it exactly.
+  3. populate  tokenize ONCE -> salted partition spill (runs written
+               sorted by (term, doc_id)) -> per-partition k-way
+               streaming merge encode + atomic segment commit
                (reference: Populate/InsertIvf + WriteClusterVector/Id,
-               index_ivfpq.cpp:83-120, 496-530)
-  4. commit    index-level manifest (reference: Finalize,
+               index_ivfpq.cpp:83-120, 496-530).  Exact global stats
+               (total_tokens, hot-term dfs) fall out of the spill
+               pass's counter rows — no second tokenize.
+  4. merge     global dictionary from segment metadata; the full-vocab
+               df/cf stats sidecar ("codebook", quantizer.cpp:108-131)
+               is DERIVED from the dictionary (exact), not recomputed.
+  5. commit    index-level manifest (reference: Finalize,
                index_ivfpq.cpp:532-546)
 
-Resume (north_rule): stats sidecar present -> skip stats; per-partition
-manifest present -> postings for that partition are FILTERED OUT BEFORE
-the shuffle (the LoadFromBook set-difference, index_ivfpq.cpp:140-154),
-so a rerun neither recomputes nor re-shuffles committed partitions.
+Resume (north_rule): stats sidecar present -> plan + stats reused
+verbatim; per-partition manifest present -> postings for that partition
+are FILTERED OUT BEFORE the spill (the LoadFromBook set-difference,
+index_ivfpq.cpp:140-154), so a rerun neither recomputes nor re-shuffles
+committed partitions.  Mid-build resume without a sidecar recomputes
+the plan from the same prepared parquet + seedless deterministic
+sampling rule (doc_id % mod == 0), reproducing it exactly — committed
+segments stay byte-identical.
 """
 
 from __future__ import annotations
 
+import glob
+import math
+import os
 import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.stages.prepare import prepare_documents
-from mini_ivf_ray.stages.spimi import (
-    TokenizeSpill,
-    make_partition_encoder,
-    make_spill_encoder,
-)
-from mini_ivf_ray.stages.stats_stage import compute_stats
+from mini_ivf_ray.stages.spimi import TokenizeSpill, make_spill_encoder
 from mini_ivf_ray.state import manifest as mf
 from mini_ivf_ray.state.stats import CorpusStats
+
+_SAMPLE_TARGET = 25_000
+"""Docs in the salt-plan sample.  Below this the 'sample' is the whole
+corpus (exact plan — all sandbox tests hit this path); above it the
+estimate's only failure modes are benign: an under-salted hot term
+skews one partition, an over-salted warm term adds a sub-list — both
+correct, neither changes scores."""
+
+
+def _prepared_meta(prep_dir: str) -> tuple[int, int]:
+    """(n_docs, max_doc_id) from parquet file metadata / column stats —
+    no data scan.  Falls back to a doc_id-column scan per file if the
+    writer produced no statistics."""
+    n_docs = 0
+    max_id = 0
+    for f in sorted(glob.glob(os.path.join(prep_dir, "*.parquet"))):
+        pf = pq.ParquetFile(f)
+        n_docs += pf.metadata.num_rows
+        got = False
+        try:
+            idx = pf.schema_arrow.get_field_index("doc_id")
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("no stats")
+                max_id = max(max_id, int(st.max))
+            got = True
+        except Exception:
+            pass
+        if not got and pf.metadata.num_rows:
+            ids = pq.read_table(f, columns=["doc_id"])["doc_id"].to_numpy()
+            if ids.size:
+                max_id = max(max_id, int(ids.max()))
+    return n_docs, min(max_id, 2**63 - 1)
+
+
+def _estimate_salt_plan(prep_dir: str, cfg: PipelineConfig, n_docs: int) -> dict[str, int]:
+    """Deterministic sampled df estimate -> {term: nsalt (>1)}.
+
+    Samples whole prepared-parquet FILES (evenly spread over the sorted
+    file list): the dedup shuffle already distributed urls
+    pseudo-randomly across output files, the read stays proportional to
+    the sample instead of scanning the corpus, and the choice depends
+    only on the on-disk file list — deterministic across runs, block
+    orders and cluster sizes, which resume byte-identity relies on.
+    Mis-estimation is benign: an under-salted hot term skews one
+    partition, an over-salted warm term adds a sub-list; scores never
+    change (exact dfs come from the spill pass)."""
+    import ray.data
+
+    from collections import Counter
+
+    from mini_ivf_ray.functions.tokenize import term_freqs
+
+    if n_docs == 0:
+        return {}
+    files = sorted(glob.glob(os.path.join(prep_dir, "*.parquet")))
+    if not files:
+        return {}
+    frac = min(1.0, _SAMPLE_TARGET / n_docs)
+    want = max(1, math.ceil(len(files) * frac))
+    step = max(1, len(files) // want)
+    sample = files[::step][:want]
+    n_sampled = sum(pq.ParquetFile(f).metadata.num_rows for f in sample)
+    if n_sampled == 0:
+        return {}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            df.update(term_freqs(t).keys())
+        terms = list(df.keys())
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "df": pa.array([df[t] for t in terms], type=pa.int64()),
+            }
+        )
+
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(
+        sample, columns=["text"], override_num_blocks=max(16, 2 * n_cpus)
+    ).map_batches(partials, batch_format="pyarrow", batch_size=2048)
+    # the sample is bounded (_SAMPLE_TARGET docs) regardless of corpus
+    # size, so its vocab partials are driver-summable — no groupby
+    # exchange (whose flat latency floor dominated the round-1 stats
+    # pass at this scale)
+    df_s: Counter = Counter()
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        df_s.update(dict(zip(b["term"].to_pylist(), b["df"].to_numpy())))
+    scale = n_docs / n_sampled
+    th = cfg.hot_df_threshold
+    return {
+        t: max(2, math.ceil(d * scale / th))
+        for t, d in df_s.items()
+        if d * scale > th
+    }
 
 
 def build_index(
@@ -76,12 +187,9 @@ def build_index(
     }
 
     # ---- stage 1: prepare (extract -> dedup -> docID), checkpointed ----
-    # Staged to Parquet once: both the stats pass and the populate pass
-    # read the slim (doc_id, text) table instead of re-running the
-    # extract + dedup shuffle; the staged table doubles as the
+    # Staged to Parquet once: the spill pass reads the slim
+    # (doc_id, text) table; the staged table doubles as the
     # docID <-> url sidecar (SURVEY §7.3).
-    import os
-
     import ray.data
 
     prep_dir = os.path.join(index_dir, "prepared")
@@ -123,33 +231,36 @@ def build_index(
             prep_dir, columns=["doc_id", "text"], override_num_blocks=read_blocks
         )
 
-    # ---- stage 2: stats (checkpointed) ---------------------------------
+    # ---- stage 2: plan (metadata + sampled salt plan, or checkpoint) ---
+    ts = time.perf_counter()
+    prior_stats: CorpusStats | None = None
     if CorpusStats.exists(index_dir):
-        stats = CorpusStats.load(index_dir)
-        stats_wall = 0.0
+        # resume with a completed sidecar: replay its plan verbatim —
+        # never re-estimate (scores of already-committed partitions
+        # were computed under it)
+        prior_stats = CorpusStats.load(index_dir)
+        n_docs, max_doc_id = prior_stats.n_docs, prior_stats.max_doc_id
+        plan = prior_stats.salt_counts(cfg)
     elif corpus_is_empty:
-        stats = CorpusStats(n_docs=0, total_tokens=0)
-        stats.save(index_dir)
-        stats_wall = 0.0
+        n_docs = max_doc_id = 0
+        plan = {}
     else:
-        ts = time.perf_counter()
-        # large batches: each batch emits ~vocab partial rows, so the
-        # term-groupby shuffle volume is n_batches x vocab
-        stats = compute_stats(prepared_docs(), batch_size=cfg.spill_batch_size)
-        stats.save(index_dir)
-        stats_wall = time.perf_counter() - ts
+        n_docs, max_doc_id = _prepared_meta(prep_dir)
+        plan = _estimate_salt_plan(prep_dir, cfg, n_docs)
+    plan_wall = time.perf_counter() - ts
 
     # ---- stage 3: populate pending partitions --------------------------
     pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
     if corpus_is_empty:
         pending = []
-    populate_wall = 0.0
+    populate_wall = spill_wall = encode_wall = 0.0
+    encode_tasks_wall = spill_rm_wall = 0.0
+    total_tokens = prior_stats.total_tokens if prior_stats else 0
     if pending:
         import shutil
 
         ts = time.perf_counter()
-        stats_ref = ray.put(stats)
-        doc_id_space = 2**64 if cfg.doc_id_from_url else stats.max_doc_id + 1
+        doc_id_space = 2**64 if cfg.doc_id_from_url else max_doc_id + 1
         # SPIMI exchange: tokenize actors append per-partition run files
         # (filesystem-mediated, idempotent under retry; only PENDING
         # partitions are written — the LoadFromBook set-difference);
@@ -160,9 +271,9 @@ def build_index(
         # postings (batch boundaries differ between runs); the spill is
         # transient — resume granularity is the partition manifest
         shutil.rmtree(spill_dir, ignore_errors=True)
-        prepared_docs().map_batches(
+        counters_ds = prepared_docs().map_batches(
             TokenizeSpill,
-            fn_constructor_args=(stats_ref, cfg, doc_id_space, spill_dir, pending),
+            fn_constructor_args=(plan, cfg, doc_id_space, spill_dir, pending),
             batch_format="pyarrow",
             batch_size=cfg.spill_batch_size // 2,
             # warm-start half the pool (pure (1,N) autoscale spends most
@@ -170,36 +281,80 @@ def build_index(
             # upstream read operator is never starved of CPUs
             concurrency=(max(1, n_cpus // 2), n_cpus),
             num_cpus=1,
-        ).count()  # consume: all runs on disk
+        )
+        # exact global aggregates from the ONE tokenize pass: total
+        # token count + per-hot-term dfs (rows: batches x (1 + n_hot))
+        from ray.data.aggregate import Sum
+
+        agg = (
+            counters_ds.groupby(["kind", "key"])
+            .aggregate(Sum("val", alias_name="val"))
+            .to_pandas()
+        )
+        tt_rows = agg[agg["kind"] == "tt"]
+        spill_tokens = int(tt_rows["val"].sum()) if len(tt_rows) else 0
+        hot_rows = agg[agg["kind"] == "hot"]
+        spill_hot_df = dict(
+            zip(hot_rows["key"], (int(v) for v in hot_rows["val"]))
+        )
         spill_wall = time.perf_counter() - ts
-        hot_df = {t: stats.df[t] for t in stats.salt_counts(cfg)}
-        # doc_id_space MUST match the assigner's (salt cuts replay the
-        # assigner's range boundaries; a mismatch makes hot-term blocks
-        # span doc ranges held by other partitions, breaking WAND's
-        # globally-sorted-disjoint block invariant)
-        encoder = make_partition_encoder(
-            index_dir, stats.n_docs, stats.avgdl, hot_df, cfg, lineage,
+
+        if prior_stats is not None:
+            total_tokens = prior_stats.total_tokens
+            hot_df = {t: prior_stats.df[t] for t in plan if t in prior_stats.df}
+        else:
+            total_tokens = spill_tokens
+            hot_df = spill_hot_df
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+        encoder = make_spill_encoder(
+            spill_dir, index_dir, n_docs, avgdl, hot_df, plan, cfg, lineage,
             doc_id_space=doc_id_space,
         )
-        summary = ray.data.from_items([{"pid": p} for p in pending]).map_batches(
-            make_spill_encoder(spill_dir, encoder),
+        # one block per pending partition: encode parallelism must be
+        # partition-wide, not bounded by from_items' default block count
+        summary = ray.data.from_items(
+            [{"pid": p} for p in pending], override_num_blocks=len(pending)
+        ).map_batches(
+            encoder,
             batch_format="pyarrow",
             batch_size=1,
             num_cpus=1,
         )
-        summary_df = summary.to_pandas()  # small: one row per partition
+        t_enc = time.perf_counter()
+        summary.count()  # consume: all partitions committed
+        encode_tasks_wall = time.perf_counter() - t_enc
+        t_rm = time.perf_counter()
         shutil.rmtree(spill_dir, ignore_errors=True)
+        spill_rm_wall = time.perf_counter() - t_rm
         populate_wall = time.perf_counter() - ts
         encode_wall = populate_wall - spill_wall
-    else:
-        summary_df = None
-        spill_wall = encode_wall = 0.0
 
-    # ---- stage 4: merge (global dictionary) + index-level commit -------
-    from mini_ivf_ray.stages.merge import build_dictionary
+    # ---- stage 4: merge (global dictionary) + stats sidecar ------------
+    from mini_ivf_ray.stages.merge import build_dictionary, load_dictionary
 
     ts = time.perf_counter()
     build_dictionary(index_dir, cfg.num_partitions)
+    if prior_stats is None:
+        # full-vocab df/cf derived from the dictionary — exact, and the
+        # only place the whole vocabulary is ever assembled
+        d = load_dictionary(index_dir)
+        terms = d["term"].to_pylist() if d is not None else []
+        dfs = d["df"].to_numpy() if d is not None else np.empty(0, np.int64)
+        cfs = d["cf"].to_numpy() if d is not None else np.empty(0, np.int64)
+        if not pending and not corpus_is_empty:
+            # resumed past populate with no sidecar: tokens = sum cf
+            total_tokens = int(cfs.sum())
+        stats = CorpusStats(
+            n_docs=n_docs,
+            total_tokens=total_tokens,
+            max_doc_id=max_doc_id,
+            df={t: int(x) for t, x in zip(terms, dfs)},
+            cf={t: int(x) for t, x in zip(terms, cfs)},
+            salted=dict(plan),
+        )
+        stats.save(index_dir)
+    else:
+        stats = prior_stats
     merge_wall = time.perf_counter() - ts
 
     per_part = []
@@ -223,10 +378,12 @@ def build_index(
         "counters": {
             **totals,
             "prepare_wall_sec": round(prepare_wall, 3),
-            "stats_wall_sec": round(stats_wall, 3),
+            "stats_wall_sec": round(plan_wall, 3),  # the sampled plan pass
             "populate_wall_sec": round(populate_wall, 3),
             "spill_wall_sec": round(spill_wall, 3),
             "encode_wall_sec": round(encode_wall, 3),
+            "encode_tasks_wall_sec": round(encode_tasks_wall, 3),
+            "spill_rm_wall_sec": round(spill_rm_wall, 3),
             "merge_wall_sec": round(merge_wall, 3),
             "total_wall_sec": round(time.perf_counter() - t0, 3),
             "partitions_built_this_run": len(pending),

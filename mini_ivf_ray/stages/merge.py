@@ -7,7 +7,7 @@ a set of disjoint docID-range runs across partitions; because runs are
 range-salted, "merging into a globally sorted posting list" is pure
 metadata: per term, the ordered location list (partitions sorted by
 their run's first docID).  This stage materializes that as
-``dictionary.parquet`` (term, df, n_postings, n_blocks, locations),
+``dictionary.parquet`` (term, df, cf, n_postings, n_blocks, locations),
 computed distributedly: one metadata-read task per partition,
 pre-aggregated per term in-partition, then a fixed-width hash-bucketed
 groupby (never a per-term shuffle).
@@ -39,24 +39,26 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
                 "term": pa.array([], type=pa.string()),
                 "pid": pa.array([], type=pa.int64()),
                 "df": pa.array([], type=pa.int64()),
+                "cf": pa.array([], type=pa.int64()),
                 "n_blocks": pa.array([], type=pa.int64()),
                 "n_postings": pa.array([], type=pa.int64()),
                 "min_first": pa.array([], type=pa.uint64()),
                 "bucket": pa.array([], type=pa.int64()),
             }
         )
-    t = pq.read_table(path, columns=["term", "df", "count", "first_doc_id"])
+    t = pq.read_table(path, columns=["term", "df", "cf", "count", "first_doc_id"])
     df = pd.DataFrame(
         {
             "term": t["term"].to_pylist(),
             "df": t["df"].to_numpy(),
+            "cf": t["cf"].to_numpy(),
             "count": t["count"].to_numpy(),
             "first": t["first_doc_id"].to_numpy(),
         }
     )
     g = (
         df.groupby("term", sort=False)
-        .agg(df=("df", "first"), n_blocks=("count", "size"),
+        .agg(df=("df", "first"), cf=("cf", "sum"), n_blocks=("count", "size"),
              n_postings=("count", "sum"), min_first=("first", "min"))
         .reset_index()
     )
@@ -72,6 +74,7 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
             "term": pa.array(g["term"], type=pa.string()),
             "pid": pa.array(np.full(len(g), p, dtype=np.int64)),
             "df": pa.array(g["df"].to_numpy().astype(np.int64)),
+            "cf": pa.array(g["cf"].to_numpy().astype(np.int64)),
             "n_blocks": pa.array(g["n_blocks"].to_numpy().astype(np.int64)),
             "n_postings": pa.array(g["n_postings"].to_numpy().astype(np.int64)),
             "min_first": pa.array(g["min_first"].to_numpy().astype(np.uint64)),
@@ -88,6 +91,7 @@ def _merge_terms(group: pd.DataFrame) -> pd.DataFrame:
             {
                 "term": term,
                 "df": int(g["df"].iloc[0]),
+                "cf": int(g["cf"].sum()),
                 "n_postings": int(g["n_postings"].sum()),
                 "n_blocks": int(g["n_blocks"].sum()),
                 "locations": g["pid"].astype(np.int64).tolist(),
@@ -121,6 +125,7 @@ def build_dictionary(index_dir: str, num_partitions: int) -> str:
             {
                 "term": pa.array([], type=pa.string()),
                 "df": pa.array([], type=pa.int64()),
+                "cf": pa.array([], type=pa.int64()),
                 "n_postings": pa.array([], type=pa.int64()),
                 "n_blocks": pa.array([], type=pa.int64()),
                 "locations": pa.array([], type=pa.list_(pa.int64())),

@@ -1,17 +1,26 @@
-"""SPIMI posting build: explode -> salted partition shuffle -> encode.
+"""SPIMI posting build: explode -> salted partition spill -> merge-encode.
 
 Reference analog: ``InsertIvf`` (index_ivfpq.cpp:83-120): rows assigned
 to coarse lists under per-list locks, then a gather pass packs each
-list's codes.  Here the lock-append + gather is ONE Ray ``groupby``
-shuffle keyed by the salted term partition, and the pack is
-``map_groups`` encoding delta+varint blocks with block-max metadata.
+list's codes.  Here the lock-append + gather is a filesystem-mediated
+exchange (per-(batch, partition) run files) and the pack is a k-way
+streaming merge + delta/varint block encode with block-max metadata.
 
-Skew (north_star "salted skew-splitting of head terms"): a term with
-df > hot_df_threshold is split by doc_id RANGE into ``nsalt`` sub-lists,
-each routed to a different partition.  Range (not hash) salting keeps
-every sub-list a sorted, disjoint doc_id run, so the term's global
-posting list is simply all its blocks ordered by first_doc_id — the
-merge stage is a metadata concat, never a re-sort (SURVEY §7.6).
+Skew (north_star "salted skew-splitting of head terms"): a term in the
+SALT PLAN is split by doc_id RANGE into ``nsalt`` sub-lists, each routed
+to a different partition.  Range (not hash) salting keeps every sub-list
+a sorted, disjoint doc_id run, so the term's global posting list is
+simply all its blocks ordered by first_doc_id — the merge stage is a
+metadata concat, never a re-sort (SURVEY §7.6).
+
+Round-2 single-tokenize design: the corpus is tokenized ONCE (the spill
+pass).  The salt plan comes from a deterministic sampled df estimate
+(pipelines/build.py); exact global stats (total_tokens, hot-term dfs)
+are aggregated FROM the spill pass's per-batch counter rows, so no
+separate stats pass re-tokenizes the corpus.  Spill runs are written
+already sorted by (term, doc_id); the partition encoder is a k-way
+streaming merge with bounded memory (frontier = n_runs x read chunk)
+instead of a whole-partition concat + lexsort.
 """
 
 from __future__ import annotations
@@ -22,6 +31,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
@@ -34,7 +44,6 @@ from mini_ivf_ray.functions.hashing import (
     term_partition,
 )
 from mini_ivf_ray.functions.tokenize import postings_arrays
-from mini_ivf_ray.state.stats import CorpusStats
 
 
 def tokenize_postings_batch(batch: pa.Table) -> pa.Table:
@@ -52,359 +61,474 @@ def tokenize_postings_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-class TokenizeAssign:
-    """Fused tokenize + partition-assign actor stage: docs batches in,
-    partitioned postings out.  One stage (a) avoids Ray's operator
-    fusion applying the downstream batch_size to the upstream docs
-    input (which collapsed parallelism to 2 tasks), (b) never ships the
-    unpartitioned postings through the object store, and (c) assigns
-    partitions while the terms are still Python strings from the
-    tokenizer — an intermediate Arrow table would pay an 18ms/batch
-    string round trip just to look them up again."""
-
-    def __init__(self, stats_ref, cfg: PipelineConfig, doc_id_space: int):
-        a = PartitionAssigner(stats_ref, cfg, doc_id_space)
-        self.pid_map = a.pid_map
-        self.salt_pids = a.salt_pids
-        self.cfg = cfg
-        self.doc_id_space = doc_id_space
-        # per hot term: exact uint64 salt boundaries (Python ints for
-        # scalar bisect; identical values to the encoder's cuts)
-        self.salt_bounds = {
-            t: [int(b) for b in salt_bounds(len(p), doc_id_space)]
-            for t, p in self.salt_pids.items()
-        }
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from bisect import bisect_right
-
-        from mini_ivf_ray.functions.tokenize import term_freqs
-
-        texts = batch["text"].to_pylist()
-        doc_ids = batch["doc_id"].to_numpy()
-        terms_out: list[str] = []
-        docs_out: list[int] = []
-        tfs_out: list[int] = []
-        dls_out: list[int] = []
-        pids_out: list[int] = []
-        pid_get = self.pid_map.get
-        n_part = self.cfg.num_partitions
-        for text, did in zip(texts, doc_ids.tolist()):
-            c = term_freqs(text)
-            if not c:
-                continue
-            dl = sum(c.values())
-            for t, f in c.items():
-                p = pid_get(t)
-                if p is None:
-                    pids = self.salt_pids.get(t)
-                    if pids is None:
-                        p = term_partition(t, n_part)
-                    else:
-                        p = int(pids[bisect_right(self.salt_bounds[t], did)])
-                terms_out.append(t)
-                docs_out.append(did)
-                tfs_out.append(f)
-                dls_out.append(dl)
-                pids_out.append(p)
-        return pa.table(
-            {
-                "term": pa.array(terms_out, type=pa.string()),
-                "doc_id": pa.array(docs_out, type=pa.uint64()),
-                "tf": pa.array(tfs_out, type=pa.int64()),
-                "dl": pa.array(dls_out, type=pa.int64()),
-                "pid": pa.array(pids_out, type=pa.int64()),
-            }
-        )
-
-
 class PartitionAssigner:
-    """Actor-pool stage (SURVEY T1): holds the term -> partition map and
-    the hot-term salt plan, built once per actor from the broadcast
-    corpus stats (``ray.put`` ref), then applied per batch with pandas
-    C-speed dict mapping."""
+    """Actor-pool stage (SURVEY T1): holds the salt plan {term: nsalt}
+    and a lazily-filled term -> partition md5 cache, applied per batch
+    with one factorize + per-DISTINCT-term resolution.  Unlike round 1
+    it needs NO full-vocabulary stats broadcast — the base partition is
+    a pure hash of the term, computed on first sight and cached."""
 
-    def __init__(self, stats_ref, cfg: PipelineConfig, doc_id_space: int):
-        import ray
-
-        stats: CorpusStats = ray.get(stats_ref) if not isinstance(stats_ref, CorpusStats) else stats_ref
+    def __init__(self, plan: dict[str, int], cfg: PipelineConfig, doc_id_space: int):
         self.cfg = cfg
-        self.doc_id_space = doc_id_space  # max_doc_id + 1 (range-salt denominator)
-        self.salts = stats.salt_counts(cfg)
-        self.pid_map = {
-            t: term_partition(t, cfg.num_partitions)
-            for t in stats.df
-            if t not in self.salts
-        }
+        self.doc_id_space = doc_id_space  # range-salt denominator
+        self.plan = dict(plan)
         self.salt_pids = {
             t: np.array(
                 [salted_partition(t, s, cfg.num_partitions) for s in range(n)],
                 dtype=np.int64,
             )
-            for t, n in self.salts.items()
+            for t, n in self.plan.items()
+            if n > 1
         }
+        self._pid_cache: dict[str, int] = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        # factorize once (C speed), then resolve partitions per DISTINCT
-        # term — per-row dict maps and per-hot-term string scans were the
-        # assign hot spot at scale
-        codes, uniques = pd.factorize(
-            np.asarray(batch["term"].to_pylist(), dtype=object)
-        )
+    def assign(self, terms: np.ndarray, doc_ids: np.ndarray):
+        """-> (pid int64 array, codes, uniques): partition per posting.
+        ``codes``/``uniques`` are the term factorization (sort=True, so
+        codes are ordered by term lexicographically) for reuse by the
+        caller's run sort."""
+        codes, uniques = pd.factorize(pd.Series(terms, dtype=object), sort=True)
+        uniques = np.asarray(uniques, dtype=object)
         upids = np.empty(len(uniques), dtype=np.int64)
         hot_codes: list[tuple[int, np.ndarray]] = []
+        cache = self._pid_cache
+        n_part = self.cfg.num_partitions
         for i, t in enumerate(uniques):
-            p = self.pid_map.get(t)
+            pids = self.salt_pids.get(t)
+            if pids is not None:
+                upids[i] = -1
+                hot_codes.append((i, pids))
+                continue
+            p = cache.get(t)
             if p is None:
-                pids = self.salt_pids.get(t)
-                if pids is None:  # unseen in stats (shouldn't happen same-corpus)
-                    upids[i] = term_partition(t, self.cfg.num_partitions)
-                else:
-                    upids[i] = -1
-                    hot_codes.append((i, pids))
-            else:
-                upids[i] = p
+                p = term_partition(t, n_part)
+                if len(cache) < 4_000_000:
+                    cache[t] = p
+            upids[i] = p
         pid = upids[codes]
         if hot_codes:
-            doc_ids = batch["doc_id"].to_numpy()
             for code, pids in hot_codes:
                 m = codes == code
                 s = salt_of_doc_ids(doc_ids[m], len(pids), self.doc_id_space)
                 pid[m] = pids[s]
+        return pid, codes, uniques
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms = np.asarray(batch["term"].to_pylist(), dtype=object)
+        pid, _, _ = self.assign(terms, batch["doc_id"].to_numpy())
         return batch.append_column("pid", pa.array(pid))
 
 
-class TokenizeSpill(TokenizeAssign):
-    """SPIMI spill variant: instead of handing postings to a Ray
-    groupby (whose M x R object-store exchange has a flat ~tens-of-
-    seconds latency floor), each batch's postings are split by pid
-    (one vectorized argsort) and APPENDED as per-partition run files
-    under ``spill_dir/pid=<p>/``.  The exchange rides the filesystem
-    (shared storage on a cluster) — the reference's per-cluster shard
-    write (WriteClusterVector, index_ivfpq.cpp:496-514) generalized to
-    parallel writers.
+class TokenizeSpill:
+    """Single-tokenize SPIMI spill stage: per docs batch,
+    (1) vectorized explode to postings (``postings_arrays``),
+    (2) salt-plan partition assignment (one factorize per batch),
+    (3) ONE lexsort by (pid, term, doc_id), then per-partition slices
+        APPENDED as run files under ``spill_dir/pid=<p>/`` — each run is
+        already sorted by (term, doc_id) for the k-way merge encoder,
+    (4) returns per-batch COUNTER rows (kind, key, val): exact token
+        totals and per-hot-term df partials, later aggregated into the
+        corpus stats — this is what lets the build tokenize once.
 
-    Run-file names are content-derived (min doc_id, row count), so a
-    retried task overwrites its own runs instead of duplicating them."""
+    The exchange rides the filesystem (shared storage on a cluster) —
+    the reference's per-cluster shard write (WriteClusterVector,
+    index_ivfpq.cpp:496-514) generalized to parallel writers; Ray's
+    groupby sort-exchange has a flat latency floor that dominated this
+    stage.  Run-file names are content-derived (min doc_id, row count),
+    so a retried task overwrites its own runs instead of duplicating."""
 
-    def __init__(self, stats_ref, cfg, doc_id_space, spill_dir: str, pending: list[int]):
-        super().__init__(stats_ref, cfg, doc_id_space)
+    def __init__(
+        self,
+        plan: dict[str, int],
+        cfg: PipelineConfig,
+        doc_id_space: int,
+        spill_dir: str,
+        pending: list[int],
+    ):
+        self.assigner = PartitionAssigner(plan, cfg, doc_id_space)
+        self.cfg = cfg
         self.spill_dir = spill_dir
         self.pending = set(pending)
+        self.hot_terms = set(plan)
         for p in pending:
             os.makedirs(os.path.join(spill_dir, f"pid={p}"), exist_ok=True)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        tbl = super().__call__(batch)
-        if tbl.num_rows == 0:
-            return pa.table({"pid": pa.array([], type=pa.int64()),
-                             "n": pa.array([], type=pa.int64())})
-        pids = tbl["pid"].to_numpy()
-        order = np.argsort(pids, kind="stable")
-        tbl = tbl.take(order)
-        sorted_pids = pids[order]
-        tag = f"{int(batch['doc_id'][0].as_py())}_{batch.num_rows}"
-        out_p, out_n = [], []
-        bounds = np.searchsorted(
-            sorted_pids, np.arange(self.cfg.num_partitions + 1)
+    @staticmethod
+    def _counters_schema() -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array([], type=pa.string()),
+                "key": pa.array([], type=pa.string()),
+                "val": pa.array([], type=pa.int64()),
+            }
         )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        arrs = postings_arrays(
+            batch["text"].to_pylist(), batch["doc_id"].to_numpy()
+        )
+        terms = arrs["term"]
+        if terms.size == 0:
+            return self._counters_schema()
+        doc_ids, tfs, dls = arrs["doc_id"], arrs["tf"], arrs["dl"]
+        pid, codes, uniques = self.assigner.assign(terms, doc_ids)
+
+        # ---- counters: exact globals from the one tokenize pass ------
+        kinds = ["tt"]
+        keys = [""]
+        vals = [int(tfs.sum())]  # total tokens in this batch
+        if self.hot_terms:
+            counts = np.bincount(codes, minlength=len(uniques))
+            for i, t in enumerate(uniques):
+                if t in self.hot_terms:
+                    kinds.append("hot")
+                    keys.append(t)
+                    vals.append(int(counts[i]))
+
+        # ---- one lexsort -> per-partition runs sorted by (term, doc) -
+        order = np.lexsort((doc_ids, codes, pid))
+        pid_s = pid[order]
+        tbl = pa.table(
+            {
+                "term": pa.array(terms[order], type=pa.string()),
+                "doc_id": pa.array(doc_ids[order], type=pa.uint64()),
+                "tf": pa.array(tfs[order], type=pa.int64()),
+                "dl": pa.array(dls[order], type=pa.int64()),
+            }
+        )
+        tag = f"{int(batch['doc_id'][0].as_py())}_{batch.num_rows}"
+        bounds = np.searchsorted(pid_s, np.arange(self.cfg.num_partitions + 1))
         for p in range(self.cfg.num_partitions):
             a, z = int(bounds[p]), int(bounds[p + 1])
             if z <= a or p not in self.pending:
                 continue
-            run = tbl.slice(a, z - a).drop_columns(["pid"])
+            run = tbl.slice(a, z - a)
             path = os.path.join(self.spill_dir, f"pid={p}", f"run_{tag}.parquet")
             pq.write_table(run, path + ".tmp", compression="lz4")
             os.replace(path + ".tmp", path)
-            out_p.append(p)
-            out_n.append(z - a)
         return pa.table(
-            {"pid": pa.array(out_p, type=pa.int64()),
-             "n": pa.array(out_n, type=pa.int64())}
+            {
+                "kind": pa.array(kinds, type=pa.string()),
+                "key": pa.array(keys, type=pa.string()),
+                "val": pa.array(vals, type=pa.int64()),
+            }
         )
 
 
-def make_partition_encoder(
+# ---------------------------------------------------------------------------
+# Streaming k-way merge encoder
+# ---------------------------------------------------------------------------
+
+
+class _RunMerger:
+    """K-way streaming merge of spill runs (each sorted by (term,
+    doc_id); (term, doc_id) keys are globally unique — every (term, doc)
+    posting exists in exactly one run).  Yields chunks that partition
+    the key space in increasing order (every key in chunk i precedes
+    every key in chunk i+1); rows WITHIN a chunk are a concat of sorted
+    slices — the consumer sorts each small chunk (Arrow dictionary-
+    encode + C++ string sort, never a whole-partition lexsort).  Memory
+    is bounded by n_runs x read-chunk rows, never the partition.
+
+    At extreme run counts (10^5+ runs/partition) this becomes a
+    multi-level merge (merge groups of runs into intermediate runs);
+    single-level suffices for runs = O(corpus / spill_batch_size /
+    partitions) at the documented configurations."""
+
+    def __init__(self, files: list[str], chunk_rows: int = 32768):
+        self.files = files
+        self.chunk_rows = chunk_rows
+
+    def __iter__(self):
+        readers = [pq.ParquetFile(f) for f in self.files]
+        totals = [r.metadata.num_rows for r in readers]
+        iters = [
+            r.iter_batches(batch_size=self.chunk_rows, columns=["term", "doc_id", "tf", "dl"])
+            for r in readers
+        ]
+        n = len(self.files)
+        buf: list[pa.Table | None] = [None] * n
+        done = [False] * n
+        read = [0] * n
+
+        def fill(i: int) -> None:
+            while buf[i] is None and not done[i]:
+                try:
+                    b = next(iters[i])
+                except StopIteration:
+                    done[i] = True
+                    return
+                read[i] += b.num_rows
+                if read[i] >= totals[i]:
+                    # metadata-known exhaustion: a fully-buffered run
+                    # stops constraining the emit boundary immediately
+                    # (without this, k small runs cost k boundary
+                    # rounds x k per-run masks = O(k^2) tiny kernels)
+                    done[i] = True
+                if b.num_rows:
+                    buf[i] = pa.Table.from_batches([b])
+
+        for i in range(n):
+            fill(i)
+        while True:
+            # boundary: min last-key among runs that may still produce
+            # more rows; buffered rows with key <= boundary are final
+            bt = bd = None
+            for i in range(n):
+                if buf[i] is not None and not done[i]:
+                    t = buf[i]["term"][buf[i].num_rows - 1].as_py()
+                    d = buf[i]["doc_id"][buf[i].num_rows - 1].as_py()
+                    if bt is None or (t, d) < (bt, bd):
+                        bt, bd = t, d
+            if bt is None:  # every run fully read: flush the remainder
+                parts = [b for b in buf if b is not None]
+                if parts:
+                    yield pa.concat_tables(parts)
+                return
+            parts = []
+            bt_s = pa.scalar(bt, type=pa.string())
+            bd_s = pa.scalar(bd, type=pa.uint64())
+            for i in range(n):
+                b = buf[i]
+                if b is None:
+                    continue
+                lt = pc.less(b["term"], bt_s)
+                eq = pc.and_(
+                    pc.equal(b["term"], bt_s), pc.less_equal(b["doc_id"], bd_s)
+                )
+                k = int(pc.sum(pc.cast(pc.or_(lt, eq), pa.int64())).as_py())
+                if k > 0:
+                    parts.append(b.slice(0, k))
+                buf[i] = b.slice(k) if k < b.num_rows else None
+                if buf[i] is None:
+                    fill(i)
+            if parts:
+                yield pa.concat_tables(parts)
+
+
+_SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("first_doc_id", pa.uint64()),
+        ("last_doc_id", pa.uint64()),
+        ("count", pa.int64()),
+        ("max_score", pa.float64()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("payload", pa.binary()),
+    ]
+)
+
+_ROW_GROUP = 4096
+
+
+class _BlockWriter:
+    """Buffers block rows and writes deterministic fixed-size parquet
+    row groups (resume byte-identity depends on identical flush
+    boundaries across runs)."""
+
+    def __init__(self, path: str):
+        self.w = pq.ParquetWriter(path, _SEGMENT_SCHEMA, compression="zstd")
+        self.cols: dict[str, list] = {f.name: [] for f in _SEGMENT_SCHEMA}
+        self.n = 0
+
+    def append(self, term: str, firsts, lasts, counts, maxs, df: int, cf_blocks, payloads):
+        nblk = len(payloads)
+        self.cols["term"].extend([term] * nblk)
+        self.cols["first_doc_id"].extend(firsts.tolist())
+        self.cols["last_doc_id"].extend(lasts.tolist())
+        self.cols["count"].extend(counts.tolist())
+        self.cols["max_score"].extend(maxs.tolist())
+        self.cols["df"].extend([df] * nblk)
+        self.cols["cf"].extend(cf_blocks.tolist())
+        self.cols["payload"].extend(payloads)
+        self.n += nblk
+        while self.n >= _ROW_GROUP:
+            self._flush_rows(_ROW_GROUP)
+
+    def _flush_rows(self, k: int) -> None:
+        tbl = pa.table(
+            {
+                "term": pa.array(self.cols["term"][:k], type=pa.string()),
+                "first_doc_id": pa.array(self.cols["first_doc_id"][:k], type=pa.uint64()),
+                "last_doc_id": pa.array(self.cols["last_doc_id"][:k], type=pa.uint64()),
+                "count": pa.array(self.cols["count"][:k], type=pa.int64()),
+                "max_score": pa.array(self.cols["max_score"][:k], type=pa.float64()),
+                "df": pa.array(self.cols["df"][:k], type=pa.int64()),
+                "cf": pa.array(self.cols["cf"][:k], type=pa.int64()),
+                "payload": pa.array(self.cols["payload"][:k], type=pa.binary()),
+            }
+        )
+        self.w.write_table(tbl, row_group_size=k)
+        for c in self.cols.values():
+            del c[:k]
+        self.n -= k
+
+    def close(self) -> int:
+        if self.n:
+            self._flush_rows(self.n)
+        self.w.close()
+        return 0
+
+
+def make_spill_encoder(
+    spill_dir: str,
     index_dir: str,
     n_docs: int,
     avgdl: float,
     hot_df: dict[str, int],
+    plan: dict[str, int],
     cfg: PipelineConfig,
     lineage: dict,
-    doc_id_space: int = 2**64,
+    doc_id_space: int,
 ):
-    """Returns the ``map_groups`` function that encodes + atomically
-    commits one partition segment and yields a summary row.
+    """Returns the map_batches fn encoding + atomically committing one
+    partition segment per input pid row, summary rows out.
 
     Encoding (reference: per-list code gather + pack,
-    index_ivfpq.cpp:111-117 / quantizer.cpp:133-160): sort group by
-    (term, doc_id), slice per-term runs, vectorized varint/delta pack in
-    ``block_size`` blocks, float64 per-block max BM25 score
-    (np.maximum.reduceat).  df for idf: group-local run length for
-    normal terms (the whole term lives here), broadcast global df for
-    salted hot terms.
-    """
-    import pyarrow.parquet as pq_mod
-
+    index_ivfpq.cpp:111-117 / quantizer.cpp:133-160): k-way streaming
+    merge of the partition's sorted spill runs; per completed term run,
+    vectorized varint/delta pack in ``block_size`` blocks with float64
+    per-block max BM25 score (np.maximum.reduceat) and per-block cf
+    (np.add.reduceat over int64 tfs — exact).  df for idf: run length
+    for normal terms (the whole term lives here), broadcast exact
+    global df for salted hot terms.  Hot-term runs are cut at the SALT
+    PLAN's doc_id-range boundaries (the assigner's exact integers) so
+    no block spans a range held by another partition — the globally-
+    sorted-disjoint block invariant WAND merging relies on."""
     from mini_ivf_ray.state import manifest as mf
 
     k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
 
-    def encode_partition(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return _empty_summary()
-        pid = int(group["pid"][0].as_py())
-        # factorize terms to int codes: lexsort on ints is ~10x faster
-        # than sorting Python string objects, and the sort dominates the
-        # encode CPU.  Sort codes by term string first so output order
-        # stays lexicographic (the segment files' term-sorted invariant).
-        codes_raw, uniques = pd.factorize(
-            pd.Series(group["term"].to_pylist(), dtype=object), sort=True
-        )
-        terms_lookup = np.asarray(uniques, dtype=object)
-        doc_ids = group["doc_id"].to_numpy().astype(np.uint64)
-        tfs = group["tf"].to_numpy()
-        dls = group["dl"].to_numpy()
-        order = np.lexsort((doc_ids, codes_raw))
-        codes = codes_raw[order]
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-
-        # term run boundaries
-        change = np.empty(codes.size, dtype=bool)
-        change[0] = True
-        change[1:] = codes[1:] != codes[:-1]
-        run_starts = np.flatnonzero(change)
-        run_ends = np.append(run_starts[1:], codes.size)
-
-        out_term: list[str] = []
-        out_first: list[np.ndarray] = []
-        out_last: list[np.ndarray] = []
-        out_count: list[np.ndarray] = []
-        out_max: list[np.ndarray] = []
-        out_payload: list[bytes] = []
-        out_df: list[np.ndarray] = []
-        n_postings = 0
-
-        for rs, re_ in zip(run_starts, run_ends):
-            t = terms_lookup[codes[rs]]
-            d, tf_r, dl_r = doc_ids[rs:re_], tfs[rs:re_], dls[rs:re_]
-            if d.size > 1 and not np.all(d[1:] > d[:-1]):
-                raise ValueError(
-                    f"duplicate doc_id in posting run for term {t!r}: "
-                    "docID hash collision or missing dedup"
+    def encode_term_run(out: _BlockWriter, t: str, d, tf_r, dl_r) -> None:
+        if d.size > 1 and not np.all(d[1:] > d[:-1]):
+            raise ValueError(
+                f"duplicate doc_id in posting run for term {t!r}: "
+                "docID hash collision or missing dedup"
+            )
+        df_global = hot_df.get(t, d.size)
+        contrib = bm25.contributions(tf_r, dl_r, df_global, n_docs, avgdl, k1, b)
+        nsalt = plan.get(t, 1)
+        if nsalt > 1:
+            # several doc_id-range salt sub-lists may have collided onto
+            # this partition; cut the run at the salt boundaries
+            bounds = salt_bounds(nsalt, doc_id_space)
+            cuts = np.searchsorted(d, bounds, side="left")
+            segs = [
+                (int(a), int(z))
+                for a, z in zip(
+                    np.concatenate([[0], cuts]), np.concatenate([cuts, [d.size]])
                 )
-            df_global = hot_df.get(t, d.size)
-            contrib = bm25.contributions(tf_r, dl_r, df_global, n_docs, avgdl, k1, b)
-            # hot terms: several doc_id-range salt sub-lists may have
-            # collided onto this partition; cut the run at the salt
-            # boundaries so no block spans a range held elsewhere —
-            # global block disjointness is what WAND merging relies on
-            if t in hot_df:
-                nsalt = cfg.salts_for_df(df_global)
-                bounds = salt_bounds(nsalt, doc_id_space)
-                cuts = np.searchsorted(d, bounds, side="left")
-                segs = [
-                    (int(a), int(z))
-                    for a, z in zip(
-                        np.concatenate([[0], cuts]), np.concatenate([cuts, [d.size]])
-                    )
-                    if z > a
-                ]
+                if z > a
+            ]
+        else:
+            segs = [(0, d.size)]
+        for a, z in segs:
+            firsts, lasts, counts, payloads = encode_posting_run(
+                d[a:z], tf_r[a:z], dl_r[a:z], block_size
+            )
+            local_starts = np.arange(0, z - a, block_size, dtype=np.int64)
+            if local_starts.size:
+                maxs = np.maximum.reduceat(contrib[a:z], local_starts)
+                cfb = np.add.reduceat(tf_r[a:z], local_starts)
             else:
-                segs = [(0, d.size)]
-            for a, z in segs:
-                firsts, lasts, counts, payloads = encode_posting_run(
-                    d[a:z], tf_r[a:z], dl_r[a:z], block_size
-                )
-                local_starts = np.arange(0, z - a, block_size, dtype=np.int64)
-                maxs = (
-                    np.maximum.reduceat(contrib[a:z], local_starts)
-                    if local_starts.size
-                    else np.empty(0)
-                )
-                nblk = len(payloads)
-                out_term.extend([t] * nblk)
-                out_first.append(firsts)
-                out_last.append(lasts)
-                out_count.append(counts)
-                out_max.append(maxs)
-                out_payload.extend(payloads)
-                out_df.append(np.full(nblk, df_global, dtype=np.int64))
-            n_postings += d.size
+                maxs = np.empty(0)
+                cfb = np.empty(0, dtype=np.int64)
+            out.append(t, firsts, lasts, counts, maxs, df_global, cfb, payloads)
 
-        blocks = pa.table(
-            {
-                "term": pa.array(out_term, type=pa.string()),
-                "first_doc_id": pa.array(np.concatenate(out_first), type=pa.uint64()),
-                "last_doc_id": pa.array(np.concatenate(out_last), type=pa.uint64()),
-                "count": pa.array(np.concatenate(out_count), type=pa.int64()),
-                "max_score": pa.array(np.concatenate(out_max), type=pa.float64()),
-                "df": pa.array(np.concatenate(out_df), type=pa.int64()),
-                "payload": pa.array(out_payload, type=pa.binary()),
-            }
-        )
+    def encode_partition(pid: int, files: list[str]) -> dict:
+        counters = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
 
         def writer(tmp_dir: str) -> None:
-            pq_mod.write_table(
-                blocks,
-                f"{tmp_dir}/postings.parquet",
-                row_group_size=4096,
-                compression="zstd",
-            )
+            out = _BlockWriter(os.path.join(tmp_dir, "postings.parquet"))
 
-        counters = {
-            "n_terms": int(run_starts.size),
-            "n_postings": int(n_postings),
-            "n_blocks": int(blocks.num_rows),
-        }
-        mf.commit_partition(index_dir, pid, writer, counters, lineage)
-        return pa.table(
-            {
-                "pid": pa.array([pid], type=pa.int64()),
-                "n_terms": pa.array([counters["n_terms"]], type=pa.int64()),
-                "n_postings": pa.array([counters["n_postings"]], type=pa.int64()),
-                "n_blocks": pa.array([counters["n_blocks"]], type=pa.int64()),
-            }
-        )
+            def consume(codes: np.ndarray, terms_sorted: pa.Array, sorted_tbl, lo: int, hi: int) -> None:
+                # codes sorted: iterate completed term runs of rows [lo, hi)
+                c = codes[lo:hi]
+                d = sorted_tbl["doc_id"].to_numpy()[lo:hi]
+                tf_r = sorted_tbl["tf"].to_numpy()[lo:hi]
+                dl_r = sorted_tbl["dl"].to_numpy()[lo:hi]
+                change = np.empty(c.size, dtype=bool)
+                change[0] = True
+                change[1:] = c[1:] != c[:-1]
+                starts = np.flatnonzero(change)
+                ends = np.append(starts[1:], c.size)
+                for a, z in zip(starts, ends):
+                    t = terms_sorted[int(c[a])].as_py()
+                    encode_term_run(out, t, d[a:z], tf_r[a:z], dl_r[a:z])
+                    counters["n_terms"] += 1
+                    counters["n_postings"] += int(z - a)
 
-    def _empty_summary() -> pa.Table:
-        return pa.table(
-            {
-                "pid": pa.array([], type=pa.int64()),
-                "n_terms": pa.array([], type=pa.int64()),
-                "n_postings": pa.array([], type=pa.int64()),
-                "n_blocks": pa.array([], type=pa.int64()),
-            }
-        )
+            carry: pa.Table | None = None
+            chunks = iter(_RunMerger(files))
+            while True:
+                chunk = next(chunks, None)
+                if chunk is None:
+                    tbl = carry
+                    carry = None
+                    if tbl is None or tbl.num_rows == 0:
+                        break
+                else:
+                    tbl = (
+                        pa.concat_tables([carry, chunk])
+                        if carry is not None
+                        else chunk
+                    )
+                # sort the (small) chunk by (term, doc_id): Arrow C++
+                # dictionary-encode + string sort; python strings only
+                # materialize once per term run
+                ta = tbl["term"].combine_chunks().dictionary_encode()
+                dic = ta.dictionary
+                sort_idx = pc.sort_indices(dic).to_numpy()
+                rank = np.empty(len(dic), dtype=np.int64)
+                rank[sort_idx] = np.arange(len(dic))
+                codes = rank[ta.indices.to_numpy()]
+                order = np.lexsort((tbl["doc_id"].to_numpy(), codes))
+                codes_s = codes[order]
+                sorted_tbl = tbl.take(pa.array(order))
+                terms_sorted = dic.take(pa.array(sort_idx))  # code -> term
+                if chunk is None:
+                    split = int(codes_s.size)
+                else:
+                    # hold back the (possibly incomplete) final term run
+                    split = int(
+                        np.searchsorted(codes_s, codes_s[-1], side="left")
+                    )
+                if split > 0:
+                    consume(codes_s, terms_sorted, sorted_tbl, 0, split)
+                carry = sorted_tbl.slice(split) if split < sorted_tbl.num_rows else None
+                if chunk is None:
+                    break
+            out.close()
 
-    return encode_partition
+        def writer_with_block_count(tmp_dir: str) -> None:
+            writer(tmp_dir)
+            path = os.path.join(tmp_dir, "postings.parquet")
+            counters["n_blocks"] = int(pq.ParquetFile(path).metadata.num_rows)
 
-
-def make_spill_encoder(spill_dir: str, encoder):
-    """Wrap a partition encoder to source its group from spilled run
-    files: one task per pid reads ``spill_dir/pid=<p>/run_*.parquet``
-    (the reference's LoadFromBook per-cluster read, inverted for build)."""
+        mf.commit_partition(index_dir, pid, writer_with_block_count, counters, lineage)
+        return counters
 
     def encode_from_spill(batch: pa.Table) -> pa.Table:
-        outs = []
+        out_rows = {"pid": [], "n_terms": [], "n_postings": [], "n_blocks": []}
         for p in batch["pid"].to_pylist():
-            files = sorted(glob.glob(os.path.join(spill_dir, f"pid={p}", "run_*.parquet")))
+            files = sorted(
+                glob.glob(os.path.join(spill_dir, f"pid={p}", "run_*.parquet"))
+            )
             if not files:
                 continue
-            tbl = pa.concat_tables([pq.read_table(f) for f in files])
-            tbl = tbl.append_column(
-                "pid", pa.array(np.full(tbl.num_rows, p, dtype=np.int64))
-            )
-            outs.append(encoder(tbl))
-        if not outs:
-            return pa.table(
-                {
-                    "pid": pa.array([], type=pa.int64()),
-                    "n_terms": pa.array([], type=pa.int64()),
-                    "n_postings": pa.array([], type=pa.int64()),
-                    "n_blocks": pa.array([], type=pa.int64()),
-                }
-            )
-        return pa.concat_tables(outs)
+            c = encode_partition(int(p), files)
+            out_rows["pid"].append(int(p))
+            out_rows["n_terms"].append(c["n_terms"])
+            out_rows["n_postings"].append(c["n_postings"])
+            out_rows["n_blocks"].append(c["n_blocks"])
+        return pa.table(
+            {
+                "pid": pa.array(out_rows["pid"], type=pa.int64()),
+                "n_terms": pa.array(out_rows["n_terms"], type=pa.int64()),
+                "n_postings": pa.array(out_rows["n_postings"], type=pa.int64()),
+                "n_blocks": pa.array(out_rows["n_blocks"], type=pa.int64()),
+            }
+        )
 
     return encode_from_spill

@@ -28,6 +28,12 @@ class CorpusStats:
     max_doc_id: int = 0  # meaningful only for dense external ids
     df: dict[str, int] = field(default_factory=dict)
     cf: dict[str, int] = field(default_factory=dict)  # collection term freq
+    salted: dict[str, int] | None = None
+    """The PERSISTED salt plan {term: nsalt} the index was built with
+    (single-tokenize build: the plan is sample-estimated before exact
+    dfs exist, so locations cannot be re-derived from df at query time
+    — they must replay the recorded plan).  None = legacy index /
+    in-memory stats: derive the plan from exact df (round-1 behavior)."""
 
     @property
     def avgdl(self) -> float:
@@ -37,6 +43,8 @@ class CorpusStats:
 
     def salt_counts(self, cfg: PipelineConfig) -> dict[str, int]:
         """Hot terms -> number of doc_id-range sub-lists (>1)."""
+        if self.salted is not None:
+            return dict(self.salted)
         return {
             t: cfg.salts_for_df(d)
             for t, d in self.df.items()
@@ -46,7 +54,10 @@ class CorpusStats:
     def term_locations(self, term: str, cfg: PipelineConfig) -> list[int]:
         """Ordered partition ids holding this term's postings, in doc_id
         range order (salt order).  Length 1 for normal terms."""
-        nsalt = cfg.salts_for_df(self.df.get(term, 0))
+        if self.salted is not None:
+            nsalt = self.salted.get(term, 1)
+        else:
+            nsalt = cfg.salts_for_df(self.df.get(term, 0))
         if nsalt <= 1:
             return [term_partition(term, cfg.num_partitions)]
         return [salted_partition(term, s, cfg.num_partitions) for s in range(nsalt)]
@@ -71,6 +82,8 @@ class CorpusStats:
             "total_tokens": self.total_tokens,
             "max_doc_id": self.max_doc_id,
         }
+        if self.salted is not None:
+            meta["salted"] = self.salted
         tmp = os.path.join(index_dir, "_stats.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
@@ -84,12 +97,14 @@ class CorpusStats:
         terms = tbl["term"].to_pylist()
         dfs = tbl["df"].to_numpy()
         cfs = tbl["cf"].to_numpy()
+        salted = meta.get("salted")
         return cls(
             n_docs=meta["n_docs"],
             total_tokens=meta["total_tokens"],
             max_doc_id=meta.get("max_doc_id", 0),
             df=dict(zip(terms, (int(x) for x in dfs))),
             cf=dict(zip(terms, (int(x) for x in cfs))),
+            salted={t: int(n) for t, n in salted.items()} if salted is not None else None,
         )
 
     @classmethod

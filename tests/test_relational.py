@@ -65,3 +65,43 @@ def test_bucketed_join_colliding_columns():
     assert got["k"].tolist() == [2, 3]
     assert got["v"].tolist() == [20, 30]
     assert got["v_r"].tolist() == [200, 300]
+
+
+def test_bucketed_join_string_keys():
+    """Round-1 regression: string join keys raised/corrupted under the
+    int64 cast; keys now hash their bytes."""
+    left = pd.DataFrame(
+        {"lang": ["en", "de", "fr", "en", "zh"], "v": [1, 2, 3, 4, 5]}
+    )
+    right = pd.DataFrame({"lang": ["en", "de", "es"], "n": [10, 20, 30]})
+    expect = _canon(left.merge(right, on="lang", how="inner"))
+    got = _canon(
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="lang",
+            num_buckets=8,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_bucketed_join_salted_hot_key_identical():
+    """Hot-key salting is a physical layout choice only: salted output
+    must equal the unsalted join exactly (left hot rows spread over
+    sub-buckets, right hot rows replicated)."""
+    rng = np.random.default_rng(3)
+    # key 7 is pathologically hot on the left
+    left = pd.DataFrame(
+        {
+            "k": np.concatenate([np.full(400, 7), rng.integers(0, 20, 100)]),
+            "v": np.arange(500),
+        }
+    )
+    right = pd.DataFrame({"k": np.arange(20), "r": np.arange(20) * 10})
+    expect = _canon(left.merge(right, on="k", how="inner"))
+    got = _canon(
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="k",
+            num_buckets=16, hot_keys=[7], nsalt=4,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)

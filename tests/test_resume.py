@@ -94,7 +94,9 @@ def test_interrupted_spill_discarded(tmp_path):
 
 
 def test_stats_checkpoint_reused(tmp_path, monkeypatch):
-    """Second run with stats sidecar present must not recompute stats."""
+    """Second run with stats sidecar present must replay the persisted
+    salt plan verbatim — never re-estimate (committed partitions were
+    scored under it)."""
     cfg = PipelineConfig(num_partitions=2)
     pages = generate_pages(150, seed=31, vocab_size=100)
     idx = str(tmp_path / "idx")
@@ -106,8 +108,8 @@ def test_stats_checkpoint_reused(tmp_path, monkeypatch):
     import mini_ivf_ray.pipelines.build as build_mod
 
     def boom(*a, **k):
-        raise AssertionError("stats recomputed despite checkpoint")
+        raise AssertionError("salt plan re-estimated despite checkpoint")
 
-    monkeypatch.setattr(build_mod, "compute_stats", boom)
+    monkeypatch.setattr(build_mod, "_estimate_salt_plan", boom)
     meta = build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
     assert meta["counters"]["partitions_built_this_run"] == 1
