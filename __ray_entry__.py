@@ -345,7 +345,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def filter_project(sf_dir):
-        ds = _documents_full(sf_dir)
+        """Filter + project with the projection AND the filter pushed to
+        the read: only (doc_id, n_chars, lang) columns leave storage and
+        non-'en' row groups are pruned by parquet statistics."""
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars", "lang"],
+            filter=pc.field("lang") == "en",
+        )
         return ds.map_batches(
             lambda b: b.filter(pc.equal(b["lang"], "en")).select(
                 ["doc_id", "n_chars"]
@@ -376,12 +385,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def limit_head(sf_dir):
-        return (
-            _documents_full(sf_dir)
-            .sort("doc_id")
-            .limit(50)
-            .select_columns(["doc_id", "lang", "n_chars"])
-        )
+        """Global smallest-50 by doc_id WITHOUT a global sort: each
+        block contributes its local top-N (vectorized partition, O(block)),
+        the driver merges O(blocks x N) candidate rows — the same
+        partial-top-k-then-merge shape as the ANN brute-force scorer."""
+        import ray.data
+
+        n = 50
+
+        def local_head(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            if len(ids) > n:
+                thr = np.partition(ids, n - 1)[n - 1]
+                b = b.filter(pa.array(ids <= thr))
+            return b
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        ).map_batches(local_head, batch_format="pyarrow")
+        cand = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        order = pc.sort_indices(cand, sort_keys=[("doc_id", "ascending")])
+        return cand.take(order[:n]).select(["doc_id", "lang", "n_chars"])
 
     def orders_by_nation(sf_dir):
         """Broadcast join (dimension tables shipped via ray.put) +
@@ -717,6 +742,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ann_search(idx, qds, k=10, nprobe=8, use_pq=True)
 
+    def ann_uint8_l2(sf_dir):
+        """The reference's SIFT configuration end-to-end: uint8 vectors
+        in bvecs files (binary_io.hpp:16-133), the DISTRIBUTED bvecs
+        reader, an L2-metric IVF index whose segments store uint8, and
+        nprobe=all search — self-checked rank-identical against the
+        exhaustive L2 oracle (raises on any divergence).  Vectors are
+        derived deterministically from the driver's embeddings table
+        (per-dim min/max scaled to 0..255), so no external data."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import (
+            ann_search,
+            brute_force_ann,
+            build_ivf_index,
+        )
+        from mini_ivf_ray.sources.vectors import read_vectors, write_vecs
+
+        t = pqmod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        lo, hi = mat.min(axis=0), mat.max(axis=0)
+        span = np.where(hi > lo, hi - lo, 1.0)
+        u8 = np.clip(np.floor((mat - lo) / span * 256.0), 0, 255).astype(np.uint8)
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        bpath = f"/tmp/graft_u8_{tag}.bvecs"
+        write_vecs(bpath, u8)
+        idx = f"/tmp/graft_u8idx_{tag}"
+        build_ivf_index(
+            read_vectors(bpath), idx, n_centroids=8, seed=7, metric="l2"
+        )
+        nq = 8
+        Q = u8[:nq]
+        qids = np.arange(nq)
+        qds = ray.data.from_items(
+            [{"vec_id": int(i), "embedding": q.tolist()} for i, q in zip(qids, Q)]
+        )
+        got = (
+            ann_search(idx, qds, k=10, nprobe=8)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        oracle = brute_force_ann(
+            read_vectors(bpath), Q, qids, k=10, metric="l2"
+        ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+        if not np.array_equal(
+            got["vec_id"].to_numpy(), oracle["vec_id"].to_numpy()
+        ):
+            raise AssertionError("uint8 L2 IVF diverges from exhaustive oracle")
+        return pa.table(
+            {
+                "query_id": pa.array(got["query_id"].astype(np.int64)),
+                "rank": pa.array(got["rank"].astype(np.int32), type=pa.int32()),
+                "vec_id": pa.array(got["vec_id"].astype(np.int64)),
+                "dist2": pa.array(got["dist2"].astype(np.float64)),
+            }
+        )
+
     def image_features(sf_dir):
         import ray.data
 
@@ -770,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embedding_near_dup,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
+        "ann_uint8_l2": ann_uint8_l2,
         "image_features": image_features,
         "video_frames": video_frames,
     }

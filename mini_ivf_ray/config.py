@@ -42,6 +42,12 @@ class PipelineConfig:
 
     # --- query ----------------------------------------------------------
     topk: int = 10
+    taat_threshold: int = 4_000_000
+    """Total query postings below which evaluation goes term-at-a-time
+    (fully vectorized exact scoring) instead of block-max WAND.  Both
+    paths are bit-identical; this is the classic TAAT/DAAT cost-model
+    switch — WAND's per-round bookkeeping only pays for itself on long
+    posting lists.  0 forces WAND everywhere (used in tests)."""
 
     # --- execution knobs ------------------------------------------------
     tokenize_batch_size: int = 1024

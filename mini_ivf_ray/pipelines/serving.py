@@ -35,7 +35,7 @@ import pandas as pd
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
-from mini_ivf_ray.pipelines.query import TermIterator, share_segments, wand_topk
+from mini_ivf_ray.pipelines.query import share_segments, topk_from_blocks
 from mini_ivf_ray.sources.segments import PostingBlocks, SegmentReader
 from mini_ivf_ray.state.stats import CorpusStats
 
@@ -87,23 +87,12 @@ class RangeSearcher:
         out = {"query_id": [], "doc_id": [], "score": []}
         for qid, qtext in queries:
             terms = sorted(set(tokenize(qtext)))
-            iters = []
-            for t in terms:
-                df = self.stats.df.get(t, 0)
-                if df <= 0:
-                    continue
-                blocks = self._term_blocks_in_range(t)
-                if blocks is None:
-                    continue
-                iters.append(
-                    TermIterator(
-                        blocks,
-                        bm25.idf(df, self.stats.n_docs),
-                        self.stats.avgdl,
-                        self.cfg,
-                    )
-                )
-            for d, s in wand_topk(iters, self.cfg.topk):
+            fetched = {
+                t: self._term_blocks_in_range(t)
+                for t in terms
+                if self.stats.df.get(t, 0) > 0
+            }
+            for d, s in topk_from_blocks(fetched, self.stats, self.cfg):
                 out["query_id"].append(qid)
                 out["doc_id"].append(d)
                 out["score"].append(s)
@@ -191,13 +180,21 @@ class ServingPool:
 
     def metrics(self) -> dict:
         """Aggregated A3/A4-style counters (reference: avg_searched_cnt,
-        test_ivfpq_sift1m_baseline.cpp:90)."""
+        test_ivfpq_sift1m_baseline.cpp:90) + the QueryObs analog: the
+        ``partition_probes`` histogram {pid: times a query consulted
+        that segment} (reference per-cluster hit histogram,
+        index_ivfpq.cpp:412-470)."""
         import ray
 
         totals: dict = {}
         for c in ray.get([a.get_counters.remote() for a in self.actors]):
             for k, v in c.items():
-                totals[k] = totals.get(k, 0) + v
+                if isinstance(v, dict):
+                    d = totals.setdefault(k, {})
+                    for kk, vv in v.items():
+                        d[kk] = d.get(kk, 0) + vv
+                else:
+                    totals[k] = totals.get(k, 0) + v
         nq = max(1, totals.get("n_queries", 0))
         totals["avg_searched_cnt"] = round(totals.get("searched_cnt", 0) / nq, 1)
         return totals

@@ -122,27 +122,36 @@ def _adc_scores(q: np.ndarray, books: np.ndarray, codes: np.ndarray) -> np.ndarr
 
 
 class _Assigner:
-    def __init__(self, cent_ref, books_ref, residual: bool = False):
+    def __init__(self, cent_ref, books_ref, residual: bool = False, metric: str = "cosine"):
         import ray
 
         self.cent = ray.get(cent_ref)
         self.books = ray.get(books_ref) if books_ref is not None else None
         self.residual = residual
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
-        mat = _normalize(mat)
+        if self.metric == "cosine":
+            mat = _normalize(mat)
+            emb_col = pa.array(mat.tolist(), type=pa.list_(pa.float64()))
+        else:
+            # l2 on raw vectors (reference mode, uint8 SIFT included):
+            # store the INPUT column unchanged — uint8 stays uint8 on
+            # disk (8x smaller segments than float64)
+            emb_col = batch[_EMB_COL]
         part = _assign(mat, self.cent)
         cols = {
             _ID_COL: pa.array(ids, type=pa.int64()),
-            _EMB_COL: pa.array(mat.tolist(), type=pa.list_(pa.float64())),
+            _EMB_COL: emb_col,
             "part": pa.array(part.astype(np.int64)),
         }
         if self.books is not None:
             # residual PQ (Faiss-style IVFPQ): quantize x - centroid(x);
             # the reference quantizes raw vectors (index_ivfpq.cpp:84-86)
             # — raw mode keeps that parity, residual mode is the
-            # accuracy upgrade
+            # accuracy upgrade.  (mat here is normalized for cosine,
+            # raw float64 for l2 — matching the training input.)
             enc_in = mat - self.cent[part] if self.residual else mat
             cols["code"] = pa.array(
                 [c.tobytes() for c in _pq_encode(enc_in, self.books)], type=pa.binary()
@@ -161,6 +170,7 @@ def build_ivf_index(
     pq_residual: bool = False,
     train_sample: int = 100_000,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> dict:
     """Train (sampled, driver-side — reference clamps nsamples the same
     way, index_ivf.cpp:42-45), then distributed assign + per-partition
@@ -182,7 +192,8 @@ def build_ivf_index(
         sample = embeddings_ds.limit(train_sample)
         tbl = pa.concat_tables(list(sample.iter_batches(batch_format="pyarrow")))
         _, mat = _to_matrix(tbl)
-        mat = _normalize(mat)
+        if metric == "cosine":
+            mat = _normalize(mat)
         cent = _kmeans(mat, n_centroids, train_iters, seed)
         if pq_m:
             train_in = mat - cent[_assign(mat, cent)] if pq_residual else mat
@@ -206,7 +217,7 @@ def build_ivf_index(
         books_ref = ray.put(books) if books is not None else None
         assigned = embeddings_ds.map_batches(
             _Assigner,
-            fn_constructor_args=(cent_ref, books_ref, pq_residual),
+            fn_constructor_args=(cent_ref, books_ref, pq_residual, metric),
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=(1, 8),
@@ -246,6 +257,7 @@ def build_ivf_index(
         counters["n_vectors"] += pm["counters"]["n_vectors"]
     meta = {
         "kind": "ivfpq" if books is not None else "ivf",
+        "metric": metric,
         "n_centroids": n_centroids,
         "pq_m": pq_m,
         "pq_ks": pq_ks,
@@ -275,19 +287,38 @@ class IVFSearcher:
         self.cent = z["cent"]
         self.books = z["books"] if "books" in z.files else None
         self.residual = bool(z["residual"]) if "residual" in z.files else False
-        self._parts: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray | None]] = {}
+        self._parts: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]] = {}
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.meta = json.load(f)
+        self.metric = self.meta.get("metric", "cosine")
 
     def _load_part(self, p: int):
         if p not in self._parts:
             path = os.path.join(mf.partition_dir(self.index_dir, p), "vectors.parquet")
             if not os.path.exists(path):
-                self._parts[p] = (np.empty(0, dtype=np.int64), np.empty((0, self.cent.shape[1])), None)
+                self._parts[p] = (
+                    np.empty(0, dtype=np.int64),
+                    np.empty((0, self.cent.shape[1])),
+                    None,
+                    None,
+                )
             else:
                 t = pq.read_table(path)
                 ids = t[_ID_COL].to_numpy()
-                matv = np.array(t[_EMB_COL].to_pylist(), dtype=np.float64)
+                raw = np.array(t[_EMB_COL].to_pylist())
+                if raw.dtype == np.uint8:
+                    # uint8 vectors resident as float32: 2x uint8 RAM
+                    # but fast matmul, and EXACT for L2 — products of
+                    # values <= 255 summed over <= 2^8 dims stay inside
+                    # float32's 24-bit integer range
+                    matv = raw.astype(np.float32)
+                else:
+                    matv = raw.astype(np.float64)
+                norms = (
+                    (matv.astype(np.float64) ** 2).sum(1)
+                    if self.metric == "l2"
+                    else None
+                )
                 codes = (
                     np.frombuffer(b"".join(t["code"].to_pylist()), dtype=np.uint8).reshape(
                         len(ids), -1
@@ -295,11 +326,17 @@ class IVFSearcher:
                     if "code" in t.column_names
                     else None
                 )
-                self._parts[p] = (ids, matv, codes)
+                self._parts[p] = (ids, matv, codes, norms)
         return self._parts[p]
 
     def query_one(self, q: np.ndarray) -> tuple[np.ndarray, np.ndarray, int]:
-        qn = q / (np.linalg.norm(q) or 1.0)
+        """-> (ids, scores, searched).  Scores: cosine desc for metric
+        'cosine'; L2^2 asc (negated internally for a uniform 'bigger is
+        better' heap) for metric 'l2'."""
+        if self.metric == "cosine":
+            qn = q / (np.linalg.norm(q) or 1.0)
+        else:
+            qn = q.astype(np.float64)
         # rank centroids by L2 (== cosine rank on unit vectors), take W
         cd = ((self.cent - qn) ** 2).sum(1)
         W = min(self.nprobe, len(self.cent))
@@ -308,16 +345,19 @@ class IVFSearcher:
         all_ids, all_sims = [], []
         searched = 0
         for p in probes:
-            ids, matv, codes = self._load_part(int(p))
+            ids, matv, codes, norms = self._load_part(int(p))
             if len(ids) == 0:
                 continue
             searched += len(ids)
             if self.use_pq and codes is not None:
                 q_in = qn - self.cent[int(p)] if self.residual else qn
                 d2 = _adc_scores(q_in, self.books, codes)
-                sims = 1.0 - d2 / 2.0  # approx cosine from L2^2 on unit vectors
-            else:
+                sims = 1.0 - d2 / 2.0 if self.metric == "cosine" else -d2
+            elif self.metric == "cosine":
                 sims = matv @ qn
+            else:
+                dot = matv @ qn.astype(matv.dtype)
+                sims = -(norms - 2.0 * dot.astype(np.float64) + float(qn @ qn))
             all_ids.append(ids)
             all_sims.append(sims)
         if not all_ids:
@@ -332,19 +372,21 @@ class IVFSearcher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch[_ID_COL].to_numpy()
         mats = np.array(batch[_EMB_COL].to_pylist(), dtype=np.float64)
-        out = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+        score_col = "cosine" if self.metric == "cosine" else "dist2"
+        out = {"query_id": [], "rank": [], "vec_id": [], score_col: []}
         for qid, q in zip(qids, mats):
             ids, sims, _ = self.query_one(q)
+            vals = sims if self.metric == "cosine" else -sims  # dist2 asc
             out["query_id"].extend([int(qid)] * len(ids))
             out["rank"].extend(range(len(ids)))
             out["vec_id"].extend(ids.tolist())
-            out["cosine"].extend(np.round(sims, 6).tolist())
+            out[score_col].extend(np.round(vals, 6).tolist())
         return pa.table(
             {
                 "query_id": pa.array(out["query_id"], type=pa.int64()),
                 "rank": pa.array(out["rank"], type=pa.int32()),
                 "vec_id": pa.array(out["vec_id"], type=pa.int64()),
-                "cosine": pa.array(out["cosine"], type=pa.float64()),
+                score_col: pa.array(out[score_col], type=pa.float64()),
             }
         )
 
@@ -367,17 +409,26 @@ def ann_search(index_dir: str, queries_ds, k: int = 10, nprobe: int = 4,
 
 
 class _BruteForceScorer:
-    def __init__(self, q_ref, qids_ref, k: int):
+    def __init__(self, q_ref, qids_ref, k: int, metric: str = "cosine"):
         import ray
 
-        self.Q = ray.get(q_ref)          # (nq, d) normalized
+        self.Q = ray.get(q_ref)          # (nq, d); normalized for cosine
         self.qids = ray.get(qids_ref)
         self.k = k
+        self.metric = metric
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _to_matrix(batch)
-        mat = _normalize(mat)
-        sims = mat @ self.Q.T            # (n, nq)
+        if self.metric == "cosine":
+            mat = _normalize(mat)
+            sims = mat @ self.Q.T        # (n, nq)
+        else:
+            # negated L2^2 so 'bigger is better' everywhere
+            sims = -(
+                (mat**2).sum(1)[:, None]
+                - 2 * mat @ self.Q.T
+                + (self.Q**2).sum(1)[None, :]
+            )
         out = {"query_id": [], "vec_id": [], "cosine": []}
         k = min(self.k, len(ids))
         for qi in range(len(self.qids)):
@@ -395,30 +446,41 @@ class _BruteForceScorer:
         )
 
 
-def brute_force_ann(embeddings_ds, query_mat: np.ndarray, query_ids: np.ndarray, k: int = 10):
-    """Exact top-k cosine per query: broadcast query matrix, per-batch
-    matmul + partial top-k, driver merge.  Ranking (cosine desc, vec_id
-    asc), float64."""
+def brute_force_ann(
+    embeddings_ds,
+    query_mat: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    metric: str = "cosine",
+):
+    """Exact top-k per query: broadcast query matrix, per-batch matmul +
+    partial top-k, driver merge.  metric 'cosine': (cosine desc, vec_id
+    asc), column ``cosine``; metric 'l2': (L2^2 asc, vec_id asc), column
+    ``dist2``.  float64 throughout."""
     import pandas as pd
     import ray
 
-    Q = _normalize(np.asarray(query_mat, dtype=np.float64))
+    Q = np.asarray(query_mat, dtype=np.float64)
+    if metric == "cosine":
+        Q = _normalize(Q)
     q_ref, qids_ref = ray.put(Q), ray.put(np.asarray(query_ids))
     cands = embeddings_ds.map_batches(
         _BruteForceScorer,
-        fn_constructor_args=(q_ref, qids_ref, k),
+        fn_constructor_args=(q_ref, qids_ref, k, metric),
         batch_format="pyarrow",
         batch_size=8192,
         concurrency=(1, 4),
         num_cpus=1,
     ).to_pandas()
-    out = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    score_col = "cosine" if metric == "cosine" else "dist2"
+    out = {"query_id": [], "rank": [], "vec_id": [], score_col: []}
     for qid, g in cands.groupby("query_id", sort=True):
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        vals = g["cosine"].to_numpy() if metric == "cosine" else -g["cosine"].to_numpy()
         out["query_id"].extend([int(qid)] * len(g))
         out["rank"].extend(range(len(g)))
         out["vec_id"].extend(g["vec_id"].tolist())
-        out["cosine"].extend(np.round(g["cosine"].to_numpy(), 6).tolist())
+        out[score_col].extend(np.round(vals, 6).tolist())
     df = pd.DataFrame(out)
     if len(df):
         df["rank"] = df["rank"].astype(np.int32)

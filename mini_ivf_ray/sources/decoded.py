@@ -151,6 +151,8 @@ class DecodedReader:
                     int(bnd["dfs"][s]),
                     docs_views,
                     con_views,
+                    bnd["docs_all"][do[s] : do[e]],
+                    bnd["contribs_all"][do[s] : do[e]],
                 )
             )
         if not pieces:
@@ -168,6 +170,13 @@ class DecodedReader:
         blocks = PostingBlocks.from_views(
             term, pieces[0][4], firsts[order], lasts, counts, maxs, docs_views, con_views
         )
+        if len(pieces) == 1 and np.array_equal(order, np.arange(order.size)):
+            # single-partition term (the common case): its blocks are one
+            # contiguous range of the partition's flat decoded arrays, so
+            # the TAAT whole-list view is a ZERO-COPY slice — per-actor
+            # memory stays O(1) extra.  (Salted multi-partition terms
+            # fall back to a one-time per-actor concat, cached.)
+            blocks._all = (pieces[0][7], pieces[0][8])
         self._cache[term] = blocks
         return blocks
 

@@ -29,7 +29,7 @@ class PostingBlocks:
 
     __slots__ = (
         "term", "df", "firsts", "lasts", "counts", "max_scores", "payloads",
-        "_docs", "_contribs", "_scoring",
+        "_docs", "_contribs", "_scoring", "_all",
     )
 
     def __init__(self, term, df, firsts, lasts, counts, max_scores, payloads):
@@ -44,6 +44,7 @@ class PostingBlocks:
         self._docs: list = [None] * n
         self._contribs: list = [None] * n
         self._scoring = None  # (idf, avgdl, k1, b) set by the searcher
+        self._all = None  # cached (docs, contribs) over ALL blocks
 
     @classmethod
     def from_views(cls, term, df, firsts, lasts, counts, max_scores, docs_views, contrib_views):
@@ -71,6 +72,7 @@ class PostingBlocks:
             self._scoring = (idf, avgdl, k1, b)
             self._docs = [None] * self.n_blocks
             self._contribs = [None] * self.n_blocks
+            self._all = None
 
     def decoded(self, i: int) -> tuple[np.ndarray, np.ndarray]:
         """(doc_ids, float64 contributions) of block i, cached."""
@@ -85,6 +87,24 @@ class PostingBlocks:
             self._docs[i] = docs
             self._contribs[i] = idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
         return self._docs[i], self._contribs[i]
+
+    def all_postings(self) -> tuple[np.ndarray, np.ndarray]:
+        """(docs, contribs) concatenated over every block, cached —
+        blocks are disjoint increasing doc ranges, so the concat is
+        globally sorted.  The TAAT evaluation path consumes this."""
+        if self._all is None:
+            if self.n_blocks == 0:
+                self._all = (
+                    np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=np.float64),
+                )
+            else:
+                self.decode_all()
+                self._all = (
+                    np.concatenate(self._docs),
+                    np.concatenate(self._contribs),
+                )
+        return self._all
 
     def decode_raw(self, i: int):
         """(doc_ids, tf, dl) of block i (no scoring context needed)."""

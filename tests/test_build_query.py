@@ -125,3 +125,39 @@ def test_dedup_last_write_wins(tiny_index):
     # generator injected ~4% duplicate urls; post-dedup urls are unique
     assert docs["url"].is_unique
     assert docs["doc_id"].is_unique
+
+
+def test_taat_and_wand_bit_identical(tiny_index):
+    """The TAAT/DAAT cost-model switch must be invisible: forcing WAND
+    (taat_threshold=0) and forcing TAAT (huge threshold) give
+    bit-identical results, both equal to the oracle."""
+    import dataclasses
+
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(7)
+    queries = _mk_queries(docs, rng, nq=25)
+    oracle = brute_force_topk(docs, queries, cfg).sort_values(["query_id", "rank"])
+    for thr in (0, 10**9):
+        c = dataclasses.replace(cfg, taat_threshold=thr)
+        s = BM25Searcher(idx, c)
+        rows = []
+        for qid, qt in queries:
+            for r, (d, sc) in enumerate(s.topk_for_text(qt)):
+                rows.append((qid, r, d, sc))
+        import pandas as pd
+
+        res = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+        res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert len(res) == len(oracle)
+        np.testing.assert_array_equal(
+            res["doc_id"].to_numpy().astype(np.uint64),
+            oracle["doc_id"].to_numpy().astype(np.uint64),
+        )
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(), oracle["score"].to_numpy()
+        )
+        # the forced path actually ran
+        if thr == 0:
+            assert "taat_queries" not in s.counters
+        else:
+            assert s.counters.get("taat_queries", 0) == len(queries)

@@ -63,3 +63,24 @@ def test_decoded_share_matches_cold_path(tiny_index):
     qds2 = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
     cold = search(idx, qds2, cfg, share=False).to_pandas()
     _assert_same(warm, cold)
+
+
+def test_pool_metrics_queryobs(tiny_index):
+    """QueryObs analog: the pool exposes a per-partition probe
+    histogram alongside the searched/rounds counters."""
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(29)
+    queries = _queries(docs, rng, nq=10)
+    pool = ServingPool(idx, cfg, num_actors=2)
+    try:
+        pool.search(queries, chunk=3)
+        m = pool.metrics()
+        assert m["n_queries"] >= 10
+        assert m["avg_searched_cnt"] > 0
+        probes = m["partition_probes"]
+        assert probes and all(
+            isinstance(p, int) and 0 <= p < cfg.num_partitions for p in probes
+        )
+        assert sum(probes.values()) > 0
+    finally:
+        pool.shutdown()

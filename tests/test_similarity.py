@@ -1,8 +1,11 @@
 """ANN: brute-force vs IVF (exact at nprobe=all), IVFPQ recall
 (reference analog: recall@k checks, test_ivfpq.cpp:30-113)."""
 
+import os
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 from mini_ivf_ray.pipelines.similarity import (
@@ -113,3 +116,96 @@ def test_ivfpq_residual_beats_raw(tmp_path):
     r_res = _recall(res, bf, 10)
     assert r_res >= r_raw
     assert r_res >= 0.8
+
+
+# ---------------------------------------------------------------------------
+# fvecs/bvecs/ivecs io + uint8 L2 path (reference binary_io.hpp:16-133,
+# uint8 SIFT configuration index_ivf.cpp:254-255)
+# ---------------------------------------------------------------------------
+
+
+def test_vecs_roundtrip(tmp_path):
+    from mini_ivf_ray.sources.vectors import read_vecs, write_vecs
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ("a.fvecs", rng.normal(size=(37, 16)).astype(np.float32)),
+        ("b.bvecs", rng.integers(0, 256, size=(53, 8)).astype(np.uint8)),
+        ("c.ivecs", rng.integers(-5, 99, size=(11, 4)).astype(np.int32)),
+    ]
+    for name, mat in cases:
+        p = str(tmp_path / name)
+        write_vecs(p, mat)
+        back = read_vecs(p)
+        assert back.dtype == mat.dtype
+        np.testing.assert_array_equal(back, mat)
+
+
+def test_read_vectors_distributed_matches_local(tmp_path):
+    from mini_ivf_ray.sources.vectors import read_vecs, read_vectors, write_vecs
+
+    rng = np.random.default_rng(5)
+    mat = rng.integers(0, 256, size=(3000, 12)).astype(np.uint8)
+    p = str(tmp_path / "x.bvecs")
+    write_vecs(p, mat)
+    ds = read_vectors(p, override_num_blocks=7)
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(df) == 3000
+    got = np.array(df["embedding"].tolist(), dtype=np.uint8)
+    np.testing.assert_array_equal(got, mat)
+    assert df["vec_id"].tolist() == list(range(3000))
+
+
+def test_uint8_l2_ivf_matches_bruteforce(tmp_path):
+    """uint8 vectors, L2 metric, nprobe=all: IVF result must be
+    rank-identical to the exhaustive L2 oracle (the reference's SIFT
+    shape: uint8 base + L2, test_ivf_sift100m_baseline.cpp:27-28)."""
+    import ray.data
+
+    from mini_ivf_ray.pipelines.similarity import (
+        ann_search,
+        brute_force_ann,
+        build_ivf_index,
+    )
+    from mini_ivf_ray.sources.vectors import read_vectors, write_vecs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(1200, 16)).astype(np.uint8)
+    p = str(tmp_path / "base.bvecs")
+    write_vecs(p, base)
+    idx = str(tmp_path / "u8idx")
+    build_ivf_index(
+        read_vectors(p), idx, n_centroids=8, seed=3, metric="l2"
+    )
+    Q = rng.integers(0, 256, size=(6, 16)).astype(np.uint8)
+    qids = np.arange(6)
+    qds = ray.data.from_items(
+        [
+            {"vec_id": int(i), "embedding": q.tolist()}
+            for i, q in zip(qids, Q)
+        ]
+    )
+    got = (
+        ann_search(idx, qds, k=10, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    oracle = brute_force_ann(
+        read_vectors(p), Q, qids, k=10, metric="l2"
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(
+        got["vec_id"].to_numpy(), oracle["vec_id"].to_numpy()
+    )
+    np.testing.assert_allclose(
+        got["dist2"].to_numpy(), oracle["dist2"].to_numpy(), rtol=0, atol=1e-6
+    )
+    # segments actually stored uint8 (the 8x memory point)
+    import pyarrow.parquet as pqm
+
+    from mini_ivf_ray.state import manifest as mf
+
+    seg = pqm.read_table(
+        os.path.join(mf.partition_dir(idx, 0), "vectors.parquet")
+    )
+    assert seg.schema.field("embedding").type.value_type == pa.uint8()
