@@ -69,3 +69,17 @@ def test_tokenizer_on_driver_documents():
             "SELECT regexp_extract_all(lower(?), ?)", [t, TOKEN_PATTERN]
         ).fetchone()[0]
         assert tokenize(t) == sql
+
+
+def test_units_helpers():
+    """Reference util.cpp:16-31 parity: config-naming + path helpers."""
+    from mini_ivf_ray.functions.units import modify_path, to_string_with_units
+
+    assert to_string_with_units(1_000_000) == "1m"
+    assert to_string_with_units(500_000) == "500k"
+    assert to_string_with_units(1_500_000) == "1500k"
+    assert to_string_with_units(2_000_000_000) == "2b"
+    assert to_string_with_units(42) == "42"
+    assert to_string_with_units(0) == "0"
+    assert modify_path("/a/b") == "/a/b/"
+    assert modify_path("/a/b///") == "/a/b/"
