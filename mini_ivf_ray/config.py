@@ -53,9 +53,10 @@ class PipelineConfig:
     tokenize_batch_size: int = 1024
     """Rows per batch in the extract/tokenize stages.  html is wide
     (binary blobs); keep batches modest so block size limits hold."""
-    spill_batch_size: int = 8192
-    """Docs per batch in the SPIMI spill stage — one run file per
-    (batch, partition), so this trades run-file count against memory."""
+    spill_batch_size: int = 16384
+    """Docs per batch in the SPIMI spill stage — one run file per batch
+    (one row group per partition inside it), so this trades run-file
+    count (encoder footer-scan fan-in) against spill-task memory."""
     query_concurrency: int = 4
     """Searcher actor-pool size for query serving."""
 

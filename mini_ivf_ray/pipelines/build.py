@@ -47,7 +47,11 @@ import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.stages.prepare import prepare_documents
-from mini_ivf_ray.stages.spimi import TokenizeSpill, make_spill_encoder
+from mini_ivf_ray.stages.spimi import (
+    make_spill_encoder,
+    make_spill_fn,
+    scan_spill_runs,
+)
 from mini_ivf_ray.state import manifest as mf
 from mini_ivf_ray.state.stats import CorpusStats
 
@@ -271,32 +275,35 @@ def build_index(
         # postings (batch boundaries differ between runs); the spill is
         # transient — resume granularity is the partition manifest
         shutil.rmtree(spill_dir, ignore_errors=True)
+        # TASK pool (not actors): per-worker-process cached state via
+        # make_spill_fn — actor-pool spin-up/teardown was a fixed
+        # multi-second floor that dominated small-CPU scaling
         counters_ds = prepared_docs().map_batches(
-            TokenizeSpill,
-            fn_constructor_args=(plan, cfg, doc_id_space, spill_dir, pending),
+            make_spill_fn(plan, cfg, doc_id_space, spill_dir, pending),
             batch_format="pyarrow",
             batch_size=cfg.spill_batch_size // 2,
-            # warm-start half the pool (pure (1,N) autoscale spends most
-            # of a short stage ramping up) but keep headroom so the
-            # upstream read operator is never starved of CPUs
-            concurrency=(max(1, n_cpus // 2), n_cpus),
             num_cpus=1,
         )
-        # exact global aggregates from the ONE tokenize pass: total
-        # token count + per-hot-term dfs (rows: batches x (1 + n_hot))
-        from ray.data.aggregate import Sum
+        # exact global aggregates from the ONE tokenize pass.  Counter
+        # rows are batches x (1 + n_hot) — small enough to sum on the
+        # driver with no shuffle (a Ray groupby here added a flat
+        # exchange-latency floor that dominated scaling at small
+        # cluster sizes).  At 10^7+-batch scale, insert one
+        # repartition+combine level before the driver sum.
+        from collections import Counter
 
-        agg = (
-            counters_ds.groupby(["kind", "key"])
-            .aggregate(Sum("val", alias_name="val"))
-            .to_pandas()
-        )
-        tt_rows = agg[agg["kind"] == "tt"]
-        spill_tokens = int(tt_rows["val"].sum()) if len(tt_rows) else 0
-        hot_rows = agg[agg["kind"] == "hot"]
-        spill_hot_df = dict(
-            zip(hot_rows["key"], (int(v) for v in hot_rows["val"]))
-        )
+        spill_tokens = 0
+        hot_counter: Counter = Counter()
+        for b in counters_ds.iter_batches(batch_format="pyarrow"):
+            kinds = b["kind"].to_pylist()
+            keys = b["key"].to_pylist()
+            vals = b["val"].to_numpy()
+            for kind, key, v in zip(kinds, keys, vals):
+                if kind == "tt":
+                    spill_tokens += int(v)
+                else:
+                    hot_counter[key] += int(v)
+        spill_hot_df = dict(hot_counter)
         spill_wall = time.perf_counter() - ts
 
         if prior_stats is not None:
@@ -306,9 +313,10 @@ def build_index(
             total_tokens = spill_tokens
             hot_df = spill_hot_df
         avgdl = total_tokens / n_docs if n_docs else 0.0
+        run_map = scan_spill_runs(spill_dir)  # one driver footer pass
         encoder = make_spill_encoder(
-            spill_dir, index_dir, n_docs, avgdl, hot_df, plan, cfg, lineage,
-            doc_id_space=doc_id_space,
+            spill_dir, run_map, index_dir, n_docs, avgdl, hot_df, plan, cfg,
+            lineage, doc_id_space=doc_id_space,
         )
         # one block per pending partition: encode parallelism must be
         # partition-wide, not bounded by from_items' default block count

@@ -70,37 +70,56 @@ def windowed_agg(events_ds, window_sec: int = 3600):
 
 
 def _session_rows(group: pd.DataFrame, gap_sec: int) -> pd.DataFrame:
-    """Sessionize one bucket of users: events sorted by ts; a gap >
-    gap_sec starts a new session (classic stateful-stream op expressed
-    as sorted-group iteration)."""
-    out = []
-    for uid, g in group.groupby("user_id", sort=False):
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = (ts[1:] - ts[:-1]) > gap_sec
-        sess = np.cumsum(new) - 1
-        for s in range(sess[-1] + 1 if len(sess) else 0):
-            m = sess == s
-            out.append(
-                {
-                    "user_id": int(uid),
-                    "session_idx": int(s),
-                    "n_events": int(m.sum()),
-                    "start_ts": int(ts[m][0]),
-                    "end_ts": int(ts[m][-1]),
-                }
-            )
-    return pd.DataFrame(out) if out else pd.DataFrame(
+    """Sessionize one bucket of users, fully vectorized: ONE sort of the
+    bucket by (user, ts, event_id), session starts = user change OR
+    gap > gap_sec, then per-session aggregates from the boundary
+    indices (no per-user or per-session Python loop)."""
+    empty = pd.DataFrame(
         {"user_id": [], "session_idx": [], "n_events": [], "start_ts": [], "end_ts": []}
+    )
+    if not len(group):
+        return empty
+    uid = group["user_id"].to_numpy().astype(np.int64)
+    ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+    eid = group["event_id"].to_numpy()
+    order = np.lexsort((eid, ts, uid))
+    uid, ts = uid[order], ts[order]
+    new = np.ones(len(uid), dtype=bool)
+    new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap_sec)
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(uid))
+    sess_user = uid[starts]
+    n_sess = len(starts)
+    new_user = np.ones(n_sess, dtype=bool)
+    new_user[1:] = sess_user[1:] != sess_user[:-1]
+    first_of_user = np.maximum.accumulate(
+        np.where(new_user, np.arange(n_sess), 0)
+    )
+    return pd.DataFrame(
+        {
+            "user_id": sess_user,
+            "session_idx": np.arange(n_sess) - first_of_user,
+            "n_events": ends - starts,
+            "start_ts": ts[starts],
+            "end_ts": ts[ends - 1],
+        }
     )
 
 
-def sessionize(events_ds, gap_sec: int = 1800, num_buckets: int = 32):
+def sessionize(events_ds, gap_sec: int = 1800, num_buckets: int | None = None):
     """Session windows per user (gap-based).  Users are hash-bucketed so
     the groupby has fixed cardinality; each bucket sessionizes its users
-    from sorted events.  Ordering assumption: all events of a user fit
-    in one group (holds by construction of the bucketing)."""
+    with one vectorized pass.  ``num_buckets`` defaults to
+    ``max(64, 8 x cluster CPUs)`` — per-task memory is ~1/B of the
+    events table, so B is the scale knob (round-1's fixed 32 pinned one
+    task at 1/32 of all events regardless of cluster size).  Ordering
+    assumption: all events of a user share a bucket (holds by
+    construction of the user-hash bucketing)."""
+    if num_buckets is None:
+        import ray
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(64, 8 * n_cpus)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         b = (batch["user_id"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)).astype(

@@ -162,14 +162,33 @@ class ServingPool:
 
         ray.get([a.search_batch.remote(queries) for a in self.actors])
 
-    def search(self, queries: list[tuple[int, str]], chunk: int = 64) -> pd.DataFrame:
+    def search(self, queries: list[tuple[int, str]], chunk: int = 32) -> pd.DataFrame:
+        """Dynamic dispatch: each actor pulls the next chunk as it
+        finishes (ray.wait loop) instead of a static round-robin —
+        head-term queries are 10-100x costlier than tail ones, and a
+        static assignment leaves the pool idle behind one hot straggler
+        at the end of the run."""
         import ray
 
-        futs = []
-        for i, s in enumerate(range(0, len(queries), chunk)):
-            a = self.actors[i % len(self.actors)]
-            futs.append(a.search_batch.remote(queries[s : s + chunk]))
-        frames = [f for f in ray.get(futs) if len(f)]
+        chunks = [queries[s : s + chunk] for s in range(0, len(queries), chunk)]
+        it = iter(chunks)
+        inflight: dict = {}
+        frames = []
+        for a in self.actors:
+            c = next(it, None)
+            if c is None:
+                break
+            inflight[a.search_batch.remote(c)] = a
+        while inflight:
+            done, _ = ray.wait(list(inflight), num_returns=1)
+            f = done[0]
+            a = inflight.pop(f)
+            r = ray.get(f)
+            if len(r):
+                frames.append(r)
+            c = next(it, None)
+            if c is not None:
+                inflight[a.search_batch.remote(c)] = a
         if not frames:
             return pd.DataFrame({"query_id": [], "rank": [], "doc_id": [], "score": []})
         return (

@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 from mini_ivf_ray.state.manifest import partition_dir
 
 _BUCKETS = 64
+_DRIVER_MERGE_ROWS = 2_000_000
 
 
 def _partition_term_meta(row, index_dir: str) -> pa.Table:
@@ -84,27 +85,64 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
 
 
 def _merge_terms(group: pd.DataFrame) -> pd.DataFrame:
-    out = []
-    for term, g in group.groupby("term", sort=False):
-        g = g.sort_values("min_first", kind="mergesort")
-        out.append(
-            {
-                "term": term,
-                "df": int(g["df"].iloc[0]),
-                "cf": int(g["cf"].sum()),
-                "n_postings": int(g["n_postings"].sum()),
-                "n_blocks": int(g["n_blocks"].sum()),
-                "locations": g["pid"].astype(np.int64).tolist(),
-            }
+    """Vectorized cross-partition term merge: one sort by
+    (term, min_first), integer reduceat sums (exact), location lists via
+    np.split at the term boundaries — no per-term Python loop."""
+    if not len(group):
+        return pd.DataFrame(
+            {"term": [], "df": [], "cf": [], "n_postings": [], "n_blocks": [],
+             "locations": []}
         )
-    return pd.DataFrame(out)
+    codes, uniques = pd.factorize(group["term"], sort=True)
+    order = np.lexsort((group["min_first"].to_numpy(), codes))
+    codes_s = codes[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
+    )
+    pid = group["pid"].to_numpy().astype(np.int64)[order]
+    return pd.DataFrame(
+        {
+            "term": np.asarray(uniques, dtype=object)[codes_s[starts]],
+            "df": group["df"].to_numpy()[order][starts].astype(np.int64),
+            "cf": np.add.reduceat(group["cf"].to_numpy()[order], starts).astype(np.int64),
+            "n_postings": np.add.reduceat(
+                group["n_postings"].to_numpy()[order], starts
+            ).astype(np.int64),
+            "n_blocks": np.add.reduceat(
+                group["n_blocks"].to_numpy()[order], starts
+            ).astype(np.int64),
+            "locations": [a.tolist() for a in np.split(pid, starts[1:])],
+        }
+    )
 
 
 def build_dictionary(index_dir: str, num_partitions: int) -> str:
-    """Distributed dictionary build; atomic write.  Returns path."""
+    """Distributed dictionary build; atomic write.  Returns path.
+
+    The per-partition metadata reads always fan out as tasks; the
+    cross-partition merge is ADAPTIVE: below ``_DRIVER_MERGE_ROWS``
+    total term rows (known cheaply from the partition manifests) the
+    merge happens driver-side in one pandas groupby — a Ray
+    sort-exchange for a vocabulary-sized table costs a flat latency
+    floor that dominated small-cluster scaling; above it, the
+    fixed-width hash-bucketed groupby path shuffles as before."""
     import ray.data
 
-    parts = ray.data.from_items([{"pid": p} for p in range(num_partitions)])
+    from mini_ivf_ray.state.manifest import read_partition_manifest
+
+    total_terms = 0
+    for p in range(num_partitions):
+        try:
+            total_terms += read_partition_manifest(index_dir, p)["counters"].get(
+                "n_terms", 0
+            )
+        except FileNotFoundError:
+            continue
+
+    parts = ray.data.from_items(
+        [{"pid": p} for p in range(num_partitions)],
+        override_num_blocks=num_partitions,
+    )
 
     def read_meta(batch: pa.Table) -> pa.Table:
         tables = [
@@ -114,8 +152,29 @@ def build_dictionary(index_dir: str, num_partitions: int) -> str:
         return pa.concat_tables(tables)
 
     meta = parts.map_batches(read_meta, batch_format="pyarrow", batch_size=1)
-    merged = meta.groupby("bucket").map_groups(_merge_terms, batch_format="pandas")
-    batches = list(merged.iter_batches(batch_format="pyarrow"))
+    if total_terms <= _DRIVER_MERGE_ROWS:
+        rows = list(meta.iter_batches(batch_format="pyarrow"))
+        merged_df = (
+            _merge_terms(
+                pa.concat_tables(rows).to_pandas() if rows else
+                pa.table({"term": pa.array([], type=pa.string()),
+                          "pid": pa.array([], type=pa.int64()),
+                          "df": pa.array([], type=pa.int64()),
+                          "cf": pa.array([], type=pa.int64()),
+                          "n_blocks": pa.array([], type=pa.int64()),
+                          "n_postings": pa.array([], type=pa.int64()),
+                          "min_first": pa.array([], type=pa.uint64()),
+                          "bucket": pa.array([], type=pa.int64())}).to_pandas()
+            )
+        )
+        batches = (
+            [pa.Table.from_pandas(merged_df, preserve_index=False)]
+            if len(merged_df)
+            else []
+        )
+    else:
+        merged = meta.groupby("bucket").map_groups(_merge_terms, batch_format="pandas")
+        batches = list(merged.iter_batches(batch_format="pyarrow"))
     if batches:
         tbl = pa.concat_tables(batches, promote_options="default")
         order = pa.compute.sort_indices(tbl, sort_keys=[("term", "ascending")])

@@ -123,9 +123,12 @@ class TokenizeSpill:
     """Single-tokenize SPIMI spill stage: per docs batch,
     (1) vectorized explode to postings (``postings_arrays``),
     (2) salt-plan partition assignment (one factorize per batch),
-    (3) ONE lexsort by (pid, term, doc_id), then per-partition slices
-        APPENDED as run files under ``spill_dir/pid=<p>/`` — each run is
-        already sorted by (term, doc_id) for the k-way merge encoder,
+    (3) ONE lexsort by (pid, term, doc_id), then ONE run file per batch
+        with ONE ROW GROUP per partition slice (each sorted by
+        (term, doc_id) for the k-way merge encoder; the encoder selects
+        its row groups via the pid column statistics — a
+        file-per-(batch, partition) layout cost 64x the file-create
+        syscalls and dominated spill wall at small CPU counts),
     (4) returns per-batch COUNTER rows (kind, key, val): exact token
         totals and per-hot-term df partials, later aggregated into the
         corpus stats — this is what lets the build tokenize once.
@@ -150,8 +153,7 @@ class TokenizeSpill:
         self.spill_dir = spill_dir
         self.pending = set(pending)
         self.hot_terms = set(plan)
-        for p in pending:
-            os.makedirs(os.path.join(spill_dir, f"pid={p}"), exist_ok=True)
+        os.makedirs(spill_dir, exist_ok=True)
 
     @staticmethod
     def _counters_schema() -> pa.Table:
@@ -185,11 +187,17 @@ class TokenizeSpill:
                     keys.append(t)
                     vals.append(int(counts[i]))
 
-        # ---- one lexsort -> per-partition runs sorted by (term, doc) -
+        # ---- one lexsort -> ONE run file per batch, ONE ROW GROUP per
+        # partition slice (sorted by (term, doc) within it).  The
+        # encoder selects its partition's row groups by the pid column
+        # statistics in the footer — 64x fewer files than the round-1
+        # file-per-(batch, partition) layout, whose create/rename
+        # syscall volume dominated spill wall at small CPU counts.
         order = np.lexsort((doc_ids, codes, pid))
         pid_s = pid[order]
         tbl = pa.table(
             {
+                "pid": pa.array(pid_s, type=pa.int64()),
                 "term": pa.array(terms[order], type=pa.string()),
                 "doc_id": pa.array(doc_ids[order], type=pa.uint64()),
                 "tf": pa.array(tfs[order], type=pa.int64()),
@@ -198,13 +206,22 @@ class TokenizeSpill:
         )
         tag = f"{int(batch['doc_id'][0].as_py())}_{batch.num_rows}"
         bounds = np.searchsorted(pid_s, np.arange(self.cfg.num_partitions + 1))
-        for p in range(self.cfg.num_partitions):
-            a, z = int(bounds[p]), int(bounds[p + 1])
-            if z <= a or p not in self.pending:
-                continue
-            run = tbl.slice(a, z - a)
-            path = os.path.join(self.spill_dir, f"pid={p}", f"run_{tag}.parquet")
-            pq.write_table(run, path + ".tmp", compression="lz4")
+        path = os.path.join(self.spill_dir, f"run_{tag}.parquet")
+        writer = None
+        try:
+            for p in range(self.cfg.num_partitions):
+                a, z = int(bounds[p]), int(bounds[p + 1])
+                if z <= a or p not in self.pending:
+                    continue
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        path + ".tmp", tbl.schema, compression="lz4"
+                    )
+                writer.write_table(tbl.slice(a, z - a), row_group_size=z - a)
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is not None:
             os.replace(path + ".tmp", path)
         return pa.table(
             {
@@ -218,6 +235,29 @@ class TokenizeSpill:
 # ---------------------------------------------------------------------------
 # Streaming k-way merge encoder
 # ---------------------------------------------------------------------------
+
+
+_SPILL_WORKERS: dict[str, TokenizeSpill] = {}
+
+
+def make_spill_fn(plan, cfg, doc_id_space, spill_dir: str, pending: list[int]):
+    """Task-pool variant of TokenizeSpill: a plain function whose state
+    object is cached per WORKER PROCESS (module global, keyed by
+    spill_dir).  Tasks avoid the actor-pool's spin-up/teardown walls —
+    at small CPU counts actor startup was a fixed multi-second floor on
+    the spill stage — while the per-process cache keeps the md5
+    partition cache warm across tasks exactly like an actor would.
+    The closure ships only the (small) salt plan per task group."""
+
+    def spill_fn(batch: pa.Table) -> pa.Table:
+        w = _SPILL_WORKERS.get(spill_dir)
+        if w is None:
+            w = TokenizeSpill(plan, cfg, doc_id_space, spill_dir, pending)
+            _SPILL_WORKERS.clear()  # one live spill per worker
+            _SPILL_WORKERS[spill_dir] = w
+        return w(batch)
+
+    return spill_fn
 
 
 class _RunMerger:
@@ -235,18 +275,28 @@ class _RunMerger:
     single-level suffices for runs = O(corpus / spill_batch_size /
     partitions) at the documented configurations."""
 
-    def __init__(self, files: list[str], chunk_rows: int = 32768):
-        self.files = files
+    def __init__(self, runs: list[tuple[pq.ParquetFile, list[int]]], chunk_rows: int = 32768):
+        """``runs``: (open ParquetFile, row-group indices of THIS
+        partition's slice) per spill file — row groups are selected by
+        the pid column statistics, so only this partition's bytes are
+        ever read."""
+        self.runs = runs
         self.chunk_rows = chunk_rows
 
     def __iter__(self):
-        readers = [pq.ParquetFile(f) for f in self.files]
-        totals = [r.metadata.num_rows for r in readers]
-        iters = [
-            r.iter_batches(batch_size=self.chunk_rows, columns=["term", "doc_id", "tf", "dl"])
-            for r in readers
+        totals = [
+            sum(r.metadata.row_group(g).num_rows for g in groups)
+            for r, groups in self.runs
         ]
-        n = len(self.files)
+        iters = [
+            r.iter_batches(
+                batch_size=self.chunk_rows,
+                row_groups=groups,
+                columns=["term", "doc_id", "tf", "dl"],
+            )
+            for r, groups in self.runs
+        ]
+        n = len(self.runs)
         buf: list[pa.Table | None] = [None] * n
         done = [False] * n
         read = [0] * n
@@ -371,8 +421,32 @@ class _BlockWriter:
         return 0
 
 
+def scan_spill_runs(spill_dir: str) -> dict[int, list[tuple[str, list[int]]]]:
+    """ONE footer-metadata pass over the spill run files ->
+    {pid: [(file, row-group indices)]}.  Done once on the driver (or one
+    task) instead of every encode task re-scanning every footer's
+    per-row-group statistics — at 300+ runs that python-level stats walk
+    was a visible per-task cost x n_partitions."""
+    out: dict[int, list[tuple[str, list[int]]]] = {}
+    for f in sorted(glob.glob(os.path.join(spill_dir, "run_*.parquet"))):
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("pid")
+        per_pid: dict[int, list[int]] = {}
+        for g in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(g).column(idx).statistics
+            if st is None or st.min != st.max:
+                raise ValueError(
+                    f"{f}: row group {g} is not a single-pid slice"
+                )
+            per_pid.setdefault(int(st.min), []).append(g)
+        for p, groups in per_pid.items():
+            out.setdefault(p, []).append((f, groups))
+    return out
+
+
 def make_spill_encoder(
     spill_dir: str,
+    run_map: dict[int, list[tuple[str, list[int]]]],
     index_dir: str,
     n_docs: int,
     avgdl: float,
@@ -436,7 +510,7 @@ def make_spill_encoder(
                 cfb = np.empty(0, dtype=np.int64)
             out.append(t, firsts, lasts, counts, maxs, df_global, cfb, payloads)
 
-    def encode_partition(pid: int, files: list[str]) -> dict:
+    def encode_partition(pid: int, runs: list[tuple[pq.ParquetFile, list[int]]]) -> dict:
         counters = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
 
         def writer(tmp_dir: str) -> None:
@@ -460,7 +534,7 @@ def make_spill_encoder(
                     counters["n_postings"] += int(z - a)
 
             carry: pa.Table | None = None
-            chunks = iter(_RunMerger(files))
+            chunks = iter(_RunMerger(runs))
             while True:
                 chunk = next(chunks, None)
                 if chunk is None:
@@ -512,12 +586,14 @@ def make_spill_encoder(
     def encode_from_spill(batch: pa.Table) -> pa.Table:
         out_rows = {"pid": [], "n_terms": [], "n_postings": [], "n_blocks": []}
         for p in batch["pid"].to_pylist():
-            files = sorted(
-                glob.glob(os.path.join(spill_dir, f"pid={p}", "run_*.parquet"))
-            )
-            if not files:
+            p = int(p)
+            file_groups = run_map.get(p, [])
+            runs = [
+                (pq.ParquetFile(f), groups) for f, groups in file_groups
+            ]
+            if not runs:
                 continue
-            c = encode_partition(int(p), files)
+            c = encode_partition(p, runs)
             out_rows["pid"].append(int(p))
             out_rows["n_terms"].append(c["n_terms"])
             out_rows["n_postings"].append(c["n_postings"])
