@@ -824,6 +824,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sample_frames(ray.data.from_arrow(synth_media(100, KIND_VIDEO)))
 
+    def audio_feats(sf_dir):
+        """Audio feature-extraction plumbing (windowed energy/zero-cross
+        over opaque binary payloads; real codec stubbed like
+        image/video — the Arrow schema, batch sizing and actor
+        signature are the real, tested surface)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.multimodal import (
+            KIND_AUDIO,
+            audio_features,
+            synth_media,
+        )
+
+        return audio_features(ray.data.from_arrow(synth_media(150, KIND_AUDIO)))
+
     return {
         "tokenize_postings": tokenize_postings,
         "term_df": term_df,
@@ -858,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_uint8_l2": ann_uint8_l2,
         "image_features": image_features,
         "video_frames": video_frames,
+        "audio_feats": audio_feats,
     }
 
 

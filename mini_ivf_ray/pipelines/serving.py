@@ -33,7 +33,6 @@ import numpy as np
 import pandas as pd
 
 from mini_ivf_ray.config import PipelineConfig
-from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
 from mini_ivf_ray.pipelines.query import share_segments, topk_from_blocks
 from mini_ivf_ray.sources.segments import PostingBlocks, SegmentReader
