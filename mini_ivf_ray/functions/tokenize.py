@@ -55,31 +55,39 @@ def postings_arrays(texts, doc_ids: np.ndarray):
 
     Returns dict of equal-length numpy arrays:
       term (object), doc_id (uint64), tf (int64), dl (int64)
-    """
-    terms_out: list[str] = []
-    docs_out: list[np.ndarray] = []
-    tfs_out: list[np.ndarray] = []
-    dls_out: list[np.ndarray] = []
-    for text, did in zip(texts, doc_ids):
-        c = term_freqs(text)
-        n = len(c)
-        if n == 0:
-            continue
-        dl = sum(c.values())
-        terms_out.extend(c.keys())
-        docs_out.append(np.full(n, did, dtype=np.uint64))
-        tfs_out.append(np.fromiter(c.values(), dtype=np.int64, count=n))
-        dls_out.append(np.full(n, dl, dtype=np.int64))
-    if not docs_out:
+
+    Batch-vectorized: the per-doc regex findall is the irreducible C
+    core; everything after (per-(doc, term) tf counting, dl broadcast)
+    is ONE factorize + ONE int64 unique over the whole batch instead of
+    a Python Counter per document.  Rows come out sorted by
+    (doc position, term code) — callers that need a specific order sort
+    downstream (the spill lexsorts by (pid, term, doc) anyway)."""
+    import pandas as pd
+
+    tok_lists = [TOKEN_RE.findall(t.lower()) for t in texts]
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
         return {
             "term": np.empty(0, dtype=object),
             "doc_id": np.empty(0, dtype=np.uint64),
             "tf": np.empty(0, dtype=np.int64),
             "dl": np.empty(0, dtype=np.int64),
         }
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for tl in tok_lists:
+        flat[pos : pos + len(tl)] = tl
+        pos += len(tl)
+    didx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    codes, uniques = pd.factorize(flat)
+    key = didx * len(uniques) + codes  # (doc, term) composite, int64-safe
+    uk, counts = np.unique(key, return_counts=True)
+    u_doc = uk // len(uniques)
+    u_code = uk % len(uniques)
     return {
-        "term": np.asarray(terms_out, dtype=object),
-        "doc_id": np.concatenate(docs_out),
-        "tf": np.concatenate(tfs_out),
-        "dl": np.concatenate(dls_out),
+        "term": np.asarray(uniques, dtype=object)[u_code],
+        "doc_id": np.asarray(doc_ids)[u_doc].astype(np.uint64),
+        "tf": counts.astype(np.int64),
+        "dl": lens[u_doc],
     }

@@ -322,18 +322,6 @@ def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["id_a", "id_b"])
 
 
-def _dedupe_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    return group.drop_duplicates(["id_a", "id_b"]).drop(columns=["pkey"])
-
-
-def _with_pair_bucket(batch: pa.Table) -> pa.Table:
-    a = batch["id_a"].to_numpy().astype(np.uint64)
-    b = batch["id_b"].to_numpy().astype(np.uint64)
-    with np.errstate(over="ignore"):
-        pk = (_mix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(_GROUP_BUCKETS))
-    return batch.append_column("pkey", pa.array(pk.astype(np.int64)))
-
-
 def lsh_candidate_pairs(
     docs_ds, k: int = 64, w: int = 3, bands: int = 16, threshold: float = 0.5
 ):
@@ -350,7 +338,11 @@ def lsh_candidate_pairs(
     import ray.data
 
     rows = k // bands
-    sigs = minhash_signatures(docs_ds, k=k, w=w)
+    # materialized once: reused by both the banding pass and the
+    # candidate-sig fetch below (re-reading + re-signing source texts
+    # for the verify pass cost a full documents scan; the sig table is
+    # ~0.5% of the corpus and object-store-spillable)
+    sigs = minhash_signatures(docs_ds, k=k, w=w).materialize()
     banded = sigs.map_batches(
         _band_rows,
         fn_kwargs={"bands": bands, "rows": rows},
@@ -358,11 +350,10 @@ def lsh_candidate_pairs(
         batch_size=2048,
     )
     pairs = banded.groupby("gkey").map_groups(_bucket_pairs, batch_format="pandas")
-    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
-        "pkey"
-    ).map_groups(_dedupe_pairs, batch_format="pandas")
-    # candidate set: small by LSH design — verify driver-side
-    pairs_df = uniq.to_pandas()
+    # candidate set: small by LSH design — cross-band dedup + verify on
+    # the driver (a second Ray groupby for a candidate-sized table only
+    # paid the exchange latency floor)
+    pairs_df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     if not len(pairs_df):
         return ray.data.from_pandas(
             pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
@@ -370,11 +361,10 @@ def lsh_candidate_pairs(
                           "est_jaccard": pd.Series(dtype=np.float64)})
         )
     wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
-    fetched = fetch_by_ids(docs_ds, "doc_id", wanted, ["doc_id", "text"])
-    mh = MinHasher(k=k, w=w)
+    fetched = fetch_by_ids(sigs, "doc_id", wanted, ["doc_id", "sig"])
     sig_of = {
-        int(d): mh.signature(tokenize(t))
-        for d, t in zip(fetched["doc_id"].to_pylist(), fetched["text"].to_pylist())
+        int(d): np.asarray(sg, dtype=np.uint64)
+        for d, sg in zip(fetched["doc_id"].to_pylist(), fetched["sig"].to_pylist())
     }
     sa = np.array([sig_of[i] for i in pairs_df["id_a"]])
     sb = np.array([sig_of[i] for i in pairs_df["id_b"]])
@@ -505,10 +495,12 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, chunks: int = 4):
     pairs = rows.groupby("gkey").map_groups(
         _sim_bucket_pairs, fn_kwargs={"max_hamming": max_hamming}, batch_format="pandas"
     )
-    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
-        "pkey"
-    ).map_groups(_dedupe_pairs, batch_format="pandas")
-    return uniq
+    import ray.data
+
+    # cross-chunk dedup driver-side: candidates are small by design
+    return ray.data.from_pandas(
+        pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -648,10 +640,8 @@ def embedding_dup_pairs_lsh(
         num_cpus=1,
     )
     pairs = rows.groupby("gkey").map_groups(_srp_bucket_pairs, batch_format="pandas")
-    uniq = pairs.map_batches(_with_pair_bucket, batch_format="pyarrow").groupby(
-        "pkey"
-    ).map_groups(_dedupe_pairs, batch_format="pandas")
-    pairs_df = uniq.to_pandas()
+    # cross-band dedup driver-side: candidates are small by design
+    pairs_df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype=np.int64),
          "id_b": pd.Series(dtype=np.int64),
