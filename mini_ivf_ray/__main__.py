@@ -2,10 +2,13 @@
 
 The CLI owns its Ray session (library code never calls ray.init).
 
-  build  <pages_parquet_dir> <index_dir> [--partitions N] [--no-dedup]
-  query  <index_dir> "terms ..." [--topk K]
-  stats  <index_dir>
-  synth  <out_dir> --docs N [--seed S]
+  build       <pages_parquet_dir> <index_dir> [--partitions N] [--no-dedup]
+  query       <index_dir> "terms ..." [--topk K]
+  stats       <index_dir>
+  synth       <out_dir> --docs N [--seed S]
+  groundtruth <embeddings_parquet> <out_prefix> [--k K] [--nq N]
+              [--metric cosine|l2]   (reference toolkits/get_groundtruth
+              .cpp: exhaustive top-k -> .ivecs neighbors + .fvecs scores)
 """
 
 from __future__ import annotations
@@ -15,9 +18,12 @@ import json
 import sys
 
 
-def _session(num_cpus: int | None):
+def _session(num_cpus: int | None) -> bool:
+    """Init Ray if nobody else owns a session; returns True iff WE
+    initialized it (and should therefore shut it down)."""
     import ray
 
+    owned = False
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -25,9 +31,11 @@ def _session(num_cpus: int | None):
             include_dashboard=False,
             logging_level="ERROR",
         )
+        owned = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return owned
 
 
 def main(argv=None) -> int:
@@ -54,6 +62,17 @@ def main(argv=None) -> int:
     g.add_argument("--docs", type=int, required=True)
     g.add_argument("--seed", type=int, default=42)
 
+    gt = sub.add_parser(
+        "groundtruth",
+        help="exhaustive top-k over an embeddings parquet -> .ivecs ids "
+        "+ .fvecs scores (reference toolkits/get_groundtruth.cpp)",
+    )
+    gt.add_argument("embeddings")
+    gt.add_argument("out_prefix")
+    gt.add_argument("--k", type=int, default=10)
+    gt.add_argument("--nq", type=int, default=100)
+    gt.add_argument("--metric", choices=["cosine", "l2"], default="cosine")
+
     args = p.parse_args(argv)
     from mini_ivf_ray.config import PipelineConfig
 
@@ -71,7 +90,7 @@ def main(argv=None) -> int:
         print(json.dumps(meta, indent=1) if meta else "not committed")
         return 0 if meta else 1
 
-    _session(args.num_cpus)
+    owned = _session(args.num_cpus)
     import ray
     import ray.data
 
@@ -94,8 +113,42 @@ def main(argv=None) -> int:
             searcher = BM25Searcher(args.index_dir, cfg)
             for rank, (doc, score) in enumerate(searcher.topk_for_text(args.text)):
                 print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
+        elif args.cmd == "groundtruth":
+            # reference: toolkits/get_groundtruth.cpp — exhaustive scan,
+            # neighbors to .ivecs + scores to .fvecs
+            import numpy as np
+            import pyarrow.parquet as pqm
+
+            from mini_ivf_ray.pipelines.similarity import brute_force_ann
+            from mini_ivf_ray.sources.vectors import write_vecs
+
+            t = pqm.read_table(args.embeddings, columns=["vec_id", "embedding"])
+            Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[: args.nq]
+            qids = t["vec_id"].to_numpy()[: args.nq]
+            res = brute_force_ann(
+                ray.data.read_parquet(args.embeddings), Q, qids,
+                k=args.k, metric=args.metric,
+            )
+            score_col = "cosine" if args.metric == "cosine" else "dist2"
+            nq = res["query_id"].nunique()
+            ids = (
+                res.sort_values(["query_id", "rank"])["vec_id"]
+                .to_numpy().reshape(nq, -1).astype(np.int32)
+            )
+            scores = (
+                res.sort_values(["query_id", "rank"])[score_col]
+                .to_numpy().reshape(nq, -1).astype(np.float32)
+            )
+            write_vecs(args.out_prefix + ".ivecs", ids)
+            write_vecs(args.out_prefix + ".fvecs", scores)
+            print(json.dumps({
+                "neighbors": args.out_prefix + ".ivecs",
+                "scores": args.out_prefix + ".fvecs",
+                "nq": int(nq), "k": int(args.k), "metric": args.metric,
+            }))
     finally:
-        ray.shutdown()
+        if owned:
+            ray.shutdown()
     return 0
 
 

@@ -60,3 +60,67 @@ def test_encode_block_single():
     p = encode_block(doc, np.array([3]), np.array([7]))
     d, t, l = decode_block(p, 42, 1)
     assert d.tolist() == [42] and t.tolist() == [3] and l.tolist() == [7]
+
+
+def test_run_merger_property():
+    """Property: the k-way streaming merge over arbitrary sorted run
+    files equals concat+sort, for random run/row-group shapes
+    (reference analog: the write->read->assert round-trips of
+    test_binary_io.cpp:11-79, lifted to the merge invariant)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pqm
+
+    from mini_ivf_ray.stages.spimi import _RunMerger
+
+    rng = np.random.default_rng(123)
+    vocab = [f"t{i:03d}" for i in range(40)]
+    with tempfile.TemporaryDirectory() as d:
+        runs = []
+        seen = set()
+        for r in range(7):
+            n = int(rng.integers(1, 400))
+            rows = []
+            for _ in range(n):
+                t = vocab[int(rng.integers(0, len(vocab)))]
+                doc = int(rng.integers(0, 10_000))
+                if (t, doc) in seen:  # keys globally unique by contract
+                    continue
+                seen.add((t, doc))
+                rows.append((t, doc, int(rng.integers(1, 9)), int(rng.integers(1, 99))))
+            if not rows:
+                continue
+            df = pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dl"])
+            df = df.sort_values(["term", "doc_id"]).reset_index(drop=True)
+            tbl = pa.table(
+                {
+                    "term": pa.array(df["term"], type=pa.string()),
+                    "doc_id": pa.array(df["doc_id"].to_numpy().astype(np.uint64), type=pa.uint64()),
+                    "tf": pa.array(df["tf"], type=pa.int64()),
+                    "dl": pa.array(df["dl"], type=pa.int64()),
+                }
+            )
+            path = os.path.join(d, f"run_{r}.parquet")
+            # random row-group sizes exercise chunked iteration
+            pqm.write_table(tbl, path, row_group_size=int(rng.integers(16, 120)))
+            runs.append((pqm.ParquetFile(path), list(range(pqm.ParquetFile(path).metadata.num_row_groups))))
+        chunks = list(_RunMerger(runs, chunk_rows=64))
+        merged = pa.concat_tables(chunks)
+        got = merged.to_pandas()
+        # chunk boundaries partition the key space in increasing order
+        expect = got.sort_values(["term", "doc_id"], kind="mergesort").reset_index(drop=True)
+        all_rows = pa.concat_tables(
+            [pqm.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d))]
+        ).to_pandas().sort_values(["term", "doc_id"], kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(expect, all_rows)
+        # within the stream, keys across successive chunks never go back
+        last = None
+        for c in chunks:
+            cdf = c.to_pandas().sort_values(["term", "doc_id"])
+            first = (cdf["term"].iloc[0], int(cdf["doc_id"].iloc[0]))
+            if last is not None:
+                assert first > last
+            last = (cdf["term"].iloc[-1], int(cdf["doc_id"].iloc[-1]))

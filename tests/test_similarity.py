@@ -233,3 +233,22 @@ def test_hdf5_gated_or_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.array(df["embedding"].tolist(), dtype=np.float32), mat
     )
+
+
+def test_groundtruth_cli(tmp_path):
+    """Reference toolkits/get_groundtruth.cpp parity: exhaustive top-k
+    written as .ivecs neighbors + .fvecs scores; each query's first
+    neighbor is itself."""
+    from mini_ivf_ray.__main__ import main
+    from mini_ivf_ray.sources.vectors import read_fvecs, read_ivecs
+
+    out = str(tmp_path / "gt")
+    rc = main(
+        ["groundtruth", "/root/testdata/sf0.001/embeddings.parquet", out,
+         "--k", "3", "--nq", "5"]
+    )
+    assert rc == 0
+    ids = read_ivecs(out + ".ivecs")
+    sc = read_fvecs(out + ".fvecs")
+    assert ids.shape == (5, 3) and sc.shape == (5, 3)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(5))
