@@ -653,6 +653,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return simhash_dup_pairs(_documents(sf_dir), max_hamming=3)
 
+    def dedup_clusters(sf_dir):
+        """Duplicate CLUSTERS: union of MinHash-LSH and SimHash
+        candidate pairs -> connected components labeled by min member
+        id (the operator a real dedup pass keys its keep/drop decision
+        on).  Self-checked: every edge's endpoints share a label and
+        every label is its component's minimum."""
+        import pandas as pd
+
+        from mini_ivf_ray.pipelines.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+            simhash_dup_pairs,
+        )
+
+        lsh = lsh_candidate_pairs(
+            _documents(sf_dir), k=64, bands=16, threshold=0.5
+        ).to_pandas()
+        sim = simhash_dup_pairs(_documents(sf_dir), max_hamming=3).to_pandas()
+        pairs = pd.concat(
+            [lsh[["id_a", "id_b"]], sim[["id_a", "id_b"]]]
+        ).drop_duplicates()
+        comp = connected_components(pairs)
+        lab = dict(zip(comp["doc_id"], comp["cluster_id"]))
+        for a, b in pairs.itertuples(index=False):
+            if lab[int(a)] != lab[int(b)]:
+                raise AssertionError("edge endpoints in different clusters")
+        g = comp.groupby("cluster_id")["doc_id"].min()
+        if not (g.index == g.values).all():
+            raise AssertionError("cluster label is not its minimum member")
+        comp = comp.sort_values(["cluster_id", "doc_id"]).reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(comp["doc_id"].astype(np.int64)),
+                "cluster_id": pa.array(comp["cluster_id"].astype(np.int64)),
+            }
+        )
+
     def embedding_near_dup(sf_dir):
         """SRP-LSH embedding near-dup (scale path).  The driver
         embeddings are near-random (max pairwise cosine ~0.6), so the
@@ -868,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_dup": lsh_near_dup,
         "simhash_pairs": simhash_pairs,
         "embedding_near_dup": embedding_near_dup,
+        "dedup_clusters": dedup_clusters,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,

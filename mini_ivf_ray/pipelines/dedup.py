@@ -728,3 +728,48 @@ def embedding_dup_pairs(embeddings_ds, tau: float = 0.9, concurrency=(1, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
+    """(id_a, id_b) edges -> (doc_id, cluster_id) with cluster_id = the
+    MINIMUM member id of the component (deterministic labels).
+
+    The input is a candidate-PAIR set — by the LSH contract orders of
+    magnitude smaller than the corpus — so a driver-side path-compressed
+    union-find is the scale-appropriate tool (it handles ~10^8 edges in
+    memory; the corpus never enters).  Docs with no edges are singleton
+    clusters and are intentionally not emitted.
+    """
+    if not len(pairs_df):
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "cluster_id": pd.Series(dtype=np.int64)}
+        )
+    a = pairs_df["id_a"].to_numpy().astype(np.int64)
+    b = pairs_df["id_b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(nodes)}
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for x, y in zip(a, b):
+        rx, ry = find(idx[int(x)]), find(idx[int(y)])
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)  # union by min index
+    roots = np.fromiter((find(i) for i in range(len(nodes))), dtype=np.int64)
+    # label = min doc id per component; nodes[] ascending => nodes[root]
+    # is the min member iff root is the min index, which union-by-min
+    # guarantees
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[roots]})

@@ -159,3 +159,47 @@ def test_fetch_by_ids_semi_join():
     out = fetch_by_ids(ds, "doc_id", {5, 50, 99}, ["doc_id", "text"])
     got = dict(zip(out["doc_id"].to_pylist(), out["text"].to_pylist()))
     assert got == {5: "t5", 50: "t50", 99: "t99"}
+
+
+def test_connected_components():
+    from mini_ivf_ray.pipelines.dedup import connected_components
+
+    pairs = pd.DataFrame(
+        {"id_a": [1, 2, 10, 20, 7], "id_b": [2, 3, 11, 21, 3]}
+    )
+    # components: {1,2,3,7}, {10,11}, {20,21}
+    out = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_random_vs_bfs():
+    from collections import defaultdict, deque
+
+    from mini_ivf_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 300, 500)
+    b = rng.integers(0, 300, 500)
+    m = a != b
+    pairs = pd.DataFrame({"id_a": np.minimum(a[m], b[m]), "id_b": np.maximum(a[m], b[m])})
+    out = connected_components(pairs)
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # BFS reference
+    adj = defaultdict(set)
+    for x, y in zip(pairs["id_a"], pairs["id_b"]):
+        adj[int(x)].add(int(y)); adj[int(y)].add(int(x))
+    seen = {}
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, q = [], deque([start])
+        seen[start] = True
+        while q:
+            u = q.popleft(); comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = True; q.append(v)
+        lab = min(comp)
+        for u in comp:
+            assert got[u] == lab
