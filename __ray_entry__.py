@@ -641,6 +641,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def events_hopping(sf_dir):
+        """Hopping (sliding) windows, 1h window / 15min hop — each event
+        contributes to 4 overlapping windows; per-batch combiner +
+        small groupby (streaming-window coverage beyond tumbling)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.events import hopping_window_agg
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "ts", "value"],
+        )
+        return hopping_window_agg(ds, window_sec=3600, hop_sec=900)
+
+    def top_terms_by_lang(sf_dir):
+        """Grouped top-k: the 5 most frequent terms per language
+        (per-batch (lang, term) combiner -> term-bucketed groupby sum ->
+        per-lang top-k over the small aggregate)."""
+        import ray.data
+        from ray.data.aggregate import Sum
+
+        from mini_ivf_ray.functions.tokenize import term_freqs
+
+        def partials(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            c: dict = {}
+            for lang, text in zip(
+                batch["lang"].to_pylist(), batch["text"].to_pylist()
+            ):
+                for t, f in term_freqs(text).items():
+                    c[(lang, t)] = c.get((lang, t), 0) + f
+            if not c:
+                return pa.table(
+                    {"lang": pa.array([], type=pa.string()),
+                     "term": pa.array([], type=pa.string()),
+                     "cf": pa.array([], type=pa.int64())}
+                )
+            langs, terms = zip(*c.keys())
+            return pa.table(
+                {
+                    "lang": pa.array(list(langs), type=pa.string()),
+                    "term": pa.array(list(terms), type=pa.string()),
+                    "cf": pa.array(list(c.values()), type=pa.int64()),
+                }
+            )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+        )
+        agg = (
+            ds.map_batches(partials, batch_format="pyarrow", batch_size=1024)
+            .groupby(["lang", "term"])
+            .aggregate(Sum("cf", alias_name="cf"))
+            .to_pandas()
+        )
+        # per-lang top-5 by (cf desc, term asc): language cardinality is
+        # tiny, the aggregate is vocab-sized — driver ranking is fine
+        agg = agg.sort_values(
+            ["lang", "cf", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = agg.groupby("lang", sort=True).head(5).reset_index(drop=True)
+        rank = top.groupby("lang").cumcount()
+        return pa.table(
+            {
+                "lang": pa.array(top["lang"], type=pa.string()),
+                "rank": pa.array(rank.to_numpy().astype(np.int64)),
+                "term": pa.array(top["term"], type=pa.string()),
+                "cf": pa.array(top["cf"].to_numpy().astype(np.int64)),
+            }
+        )
+
     # ---- rows-only (non-SQL-expressible) --------------------------------
 
     def lsh_near_dup(sf_dir):
@@ -902,6 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
+        "events_hopping": events_hopping,
+        "top_terms_by_lang": top_terms_by_lang,
         "lsh_near_dup": lsh_near_dup,
         "simhash_pairs": simhash_pairs,
         "embedding_near_dup": embedding_near_dup,
@@ -1122,6 +1196,27 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        round(sum(value), 4) AS sv_r
 FROM events GROUP BY 1, 2
+""",
+        "events_hopping": """
+WITH w AS (
+  SELECT e.event_type, e.value,
+         CAST(floor(epoch(e.ts) / 900) * 900 - 900 * t.i AS BIGINT) AS window_start
+  FROM events e, (SELECT unnest(generate_series(0, 3)) AS i) t
+)
+SELECT event_type, window_start, count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sv_r
+FROM w GROUP BY 1, 2
+""",
+        "top_terms_by_lang": f"""
+WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text),
+                    '{TOKEN_RE_SQL}')) AS term FROM documents),
+agg AS (SELECT lang, term, count(*)::BIGINT AS cf FROM tok GROUP BY 1, 2),
+ranked AS (SELECT lang, term, cf,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY cf DESC, term ASC) - 1 AS rank
+           FROM agg)
+SELECT lang, CAST(rank AS BIGINT) AS rank, term, cf
+FROM ranked WHERE rank < 5
 """,
         "sessionize": """
 WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),

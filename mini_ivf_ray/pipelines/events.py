@@ -132,3 +132,70 @@ def sessionize(events_ds, gap_sec: int = 1800, num_buckets: int | None = None):
         .groupby("bucket")
         .map_groups(_session_rows, fn_kwargs={"gap_sec": gap_sec}, batch_format="pandas")
     )
+
+
+def _hopping_partials(batch: pa.Table, window_sec: int, hop_sec: int) -> pa.Table:
+    """Per-batch combiner for hopping windows: each event belongs to
+    window_sec/hop_sec overlapping windows; replicas are pre-aggregated
+    per (event_type, window_start) INSIDE the batch so the shuffle moves
+    O(batches x windows x overlap), never O(events x overlap)."""
+    ts = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+    k = window_sec // hop_sec
+    # window starts covering t: hop-aligned s with s <= t < s + window
+    last = ts // hop_sec * hop_sec
+    parts = []
+    for i in range(k):
+        parts.append(last - i * hop_sec)
+    starts = np.concatenate(parts)
+    df = pd.DataFrame(
+        {
+            "event_type": np.tile(
+                np.asarray(batch["event_type"].to_pylist(), dtype=object), k
+            ),
+            "window_start": starts,
+            "n": 1,
+            "sv": np.tile(batch["value"].to_numpy(), k),
+        }
+    )
+    g = (
+        df.groupby(["event_type", "window_start"], sort=False)
+        .agg(n=("n", "sum"), sv=("sv", "sum"))
+        .reset_index()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(g["event_type"], type=pa.string()),
+            "window_start": pa.array(g["window_start"].to_numpy(), type=pa.int64()),
+            "n": pa.array(g["n"].to_numpy(), type=pa.int64()),
+            "sv": pa.array(g["sv"].to_numpy(), type=pa.float64()),
+        }
+    )
+
+
+def hopping_window_agg(events_ds, window_sec: int = 3600, hop_sec: int = 900):
+    """Hopping (sliding) windows: count + sum(value) per event_type per
+    hop-aligned window of length ``window_sec`` advancing by
+    ``hop_sec`` (window_sec must divide by hop_sec).  Same two-level
+    pre-aggregation shape as the tumbling ``windowed_agg``."""
+    assert window_sec % hop_sec == 0, "window must be a multiple of hop"
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(
+        _hopping_partials,
+        fn_kwargs={"window_sec": window_sec, "hop_sec": hop_sec},
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    out = (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_start": pa.array(out["window_start"].to_numpy(), type=pa.int64()),
+            "n": pa.array(out["n"].to_numpy(), type=pa.int64()),
+            "sv_r": pa.array(np.round(out["sv"].to_numpy(), 4), type=pa.float64()),
+        }
+    )
