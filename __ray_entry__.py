@@ -290,6 +290,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _documents(sf_dir), min_tokens=20, max_stop_ratio=0.3, max_punct_ratio=0.05
         )
 
+    def clean_corpus_q(sf_dir):
+        """Composed cleaning pipeline: quality filter -> exact text
+        dedup (keep min doc_id) -> lang-partitioned survivor manifest
+        under /tmp -> per-language kept counts (SQL-oracled)."""
+        from mini_ivf_ray.pipelines.analysis import clean_corpus
+
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        return clean_corpus(
+            _documents_full(sf_dir),
+            out_dir=f"/tmp/graft_clean_{tag}",
+        )
+
+    def unique_docs(sf_dir):
+        """Docs whose text is globally unique (HAVING count = 1) —
+        the anti-duplicate side of exact_dedup."""
+        from ray.data.aggregate import Count, Min
+
+        from mini_ivf_ray.pipelines.dedup import _text_hash_batch
+
+        agg = (
+            _documents(sf_dir)
+            .map_batches(_text_hash_batch, batch_format="pyarrow")
+            .groupby("h")
+            .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
+        )
+        out = agg.to_pandas()
+        out = out[out["n"] == 1].sort_values("doc_id").reset_index(drop=True)
+        return pa.table({"doc_id": pa.array(out["doc_id"].astype(np.int64))})
+
     def langid_q(sf_dir):
         from mini_ivf_ray.pipelines.analysis import langid
 
@@ -960,6 +989,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": exact_dedup_q,
         "quality": quality_q,
         "quality_filter": quality_filter_q,
+        "clean_corpus": clean_corpus_q,
+        "unique_docs": unique_docs,
         "langid": langid_q,
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -1135,6 +1166,19 @@ FROM documents GROUP BY md5(text)
         "quality_filter": f"""
 SELECT * FROM ({_quality_sql()}) q
 WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND punct_ratio <= 0.05
+""",
+        "clean_corpus": f"""
+WITH q AS (SELECT * FROM ({_quality_sql()}) x
+           WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND punct_ratio <= 0.05),
+d AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+s AS (SELECT d.* FROM d JOIN q ON q.doc_id = d.doc_id),
+w AS (SELECT h, min(doc_id) AS doc_id FROM s GROUP BY h)
+SELECT s.lang, count(*)::BIGINT AS n_kept
+FROM w JOIN s ON s.doc_id = w.doc_id GROUP BY s.lang
+""",
+        "unique_docs": """
+SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+GROUP BY md5(text) HAVING count(*) = 1
 """,
         "langid": _langid_sql(),
         "fingerprint": f"""

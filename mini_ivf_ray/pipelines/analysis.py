@@ -19,6 +19,7 @@ import hashlib
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from mini_ivf_ray.functions.tokenize import tokenize
@@ -136,4 +137,82 @@ def quality(docs_ds, batch_size: int = 1024):
 def fingerprints(docs_ds, batch_size: int = 1024):
     return docs_ds.map_batches(
         fingerprint_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def clean_corpus(
+    docs_ds,
+    min_tokens: int = 20,
+    max_stop_ratio: float = 0.3,
+    max_punct_ratio: float = 0.05,
+    out_dir: str | None = None,
+    num_buckets: int = 64,
+):
+    """The composed training-data cleaning pipeline: quality filter ->
+    exact text dedup (keep min doc_id) -> optional partitioned survivor
+    manifest -> per-language kept counts.
+
+    Shuffle shape: survivors shrink to (doc_id, lang, text-hash) rows
+    before the ONE dedup exchange (hash-bucketed, never O(N) groups);
+    counts pre-aggregate per bucket so the final lang groupby is tiny.
+    ``out_dir`` writes the survivor manifest as lang-partitioned parquet
+    (one directory per language — the resumable-output layout; the full
+    cleaned TEXT materialization would add a bucketed join of winners
+    back to the corpus, same pattern as relational.bucketed_hash_join).
+    Returns (lang, n_kept) pyarrow table."""
+    import hashlib as _hl
+
+    import ray
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        keep = (
+            (q["n_tokens"].to_numpy() >= min_tokens)
+            & (q["stop_ratio"].to_numpy() <= max_stop_ratio)
+            & (q["punct_ratio"].to_numpy() <= max_punct_ratio)
+        )
+        hs = [
+            _hl.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "h": pa.array(hs, type=pa.string()),
+            }
+        ).filter(pa.array(keep))
+        b = np.array(
+            [int(h[:8], 16) % num_buckets for h in tbl["h"].to_pylist()],
+            dtype=np.int64,
+        )
+        return tbl.append_column("bucket", pa.array(b))
+
+    def winners(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["h", "doc_id"], kind="mergesort")
+        first = np.ones(len(g), dtype=bool)
+        hs = g["h"].to_numpy()
+        first[1:] = hs[1:] != hs[:-1]
+        return g[first][["doc_id", "lang"]]
+
+    ds = (
+        docs_ds.map_batches(prep, batch_format="pyarrow", batch_size=1024)
+        .groupby("bucket")
+        .map_groups(winners, batch_format="pandas")
+    )
+    if out_dir is not None:
+        ds = ds.materialize()
+        try:
+            ds.write_parquet(out_dir, partition_cols=["lang"])
+        except TypeError:  # older Ray without partition_cols
+            ds.write_parquet(out_dir)
+    counts = (
+        ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_kept"})
+    )
+    counts = counts.sort_values("lang").reset_index(drop=True)
+    return pa.table(
+        {
+            "lang": pa.array(counts["lang"], type=pa.string()),
+            "n_kept": pa.array(counts["n_kept"].to_numpy().astype(np.int64)),
+        }
     )
