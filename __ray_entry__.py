@@ -319,6 +319,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out[out["n"] == 1].sort_values("doc_id").reset_index(drop=True)
         return pa.table({"doc_id": pa.array(out["doc_id"].astype(np.int64))})
 
+    def dl_quantiles(sf_dir):
+        """Exact grouped quantiles (p50/p90/p99 doc length per language)
+        from a distributed (lang, dl) histogram — quantile_disc rule."""
+        from mini_ivf_ray.pipelines.analysis import grouped_dl_quantiles
+
+        return grouped_dl_quantiles(_documents_full(sf_dir))
+
     def langid_q(sf_dir):
         from mini_ivf_ray.pipelines.analysis import langid
 
@@ -991,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter_q,
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
+        "dl_quantiles": dl_quantiles,
         "langid": langid_q,
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -1179,6 +1187,16 @@ FROM w JOIN s ON s.doc_id = w.doc_id GROUP BY s.lang
         "unique_docs": """
 SELECT min(doc_id)::BIGINT AS doc_id FROM documents
 GROUP BY md5(text) HAVING count(*) = 1
+""",
+        "dl_quantiles": f"""
+WITH d AS (SELECT lang,
+                  len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS dl
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       quantile_disc(dl, 0.5)::BIGINT AS q50,
+       quantile_disc(dl, 0.9)::BIGINT AS q90,
+       quantile_disc(dl, 0.99)::BIGINT AS q99
+FROM d GROUP BY lang
 """,
         "langid": _langid_sql(),
         "fingerprint": f"""

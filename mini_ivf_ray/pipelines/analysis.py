@@ -216,3 +216,59 @@ def clean_corpus(
             "n_kept": pa.array(counts["n_kept"].to_numpy().astype(np.int64)),
         }
     )
+
+
+def grouped_dl_quantiles(docs_ds, qs=(0.5, 0.9, 0.99)):
+    """EXACT per-language doc-length quantiles from a distributed
+    histogram: per-batch (lang, dl) counts -> one small groupby (the
+    histogram is languages x distinct lengths, never O(docs)) -> the
+    driver reads each quantile off the cumulative counts with DuckDB's
+    quantile_disc rule (value at rank ceil(q*n)).  Returns
+    (lang, n_docs, q50, q90, q99)."""
+    from ray.data.aggregate import Sum
+
+    from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, dls = tokenize_batch(batch["text"].to_pylist())
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(), "dl": dls, "n": 1})
+        g = df.groupby(["lang", "dl"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "dl": pa.array(g["dl"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(partials, batch_format="pyarrow", batch_size=1024)
+        .groupby(["lang", "dl"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "dl"], kind="mergesort")
+    )
+    rows = {"lang": [], "n_docs": []}
+    for q in qs:
+        rows[f"q{int(q * 100)}"] = []
+    for lang, g in hist.groupby("lang", sort=True):
+        cum = g["n"].to_numpy().cumsum()
+        total = int(cum[-1])
+        rows["lang"].append(lang)
+        rows["n_docs"].append(total)
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            idx = int(np.searchsorted(cum, max(1, rank)))
+            rows[f"q{int(q * 100)}"].append(int(g["dl"].to_numpy()[idx]))
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "n_docs": pa.array(np.asarray(rows["n_docs"], dtype=np.int64)),
+            **{
+                f"q{int(q * 100)}": pa.array(
+                    np.asarray(rows[f"q{int(q * 100)}"], dtype=np.int64)
+                )
+                for q in qs
+            },
+        }
+    )
