@@ -237,6 +237,64 @@ class TokenizeSpill:
 # ---------------------------------------------------------------------------
 
 
+def _sort_posting_chunk(tbl: pa.Table):
+    """Sort a posting chunk by (term, doc_id) via Arrow dictionary
+    encode + C++ string sort.  Returns (sorted_tbl, sorted_codes,
+    terms_sorted) where terms_sorted[code] is the term string."""
+    ta = tbl["term"].combine_chunks().dictionary_encode()
+    dic = ta.dictionary
+    sort_idx = pc.sort_indices(dic).to_numpy()
+    rank = np.empty(len(dic), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(dic))
+    codes = rank[ta.indices.to_numpy()]
+    order = np.lexsort((tbl["doc_id"].to_numpy(), codes))
+    return tbl.take(pa.array(order)), codes[order], dic.take(pa.array(sort_idx))
+
+
+_MERGE_FANIN = 256
+_RUN_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("doc_id", pa.uint64()),
+        ("tf", pa.int64()),
+        ("dl", pa.int64()),
+    ]
+)
+
+
+def _reduce_runs(
+    runs: list[tuple[pq.ParquetFile, list[int]]],
+    scratch_dir: str,
+    fanin: int = _MERGE_FANIN,
+) -> list[tuple[pq.ParquetFile, list[int]]]:
+    """Multi-level external merge: while the run count exceeds the
+    fan-in, merge groups of ``fanin`` runs into intermediate SORTED run
+    files (the classic external-merge-sort reduce level).  Keeps the
+    frontier memory bound at fanin x read-chunk regardless of how many
+    spill batches a 1000x corpus produces."""
+    level = 0
+    while len(runs) > fanin:
+        new_runs: list[tuple[pq.ParquetFile, list[int]]] = []
+        for i in range(0, len(runs), fanin):
+            sub = runs[i : i + fanin]
+            path = os.path.join(scratch_dir, f"merge_l{level}_{i}.parquet")
+            w = pq.ParquetWriter(path, _RUN_SCHEMA, compression="lz4")
+            # chunks partition the key space in increasing order, so
+            # sorted-chunk concatenation yields a globally sorted run
+            for chunk in _RunMerger(sub):
+                sorted_tbl, _, _ = _sort_posting_chunk(chunk)
+                w.write_table(
+                    sorted_tbl.select(["term", "doc_id", "tf", "dl"]),
+                    row_group_size=max(1, sorted_tbl.num_rows),
+                )
+            w.close()
+            pf = pq.ParquetFile(path)
+            new_runs.append((pf, list(range(pf.metadata.num_row_groups))))
+        runs = new_runs
+        level += 1
+    return runs
+
+
 _SPILL_WORKERS: dict[str, TokenizeSpill] = {}
 
 
@@ -270,10 +328,11 @@ class _RunMerger:
     encode + C++ string sort, never a whole-partition lexsort).  Memory
     is bounded by n_runs x read-chunk rows, never the partition.
 
-    At extreme run counts (10^5+ runs/partition) this becomes a
-    multi-level merge (merge groups of runs into intermediate runs);
-    single-level suffices for runs = O(corpus / spill_batch_size /
-    partitions) at the documented configurations."""
+    At run counts above the merge fan-in the encoder first reduces
+    runs through ``_reduce_runs`` (multi-level external merge into
+    intermediate sorted run files), so frontier memory stays bounded at
+    fanin x read-chunk at any corpus size — byte-identical output
+    (tested)."""
 
     def __init__(self, runs: list[tuple[pq.ParquetFile, list[int]]], chunk_rows: int = 32768):
         """``runs``: (open ParquetFile, row-group indices of THIS
@@ -455,6 +514,7 @@ def make_spill_encoder(
     cfg: PipelineConfig,
     lineage: dict,
     doc_id_space: int,
+    merge_fanin: int = _MERGE_FANIN,
 ):
     """Returns the map_batches fn encoding + atomically committing one
     partition segment per input pid row, summary rows out.
@@ -514,6 +574,14 @@ def make_spill_encoder(
         counters = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
 
         def writer(tmp_dir: str) -> None:
+            import shutil
+            import tempfile
+
+            nonlocal runs
+            scratch = None
+            if len(runs) > merge_fanin:
+                scratch = tempfile.mkdtemp(prefix=f"graft_merge_p{pid}_")
+                runs = _reduce_runs(runs, scratch, fanin=merge_fanin)
             out = _BlockWriter(os.path.join(tmp_dir, "postings.parquet"))
 
             def consume(codes: np.ndarray, terms_sorted: pa.Array, sorted_tbl, lo: int, hi: int) -> None:
@@ -551,16 +619,7 @@ def make_spill_encoder(
                 # sort the (small) chunk by (term, doc_id): Arrow C++
                 # dictionary-encode + string sort; python strings only
                 # materialize once per term run
-                ta = tbl["term"].combine_chunks().dictionary_encode()
-                dic = ta.dictionary
-                sort_idx = pc.sort_indices(dic).to_numpy()
-                rank = np.empty(len(dic), dtype=np.int64)
-                rank[sort_idx] = np.arange(len(dic))
-                codes = rank[ta.indices.to_numpy()]
-                order = np.lexsort((tbl["doc_id"].to_numpy(), codes))
-                codes_s = codes[order]
-                sorted_tbl = tbl.take(pa.array(order))
-                terms_sorted = dic.take(pa.array(sort_idx))  # code -> term
+                sorted_tbl, codes_s, terms_sorted = _sort_posting_chunk(tbl)
                 if chunk is None:
                     split = int(codes_s.size)
                 else:
@@ -574,6 +633,8 @@ def make_spill_encoder(
                 if chunk is None:
                     break
             out.close()
+            if scratch is not None:
+                shutil.rmtree(scratch, ignore_errors=True)
 
         def writer_with_block_count(tmp_dir: str) -> None:
             writer(tmp_dir)

@@ -113,3 +113,48 @@ def test_stats_checkpoint_reused(tmp_path, monkeypatch):
     monkeypatch.setattr(build_mod, "_estimate_salt_plan", boom)
     meta = build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
     assert meta["counters"]["partitions_built_this_run"] == 1
+
+
+def test_multilevel_merge_byte_identical(tmp_path):
+    """Forcing a tiny merge fan-in (multi-level external merge) must
+    produce byte-identical segments to the single-level path — the
+    10^5-runs-per-partition scale configuration changes only memory
+    shape, never bytes."""
+    import glob
+
+    import pyarrow as pa
+
+    import ray.data
+    from mini_ivf_ray.config import PipelineConfig
+    from mini_ivf_ray.stages.spimi import (
+        make_spill_encoder,
+        make_spill_fn,
+        scan_spill_runs,
+    )
+
+    cfg = PipelineConfig(num_partitions=2, spill_batch_size=64)
+    pages = generate_pages(300, seed=61, vocab_size=150)
+    from mini_ivf_ray.stages.prepare import prepare_documents
+
+    docs = prepare_documents(ray.data.from_arrow(pages), cfg).materialize()
+    spill = str(tmp_path / "spill")
+    docs.map_batches(
+        make_spill_fn({}, cfg, 2**64, spill, [0, 1]),
+        batch_format="pyarrow",
+        batch_size=32,  # many tiny runs
+        num_cpus=1,
+    ).count()
+    run_map = scan_spill_runs(spill)
+    n_runs = len(glob.glob(spill + "/run_*.parquet"))
+    assert n_runs > 6
+    outs = {}
+    for name, fanin in (("one_level", 10_000), ("multi_level", 3)):
+        idx = str(tmp_path / name)
+        os.makedirs(idx)
+        enc = make_spill_encoder(
+            spill, run_map, idx, 300, 50.0, {}, {}, cfg, {}, 2**64,
+            merge_fanin=fanin,
+        )
+        enc(pa.table({"pid": pa.array([0, 1])}))
+        outs[name] = {p: _segment_bytes(idx, p) for p in (0, 1)}
+    assert outs["one_level"] == outs["multi_level"]
