@@ -252,3 +252,37 @@ def test_groundtruth_cli(tmp_path):
     sc = read_fvecs(out + ".fvecs")
     assert ids.shape == (5, 3) and sc.shape == (5, 3)
     np.testing.assert_array_equal(ids[:, 0], np.arange(5))
+
+
+def test_ivf_build_resume(tmp_path):
+    """ANN build resume parity with the fulltext build: committed
+    partitions are skipped; the resumed index answers identically."""
+    import json
+    import shutil
+
+    from mini_ivf_ray.pipelines.similarity import ann_search, build_ivf_index
+    from mini_ivf_ray.state import manifest as mf
+
+    df = _clustered_embeddings(n=300, seed=9)
+    rows = [
+        {"vec_id": int(i), "embedding": e}
+        for i, e in zip(df["vec_id"], df["embedding"])
+    ]
+    ds = ray.data.from_items(rows)
+    clean = str(tmp_path / "clean")
+    build_ivf_index(ds, clean, n_centroids=6, seed=5)
+    broken = str(tmp_path / "broken")
+    shutil.copytree(clean, broken)
+    os.remove(os.path.join(broken, "manifest.json"))
+    shutil.rmtree(mf.partition_dir(broken, 2))
+    assert 2 in mf.pending_partitions(broken, 6)
+    kept = os.path.getmtime(mf.partition_manifest_path(broken, 0))
+    build_ivf_index(ray.data.from_items(rows), broken, n_centroids=6, seed=5)
+    assert os.path.getmtime(mf.partition_manifest_path(broken, 0)) == kept
+    qds = ray.data.from_items(rows[:5])
+    a = ann_search(clean, qds, k=5, nprobe=6).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    qds2 = ray.data.from_items(rows[:5])
+    b = ann_search(broken, qds2, k=5, nprobe=6).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
