@@ -969,6 +969,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return sample_frames(ray.data.from_arrow(synth_media(100, KIND_VIDEO)))
 
+    def image_resize(sf_dir):
+        """Nearest-neighbor image resize — the resize KERNEL is real
+        numpy index sampling; only the codec boundary stays stubbed."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.multimodal import (
+            KIND_IMAGE,
+            resize_images,
+            synth_media,
+        )
+
+        return resize_images(
+            ray.data.from_arrow(synth_media(200, KIND_IMAGE)), out_h=8, out_w=8
+        )
+
     def audio_feats(sf_dir):
         """Audio feature-extraction plumbing (windowed energy/zero-cross
         over opaque binary payloads; real codec stubbed like
@@ -1025,6 +1040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": image_features,
         "video_frames": video_frames,
         "audio_feats": audio_feats,
+        "image_resize": image_resize,
     }
 
 

@@ -201,3 +201,57 @@ def audio_features(media_ds, concurrency=(1, 4), batch_size: int = 64):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ImageResize:
+    """Actor stage: payload -> nearest-neighbor resized pixel buffer.
+    Unlike the decode stubs, the RESIZE KERNEL itself is fully real
+    (pure-numpy nearest-neighbor index sampling over the (h, w, c)
+    buffer) — only the codec boundary (parsing real JPEG/PNG instead of
+    the synthetic header+body payload) stays behind the decode stub.
+    Output rows: (media_id, height, width, channels, pixels binary)."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8):
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, pixels = [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            header, body = _parse(payload)
+            h, w = int(header["height"]), int(header["width"])
+            c = int(header["channels"])
+            img = body[: h * w * c].reshape(h, w, c)
+            yi = np.minimum((np.arange(self.out_h) * h) // self.out_h, h - 1)
+            xi = np.minimum((np.arange(self.out_w) * w) // self.out_w, w - 1)
+            out = img[yi[:, None], xi[None, :], :]
+            mids.append(mid)
+            pixels.append(out.tobytes())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, type=pa.int64()),
+                "height": pa.array(
+                    np.full(len(mids), self.out_h, dtype=np.int32), type=pa.int32()
+                ),
+                "width": pa.array(
+                    np.full(len(mids), self.out_w, dtype=np.int32), type=pa.int32()
+                ),
+                "channels": pa.array(
+                    [int(_parse(p)[0]["channels"]) for p in batch["payload"].to_pylist()],
+                    type=pa.int32(),
+                ),
+                "pixels": pa.array(pixels, type=pa.binary()),
+            }
+        )
+
+
+def resize_images(media_ds, out_h: int = 8, out_w: int = 8, concurrency=(1, 4), batch_size: int = 64):
+    return media_ds.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"out_h": out_h, "out_w": out_w},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -60,3 +60,31 @@ def test_audio_features():
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         ImageDecode(use_real_decoder=True)
+
+
+def test_resize_images_real_kernel():
+    """The resize kernel is real: output pixels are exact nearest-
+    neighbor samples of the source buffer."""
+    import numpy as np
+
+    import ray.data
+    from mini_ivf_ray.pipelines.multimodal import (
+        KIND_IMAGE,
+        _parse,
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(20, KIND_IMAGE, seed=5)
+    out = resize_images(ray.data.from_arrow(media), out_h=4, out_w=4).to_pandas()
+    assert len(out) == 20
+    src = {m: p for m, p in zip(media["media_id"].to_pylist(), media["payload"].to_pylist())}
+    row = out.iloc[0]
+    header, body = _parse(src[row["media_id"]])
+    h, w, c = int(header["height"]), int(header["width"]), int(header["channels"])
+    img = body[: h * w * c].reshape(h, w, c)
+    yi = np.minimum((np.arange(4) * h) // 4, h - 1)
+    xi = np.minimum((np.arange(4) * w) // 4, w - 1)
+    expect = img[yi[:, None], xi[None, :], :].tobytes()
+    assert row["pixels"] == expect
+    assert (out["height"] == 4).all() and (out["width"] == 4).all()
