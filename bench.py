@@ -139,7 +139,9 @@ def run_bench() -> dict:
     import __ray_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    for name in ["term_df", "tokenize_postings", "quality", "lsh_near_dup", "ann_bruteforce"]:
+    for name in ["term_df", "tokenize_postings", "quality", "lsh_near_dup",
+                 "ann_bruteforce", "docs_lang_join", "clean_corpus", "dl_quantiles",
+                 "events_hopping", "dedup_clusters"]:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if hasattr(res, "count"):
