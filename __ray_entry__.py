@@ -315,9 +315,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .groupby("h")
             .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n"))
         )
-        out = agg.to_pandas()
-        out = out[out["n"] == 1].sort_values("doc_id").reset_index(drop=True)
-        return pa.table({"doc_id": pa.array(out["doc_id"].astype(np.int64))})
+        # HAVING pushed into the stream: the unique set is O(corpus),
+        # so it must stay a Dataset, never a driver DataFrame
+        return agg.map_batches(
+            lambda b: pa.table(
+                {"doc_id": pc.cast(
+                    b.filter(pc.equal(b["n"], 1))["doc_id"], pa.int64()
+                )}
+            ),
+            batch_format="pyarrow",
+        )
 
     def dl_quantiles(sf_dir):
         """Exact grouped quantiles (p50/p90/p99 doc length per language)
@@ -575,15 +582,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "supplier.parquet"),
             columns=["s_suppkey", "s_name", "s_nationkey"],
         )
-        out = bucketed_hash_join(supplier, nr, on="s_nationkey", num_buckets=8).to_pandas()
-        out = out.sort_values("s_suppkey").reset_index(drop=True)
-        return pa.table(
-            {
-                "s_suppkey": pa.array(out["s_suppkey"].astype(np.int64)),
-                "s_name": pa.array(out["s_name"], type=pa.string()),
-                "n_name": pa.array(out["n_name"], type=pa.string()),
-                "r_name": pa.array(out["r_name"], type=pa.string()),
-            }
+        joined = bucketed_hash_join(supplier, nr, on="s_nationkey", num_buckets=8)
+        # stream the projection: join output is O(rows), never a driver frame
+        return joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "s_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+                    "s_name": pc.cast(b["s_name"], pa.string()),
+                    "n_name": pc.cast(b["n_name"], pa.string()),
+                    "r_name": pc.cast(b["r_name"], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
     def docs_lang_join(sf_dir):
@@ -610,14 +620,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_buckets=16,
             hot_keys=["en"],
             nsalt=4,
-        ).to_pandas()
-        joined = joined.sort_values("doc_id").reset_index(drop=True)
-        return pa.table(
-            {
-                "doc_id": pa.array(joined["doc_id"].astype(np.int64)),
-                "lang": pa.array(joined["lang"], type=pa.string()),
-                "lang_docs": pa.array(joined["lang_docs"].astype(np.int64)),
-            }
+        )
+        # stream the projection: join output is O(corpus)
+        return joined.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": pc.cast(b["doc_id"], pa.int64()),
+                    "lang": pc.cast(b["lang"], pa.string()),
+                    "lang_docs": pc.cast(b["lang_docs"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
     def token_counts(sf_dir):

@@ -283,9 +283,13 @@ def _reduce_runs(
             # sorted-chunk concatenation yields a globally sorted run
             for chunk in _RunMerger(sub):
                 sorted_tbl, _, _ = _sort_posting_chunk(chunk)
+                # bounded row groups: a merged chunk can reach
+                # fanin x read-chunk rows, and parquet readers
+                # decompress whole row groups — cap so the NEXT level's
+                # frontier stays read-chunk-sized
                 w.write_table(
                     sorted_tbl.select(["term", "doc_id", "tf", "dl"]),
-                    row_group_size=max(1, sorted_tbl.num_rows),
+                    row_group_size=131072,
                 )
             w.close()
             pf = pq.ParquetFile(path)
