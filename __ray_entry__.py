@@ -530,20 +530,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Count, Sum
 
         joined = bucketed_hash_join(orders, li, on="o_orderkey", num_buckets=32)
-        out = (
-            joined.groupby(["o_orderkey", "o_orderstatus"])
-            .aggregate(
-                Count(alias_name="n_items"), Sum("revenue_c4", alias_name="revenue_c4")
-            )
-            .to_pandas()
+        agg = joined.groupby(["o_orderkey", "o_orderstatus"]).aggregate(
+            Count(alias_name="n_items"), Sum("revenue_c4", alias_name="revenue_c4")
         )
-        return pa.table(
-            {
-                "o_orderkey": pa.array(out["o_orderkey"].astype(np.int64)),
-                "o_orderstatus": pa.array(out["o_orderstatus"], type=pa.string()),
-                "n_items": pa.array(out["n_items"].astype(np.int64)),
-                "revenue_c4": pa.array(out["revenue_c4"].astype(np.int64)),
-            }
+        # per-order aggregate is O(orders): stream the projection
+        return agg.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                    "o_orderstatus": pc.cast(b["o_orderstatus"], pa.string()),
+                    "n_items": pc.cast(b["n_items"], pa.int64()),
+                    "revenue_c4": pc.cast(b["revenue_c4"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
         )
 
     def supplier_nation_region(sf_dir):
@@ -679,15 +679,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "events.parquet"),
             columns=["event_id", "user_id", "ts"],
         )
-        out = sessionize(ds, gap_sec=1800).to_pandas()
-        return pa.table(
-            {
-                "user_id": pa.array(out["user_id"].astype(np.int64)),
-                "session_idx": pa.array(out["session_idx"].astype(np.int64)),
-                "n_events": pa.array(out["n_events"].astype(np.int64)),
-                "start_ts": pa.array(out["start_ts"].astype(np.int64)),
-                "end_ts": pa.array(out["end_ts"].astype(np.int64)),
-            }
+        # sessions are O(users x sessions): stream the projection
+        return sessionize(ds, gap_sec=1800).map_batches(
+            lambda df: pa.table(
+                {
+                    "user_id": pa.array(df["user_id"].astype(np.int64)),
+                    "session_idx": pa.array(df["session_idx"].astype(np.int64)),
+                    "n_events": pa.array(df["n_events"].astype(np.int64)),
+                    "start_ts": pa.array(df["start_ts"].astype(np.int64)),
+                    "end_ts": pa.array(df["end_ts"].astype(np.int64)),
+                }
+            ),
+            batch_format="pandas",
         )
 
     def events_hopping(sf_dir):
