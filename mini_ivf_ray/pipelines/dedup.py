@@ -259,10 +259,19 @@ def minhash_signatures(docs_ds, k: int = 64, w: int = 3, concurrency=(1, 4)):
     )
 
 
-_GROUP_BUCKETS = 64  # low-cardinality shuffle key (O(N)-groups antipattern guard)
+def _group_buckets() -> int:
+    """Shuffle-key cardinality for the LSH bucket groupbys: scales with
+    cluster CPUs (each map_groups task materializes ~1/B of the band
+    rows in pandas — a fixed fan-out pins per-task memory regardless of
+    cluster size, the same ding the round-1 sessionize had) while
+    staying far below the O(N)-distinct-keys groupby antipattern."""
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(64, 8 * n_cpus)
 
 
-def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+def _band_rows(batch: pa.Table, bands: int, rows: int, num_buckets: int = 64) -> pa.Table:
     """Explode signatures to one SLIM row per band: (band, band-hash,
     shuffle key, doc_id, 8-byte signature fingerprint).  The full k-perm
     signature never enters the shuffle — at 16 bands x 512 B it would
@@ -291,7 +300,7 @@ def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
         {
             "band": pa.array(band),
             "bhash": pa.array(bhash, type=pa.uint64()),
-            "gkey": pa.array((bhash % np.uint64(_GROUP_BUCKETS)).astype(np.int64)),
+            "gkey": pa.array((bhash % np.uint64(num_buckets)).astype(np.int64)),
             "doc_id": pa.array(np.tile(doc_ids, bands), type=pa.int64()),
             "sigh": pa.array(np.tile(sigh, bands), type=pa.uint64()),
         }
@@ -345,7 +354,7 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(docs_ds, k=k, w=w).materialize()
     banded = sigs.map_batches(
         _band_rows,
-        fn_kwargs={"bands": bands, "rows": rows},
+        fn_kwargs={"bands": bands, "rows": rows, "num_buckets": _group_buckets()},
         batch_format="pyarrow",
         batch_size=2048,
     )
@@ -419,7 +428,7 @@ def simhash_signatures(docs_ds):
     return docs_ds.map_batches(simhash_batch, batch_format="pyarrow", batch_size=1024)
 
 
-def _sim_chunk_rows(batch: pa.Table, chunks: int = 4) -> pa.Table:
+def _sim_chunk_rows(batch: pa.Table, chunks: int = 4, num_buckets: int = 64) -> pa.Table:
     ids = batch["doc_id"].to_numpy()
     sh = batch["simhash"].to_numpy().astype(np.uint64)
     width = 64 // chunks
@@ -431,7 +440,7 @@ def _sim_chunk_rows(batch: pa.Table, chunks: int = 4) -> pa.Table:
     vals = np.concatenate(out_v)
     chunk = np.concatenate(out_c)
     with np.errstate(over="ignore"):
-        gkey = _mix64(vals ^ chunk.astype(np.uint64)) % np.uint64(_GROUP_BUCKETS)
+        gkey = _mix64(vals ^ chunk.astype(np.uint64)) % np.uint64(num_buckets)
     # simhash itself (8 B) doubles as the collapse fingerprint AND the
     # verification evidence — unlike MinHash, nothing else to fetch
     return pa.table(
@@ -490,7 +499,9 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, chunks: int = 4):
     group keys, verify hamming in-bucket (vectorized popcount)."""
     sigs = simhash_signatures(docs_ds)
     rows = sigs.map_batches(
-        _sim_chunk_rows, fn_kwargs={"chunks": chunks}, batch_format="pyarrow"
+        _sim_chunk_rows,
+        fn_kwargs={"chunks": chunks, "num_buckets": _group_buckets()},
+        batch_format="pyarrow",
     )
     pairs = rows.groupby("gkey").map_groups(
         _sim_bucket_pairs, fn_kwargs={"max_hamming": max_hamming}, batch_format="pandas"
@@ -554,10 +565,12 @@ class SRPBander:
     the shuffle (carrying them multiplied exchange volume by 8x the
     whole embedding table in round 1)."""
 
-    def __init__(self, dim: int, bands: int = 32, band_bits: int = 8, seed: int = 99):
+    def __init__(self, dim: int, bands: int = 32, band_bits: int = 8, seed: int = 99,
+                 num_buckets: int = 64):
         rng = np.random.default_rng(seed)
         self.planes = rng.normal(size=(dim, bands * band_bits))
         self.bands, self.band_bits = bands, band_bits
+        self.num_buckets = num_buckets
 
     def band_values(self, mat: np.ndarray) -> np.ndarray:
         """(n, bands) uint64 band values from normalized rows."""
@@ -586,7 +599,7 @@ class SRPBander:
         with np.errstate(over="ignore"):
             gkey = _mix64(
                 val ^ (band.astype(np.uint64) * np.uint64(0x9E3779B9))
-            ) % np.uint64(_GROUP_BUCKETS)
+            ) % np.uint64(self.num_buckets)
         return pa.table(
             {
                 "band": pa.array(band),
@@ -633,6 +646,7 @@ def embedding_dup_pairs_lsh(
         SRPBander,
         fn_constructor_kwargs={
             "dim": dim, "bands": bands, "band_bits": band_bits, "seed": seed,
+            "num_buckets": _group_buckets(),
         },
         batch_format="pyarrow",
         batch_size=2048,
