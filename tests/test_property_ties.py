@@ -104,3 +104,36 @@ def test_empty_corpus(tmp_path):
     qds = ray.data.from_items([{"query_id": 0, "text": "alpha"}])
     res = search(idx, qds, cfg).to_pandas()
     assert len(res) == 0
+
+
+def test_tie_heavy_wand_path_rank_identity(tmp_path):
+    """The tie corpus with the WAND path FORCED (taat_threshold=0):
+    WAND's strict-inequality tie pruning is the delicate part and the
+    TAAT default would otherwise shadow it here."""
+    import dataclasses
+
+    for seed in (11, 12):
+        cfg = PipelineConfig(
+            num_partitions=3, topk=10, block_size=4, taat_threshold=0
+        )
+        pages = _tie_corpus(seed)
+        idx = str(tmp_path / f"wtie{seed}")
+        build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+        docs = prepare_documents(ray.data.from_arrow(pages), cfg).to_pandas()
+        queries = [
+            (0, "alpha"),
+            (1, "alpha beta"),
+            (2, "alpha beta gamma delta eps"),
+            (3, "eps eps eps"),
+        ]
+        oracle = brute_force_topk(docs, queries, cfg).sort_values(["query_id", "rank"])
+        qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
+        res = search(idx, qds, cfg).to_pandas().sort_values(["query_id", "rank"])
+        assert len(res) == len(oracle), seed
+        np.testing.assert_array_equal(
+            res["doc_id"].to_numpy().astype(np.uint64),
+            oracle["doc_id"].to_numpy().astype(np.uint64),
+        )
+        np.testing.assert_array_equal(
+            res["score"].to_numpy(), oracle["score"].to_numpy()
+        )
