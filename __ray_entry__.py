@@ -777,6 +777,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return simhash_dup_pairs(_documents(sf_dir), max_hamming=3)
 
+    def jaccard_verified_pairs(sf_dir):
+        """MinHash-LSH candidates verified with EXACT n-gram Jaccard
+        (texts fetched via the broadcast-id semi-join): the reference
+        dedup chain's final exact stage as its own query."""
+        from mini_ivf_ray.pipelines.dedup import (
+            lsh_candidate_pairs,
+            verify_pairs_exact,
+        )
+
+        cand = lsh_candidate_pairs(
+            _documents(sf_dir), k=64, bands=16, threshold=0.5
+        ).to_pandas()
+        out = verify_pairs_exact(
+            _documents(sf_dir), cand, w=3, threshold=0.6
+        ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"].astype(np.int64)),
+                "id_b": pa.array(out["id_b"].astype(np.int64)),
+                "jaccard": pa.array(out["jaccard"].astype(np.float64)),
+            }
+        )
+
+    def ann_recall(sf_dir):
+        """The reference's headline metric (Recall@10,
+        test_ivfpq_sift1m_baseline.cpp:82-89): IVF nprobe=2 and IVFPQ
+        nprobe=8 recall against the exhaustive ground truth, one row
+        per configuration."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import ann_search, brute_force_ann
+
+        qids, Q = _ann_queries(sf_dir)
+        gt = brute_force_ann(_embeddings(sf_dir), Q, qids, k=10)
+        gt_sets = {
+            int(q): set(g["vec_id"]) for q, g in gt.groupby("query_id")
+        }
+
+        def recall_of(res) -> float:
+            df = res.to_pandas()
+            hit = tot = 0
+            for q, g in df.groupby("query_id"):
+                hit += len(set(g["vec_id"]) & gt_sets[int(q)])
+                tot += len(gt_sets[int(q)])
+            return round(hit / max(1, tot), 4)
+
+        rows = []
+        for name, idx_kw, kw in (
+            ("ivf_nprobe2", {}, {"nprobe": 2}),
+            ("ivfpq_nprobe8", {"pq": True}, {"nprobe": 8, "use_pq": True}),
+        ):
+            idx = _ensure_ivf(sf_dir, **idx_kw)
+            qds = ray.data.from_items(
+                [
+                    {"vec_id": int(i), "embedding": q.tolist()}
+                    for i, q in zip(qids, Q)
+                ]
+            )
+            rows.append((name, recall_of(ann_search(idx, qds, k=10, **kw))))
+        return pa.table(
+            {
+                "config": pa.array([r[0] for r in rows], type=pa.string()),
+                "recall_at_10": pa.array(
+                    [r[1] for r in rows], type=pa.float64()
+                ),
+            }
+        )
+
     def dedup_clusters(sf_dir):
         """Duplicate CLUSTERS: union of MinHash-LSH and SimHash
         candidate pairs -> connected components labeled by min member
@@ -1050,6 +1118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs,
         "embedding_near_dup": embedding_near_dup,
         "dedup_clusters": dedup_clusters,
+        "jaccard_verified_pairs": jaccard_verified_pairs,
+        "ann_recall": ann_recall,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,
