@@ -930,7 +930,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def aug_ds():
             return _embeddings(sf_dir).map_batches(aug, batch_format="pyarrow")
 
-        lsh = embedding_dup_pairs_lsh(aug_ds(), tau=0.9).to_pandas()
+        # bands=64 (vs the library default 32) pushes the analytic
+        # per-pair miss probability at cosine >= 0.9 from ~1.8e-5 to
+        # ~3e-10, so with O(10^3) planted pairs the whole-run failure
+        # probability of the strict self-check is ~1e-6 — the r2 ADVICE
+        # flake (statistically expected LSH misses tripping the
+        # AssertionError) is closed by construction rather than by
+        # tolerating divergence, which would still fail the driver's
+        # hash gate against the exact DuckDB oracle.
+        lsh = embedding_dup_pairs_lsh(aug_ds(), tau=0.9, bands=64).to_pandas()
         exact = embedding_dup_pairs(aug_ds(), tau=0.9).to_pandas()
         lset = set(zip(lsh["id_a"], lsh["id_b"]))
         eset = set(zip(exact["id_a"], exact["id_b"]))

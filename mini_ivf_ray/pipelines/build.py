@@ -29,8 +29,10 @@ verbatim; per-partition manifest present -> postings for that partition
 are FILTERED OUT BEFORE the spill (the LoadFromBook set-difference,
 index_ivfpq.cpp:140-154), so a rerun neither recomputes nor re-shuffles
 committed partitions.  Mid-build resume without a sidecar recomputes
-the plan from the same prepared parquet + seedless deterministic
-sampling rule (doc_id % mod == 0), reproducing it exactly — committed
+the plan by re-sampling the same prepared parquet FILES (an evenly
+strided slice of the sorted on-disk file list, sized to the
+_SAMPLE_TARGET doc budget — see _estimate_salt_plan), reproducing it
+exactly as long as the prepared file list is unchanged — committed
 segments stay byte-identical.
 """
 

@@ -22,19 +22,31 @@ import pyarrow as pa
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
     """big ⨝ small with the small side broadcast (dimension-table join).
-    No shuffle: every batch probes the in-memory small side."""
+    No shuffle: every batch probes the in-memory small side.
+
+    Arrow-native probe (r2 ADVICE #8): the small side is shipped once as
+    an Arrow table and each batch joins via ``pa.Table.join`` (Acero
+    hash join) — no per-batch pandas round-trip.  Falls back to pandas
+    merge only when non-key column names collide (pandas ``_x/_y``
+    suffix semantics, which Acero does not reproduce)."""
     import ray
 
-    small_ref = ray.put(small_df)
+    small_ref = ray.put(pa.Table.from_pandas(small_df, preserve_index=False))
+    join_type = {"inner": "inner", "left": "left outer"}.get(how, how)
 
     class Probe:
         def __init__(self):
             self.small = ray.get(small_ref)
+            self.small_cols = set(self.small.column_names)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            left = batch.to_pandas()
-            out = left.merge(self.small, on=on, how=how)
-            return pa.Table.from_pandas(out, preserve_index=False)
+            overlap = (set(batch.column_names) & self.small_cols) - {on}
+            if overlap:
+                out = batch.to_pandas().merge(
+                    self.small.to_pandas(), on=on, how=how
+                )
+                return pa.Table.from_pandas(out, preserve_index=False)
+            return batch.join(self.small, keys=on, join_type=join_type)
 
     return big_ds.map_batches(Probe, batch_format="pyarrow", batch_size=8192,
                               concurrency=(1, 8), num_cpus=1)
@@ -155,29 +167,48 @@ def bucketed_hash_join(
                 return out.append_column("bucket", pa.array(b)).append_column(
                     "side", pa.array(np.full(len(b), side, dtype=np.int8))
                 )
+            # Per hot KEY, both sides use the same DISTINCT bucket set
+            # D(h) = unique((h + s*STRIDE) % B, s < nsalt).  Replicating
+            # the raw (possibly colliding) sequence instead — e.g. when
+            # num_buckets/gcd(STRIDE, num_buckets) <= nsalt — would put
+            # two right replicas in one bucket and emit duplicate join
+            # rows (ADVICE r2).  np.unique's sorted order is the shared
+            # convention; left rows round-robin over D, right rows land
+            # in each bucket of D exactly once.
             with np.errstate(over="ignore"):
+                b0 = (h % np.uint64(num_buckets)).astype(np.int64)
+                hot_idx = np.flatnonzero(is_hot)
+                hot_h = h[hot_idx]
                 if side == 0:
-                    # left: round-robin salt per hot row
-                    salt = np.zeros(len(key), dtype=np.uint64)
-                    salt[is_hot] = (
-                        np.arange(int(is_hot.sum()), dtype=np.uint64)
-                        % np.uint64(nsalt)
-                    )
-                    b = ((h + salt * _STRIDE) % np.uint64(num_buckets)).astype(np.int64)
+                    b = b0.copy()
+                    for hh in np.unique(hot_h):
+                        d = np.unique(
+                            (hh + np.arange(nsalt, dtype=np.uint64) * _STRIDE)
+                            % np.uint64(num_buckets)
+                        ).astype(np.int64)
+                        rows = hot_idx[hot_h == hh]
+                        b[rows] = d[np.arange(len(rows)) % len(d)]
                     return out.append_column("bucket", pa.array(b)).append_column(
                         "side", pa.array(np.full(len(b), side, dtype=np.int8))
                     )
-                # right: replicate hot rows into every salt sub-bucket
-                b0 = (h % np.uint64(num_buckets)).astype(np.int64)
+                # right: replicate each hot row once per DISTINCT bucket
                 cold = out.filter(pa.array(~is_hot)).append_column(
                     "bucket", pa.array(b0[~is_hot])
                 )
                 reps = [cold]
-                hot_rows = out.filter(pa.array(is_hot))
-                hh = h[is_hot]
-                for s in range(nsalt):
-                    bs = ((hh + np.uint64(s) * _STRIDE) % np.uint64(num_buckets)).astype(np.int64)
-                    reps.append(hot_rows.append_column("bucket", pa.array(bs)))
+                for hh in np.unique(hot_h):
+                    d = np.unique(
+                        (hh + np.arange(nsalt, dtype=np.uint64) * _STRIDE)
+                        % np.uint64(num_buckets)
+                    ).astype(np.int64)
+                    rows = out.take(pa.array(hot_idx[hot_h == hh]))
+                    for bs in d:
+                        reps.append(
+                            rows.append_column(
+                                "bucket",
+                                pa.array(np.full(rows.num_rows, bs, dtype=np.int64)),
+                            )
+                        )
                 rep = pa.concat_tables(reps)
                 return rep.append_column(
                     "side", pa.array(np.full(rep.num_rows, side, dtype=np.int8))

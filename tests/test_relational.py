@@ -84,6 +84,23 @@ def test_bucketed_join_string_keys():
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
 
 
+def test_bucketed_join_salt_bucket_collision():
+    """r2 ADVICE repro: nsalt (8) exceeds the distinct salted-bucket
+    count (num_buckets=4), so naive replication would land two right
+    replicas in one bucket and emit duplicate join rows (111 vs 60).
+    Both sides must use the per-key DISTINCT bucket set."""
+    left = pd.DataFrame({"k": np.full(60, 7), "v": np.arange(60)})
+    right = pd.DataFrame({"k": [7, 8], "r": [70, 80]})
+    expect = _canon(left.merge(right, on="k", how="inner"))
+    got = _canon(
+        bucketed_hash_join(
+            ray.data.from_pandas(left), ray.data.from_pandas(right), on="k",
+            num_buckets=4, hot_keys=[7], nsalt=8,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
 def test_bucketed_join_salted_hot_key_identical():
     """Hot-key salting is a physical layout choice only: salted output
     must equal the unsalted join exactly (left hot rows spread over
