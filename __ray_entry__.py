@@ -19,6 +19,8 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+
+from mini_ivf_ray.functions.matview import list_to_matrix, matrix_to_list
 import pyarrow as pa
 
 from mini_ivf_ray.config import PipelineConfig
@@ -106,7 +108,7 @@ def _ann_queries(sf_dir: str):
 
     t = pqmod.read_table(os.path.join(sf_dir, "embeddings.parquet"))
     t = t.filter(pa.compute.less(t["vec_id"], N_ANN_QUERIES))
-    Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    Q = list_to_matrix(t["embedding"], np.float64)
     return t["vec_id"].to_numpy(), Q
 
 
@@ -903,28 +905,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def aug(batch: pa.Table) -> pa.Table:
             ids = batch["vec_id"].to_numpy().astype(np.int64)
-            mat = np.array(batch["embedding"].to_pylist(), dtype=np.float32)
+            mat = list_to_matrix(batch["embedding"], np.float32)
             twin = mat.copy()
             twin[:, 0] = -twin[:, 0]
-            return pa.concat_tables(
-                [
-                    pa.table(
-                        {
-                            "vec_id": pa.array(ids, type=pa.int64()),
-                            "embedding": pa.array(
-                                list(mat), type=pa.list_(pa.float32())
-                            ),
-                        }
+            return pa.table(
+                {
+                    "vec_id": pa.array(
+                        np.concatenate([ids, ids + 1_000_000]), type=pa.int64()
                     ),
-                    pa.table(
-                        {
-                            "vec_id": pa.array(ids + 1_000_000, type=pa.int64()),
-                            "embedding": pa.array(
-                                list(twin), type=pa.list_(pa.float32())
-                            ),
-                        }
-                    ),
-                ]
+                    "embedding": matrix_to_list(np.vstack([mat, twin])),
+                }
             )
 
         def aug_ds():
@@ -1000,7 +990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         t = pqmod.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         )
-        mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(t["embedding"], np.float64)
         lo, hi = mat.min(axis=0), mat.max(axis=0)
         span = np.where(hi > lo, hi - lo, 1.0)
         u8 = np.clip(np.floor((mat - lo) / span * 256.0), 0, 255).astype(np.uint8)

@@ -123,7 +123,9 @@ def main(argv=None) -> int:
             from mini_ivf_ray.sources.vectors import write_vecs
 
             t = pqm.read_table(args.embeddings, columns=["vec_id", "embedding"])
-            Q = np.array(t["embedding"].to_pylist(), dtype=np.float64)[: args.nq]
+            from mini_ivf_ray.functions.matview import list_to_matrix
+
+            Q = list_to_matrix(t["embedding"], np.float64)[: args.nq]
             qids = t["vec_id"].to_numpy()[: args.nq]
             res = brute_force_ann(
                 ray.data.read_parquet(args.embeddings), Q, qids,

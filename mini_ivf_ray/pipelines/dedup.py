@@ -32,6 +32,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from mini_ivf_ray.functions.matview import list_to_matrix
 from mini_ivf_ray.functions.tokenize import tokenize
 
 logger = logging.getLogger(__name__)
@@ -401,7 +402,10 @@ def _term_bits(t: str) -> np.ndarray:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """tf-weighted 64-bit SimHash over md5 term hashes (deterministic)."""
+    """tf-weighted 64-bit SimHash over md5 term hashes (deterministic).
+    Single-doc reference implementation; the batch stage below is the
+    vectorized equivalent (r3: identical output, no per-doc Python bit
+    loop)."""
     from collections import Counter
 
     v = np.zeros(64, dtype=np.int64)
@@ -414,12 +418,47 @@ def simhash64(tokens: list[str]) -> int:
     return out
 
 
+_BIT_POW = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    hs = [simhash64(tokenize(t)) for t in batch["text"].to_pylist()]
+    """Vectorized batch SimHash (r2 VERDICT wrong #4): factorize the
+    batch's terms once, md5 only the DISTINCT terms (cached), accumulate
+    tf x (+-1 bit rows) per doc with one reduceat over the (pairs, 64)
+    contribution matrix, then pack sign bits with one matmul.  Integer
+    sums, so the non-sequential reduceat order is exact — output is
+    bit-identical to ``simhash64`` per doc."""
+    texts = batch["text"].to_pylist()
+    toks = [tokenize(t) for t in texts]
+    n_docs = len(toks)
+    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    flat = [t for doc in toks for t in doc]
+    out_h = np.zeros(n_docs, dtype=np.uint64)
+    if flat:
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        # hash-based factorize (no object-string sort: far cheaper than
+        # np.unique on a web-scale token column)
+        inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        n_uniq = len(uniq)
+        bits = np.vstack([_term_bits(t) for t in uniq]).astype(np.float64)
+        # dense per-doc tf rows (chunked so the scratch stays ~64 MB),
+        # then ONE BLAS matmul per chunk: v = tf_chunk @ bits.  tf and
+        # +-1 are small ints, so float64 accumulation is exact and the
+        # sign test matches the per-doc reference bit-for-bit.
+        key = doc_idx * n_uniq + inv
+        chunk = max(1, (8 << 20) // max(1, n_uniq))
+        for s in range(0, n_docs, chunk):
+            e = min(s + chunk, n_docs)
+            sel = key[(doc_idx >= s) & (doc_idx < e)] - s * n_uniq
+            tfm = np.bincount(sel, minlength=(e - s) * n_uniq).astype(
+                np.float64
+            ).reshape(e - s, n_uniq)
+            v = tfm @ bits  # (chunk, 64)
+            out_h[s:e] = (v > 0) @ _BIT_POW
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "simhash": pa.array(np.array(hs, dtype=np.uint64), type=pa.uint64()),
+            "simhash": pa.array(out_h, type=pa.uint64()),
         }
     )
 
@@ -585,7 +624,7 @@ class SRPBander:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        mat = list_to_matrix(batch["embedding"], np.float64)
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         vals = self.band_values(mat / nrm)  # (n, bands)
@@ -668,7 +707,7 @@ def embedding_dup_pairs_lsh(
         embeddings_ds, "vec_id", wanted, ["vec_id", "embedding"]
     )
     vids = fetched["vec_id"].to_pylist()
-    mat = np.array(fetched["embedding"].to_pylist(), dtype=np.float64)
+    mat = list_to_matrix(fetched["embedding"], np.float64)
     nrm = np.linalg.norm(mat, axis=1, keepdims=True)
     nrm[nrm == 0] = 1.0
     mat = mat / nrm
@@ -701,7 +740,7 @@ class _CosinePairFinder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["vec_id"].to_numpy()
-        emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        emb = list_to_matrix(batch["embedding"], np.float64)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         emb = emb / norms
@@ -728,7 +767,7 @@ def embedding_dup_pairs(embeddings_ds, tau: float = 0.9, concurrency=(1, 4)):
         list(embeddings_ds.iter_batches(batch_format="pyarrow"))
     )
     ids = tbl["vec_id"].to_numpy()
-    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat = list_to_matrix(tbl["embedding"], np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat = mat / norms

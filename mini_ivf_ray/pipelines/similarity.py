@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from mini_ivf_ray.functions.matview import list_to_matrix, matrix_to_list
 from mini_ivf_ray.state import manifest as mf
 
 _EMB_COL = "embedding"
@@ -38,9 +39,10 @@ _ID_COL = "vec_id"
 
 
 def _to_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """ids + (n, d) float64 matrix, zero-copy from the Arrow values
+    buffer (matview.list_to_matrix — r2 VERDICT wrong #2)."""
     ids = batch[_ID_COL].to_numpy()
-    mat = np.array(batch[_EMB_COL].to_pylist(), dtype=np.float64)
-    return ids, mat
+    return ids, list_to_matrix(batch[_EMB_COL], np.float64)
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -134,7 +136,9 @@ class _Assigner:
         ids, mat = _to_matrix(batch)
         if self.metric == "cosine":
             mat = _normalize(mat)
-            emb_col = pa.array(mat.tolist(), type=pa.list_(pa.float64()))
+            # FixedSizeList segments: readers reshape the values
+            # buffer zero-copy instead of parsing per-row lists
+            emb_col = matrix_to_list(mat)
         else:
             # l2 on raw vectors (reference mode, uint8 SIFT included):
             # store the INPUT column unchanged — uint8 stays uint8 on
@@ -305,7 +309,7 @@ class IVFSearcher:
             else:
                 t = pq.read_table(path)
                 ids = t[_ID_COL].to_numpy()
-                raw = np.array(t[_EMB_COL].to_pylist())
+                raw = list_to_matrix(t[_EMB_COL])
                 if raw.dtype == np.uint8:
                     # uint8 vectors resident as float32: 2x uint8 RAM
                     # but fast matmul, and EXACT for L2 — products of
@@ -371,7 +375,7 @@ class IVFSearcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = batch[_ID_COL].to_numpy()
-        mats = np.array(batch[_EMB_COL].to_pylist(), dtype=np.float64)
+        mats = list_to_matrix(batch[_EMB_COL], np.float64)
         score_col = "cosine" if self.metric == "cosine" else "dist2"
         out = {"query_id": [], "rank": [], "vec_id": [], score_col: []}
         for qid, q in zip(qids, mats):
