@@ -854,9 +854,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         on).  Self-checked: every edge's endpoints share a label and
         every label is its component's minimum."""
         import pandas as pd
+        import ray.data
 
         from mini_ivf_ray.pipelines.dedup import (
-            connected_components,
+            connected_components_ds,
             lsh_candidate_pairs,
             simhash_dup_pairs,
         )
@@ -868,7 +869,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = pd.concat(
             [lsh[["id_a", "id_b"]], sim[["id_a", "id_b"]]]
         ).drop_duplicates()
-        comp = connected_components(pairs)
+        # adaptive CC: union-find shortcut at this scale, the
+        # large-star/small-star distributed path above the threshold
+        # (forced + million-edge-tested in tests/test_cc_distributed.py)
+        comp = connected_components_ds(ray.data.from_pandas(pairs)).to_pandas()
         lab = dict(zip(comp["doc_id"], comp["cluster_id"]))
         for a, b in pairs.itertuples(index=False):
             if lab[int(a)] != lab[int(b)]:

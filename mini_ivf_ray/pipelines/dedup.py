@@ -360,10 +360,10 @@ def lsh_candidate_pairs(
         batch_size=2048,
     )
     pairs = banded.groupby("gkey").map_groups(_bucket_pairs, batch_format="pandas")
-    # candidate set: small by LSH design — cross-band dedup + verify on
-    # the driver (a second Ray groupby for a candidate-sized table only
-    # paid the exchange latency floor)
-    pairs_df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    # cross-band dedup: distributed above the row threshold, driver
+    # pandas below it (_pairs_to_driver); verify stays driver-side by
+    # the candidates ≪ corpus contract
+    pairs_df = _pairs_to_driver(pairs)
     if not len(pairs_df):
         return ray.data.from_pandas(
             pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
@@ -547,9 +547,9 @@ def simhash_dup_pairs(docs_ds, max_hamming: int = 3, chunks: int = 4):
     )
     import ray.data
 
-    # cross-chunk dedup driver-side: candidates are small by design
+    # cross-chunk dedup: distributed above the row threshold
     return ray.data.from_pandas(
-        pairs.to_pandas().drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+        _pairs_to_driver(pairs).reset_index(drop=True)
     )
 
 
@@ -693,8 +693,8 @@ def embedding_dup_pairs_lsh(
         num_cpus=1,
     )
     pairs = rows.groupby("gkey").map_groups(_srp_bucket_pairs, batch_format="pandas")
-    # cross-band dedup driver-side: candidates are small by design
-    pairs_df = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
+    # cross-band dedup: distributed above the row threshold
+    pairs_df = _pairs_to_driver(pairs)
     empty = pd.DataFrame(
         {"id_a": pd.Series(dtype=np.int64),
          "id_b": pd.Series(dtype=np.int64),
@@ -826,3 +826,217 @@ def connected_components(pairs_df: pd.DataFrame) -> pd.DataFrame:
     # is the min member iff root is the min index, which union-by-min
     # guarantees
     return pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[roots]})
+
+
+# ---------------------------------------------------------------------------
+# Distributed pair-dedup + connected components (r3: the last named
+# scale-killer — boilerplate-heavy web crawls make dup-cluster edges
+# O(dup docs), far too many for a driver funnel)
+# ---------------------------------------------------------------------------
+
+
+def _pair_gkey(a: np.ndarray, b: np.ndarray, num_buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h = _mix64(a.astype(np.uint64) ^ _mix64(b.astype(np.uint64)))
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def dedup_pairs_ds(pairs_ds, num_buckets: int | None = None):
+    """Distributed (id_a, id_b) pair dedup: fixed-width bucket groupby
+    on hash(id_a, id_b), per-bucket ``drop_duplicates`` — duplicates of
+    a pair always hash to the same bucket, so the result is exact and
+    no task ever sees more than ~1/B of the pair stream."""
+    nb = num_buckets or _group_buckets()
+
+    def tag(batch: pa.Table) -> pa.Table:
+        g = _pair_gkey(
+            batch["id_a"].to_numpy(), batch["id_b"].to_numpy(), nb
+        )
+        return batch.append_column("gkey", pa.array(g))
+
+    def drop(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.drop_duplicates(["id_a", "id_b"])
+        return out[[c for c in out.columns if c != "gkey"]]
+
+    return (
+        pairs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(drop, batch_format="pandas")
+    )
+
+
+def _pairs_to_driver(
+    pairs_ds, driver_threshold: int = 2_000_000
+) -> pd.DataFrame:
+    """Cross-band candidate-pair dedup, adaptively: a small pair stream
+    collects and dedups in pandas (no groupby latency floor); a large
+    one dedups DISTRIBUTED first (``dedup_pairs_ds``) so the driver only
+    ever receives the already-deduped candidate set.  The subsequent
+    evidence verify stays driver-side by the candidates ≪ corpus
+    contract; the funnel this bounds is the raw cross-band blowup."""
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() > driver_threshold:
+        pairs_ds = dedup_pairs_ds(pairs_ds)
+    return pairs_ds.to_pandas().drop_duplicates(["id_a", "id_b"])
+
+
+def _star_groups(df: pd.DataFrame):
+    """Sorted (node, nbr) arrays + per-node segment starts and mins."""
+    node = df["node"].to_numpy().astype(np.int64)
+    nbr = df["nbr"].to_numpy().astype(np.int64)
+    order = np.lexsort((nbr, node))
+    node, nbr = node[order], nbr[order]
+    starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+    lens = np.diff(np.r_[starts, len(node)])
+    m = np.minimum.reduceat(nbr, starts)
+    return node, nbr, starts, lens, m
+
+
+def _large_star_group(df: pd.DataFrame) -> pd.DataFrame:
+    """large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+    v > u (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond', MRConnectedComponents §3)."""
+    node, nbr, starts, lens, m = _star_groups(df)
+    m = np.minimum(m, node[starts])  # min over N(u) ∪ {u}
+    mfull = np.repeat(m, lens)
+    sel = nbr > node
+    a, b = mfull[sel], nbr[sel]  # a = m <= node < nbr = b: ordered, no loops
+    out = pd.DataFrame({"id_a": a, "id_b": b}).drop_duplicates()
+    return out
+
+
+def _small_star_group(df: pd.DataFrame) -> pd.DataFrame:
+    """small-star(u) over edges oriented large->small (every nbr < node):
+    m = min(N⁻(u)); emit (v, m) for v ∈ N⁻(u) \\ {m} plus (u, m)."""
+    node, nbr, starts, lens, m = _star_groups(df)
+    mfull = np.repeat(m, lens)
+    sel = nbr != mfull
+    a1, b1 = mfull[sel], nbr[sel]  # m < nbr (m is the strict min here)
+    a2, b2 = m, node[starts]  # m < node (all nbrs < node)
+    out = pd.DataFrame(
+        {"id_a": np.concatenate([a1, a2]), "id_b": np.concatenate([b1, b2])}
+    ).drop_duplicates()
+    return out
+
+
+def _edges_fingerprint(edges_ds) -> tuple[int, int]:
+    """(count, order-insensitive hash-sum) of an edge Dataset — the O(1)
+    convergence probe.  Per-batch partial sums, tiny driver reduce."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.uint64)
+        b = batch["id_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = int(_mix64(a ^ _mix64(b)).sum(dtype=np.uint64))
+        return pa.table(
+            {"n": pa.array([len(a)], type=pa.int64()),
+             "hs": pa.array([np.uint64(s)], type=pa.uint64())}
+        )
+
+    parts = edges_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return 0, 0
+    with np.errstate(over="ignore"):
+        return int(parts["n"].sum()), int(parts["hs"].to_numpy().astype(np.uint64).sum(dtype=np.uint64))
+
+
+def connected_components_ds(
+    pairs_ds,
+    driver_threshold: int = 2_000_000,
+    num_buckets: int | None = None,
+    max_rounds: int = 64,
+):
+    """Distributed connected components over an (id_a, id_b) edge
+    Dataset -> Dataset of (doc_id, cluster_id), cluster_id = the MINIMUM
+    member id (same labels as the driver ``connected_components``).
+
+    Alternating large-star / small-star rounds (Kiveris et al. 2014):
+    each round is ONE fixed-width-bucket groupby over slim (node, nbr)
+    rows — no all-pairs, no driver state — and the edge multiset
+    converges to min-rooted stars in O(log² n) rounds (O(log n) in
+    practice; dup clusters are near-cliques, so typically 2-4).
+    Convergence is detected with an O(1) (count, hash-sum) fingerprint.
+
+    Edge sets at or below ``driver_threshold`` take the union-find
+    shortcut (the r2 behavior) — same labels, none of the groupby
+    latency floors.  Pass 0 to force the distributed path (tests)."""
+    import ray.data
+
+    nb = num_buckets or _group_buckets()
+    edges = dedup_pairs_ds(pairs_ds, num_buckets=nb).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "cluster_id": pd.Series(dtype=np.int64)})
+        )
+    if n_edges <= driver_threshold:
+        return ray.data.from_pandas(connected_components(edges.to_pandas()))
+
+    def explode_both(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        with np.errstate(over="ignore"):
+            g = (_mix64(node.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(node), "nbr": pa.array(nbr), "gkey": pa.array(g)}
+        )
+
+    def explode_large_to_small(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        node, nbr = np.maximum(a, b), np.minimum(a, b)
+        with np.errstate(over="ignore"):
+            g = (_mix64(node.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {"node": pa.array(node), "nbr": pa.array(nbr), "gkey": pa.array(g)}
+        )
+
+    fp = _edges_fingerprint(edges)
+    for round_no in range(max_rounds):
+        edges = (
+            edges.map_batches(explode_both, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(_large_star_group, batch_format="pandas")
+        )
+        edges = (
+            edges.map_batches(explode_large_to_small, batch_format="pyarrow")
+            .groupby("gkey")
+            .map_groups(_small_star_group, batch_format="pandas")
+        )
+        edges = dedup_pairs_ds(edges, num_buckets=nb).materialize()
+        new_fp = _edges_fingerprint(edges)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"connected_components_ds did not converge in {max_rounds} rounds"
+        )
+    logger.info("connected_components_ds converged after %d rounds", round_no + 1)
+
+    # fixed point: every edge is (component min, member).  Labels: member
+    # -> min, plus the roots labeling themselves.  A member appears in
+    # exactly one star edge; roots may appear in many — dedup by node.
+    def star_to_labels(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        doc = np.concatenate([b, a])
+        lab = np.concatenate([a, a])
+        with np.errstate(over="ignore"):
+            g = (_mix64(doc.astype(np.uint64)) % np.uint64(nb)).astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(doc), "cluster_id": pa.array(lab),
+             "gkey": pa.array(g)}
+        )
+
+    def drop_doc(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["doc_id"])[["doc_id", "cluster_id"]]
+
+    return (
+        edges.map_batches(star_to_labels, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(drop_doc, batch_format="pandas")
+    )
