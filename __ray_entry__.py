@@ -782,7 +782,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def jaccard_verified_pairs(sf_dir):
         """MinHash-LSH candidates verified with EXACT n-gram Jaccard
         (texts fetched via the broadcast-id semi-join): the reference
-        dedup chain's final exact stage as its own query."""
+        dedup chain's final exact stage as its own query.  r3: SQL
+        ORACLED — the exact verify makes the output equal to the full
+        cross-join ground truth DuckDB replays with list ops (LSH miss
+        prob ~4e-8/pair at the corpus's minimum true jaccard of 0.9),
+        and the raw float64 |A∩B|/|A∪B| division is bit-identical on
+        both sides."""
         from mini_ivf_ray.pipelines.dedup import (
             lsh_candidate_pairs,
             verify_pairs_exact,
@@ -799,6 +804,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "id_a": pa.array(out["id_a"].astype(np.int64)),
                 "id_b": pa.array(out["id_b"].astype(np.int64)),
                 "jaccard": pa.array(out["jaccard"].astype(np.float64)),
+            }
+        )
+
+    def jaccard_dup_clusters(sf_dir):
+        """Connected components over the EXACT-verified jaccard pairs —
+        the CC operator itself under a full SQL oracle (DuckDB recursive
+        CTE computes the same min-member labels over the same edge set).
+        The adaptive CC entry point takes the union-find shortcut at
+        this scale; the distributed large-star/small-star path is
+        forced + million-edge-checked in tests/test_cc_distributed.py."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.dedup import (
+            connected_components_ds,
+            lsh_candidate_pairs,
+            verify_pairs_exact,
+        )
+
+        cand = lsh_candidate_pairs(
+            _documents(sf_dir), k=64, bands=16, threshold=0.5
+        ).to_pandas()
+        pairs = verify_pairs_exact(_documents(sf_dir), cand, w=3, threshold=0.6)
+        comp = connected_components_ds(
+            ray.data.from_pandas(pairs[["id_a", "id_b"]])
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(comp["doc_id"].astype(np.int64)),
+                "cluster_id": pa.array(comp["cluster_id"].astype(np.int64)),
             }
         )
 
@@ -1121,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": embedding_near_dup,
         "dedup_clusters": dedup_clusters,
         "jaccard_verified_pairs": jaccard_verified_pairs,
+        "jaccard_dup_clusters": jaccard_dup_clusters,
         "ann_recall": ann_recall,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
@@ -1238,6 +1273,32 @@ SELECT d.doc_id,
             {' '.join(cases)}
             ELSE 'und' END AS detected_lang
 FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id
+"""
+
+
+_JACCARD_PAIRS_SQL = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t)-2)])
+    END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 1.0
+       ELSE len(list_intersect(a.s, b.s))::DOUBLE
+            / len(list_distinct(list_concat(a.s, b.s)))
+  END AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id
+ AND len(b.s) * 10 >= len(a.s) * 6
+ AND len(a.s) * 10 >= len(b.s) * 6
+WHERE jaccard >= 0.6
 """
 
 
@@ -1409,6 +1470,27 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM aug a JOIN aug b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= 0.9
+""",
+        # jaccard_verified_pairs: the LSH stage only PROPOSES candidates
+        # (analytic miss prob ~4e-8 per pair at the corpus's minimum true
+        # jaccard 0.9, measured); the exact n-gram verify makes the final
+        # output equal to the full-cross-join ground truth, which DuckDB
+        # replays with list ops.  The size-ratio join predicate is
+        # exact-safe pruning: jaccard <= min(|A|,|B|)/max(|A|,|B|).
+        "jaccard_verified_pairs": _JACCARD_PAIRS_SQL,
+        "jaccard_dup_clusters": f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+reach(v, u) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.u
+)
+SELECT v AS doc_id, min(u)::BIGINT AS cluster_id FROM reach GROUP BY v
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle

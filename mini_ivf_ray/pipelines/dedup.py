@@ -585,7 +585,10 @@ def verify_pairs_exact(docs_ds, pairs_df: pd.DataFrame, w: int = 3, threshold: f
     tb = [texts[i] for i in pairs_df["id_b"]]
     jac = ngram_jaccard(ta, tb, w)
     out = pairs_df.copy()
-    out["jaccard"] = np.round(jac, 6)
+    # raw float64 |A∩B| / |A∪B| — the same two-integer division DuckDB
+    # performs, so the SQL oracle matches bit-for-bit (rounding here
+    # would reintroduce the half-even vs half-away mismatch)
+    out["jaccard"] = jac
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
