@@ -175,6 +175,14 @@ def build_index(
     import ray
 
     cfg = cfg or PipelineConfig()
+    if os.path.exists(os.path.join(index_dir, "append.json")):
+        # an interrupted APPEND owns this index: its partitions mix old
+        # and new postings under the increment's plan — a plain build
+        # resume here would replay the prior stats sidecar against them
+        raise RuntimeError(
+            f"{index_dir}: an append is in progress (append.json); "
+            "re-run append_index to resume it"
+        )
     existing = mf.read_index_manifest(index_dir)
     if existing is not None:
         return existing

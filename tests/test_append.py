@@ -1,0 +1,164 @@
+"""Incremental append (r2 VERDICT missing #1; reference workflow:
+LoadIndex -> Populate, test_ivfpq_sift1m_baseline.cpp:53-56).
+
+Done-criteria from the verdict: build A, append B must equal a fresh
+build of A ∪ B byte-identically on segments and rank-identically on
+queries.
+"""
+
+import os
+import shutil
+
+import pytest
+
+import ray.data
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.pipelines.append import append_index, append_marker_path
+from mini_ivf_ray.pipelines.build import build_index
+from mini_ivf_ray.pipelines.query import search
+from mini_ivf_ray.sources.pages import generate_pages
+from mini_ivf_ray.state import manifest as mf
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def _segment_bytes(idx, p):
+    path = os.path.join(mf.partition_dir(idx, p), "postings.parquet")
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def _split_pages(n_total=500, n_a=300, seed=71):
+    # one table, disjoint url slices (dup_frac=0: cross-slice url reuse
+    # would be a cross-increment duplicate, tested separately below)
+    pages = generate_pages(n_total, seed=seed, vocab_size=400, dup_frac=0.0)
+    return pages.slice(0, n_a), pages.slice(n_a)
+
+
+def _topk(idx, cfg, queries):
+    qds = ray.data.from_items(
+        [{"query_id": i, "text": t} for i, t in enumerate(queries)]
+    )
+    df = search(idx, qds, cfg, share=False).to_pandas()
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+QUERIES = ["the data", "web page time", "a of", "zz missing term", "data data data"]
+
+
+def test_append_equals_fresh_build(tmp_path):
+    cfg = PipelineConfig(num_partitions=4)
+    pages_a, pages_b = _split_pages()
+    union = ray.data.from_arrow(generate_pages(500, seed=71, vocab_size=400, dup_frac=0.0))
+
+    fresh = str(tmp_path / "fresh")
+    build_index(lambda: union, fresh, cfg)
+
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
+    meta = append_index(lambda: ray.data.from_arrow(pages_b), inc, cfg)
+
+    # stats identical
+    sf, si = CorpusStats.load(fresh), CorpusStats.load(inc)
+    assert (sf.n_docs, sf.total_tokens, sf.max_doc_id) == (
+        si.n_docs, si.total_tokens, si.max_doc_id)
+    assert sf.df == si.df and sf.cf == si.cf and sf.salted == si.salted
+
+    # segments byte-identical
+    for p in range(cfg.num_partitions):
+        assert _segment_bytes(fresh, p) == _segment_bytes(inc, p), f"partition {p}"
+
+    # queries rank-identical (scores are float64-identical since every
+    # encode input matched)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        _topk(fresh, cfg, QUERIES), _topk(inc, cfg, QUERIES)
+    )
+
+    # lineage records the increment
+    assert meta["lineage"]["increments"][-1]["new_docs"] == 200
+    assert not os.path.exists(append_marker_path(inc))
+    assert not os.path.exists(os.path.join(inc, "prev_segments"))
+
+
+def test_append_twice(tmp_path):
+    """A ∪ B ∪ C via two appends == fresh build."""
+    cfg = PipelineConfig(num_partitions=3)
+    pages = generate_pages(450, seed=77, vocab_size=300, dup_frac=0.0)
+    fresh = str(tmp_path / "fresh")
+    build_index(lambda: ray.data.from_arrow(pages), fresh, cfg)
+
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages.slice(0, 150)), inc, cfg)
+    append_index(lambda: ray.data.from_arrow(pages.slice(150, 150)), inc, cfg)
+    meta = append_index(lambda: ray.data.from_arrow(pages.slice(300)), inc, cfg)
+    assert [i["increment"] for i in meta["lineage"]["increments"]] == [1, 2]
+    for p in range(cfg.num_partitions):
+        assert _segment_bytes(fresh, p) == _segment_bytes(inc, p)
+
+
+def test_append_resume_after_interrupt(tmp_path, monkeypatch):
+    """An append interrupted after the snapshot (marker present, no
+    partitions committed yet) resumes to the same byte-identical
+    result; a plain build_index on the mid-append index refuses."""
+    cfg = PipelineConfig(num_partitions=3)
+    pages_a, pages_b = _split_pages(n_total=400, n_a=250, seed=83)
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        lambda: ray.data.from_arrow(
+            generate_pages(400, seed=83, vocab_size=400, dup_frac=0.0)
+        ),
+        fresh,
+        cfg,
+    )
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
+
+    import mini_ivf_ray.pipelines.append as app_mod
+
+    def boom(*a, **k):
+        raise RuntimeError("interrupted before encode")
+
+    monkeypatch.setattr(app_mod, "make_spill_encoder", boom)
+    with pytest.raises(RuntimeError, match="interrupted"):
+        append_index(lambda: ray.data.from_arrow(pages_b), inc, cfg)
+    assert os.path.exists(append_marker_path(inc))
+
+    # plain build refuses to touch a mid-append index
+    with pytest.raises(RuntimeError, match="append is in progress"):
+        build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
+
+    monkeypatch.undo()
+    # the factory must NOT be re-consumed on resume (prepare was done)
+    def explode():
+        raise AssertionError("resume must not re-prepare the increment")
+
+    append_index(explode, inc, cfg)
+    for p in range(cfg.num_partitions):
+        assert _segment_bytes(fresh, p) == _segment_bytes(inc, p)
+
+
+def test_append_duplicate_doc_raises(tmp_path):
+    """A document url present in both the old index and the increment
+    is a duplicate (term, doc_id) posting — the encoder must raise, not
+    silently double-count."""
+    cfg = PipelineConfig(num_partitions=2)
+    pages_a, _ = _split_pages(n_total=300, n_a=200, seed=91)
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        append_index(
+            lambda: ray.data.from_arrow(pages_a.slice(0, 50)), inc, cfg
+        )
+
+
+def test_append_requires_committed_index(tmp_path):
+    cfg = PipelineConfig(num_partitions=2)
+    with pytest.raises(FileNotFoundError):
+        append_index(
+            lambda: ray.data.from_arrow(generate_pages(10, seed=1)),
+            str(tmp_path / "nope"),
+            cfg,
+        )
