@@ -745,14 +745,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
         )
-        agg = (
+        agg_ds = (
             ds.map_batches(partials, batch_format="pyarrow", batch_size=1024)
             .groupby(["lang", "term"])
             .aggregate(Sum("cf", alias_name="cf"))
-            .to_pandas()
         )
-        # per-lang top-5 by (cf desc, term asc): language cardinality is
-        # tiny, the aggregate is vocab-sized — driver ranking is fine
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            # post-aggregate rows are FINAL (one per (lang, term)), so
+            # each batch's per-lang top-5 is a superset filter: the
+            # global top-5 per lang survives.  Bounds driver rows at
+            # 5 x langs x batches instead of the whole vocab aggregate
+            # (r2 VERDICT #10).
+            df = batch.to_pandas()
+            df = df.sort_values(
+                ["lang", "cf", "term"], ascending=[True, False, True],
+                kind="mergesort",
+            )
+            return pa.Table.from_pandas(
+                df.groupby("lang", sort=False).head(5), preserve_index=False
+            )
+
+        agg = agg_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
         agg = agg.sort_values(
             ["lang", "cf", "term"], ascending=[True, False, True], kind="mergesort"
         )
@@ -833,6 +847,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "doc_id": pa.array(comp["doc_id"].astype(np.int64)),
                 "cluster_id": pa.array(comp["cluster_id"].astype(np.int64)),
+            }
+        )
+
+    def append_roundtrip(sf_dir):
+        """Incremental-append self-check (reference workflow: LoadIndex
+        -> Populate, test_ivfpq_sift1m_baseline.cpp:53-56): build an
+        index over the first ~70% of documents, APPEND the rest, and
+        byte-compare every partition segment plus the stats sidecar
+        against the fresh full index — raises on any divergence.
+        rows-only (the checked property is byte equality, not a SQL
+        relation)."""
+        import pyarrow.compute as pc2
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.append import append_index
+        from mini_ivf_ray.pipelines.build import build_index
+        from mini_ivf_ray.sources.pages import documents_as_pages
+        from mini_ivf_ray.state import manifest as mfmod
+        from mini_ivf_ray.state.stats import CorpusStats
+
+        fresh = _ensure_index(sf_dir)
+        max_id = int(
+            pqmod.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            )["doc_id"].to_numpy().max()
+        )
+        cut = int(0.7 * (max_id + 1))
+
+        def part(lo, hi):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"]
+                keep = pc2.and_(
+                    pc2.greater_equal(ids, pa.scalar(lo)),
+                    pc2.less(ids, pa.scalar(hi)),
+                )
+                return batch.filter(keep)
+
+            return lambda: documents_as_pages(sf_dir).map_batches(
+                f, batch_format="pyarrow"
+            )
+
+        idx = tempfile.mkdtemp(prefix="graft_append_")
+        build_index(part(0, cut), idx, _CFG, dedup=False)
+        append_index(part(cut, max_id + 1), idx, _CFG, dedup=False)
+        sf, si = CorpusStats.load(fresh), CorpusStats.load(idx)
+        if (sf.n_docs, sf.total_tokens, sf.df) != (si.n_docs, si.total_tokens, si.df):
+            raise AssertionError("append stats diverge from fresh build")
+        rows = []
+        for p in range(_CFG.num_partitions):
+            fa = os.path.join(mfmod.partition_dir(fresh, p), "postings.parquet")
+            fb = os.path.join(mfmod.partition_dir(idx, p), "postings.parquet")
+            ba = open(fa, "rb").read() if os.path.exists(fa) else None
+            bb = open(fb, "rb").read() if os.path.exists(fb) else None
+            if ba != bb:
+                raise AssertionError(
+                    f"append segment diverges from fresh build at partition {p}"
+                )
+            rows.append((p, len(bb or b"")))
+        return pa.table(
+            {
+                "pid": pa.array([r[0] for r in rows], type=pa.int64()),
+                "segment_bytes": pa.array([r[1] for r in rows], type=pa.int64()),
+                "byte_equal": pa.array([True] * len(rows), type=pa.bool_()),
             }
         )
 
@@ -1157,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_pairs": jaccard_verified_pairs,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "ann_recall": ann_recall,
+        "append_roundtrip": append_roundtrip,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,
