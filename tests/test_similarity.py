@@ -286,3 +286,61 @@ def test_ivf_build_resume(tmp_path):
     b = ann_search(broken, qds2, k=5, nprobe=6).to_pandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_codebook_fvecs_roundtrip(tmp_path):
+    """Reference codebook interop (quantizer.cpp:108-131): export the
+    trained codebooks as <prefix>centers.fvecs (one flat record), then
+    re-import into a fresh index dir and verify float32-exact equality
+    plus unchanged search results."""
+    import os
+
+    import numpy as np
+
+    import ray.data
+    from mini_ivf_ray.pipelines.similarity import (
+        ann_search,
+        build_ivf_index,
+        export_codebook_fvecs,
+        import_codebook_fvecs,
+    )
+
+    rng = np.random.default_rng(17)
+    mat = rng.normal(size=(300, 16)).astype(np.float32)
+    ds = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(mat)
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_ivf_index(ds, idx, n_centroids=4, pq_m=4, pq_ks=8, seed=5)
+    assert os.path.exists(os.path.join(idx, "cq_centers.fvecs"))
+    assert os.path.exists(os.path.join(idx, "pq_centers.fvecs"))
+
+    z = np.load(os.path.join(idx, "centroids.npz"))
+    idx2 = str(tmp_path / "idx2")
+    os.makedirs(idx2)
+    for f in ("cq_centers.fvecs", "pq_centers.fvecs"):
+        with open(os.path.join(idx, f), "rb") as a, open(
+            os.path.join(idx2, f), "wb"
+        ) as b:
+            b.write(a.read())
+    import_codebook_fvecs(idx2, dim=16, n_centroids=4, pq_m=4, pq_ks=8)
+    z2 = np.load(os.path.join(idx2, "centroids.npz"))
+    # float32 fvecs storage: exact at float32 resolution
+    assert np.array_equal(z["cent"].astype(np.float32), z2["cent"].astype(np.float32))
+    assert np.array_equal(z["books"].astype(np.float32), z2["books"].astype(np.float32))
+
+    # populate idx2 on the imported codebooks (the reference
+    # SetCentroids -> Populate workflow) and compare searches
+    build_ivf_index(ds, idx2, n_centroids=4, pq_m=4, pq_ks=8, seed=5)
+    qds = ray.data.from_items(
+        [{"vec_id": 900 + i, "embedding": mat[i].tolist()} for i in range(5)]
+    )
+    a = ann_search(idx, qds, k=5, nprobe=4).to_pandas()
+    b = ann_search(idx2, qds, k=5, nprobe=4).to_pandas()
+    # imported codebooks are float32-rounded; ranks must match
+    assert a[["query_id", "rank", "vec_id"]].equals(
+        b[["query_id", "rank", "vec_id"]]
+    )
