@@ -203,3 +203,41 @@ def test_connected_components_random_vs_bfs():
         lab = min(comp)
         for u in comp:
             assert got[u] == lab
+
+
+def test_verify_pairs_exact_distributed_matches_driver():
+    """The distributed pair-bucket exact-Jaccard verify must emit the
+    same pairs and bit-identical float64 jaccard values as the driver
+    path (forced with driver_threshold=0)."""
+    import pandas as pd
+
+    from mini_ivf_ray.pipelines.dedup import (
+        lsh_candidate_pairs,
+        verify_pairs_exact,
+        verify_pairs_exact_ds,
+    )
+
+    df = _docs_with_dups()
+    cand = lsh_candidate_pairs(
+        ray.data.from_pandas(df), k=64, bands=16, threshold=0.3
+    ).to_pandas()
+    assert len(cand) > 3
+    drv = verify_pairs_exact(
+        ray.data.from_pandas(df), cand[["id_a", "id_b"]], w=3, threshold=0.5
+    ).sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    dist = (
+        verify_pairs_exact_ds(
+            ray.data.from_pandas(df),
+            ray.data.from_pandas(cand[["id_a", "id_b"]]),
+            w=3,
+            threshold=0.5,
+            driver_threshold=0,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        drv.astype({"id_a": "int64", "id_b": "int64"}),
+        dist.astype({"id_a": "int64", "id_b": "int64"}),
+    )
