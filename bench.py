@@ -109,6 +109,42 @@ def run_bench() -> dict:
     timings["build_stats_pass"] = meta["counters"]["stats_wall_sec"]
     timings["build_populate"] = meta["counters"]["populate_wall_sec"]
 
+    # ---- incremental append (reference: LoadIndex -> Populate) ----------
+    # append 10% new docs to a COPY of the committed index: measures the
+    # re-encode-without-re-tokenize path end-to-end
+    from mini_ivf_ray.pipelines.append import append_index
+
+    inc_docs = max(1000, BENCH_DOCS // 10)
+    inc_dir = f"/tmp/graft_bench_pages_inc_{inc_docs}"
+    write_pages_corpus(inc_dir, inc_docs, seed=77, num_files=8)
+
+    def inc_factory():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def resuffix(batch: pa.Table) -> pa.Table:
+            # disjoint url space vs the base corpus (same generator ids)
+            urls = pc.binary_join_element_wise(
+                batch["url"], pa.scalar("?inc=1"), pa.scalar("")
+            )
+            return batch.set_column(
+                batch.column_names.index("url"), "url", urls
+            )
+
+        return ray.data.read_parquet(
+            inc_dir, override_num_blocks=max(16, NUM_CPUS)
+        ).map_batches(resuffix, batch_format="pyarrow")
+
+    idx_inc = idx + "_inc"
+    shutil.rmtree(idx_inc, ignore_errors=True)
+    shutil.copytree(idx, idx_inc)
+    t0 = time.perf_counter()
+    append_index(inc_factory, idx_inc, cfg)
+    append_sec = time.perf_counter() - t0
+    timings["append_10pct"] = round(append_sec, 3)
+    timings["append_docs_per_sec"] = round(inc_docs / append_sec, 1)
+    shutil.rmtree(idx_inc, ignore_errors=True)
+
     # ---- query serving (reference: Timer around the query loop) ---------
     # steady-state QPS on a persistent warmed pool (the reference times
     # its query loop against an already-resident index); pool spin-up +
