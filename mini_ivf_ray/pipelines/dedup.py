@@ -241,14 +241,60 @@ class MinHasher:
             mixed = _mix64(sh[None, :] ^ self.keys[:, None])
         return mixed.min(axis=1)
 
+    def signatures_batch(self, toks: list[list[str]]) -> np.ndarray:
+        """(n_docs, k) signatures, batch-vectorized (r3): token md5s via
+        one factorize over the batch, ALL shingle folds computed over
+        the flat token-hash array with boundary-crossing shingles masked
+        out, then per-doc mins via one (k, n_shingles) mix +
+        minimum.reduceat.  Bit-identical to per-doc ``signature``
+        (same integer ops in the same combination)."""
+        n_docs = len(toks)
+        out = np.full((n_docs, self.k), np.uint64(2**64 - 1), dtype=np.uint64)
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+        flat = [t for d in toks for t in d]
+        if not flat:
+            return out
+        inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        th = _token_hashes(list(uniq))[inv]  # md5 per DISTINCT token only
+        doc_idx = np.repeat(np.arange(n_docs), counts)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        w = self.w
+        N = th.size
+        with np.errstate(over="ignore"):
+            if N >= w:
+                ns = N - w + 1
+                acc = _mix64(th[:ns])
+                for j in range(1, w):
+                    acc = _mix64(acc ^ th[j : j + ns])
+                valid = doc_idx[: ns] == doc_idx[w - 1 :]
+                sh = acc[valid]
+                sh_doc = doc_idx[:ns][valid]
+            else:
+                sh = np.empty(0, dtype=np.uint64)
+                sh_doc = np.empty(0, dtype=np.int64)
+            if sh.size:
+                mixed = _mix64(sh[None, :] ^ self.keys[:, None])  # (k, n_sh)
+                seg_docs, seg_starts = np.unique(sh_doc, return_index=True)
+                mins = np.minimum.reduceat(mixed, seg_starts, axis=1)  # (k, n_seg)
+                out[seg_docs] = mins.T
+            # short docs (0 < len < w): one progressive-fold shingle each
+            for i in np.flatnonzero((counts > 0) & (counts < w)):
+                td = th[offs[i] : offs[i + 1]]
+                acc = _mix64(td[:1])
+                for j in range(1, td.size):
+                    acc = _mix64(acc ^ td[j : j + 1])
+                out[i] = _mix64(acc ^ self.keys).reshape(-1)
+        return out
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [
-            self.signature(tokenize(t)) for t in batch["text"].to_pylist()
-        ]
+        toks = [tokenize(t) for t in batch["text"].to_pylist()]
+        sigs = self.signatures_batch(toks)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "sig": pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1), type=pa.uint64()), self.k
+                ),
             }
         )
 
@@ -282,8 +328,7 @@ def _band_rows(batch: pa.Table, bands: int, rows: int, num_buckets: int = 64) ->
     signature never enters the shuffle — at 16 bands x 512 B it would
     multiply exchange volume by roughly the corpus text size."""
     doc_ids = batch["doc_id"].to_numpy()
-    sig_list = batch["sig"].to_pylist()
-    sigs = np.array([np.asarray(s, dtype=np.uint64) for s in sig_list])  # (n, k)
+    sigs = list_to_matrix(batch["sig"])  # (n, k) uint64, zero-copy
     n = len(doc_ids)
     with np.errstate(over="ignore"):
         sigh = _mix64(sigs[:, 0])
@@ -376,12 +421,10 @@ def lsh_candidate_pairs(
         )
     wanted = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
     fetched = fetch_by_ids(sigs, "doc_id", wanted, ["doc_id", "sig"])
-    sig_of = {
-        int(d): np.asarray(sg, dtype=np.uint64)
-        for d, sg in zip(fetched["doc_id"].to_pylist(), fetched["sig"].to_pylist())
-    }
-    sa = np.array([sig_of[i] for i in pairs_df["id_a"]])
-    sb = np.array([sig_of[i] for i in pairs_df["id_b"]])
+    smat = list_to_matrix(fetched["sig"])
+    row_of = {int(v): i for i, v in enumerate(fetched["doc_id"].to_pylist())}
+    sa = smat[[row_of[i] for i in pairs_df["id_a"]]]
+    sb = smat[[row_of[i] for i in pairs_df["id_b"]]]
     pairs_df = pairs_df.assign(est_jaccard=(sa == sb).mean(axis=1))
     pairs_df = pairs_df[pairs_df["est_jaccard"] >= threshold].reset_index(drop=True)
     return ray.data.from_pandas(pairs_df)
