@@ -245,6 +245,11 @@ def append_index(
         docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
         os.makedirs(inc_tmp, exist_ok=True)
         docs.write_parquet(inc_tmp)
+        # stale inc files from a pre-marker crash of the same increment
+        # would duplicate documents (loudly — the encoder raises — but
+        # needlessly): clear them before the move
+        for f in glob.glob(os.path.join(prep_dir, f"inc{increment}_*.parquet")):
+            os.remove(f)
         moved = []
         for i, f in enumerate(sorted(os.listdir(inc_tmp))):
             if not f.endswith(".parquet"):
@@ -254,7 +259,12 @@ def append_index(
             moved.append(dst)
         shutil.rmtree(inc_tmp, ignore_errors=True)
 
-        # ---- stage 2: snapshot + marker (the point of no return) ------
+        # ---- stage 2: marker, then snapshot -----------------------------
+        # marker FIRST: a crash after mutating the index but before the
+        # marker would leave a state a plain build resume would corrupt
+        # (stale sidecar n_docs over union prepared files).  With the
+        # marker down, only append_index can proceed, and the snapshot
+        # moves below are completed idempotently on resume.
         state = {
             "increment": increment,
             "inc_files": moved,
@@ -265,13 +275,20 @@ def append_index(
                 "lineage": existing.get("lineage", {}),
             },
         }
-        shutil.rmtree(prev_root, ignore_errors=True)
-        os.replace(os.path.join(index_dir, "segments"), prev_root)
-        os.remove(os.path.join(index_dir, "manifest.json"))
         with open(marker + ".tmp", "w") as f:
             json.dump(state, f)
         os.replace(marker + ".tmp", marker)
         prior = state["prior"]
+
+    # snapshot (idempotent: also completes a crash between marker and
+    # snapshot on resume)
+    seg_root = os.path.join(index_dir, "segments")
+    if not os.path.exists(prev_root) and os.path.exists(seg_root):
+        shutil.rmtree(prev_root, ignore_errors=True)
+        os.replace(seg_root, prev_root)
+    man_path = os.path.join(index_dir, "manifest.json")
+    if os.path.exists(man_path):
+        os.remove(man_path)
 
     prior_df = CorpusStats.load(index_dir).df  # sidecar still holds A's stats
 
