@@ -245,6 +245,14 @@ def run_scaling() -> dict:
             (lo["queries"]["query_topk"] / hi["queries"]["query_topk"]) / (hi_n / lo_n), 3
         ),
         "scaling_efficiency": round(eff, 3),
+        # per-stage walls at both levels: which stage stops scaling is
+        # the actionable datum, not just the ratio
+        "stages_lo": {k: lo["queries"][k] for k in
+                      ("build_index", "build_stats_pass", "build_populate",
+                       "query_topk") if k in lo["queries"]},
+        "stages_hi": {k: hi["queries"][k] for k in
+                      ("build_index", "build_stats_pass", "build_populate",
+                       "query_topk") if k in hi["queries"]},
     }
     return result
 
