@@ -109,6 +109,31 @@ def run_bench() -> dict:
     timings["build_stats_pass"] = meta["counters"]["stats_wall_sec"]
     timings["build_populate"] = meta["counters"]["populate_wall_sec"]
 
+    # ---- query serving (reference: Timer around the query loop) ---------
+    # steady-state QPS on a persistent warmed pool (the reference times
+    # its query loop against an already-resident index); pool spin-up +
+    # cache warm-up is reported separately
+    from mini_ivf_ray.pipelines.serving import ServingPool
+
+    queries = _bench_queries(BENCH_QUERIES)
+    t0 = time.perf_counter()
+    pool = ServingPool(idx, cfg, num_actors=NUM_CPUS)
+    pool.warmup(queries[: min(300, len(queries))])
+    timings["query_pool_spinup"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    res = pool.search(queries)
+    query_sec = time.perf_counter() - t0
+    n_res = len(res)
+    timings["query_topk"] = round(query_sec, 3)
+    pool_metrics = pool.metrics()
+    pool.shutdown()
+
+    # cold-burst Dataset path (one-shot map_batches pool), for reference
+    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries[:1000]])
+    t0 = time.perf_counter()
+    search(idx, qds, cfg).count()
+    timings["query_topk_cold_1000"] = round(time.perf_counter() - t0, 3)
+
     # ---- incremental append (reference: LoadIndex -> Populate) ----------
     # append 10% new docs to a COPY of the committed index: measures the
     # re-encode-without-re-tokenize path end-to-end
@@ -145,30 +170,6 @@ def run_bench() -> dict:
     timings["append_docs_per_sec"] = round(inc_docs / append_sec, 1)
     shutil.rmtree(idx_inc, ignore_errors=True)
 
-    # ---- query serving (reference: Timer around the query loop) ---------
-    # steady-state QPS on a persistent warmed pool (the reference times
-    # its query loop against an already-resident index); pool spin-up +
-    # cache warm-up is reported separately
-    from mini_ivf_ray.pipelines.serving import ServingPool
-
-    queries = _bench_queries(BENCH_QUERIES)
-    t0 = time.perf_counter()
-    pool = ServingPool(idx, cfg, num_actors=NUM_CPUS)
-    pool.warmup(queries[: min(300, len(queries))])
-    timings["query_pool_spinup"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    res = pool.search(queries)
-    query_sec = time.perf_counter() - t0
-    n_res = len(res)
-    timings["query_topk"] = round(query_sec, 3)
-    pool_metrics = pool.metrics()
-    pool.shutdown()
-
-    # cold-burst Dataset path (one-shot map_batches pool), for reference
-    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries[:1000]])
-    t0 = time.perf_counter()
-    search(idx, qds, cfg).count()
-    timings["query_topk_cold_1000"] = round(time.perf_counter() - t0, 3)
 
     # ---- operator benchmarks over the sf dir ----------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
