@@ -226,34 +226,60 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(lo_n), run(hi_n)
-    # efficiency on the headline wall time (build + query)
-    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
+    # Interleaved repeats + per-level MEDIANS: the sandbox host drifts
+    # ±30% over the minutes a level takes, so a single lo/hi pair is a
+    # two-point ratio of two different machine states (observed 0.65 to
+    # 0.98 on identical code).  Interleaving levels and taking the
+    # median wall per level before forming the ratio measures the CODE,
+    # not the drift.  Every raw run is still reported.
+    reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    los, his = [], []
+    for _ in range(reps):
+        los.append(run(lo_n))
+        his.append(run(hi_n))
+
+    def med(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    lo_v, hi_v = med([r["value"] for r in los]), med([r["value"] for r in his])
+    lo_b = med([r["queries"]["build_index"] for r in los])
+    hi_b = med([r["queries"]["build_index"] for r in his])
+    lo_q = med([r["queries"]["query_topk"] for r in los])
+    hi_q = med([r["queries"]["query_topk"] for r in his])
+    eff = (lo_v / hi_v) / (hi_n / lo_n)
     result = {
-        "metric": f"scaling efficiency ({lo_n} vs {hi_n} CPUs, same corpus + queries)",
+        "metric": f"scaling efficiency ({lo_n} vs {hi_n} CPUs, same corpus + queries; "
+        f"median of {reps} interleaved runs per level)",
         "cpus_lo": lo_n,
         "cpus_hi": hi_n,
-        "sec_lo": lo["value"],
-        "sec_hi": hi["value"],
-        "docs_per_sec_lo": lo["docs_per_sec"],
-        "docs_per_sec_hi": hi["docs_per_sec"],
-        "qps_lo": lo["qps"],
-        "qps_hi": hi["qps"],
-        "build_eff": round(
-            (lo["queries"]["build_index"] / hi["queries"]["build_index"]) / (hi_n / lo_n), 3
-        ),
-        "query_eff": round(
-            (lo["queries"]["query_topk"] / hi["queries"]["query_topk"]) / (hi_n / lo_n), 3
-        ),
+        "sec_lo": round(lo_v, 3),
+        "sec_hi": round(hi_v, 3),
+        "docs_per_sec_lo": med([r["docs_per_sec"] for r in los]),
+        "docs_per_sec_hi": med([r["docs_per_sec"] for r in his]),
+        "qps_lo": med([r["qps"] for r in los]),
+        "qps_hi": med([r["qps"] for r in his]),
+        "build_eff": round((lo_b / hi_b) / (hi_n / lo_n), 3),
+        "query_eff": round((lo_q / hi_q) / (hi_n / lo_n), 3),
         "scaling_efficiency": round(eff, 3),
-        # per-stage walls at both levels: which stage stops scaling is
+        # raw per-run walls (honesty: medians above derive from these)
+        "runs_lo": [
+            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"]}
+            for r in los
+        ],
+        "runs_hi": [
+            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"]}
+            for r in his
+        ],
+        # per-stage walls (first run each): which stage stops scaling is
         # the actionable datum, not just the ratio
-        "stages_lo": {k: lo["queries"][k] for k in
+        "stages_lo": {k: los[0]["queries"][k] for k in
                       ("build_index", "build_stats_pass", "build_populate",
-                       "query_topk") if k in lo["queries"]},
-        "stages_hi": {k: hi["queries"][k] for k in
+                       "query_topk") if k in los[0]["queries"]},
+        "stages_hi": {k: his[0]["queries"][k] for k in
                       ("build_index", "build_stats_pass", "build_populate",
-                       "query_topk") if k in hi["queries"]},
+                       "query_topk") if k in his[0]["queries"]},
     }
     return result
 
