@@ -3,6 +3,8 @@
 The CLI owns its Ray session (library code never calls ray.init).
 
   build       <pages_parquet_dir> <index_dir> [--partitions N] [--no-dedup]
+  append      <pages_parquet_dir> <index_dir> [--no-dedup]   (incremental:
+              add a new batch without re-tokenizing the old corpus)
   query       <index_dir> "terms ..." [--topk K]
   stats       <index_dir>
   synth       <out_dir> --docs N [--seed S]
@@ -48,6 +50,11 @@ def main(argv=None) -> int:
     b.add_argument("index_dir")
     b.add_argument("--partitions", type=int, default=16)
     b.add_argument("--no-dedup", action="store_true")
+
+    ap = sub.add_parser("append")
+    ap.add_argument("pages")
+    ap.add_argument("index_dir")
+    ap.add_argument("--no-dedup", action="store_true")
 
     q = sub.add_parser("query")
     q.add_argument("index_dir")
@@ -100,6 +107,17 @@ def main(argv=None) -> int:
 
             cfg = PipelineConfig(num_partitions=args.partitions)
             meta = build_index(
+                lambda: ray.data.read_parquet(args.pages),
+                args.index_dir,
+                cfg,
+                dedup=not args.no_dedup,
+            )
+            print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
+        elif args.cmd == "append":
+            from mini_ivf_ray.pipelines.append import append_index
+
+            cfg = PipelineConfig.from_index(args.index_dir)
+            meta = append_index(
                 lambda: ray.data.read_parquet(args.pages),
                 args.index_dir,
                 cfg,

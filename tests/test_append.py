@@ -162,3 +162,24 @@ def test_append_requires_committed_index(tmp_path):
             str(tmp_path / "nope"),
             cfg,
         )
+
+
+def test_cli_append_roundtrip(tmp_path):
+    """`python -m mini_ivf_ray append` wires the incremental path."""
+    import pyarrow.parquet as pq
+
+    from mini_ivf_ray.__main__ import main
+
+    pages_a, pages_b = _split_pages(n_total=200, n_a=120, seed=97)
+    pa_dir, pb_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    for d, t in ((pa_dir, pages_a), (pb_dir, pages_b)):
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "pages.parquet"))
+    idx = str(tmp_path / "idx")
+    assert main(["build", pa_dir, idx, "--partitions", "2"]) == 0
+    assert main(["append", pb_dir, idx]) == 0
+    from mini_ivf_ray.state import manifest as mfmod
+
+    meta = mfmod.read_index_manifest(idx)
+    assert meta["lineage"]["increments"][-1]["increment"] == 1
+    assert meta["n_docs"] == 200
