@@ -108,8 +108,6 @@ def _estimate_salt_plan(prep_dir: str, cfg: PipelineConfig, n_docs: int) -> dict
 
     from collections import Counter
 
-    from mini_ivf_ray.functions.tokenize import term_freqs
-
     if n_docs == 0:
         return {}
     files = sorted(glob.glob(os.path.join(prep_dir, "*.parquet")))
@@ -124,14 +122,30 @@ def _estimate_salt_plan(prep_dir: str, cfg: PipelineConfig, n_docs: int) -> dict
         return {}
 
     def partials(batch: pa.Table) -> pa.Table:
-        df: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            df.update(term_freqs(t).keys())
-        terms = list(df.keys())
+        # vectorized per-batch df: one factorize + one unique over
+        # (doc, term) keys (the per-doc Counter loop made this bounded
+        # pass a ~2 s fixed floor on the build — pure Amdahl cost at
+        # high CPU counts since the sample size never grows)
+        import pandas as pd
+
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+        toks, _ = tokenize_batch(batch["text"].to_pylist())
+        counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        flat = [t for d in toks for t in d]
+        if not flat:
+            return pa.table(
+                {"term": pa.array([], type=pa.string()),
+                 "df": pa.array([], type=pa.int64())}
+            )
+        inv, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        doc_idx = np.repeat(np.arange(len(toks)), counts)
+        pair_keys = np.unique(doc_idx * len(uniq) + inv)
+        df = np.bincount(pair_keys % len(uniq), minlength=len(uniq))
         return pa.table(
             {
-                "term": pa.array(terms, type=pa.string()),
-                "df": pa.array([df[t] for t in terms], type=pa.int64()),
+                "term": pa.array(uniq, type=pa.string()),
+                "df": pa.array(df, type=pa.int64()),
             }
         )
 
