@@ -233,6 +233,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_conjunctive(sf_dir):
+        """Conjunctive (AND) retrieval over the same index and query
+        set: only docs containing EVERY query term rank; scores are the
+        same BM25 sums, so this is the bm25_topk ranking restricted to
+        the all-terms doc set (reference analog: the same posting-list
+        machinery under intersection instead of union semantics)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG, mode="and").to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_exhaustive(sf_dir):
         """Same top-k via the distributed exhaustive scorer (the
         get_groundtruth analog) — no index involved."""
@@ -1203,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": doc_lengths,
         "top_terms": top_terms,
         "bm25_topk": bm25_topk,
+        "bm25_conjunctive": bm25_conjunctive,
         "bm25_exhaustive": bm25_exhaustive,
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
@@ -1263,7 +1292,18 @@ def _bm25_values() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(conjunctive: bool = False) -> str:
+    # conjunctive: a doc ranks only if it matched EVERY distinct query
+    # term (count of matched q rows == the query's term count; q.term
+    # values are distinct per query and postings are unique per
+    # (doc, term), so count(*) counts matched terms exactly; a query
+    # term absent from the corpus keeps its q row but can match no
+    # postings row, so such queries come back empty — AND semantics)
+    conj_filter = (
+        "JOIN qn ON qn.query_id = scores.query_id AND scores.nm = qn.n"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH {_TOK_CTE},
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
@@ -1273,21 +1313,24 @@ stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
                    / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
 q(query_id, term) AS (VALUES {_bm25_values()}),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
 scores AS (
   SELECT q.query_id, p.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
               * (p.tf * (1.2 + 1.0))
-              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
   FROM q
   JOIN df d ON d.term = q.term
   JOIN postings p ON p.term = q.term
   JOIN dl ON dl.doc_id = p.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2),
-ranked AS (SELECT query_id, doc_id, score,
-                  row_number() OVER (PARTITION BY query_id
-                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
-           FROM scores)
+ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
+                  row_number() OVER (PARTITION BY scores.query_id
+                                     ORDER BY scores.score DESC,
+                                              scores.doc_id ASC) - 1 AS rank
+           FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """
@@ -1407,6 +1450,7 @@ FROM documents
 """,
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
+        "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
         "exact_dedup": """

@@ -222,19 +222,73 @@ def taat_topk(
     return out
 
 
+def conjunctive_topk(
+    blocks_list: list[PostingBlocks],
+    k: int,
+    n_query_terms: int,
+    counters: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Exact conjunctive (AND) evaluation: only documents containing
+    EVERY query term are ranked; scores are the same BM25 sums as the
+    disjunctive paths, so a conjunctive hit scores identically to its
+    disjunctive counterpart (all terms contribute).
+
+    Shape: posting lists are globally doc-sorted (disjoint increasing
+    block/salt ranges), so the candidate set is a sorted-array
+    intersection (smallest list first — the classic conjunctive-DAAT
+    cost order) and each term's contribution is gathered with one
+    ``searchsorted`` + fancy-index per term.  Accumulation stays one
+    vectorized ``+=`` per term in lexicographic term order — the exact
+    float64 pattern TAAT/WAND/the oracles use, so scores are
+    bit-identical.  A query with an absent (OOV or zero-posting) term
+    matches nothing, by definition of AND."""
+    blocks_list = sorted(
+        (b for b in blocks_list if b.n_blocks), key=lambda b: b.term
+    )
+    scored = 0
+    out: list[tuple[int, float]] = []
+    if blocks_list and len(blocks_list) == n_query_terms:
+        parts = [b.all_postings() for b in blocks_list]
+        by_size = sorted((d for d, _ in parts), key=lambda d: d.size)
+        docs = by_size[0]
+        for d in by_size[1:]:
+            if docs.size == 0:
+                break
+            docs = np.intersect1d(docs, d, assume_unique=True)
+        scored = sum(d.size for d, _ in parts)
+        if docs.size:
+            scores = np.zeros(docs.size, dtype=np.float64)
+            for d, c in parts:  # lexicographic term order
+                scores += c[np.searchsorted(d, docs)]
+            out = _topk_exact(docs, scores, k)
+    if counters is not None:
+        counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
+        counters["and_queries"] = counters.get("and_queries", 0) + 1
+        counters["n_queries"] = counters.get("n_queries", 0) + 1
+    return out
+
+
 def topk_from_blocks(
     fetched: dict[str, PostingBlocks | None],
     stats: CorpusStats,
     cfg: PipelineConfig,
     counters: dict | None = None,
+    mode: str = "or",
 ) -> list[tuple[int, float]]:
     """Hybrid evaluation entry: TAAT below the posting-count threshold,
-    block-max WAND above it.  Both are exact and bit-identical."""
+    block-max WAND above it.  Both are exact and bit-identical.
+    ``mode="and"`` routes to conjunctive evaluation instead (every
+    fetched term must match; callers must ensure ``fetched`` covers ALL
+    query terms, including unresolved ones as ``None``)."""
     blocks_list = [b for b in fetched.values() if b is not None]
     total = sum(b.n_postings for b in blocks_list)
     for b in blocks_list:
         b.set_scoring(
             bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg.k1, cfg.b
+        )
+    if mode == "and":
+        return conjunctive_topk(
+            blocks_list, cfg.topk, len(fetched), counters=counters
         )
     if total <= cfg.taat_threshold:
         return taat_topk(blocks_list, cfg.topk, counters=counters)
@@ -402,7 +456,11 @@ class BM25Searcher:
         cfg: PipelineConfig | None = None,
         shared_tables: dict | None = None,
         decoded_refs: dict | None = None,
+        mode: str = "or",
     ):
+        if mode not in ("or", "and"):
+            raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+        self.mode = mode
         # default the partitioning/scoring config FROM THE INDEX — a
         # mismatched num_partitions/hot_df_threshold would silently
         # resolve terms to the wrong partitions
@@ -423,6 +481,15 @@ class BM25Searcher:
             for t in terms
             if self.stats.df.get(t, 0) > 0  # OOV -> empty posting list
         }
+        if self.mode == "and" and len(wanted) < len(terms):
+            # an OOV query term can match no document: AND is empty
+            # before any fetch
+            if self.counters is not None:
+                self.counters["and_queries"] = (
+                    self.counters.get("and_queries", 0) + 1
+                )
+                self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
+            return []
         fetched = self.reader.fetch_terms(wanted)
         # QueryObs analog (reference: per-cluster ground-truth hit
         # histogram, index_ivfpq.cpp:412-470): per-PARTITION probe
@@ -432,7 +499,7 @@ class BM25Searcher:
             for p in dict.fromkeys(locs):
                 pp[p] = pp.get(p, 0) + 1
         return topk_from_blocks(
-            fetched, self.stats, self.cfg, counters=self.counters
+            fetched, self.stats, self.cfg, counters=self.counters, mode=self.mode
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -460,6 +527,7 @@ def search(
     queries_ds,
     cfg: PipelineConfig | None = None,
     share: str | bool = "decoded",
+    mode: str = "or",
 ):
     """queries (query_id, text) -> results (query_id, rank, doc_id, score).
 
@@ -478,7 +546,7 @@ def search(
         shared = share_segments(index_dir, cfg.num_partitions)
     return queries_ds.map_batches(
         BM25Searcher,
-        fn_constructor_args=(index_dir, cfg, shared, decoded),
+        fn_constructor_args=(index_dir, cfg, shared, decoded, mode),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),  # autoscale to free CPUs
@@ -492,10 +560,15 @@ def search(
 
 
 def brute_force_topk(
-    docs: pd.DataFrame, queries: list[tuple[int, str]], cfg: PipelineConfig | None = None
+    docs: pd.DataFrame,
+    queries: list[tuple[int, str]],
+    cfg: PipelineConfig | None = None,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Local exact oracle over a small corpus (columns doc_id, text).
-    Canonical accumulation; used by pytest for rank-identity."""
+    Canonical accumulation; used by pytest for rank-identity.
+    ``mode="and"`` keeps only docs containing every distinct query term
+    (conjunctive retrieval); scores are unchanged for surviving docs."""
     cfg = cfg or PipelineConfig()
     doc_ids = docs["doc_id"].to_numpy().astype(np.uint64)
     order = np.argsort(doc_ids, kind="stable")
@@ -518,17 +591,20 @@ def brute_force_topk(
 
     out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
     for qid, qtext in queries:
+        qterms = sorted(set(tokenize(qtext)))
         scores = np.zeros(n_docs, dtype=np.float64)
-        touched = np.zeros(n_docs, dtype=bool)
-        for t in sorted(set(tokenize(qtext))):
+        nmatch = np.zeros(n_docs, dtype=np.int64)
+        for t in qterms:
             if t not in postings:
                 continue
             idx, f = postings[t]
             scores[idx] += bm25.contributions(
                 f, dls[idx], int(len(idx)), n_docs, avgdl, cfg.k1, cfg.b
             )
-            touched[idx] = True
-        cand = np.flatnonzero(touched)
+            nmatch[idx] += 1
+        cand = np.flatnonzero(
+            nmatch == len(qterms) if mode == "and" else nmatch > 0
+        )
         if cand.size == 0:
             continue
         rank_order = np.lexsort((doc_ids[cand], -scores[cand]))[: cfg.topk]

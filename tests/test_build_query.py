@@ -161,3 +161,64 @@ def test_taat_and_wand_bit_identical(tiny_index):
             assert "taat_queries" not in s.counters
         else:
             assert s.counters.get("taat_queries", 0) == len(queries)
+
+
+def test_conjunctive_rank_identity(tiny_index):
+    """Conjunctive (AND) retrieval: the searcher's mode="and" output is
+    rank- and bit-identical to the local conjunctive oracle; results are
+    the disjunctive ranking restricted to all-terms docs (same scores);
+    any OOV term empties the query."""
+    import pandas as pd
+
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(11)
+    # guaranteed-nonempty AND queries: sample k distinct terms from one
+    # doc's own text (that doc matches all of them), plus vocab-random
+    # and OOV queries that may legitimately come back empty
+    texts = list(docs["text"])
+    queries = []
+    for qid in range(30):
+        if qid % 3 == 2:
+            queries.append(_mk_queries(docs, rng, nq=1)[0][1])
+            queries[-1] = (qid, queries[-1])
+            continue
+        toks = sorted(set(tokenize(texts[int(rng.integers(len(texts)))])))
+        k = int(rng.integers(1, min(5, len(toks)) + 1))
+        queries.append(
+            (qid, " ".join(rng.choice(toks, size=k, replace=False)))
+        )
+    oracle = brute_force_topk(docs, queries, cfg, mode="and").sort_values(
+        ["query_id", "rank"]
+    )
+    assert len(oracle), "conjunctive query set is vacuous — fix the generator"
+
+    s = BM25Searcher(idx, cfg, mode="and")
+    rows = [
+        (qid, r, d, sc)
+        for qid, qt in queries
+        for r, (d, sc) in enumerate(s.topk_for_text(qt))
+    ]
+    res = pd.DataFrame(rows, columns=["query_id", "rank", "doc_id", "score"])
+    res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert len(res) == len(oracle)
+    np.testing.assert_array_equal(
+        res["doc_id"].to_numpy().astype(np.uint64),
+        oracle["doc_id"].to_numpy().astype(np.uint64),
+    )
+    np.testing.assert_array_equal(res["score"].to_numpy(), oracle["score"].to_numpy())
+    assert s.counters.get("n_queries", 0) == len(queries)
+
+    # AND ⊆ OR with identical per-(query, doc) scores
+    s_or = BM25Searcher(idx, cfg)
+    for qid, qt in queries:
+        and_hits = dict(s.topk_for_text(qt))
+        or_all = dict(s_or.topk_for_text(qt))
+        for d, sc in and_hits.items():
+            # doc may fall outside OR's top-k only if scores tie-crowd;
+            # with k=10 on the tiny corpus every AND hit appears in OR
+            if d in or_all:
+                assert or_all[d] == sc
+
+    # OOV term -> empty, regardless of other terms
+    some_terms = " ".join(sorted(set(tokenize(texts[0])))[:2])
+    assert s.topk_for_text(some_terms + " zzoutofvocabzz") == []
