@@ -40,6 +40,20 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (7, "data row column filter group batch"),
 ]
 
+# phrase workload: exact contiguous-token-sequence queries (incl. one
+# phrase with zero corpus occurrences and one singleton)
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "key value"),
+    (1, "slow fast"),
+    (2, "table join"),
+    (3, "window agg"),
+    (4, "data row column"),
+    (5, "big small"),
+    (6, "query line"),
+    (7, "sort order"),
+    (8, "hash merge sort"),
+]
+
 N_ANN_QUERIES = 8
 TOKEN_RE_SQL = "[a-z0-9]+"
 STOPWORDS_SQL = "('the','a','of','and','to','in')"
@@ -252,6 +266,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def phrase_topk_q(sf_dir):
+        """Exact phrase (contiguous token sequence) search: conjunctive
+        candidates from the positionless index, distributed re-tokenize
+        + window verify over the corpus, ranked by the conjunctive BM25
+        score (pipelines/phrase.py)."""
+        from mini_ivf_ray.pipelines.phrase import phrase_topk
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+
+        idx = _ensure_index(sf_dir)
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        res = phrase_topk(idx, docs, PHRASE_QUERIES, _CFG)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
                 "doc_id": pa.array(
                     res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
@@ -1232,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "bm25_topk": bm25_topk,
         "bm25_conjunctive": bm25_conjunctive,
+        "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
@@ -1331,6 +1374,71 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
                                      ORDER BY scores.score DESC,
                                               scores.doc_id ASC) - 1 AS rank
            FROM scores {conj_filter})
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+"""
+
+
+def _phrase_values() -> tuple[str, str]:
+    """(distinct-term VALUES, normalized-phrase VALUES) for the phrase
+    workload — phrases normalized through the same tokenizer so the
+    LIKE containment test runs over single-space token strings."""
+    import re
+
+    term_rows, phrase_rows = [], []
+    for qid, text in PHRASE_QUERIES:
+        toks = re.findall("[a-z0-9]+", text.lower())
+        for t in sorted(set(toks)):
+            term_rows.append(f"({qid}, '{t}')")
+        phrase_rows.append(f"({qid}, '{' '.join(toks)}')")
+    return ", ".join(term_rows), ", ".join(phrase_rows)
+
+
+def _phrase_sql() -> str:
+    # conjunctive BM25 scoring (identical formula to _bm25_sql) plus a
+    # contiguous-token-sequence filter: the doc's token stream joined
+    # by single spaces must contain the normalized phrase with token
+    # boundaries (' phrase ' in ' t1 t2 ... ')
+    terms, phrases = _phrase_values()
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {terms}),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+ph(query_id, phrase) AS (VALUES {phrases}),
+docstr AS (SELECT doc_id,
+                  ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')
+                  || ' ' AS s
+           FROM documents),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+verified AS (
+  SELECT scores.query_id, scores.doc_id, scores.score
+  FROM scores
+  JOIN qn ON qn.query_id = scores.query_id AND scores.nm = qn.n
+  JOIN ph ON ph.query_id = scores.query_id
+  JOIN docstr ON docstr.doc_id = scores.doc_id
+  WHERE docstr.s LIKE '% ' || ph.phrase || ' %'),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM verified)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """
@@ -1451,6 +1559,7 @@ FROM documents
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
         "exact_dedup": """

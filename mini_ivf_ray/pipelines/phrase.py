@@ -1,0 +1,205 @@
+"""Phrase (exact token-sequence) search.
+
+The index stores no positions (like the reference's postings,
+index_ivfpq.cpp:83-120, which keep only per-cluster id/payload), so
+phrase matching is the classic two-stage plan every positional-less
+engine uses:
+
+1. **Candidate generation from the index** — the phrase's distinct
+   terms are intersected conjunctively (``conjunctive_matches``): a doc
+   can only contain the phrase if it contains every term.  This is
+   index-only work and prunes the corpus to the AND set.
+2. **Distributed verify over the corpus** — one ``map_batches`` pass
+   over the documents dataset, filtered to candidate ids (broadcast as
+   a sorted uint64 numpy array via ``ray.put`` — 8 bytes/candidate;
+   the batch-side membership test is one ``np.isin``).  Each surviving
+   doc is re-tokenized with the indexing tokenizer and scanned for the
+   phrase as a CONTIGUOUS token subsequence (vectorized first-token
+   match + per-hit window compare).
+
+Ranking: verified docs keep their conjunctive BM25 score (sum over the
+phrase's distinct terms — the same float64 accumulation as every other
+query path), so phrase results order exactly like the equivalent AND
+query restricted to true phrase hits.
+
+Scale note: the broadcast candidate-id array is the partitioning
+assumption — candidates ≪ corpus (AND of ≥2 terms).  A single-stopword
+"phrase" degenerates to one term and skips verify entirely (any
+occurrence IS the phrase).  At 10^8+ candidates the id array is ~1 GB
+in plasma, still one object read zero-copy by every verify task; beyond
+that, flip to a bucketed semi-join on id hash (the jaccard-verify
+pattern, dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions.tokenize import tokenize, tokenize_batch
+from mini_ivf_ray.pipelines.query import BM25Searcher, _topk_exact
+
+
+def contains_phrase(tokens: list[str], phrase: list[str]) -> bool:
+    """Exact contiguous subsequence test over token lists."""
+    n, m = len(tokens), len(phrase)
+    if m == 0 or n < m:
+        return False
+    first = phrase[0]
+    # vectorized first-token positions, then window compare per hit
+    arr = np.array(tokens, dtype=object)
+    hits = np.flatnonzero(arr[: n - m + 1] == first)
+    return any(tokens[i : i + m] == phrase for i in hits)
+
+
+class _PhraseVerifier:
+    """Verify stage: batch -> (query_id, doc_id) rows for docs whose
+    token stream contains the phrase.  Candidate ids + phrases ship
+    once per actor via the object store (zero-copy for the id array)."""
+
+    def __init__(self, cand_ref, phrases: list[tuple[int, list[str]]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # {qid: sorted uint64 ids}
+        self.phrases = phrases
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        any_mask = np.zeros(len(doc_ids), dtype=bool)
+        per_q = {}
+        for qid, _ in self.phrases:
+            ids = self.cand.get(qid)
+            if ids is None or not ids.size:
+                continue
+            m = np.isin(doc_ids, ids, assume_unique=False)
+            if m.any():
+                per_q[qid] = m
+                any_mask |= m
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if per_q:
+            rows = np.flatnonzero(any_mask)
+            texts = batch["text"].take(pa.array(rows)).to_pylist()
+            toks, _ = tokenize_batch(texts)
+            row_tokens = dict(zip(rows.tolist(), toks))
+            for qid, phrase in self.phrases:
+                m = per_q.get(qid)
+                if m is None:
+                    continue
+                for i in np.flatnonzero(m).tolist():
+                    if contains_phrase(row_tokens[i], phrase):
+                        out_q.append(qid)
+                        out_d.append(int(doc_ids[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def phrase_topk(
+    index_dir: str,
+    docs_ds,
+    phrases: list[tuple[int, str]],
+    cfg: PipelineConfig | None = None,
+) -> pd.DataFrame:
+    """Top-k phrase search: (query_id, rank, doc_id, score) for docs
+    containing each phrase as a contiguous token sequence, ranked by
+    the conjunctive BM25 score (score desc, doc_id asc).
+
+    ``docs_ds``: the prepared documents dataset (doc_id, text) the
+    index was built from — needed because the index is positionless.
+    """
+    import ray
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized = [(qid, tokenize(text)) for qid, text in phrases]
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str]]] = []
+    for qid, toks in tokenized:
+        docs, scores = searcher.conjunctive_matches_for_text(" ".join(toks))
+        cand[qid] = docs
+        cand_scores[qid] = dict(zip(docs.tolist(), scores.tolist()))
+        # single-token phrases (after tokenization) need no position
+        # check: every conjunctive match contains the "phrase"
+        if len(toks) > 1 and docs.size:
+            needs_verify.append((qid, toks))
+
+    verified: dict[int, np.ndarray] = {
+        qid: cand[qid] for qid, toks in tokenized if len(toks) == 1
+    }
+    if needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _ in needs_verify})
+        hits = (
+            docs_ds.map_batches(
+                _PhraseVerifier,
+                fn_constructor_args=(cand_ref, needs_verify),
+                batch_format="pyarrow",
+                concurrency=(1, cfg.query_concurrency),
+                num_cpus=1,
+            )
+            .to_pandas()
+        )
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(grp["doc_id"].to_numpy().astype(np.uint64))
+
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, _ in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(d)
+            out["score"].append(s)
+    df = pd.DataFrame(out)
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df
+
+
+def brute_force_phrase_topk(
+    docs: pd.DataFrame,
+    phrases: list[tuple[int, str]],
+    cfg: PipelineConfig | None = None,
+) -> pd.DataFrame:
+    """Local exact oracle: scan every doc for the phrase, score with
+    the conjunctive BM25 oracle, rank (score desc, doc_id asc)."""
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    cfg = cfg or PipelineConfig()
+    # conjunctive scores for ALL matches: k widened to the corpus size
+    import dataclasses
+
+    wide = dataclasses.replace(cfg, topk=max(len(docs), 1))
+    scored = brute_force_topk(docs, phrases, wide, mode="and")
+    toks_per_doc = {
+        int(d): tokenize(t) for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    out_rows = []
+    for qid, text in phrases:
+        phrase = tokenize(text)
+        sub = scored[scored["query_id"] == qid]
+        keep = [
+            (int(d), float(s))
+            for d, s in zip(sub["doc_id"], sub["score"])
+            if contains_phrase(toks_per_doc[int(d)], phrase)
+        ]
+        keep.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(keep[: cfg.topk]):
+            out_rows.append((qid, r, d, s))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "doc_id", "score"])
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df

@@ -242,30 +242,46 @@ def conjunctive_topk(
     float64 pattern TAAT/WAND/the oracles use, so scores are
     bit-identical.  A query with an absent (OOV or zero-posting) term
     matches nothing, by definition of AND."""
-    blocks_list = sorted(
-        (b for b in blocks_list if b.n_blocks), key=lambda b: b.term
-    )
-    scored = 0
-    out: list[tuple[int, float]] = []
-    if blocks_list and len(blocks_list) == n_query_terms:
-        parts = [b.all_postings() for b in blocks_list]
-        by_size = sorted((d for d, _ in parts), key=lambda d: d.size)
-        docs = by_size[0]
-        for d in by_size[1:]:
-            if docs.size == 0:
-                break
-            docs = np.intersect1d(docs, d, assume_unique=True)
-        scored = sum(d.size for d, _ in parts)
-        if docs.size:
-            scores = np.zeros(docs.size, dtype=np.float64)
-            for d, c in parts:  # lexicographic term order
-                scores += c[np.searchsorted(d, docs)]
-            out = _topk_exact(docs, scores, k)
+    docs, scores, scored = conjunctive_matches(blocks_list, n_query_terms)
+    out = _topk_exact(docs, scores, k) if docs.size else []
     if counters is not None:
         counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
         counters["and_queries"] = counters.get("and_queries", 0) + 1
         counters["n_queries"] = counters.get("n_queries", 0) + 1
     return out
+
+
+def conjunctive_matches(
+    blocks_list: list[PostingBlocks], n_query_terms: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """The full conjunctive match set: (docs asc, scores, postings
+    decoded).  Shared by conjunctive top-k and phrase candidate
+    generation (which must rank AFTER a verify filter, so it needs
+    every match, not just the top k)."""
+    blocks_list = sorted(
+        (b for b in blocks_list if b.n_blocks), key=lambda b: b.term
+    )
+    empty = (
+        np.empty(0, dtype=np.uint64),
+        np.empty(0, dtype=np.float64),
+        0,
+    )
+    if not blocks_list or len(blocks_list) != n_query_terms:
+        return empty
+    parts = [b.all_postings() for b in blocks_list]
+    by_size = sorted((d for d, _ in parts), key=lambda d: d.size)
+    docs = by_size[0]
+    for d in by_size[1:]:
+        if docs.size == 0:
+            break
+        docs = np.intersect1d(docs, d, assume_unique=True)
+    scored = sum(d.size for d, _ in parts)
+    if not docs.size:
+        return empty[0], empty[1], scored
+    scores = np.zeros(docs.size, dtype=np.float64)
+    for d, c in parts:  # lexicographic term order
+        scores += c[np.searchsorted(d, docs)]
+    return docs, scores, scored
 
 
 def topk_from_blocks(
@@ -501,6 +517,35 @@ class BM25Searcher:
         return topk_from_blocks(
             fetched, self.stats, self.cfg, counters=self.counters, mode=self.mode
         )
+
+    def conjunctive_matches_for_text(
+        self, qtext: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """EVERY doc containing all distinct query terms, with its full
+        BM25 score — the candidate generator for phrase search (which
+        filters before ranking, so top-k here would be wrong)."""
+        terms = sorted(set(tokenize(qtext)))
+        wanted = {
+            t: self.stats.term_locations(t, self.cfg)
+            for t in terms
+            if self.stats.df.get(t, 0) > 0
+        }
+        if not terms or len(wanted) < len(terms):
+            return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64)
+        fetched = self.reader.fetch_terms(wanted)
+        blocks_list = [b for b in fetched.values() if b is not None]
+        for b in blocks_list:
+            b.set_scoring(
+                bm25.idf(self.stats.df[b.term], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+        docs, scores, scored = conjunctive_matches(blocks_list, len(fetched))
+        self.counters["searched_cnt"] = (
+            self.counters.get("searched_cnt", 0) + scored
+        )
+        return docs, scores
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

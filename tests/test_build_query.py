@@ -222,3 +222,48 @@ def test_conjunctive_rank_identity(tiny_index):
     # OOV term -> empty, regardless of other terms
     some_terms = " ".join(sorted(set(tokenize(texts[0])))[:2])
     assert s.topk_for_text(some_terms + " zzoutofvocabzz") == []
+
+
+def test_phrase_topk_matches_oracle(tiny_index):
+    """Phrase search (conjunctive candidates + distributed token-window
+    verify) is rank- and bit-identical to the local scan oracle; a
+    zero-occurrence phrase and a single-token phrase behave correctly."""
+    import ray.data
+    from mini_ivf_ray.pipelines.phrase import (
+        brute_force_phrase_topk,
+        contains_phrase,
+        phrase_topk,
+    )
+
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(13)
+    texts = list(docs["text"])
+    phrases = []
+    for qid in range(12):
+        toks = tokenize(texts[int(rng.integers(len(texts)))])
+        if len(toks) < 3:
+            continue
+        i = int(rng.integers(0, len(toks) - 2))
+        n = 1 if qid % 5 == 4 else int(rng.integers(2, 4))
+        phrases.append((qid, " ".join(toks[i : i + n])))
+    phrases.append((98, "zznophrasezz here"))  # OOV term -> empty
+    phrases.append((99, texts[0].split()[0] + " zzoutofvocabzz"))
+
+    oracle = brute_force_phrase_topk(docs, phrases, cfg).sort_values(
+        ["query_id", "rank"]
+    )
+    assert len(oracle), "phrase set vacuous"
+    res = phrase_topk(
+        idx, ray.data.from_pandas(docs), phrases, cfg
+    ).sort_values(["query_id", "rank"])
+    assert len(res) == len(oracle)
+    np.testing.assert_array_equal(
+        res["doc_id"].to_numpy().astype(np.uint64),
+        oracle["doc_id"].to_numpy().astype(np.uint64),
+    )
+    np.testing.assert_array_equal(res["score"].to_numpy(), oracle["score"].to_numpy())
+    # the window matcher itself
+    assert contains_phrase(["a", "b", "a", "c"], ["a", "c"])
+    assert not contains_phrase(["a", "b", "a", "c"], ["c", "a"])
+    assert not contains_phrase(["a"], ["a", "b"])
+    assert not contains_phrase(["a", "b"], [])
