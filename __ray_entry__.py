@@ -355,6 +355,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return quality(_documents(sf_dir))
 
+    def repetition_q(sf_dir):
+        """Gopher-style repetition signals (duplicate n-gram instance
+        fractions + top-token mass); raw float64 divisions of exact
+        integer counts, so the DuckDB list-op oracle matches
+        bit-for-bit."""
+        from mini_ivf_ray.pipelines.analysis import repetition
+
+        return repetition(_documents(sf_dir))
+
     def quality_filter_q(sf_dir):
         from mini_ivf_ray.pipelines.analysis import quality_filter
 
@@ -1279,6 +1288,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
         "quality": quality_q,
+        "repetition": repetition_q,
         "quality_filter": quality_filter_q,
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
@@ -1461,6 +1471,42 @@ FROM ranked WHERE rank < 10
 """
 
 
+def _repetition_sql() -> str:
+    # n-gram lists via DuckDB list comprehensions (1-indexed); dup
+    # fraction = (total - distinct)/total as ONE raw float64 division
+    # of exact integers — bit-identical to the numpy side
+    return f"""
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+g2 AS (SELECT doc_id,
+              [tk[i] || ' ' || tk[i+1] FOR i IN generate_series(1, len(tk)-1)] AS g
+       FROM t),
+g3 AS (SELECT doc_id,
+              [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+               FOR i IN generate_series(1, len(tk)-2)] AS g
+       FROM t),
+tok2 AS (SELECT doc_id, unnest(tk) AS term FROM t),
+top AS (SELECT doc_id, max(c) AS mx
+        FROM (SELECT doc_id, term, count(*) AS c FROM tok2 GROUP BY 1, 2)
+        GROUP BY 1)
+SELECT t.doc_id,
+       len(t.tk)::BIGINT AS n_tokens,
+       CASE WHEN len(g2.g) > 0
+            THEN (len(g2.g) - len(list_distinct(g2.g)))::DOUBLE / len(g2.g)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3.g) > 0
+            THEN (len(g3.g) - len(list_distinct(g3.g)))::DOUBLE / len(g3.g)
+            ELSE 0.0 END AS dup_3gram_frac,
+       CASE WHEN len(t.tk) > 0
+            THEN top.mx::DOUBLE / len(t.tk) ELSE 0.0 END AS top_token_frac
+FROM t
+JOIN g2 ON g2.doc_id = t.doc_id
+JOIN g3 ON g3.doc_id = t.doc_id
+LEFT JOIN top ON top.doc_id = t.doc_id
+"""
+
+
 def _quality_sql() -> str:
     return f"""
 WITH t AS (SELECT doc_id, text,
@@ -1567,6 +1613,7 @@ SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(text)
 """,
         "quality": _quality_sql(),
+        "repetition": _repetition_sql(),
         "quality_filter": f"""
 SELECT * FROM ({_quality_sql()}) q
 WHERE n_tokens >= 20 AND stop_ratio <= 0.3 AND punct_ratio <= 0.05

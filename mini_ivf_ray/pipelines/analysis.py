@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.functions.tokenize import tokenize, tokenize_batch
 
 # ---- language-ID marker profiles (iteration order = preference order) ----
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -87,6 +87,80 @@ def quality_batch(batch: pa.Table) -> pa.Table:
             "mean_token_len": pa.array(np.round(tok_chars / safe, 6), type=pa.float64()),
             "punct_ratio": pa.array(np.round(n_punct / safe_c, 6), type=pa.float64()),
         }
+    )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al.
+    2021, public filter recipe): fraction of n-gram instances that are
+    repeats of an earlier n-gram, and the most-frequent-token mass.
+    Heavy repetition is the classic boilerplate/spam signature a
+    web-corpus cleaning pipeline thresholds on.
+
+    Vectorized: one batch-level factorize, n-gram keys as integer
+    mixes, per-doc distinct/total via ONE pandas hash groupby across
+    the whole batch (no per-doc Python loops).  Fractions are single
+    raw float64 divisions so DuckDB list-op oracles match
+    bit-for-bit."""
+    texts = batch["text"].to_pylist()
+    toks, dls = tokenize_batch(texts)
+    n_docs = len(texts)
+    n_tokens = dls.astype(np.int64)
+    flat = [t for ts in toks for t in ts]
+    doc_idx = np.repeat(np.arange(n_docs), n_tokens)
+    out = {
+        "dup_2gram_frac": np.zeros(n_docs, dtype=np.float64),
+        "dup_3gram_frac": np.zeros(n_docs, dtype=np.float64),
+        "top_token_frac": np.zeros(n_docs, dtype=np.float64),
+    }
+    if flat:
+        codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+        codes = codes.astype(np.int64)
+        # top-token mass: max per-(doc, token) count / doc length
+        df = pd.DataFrame({"d": doc_idx, "t": codes})
+        cnt = df.groupby(["d", "t"], sort=False).size()
+        top = cnt.groupby(level=0).max()
+        out["top_token_frac"][top.index.to_numpy()] = top.to_numpy() / n_tokens[
+            top.index.to_numpy()
+        ]
+        for n, col in ((2, "dup_2gram_frac"), (3, "dup_3gram_frac")):
+            # n-gram key: exact base-V positional mix of token codes,
+            # valid only where the whole window stays inside one doc
+            if len(codes) < n:
+                continue
+            valid = doc_idx[: len(codes) - n + 1] == doc_idx[n - 1 :]
+            if not valid.any():
+                continue
+            v = int(codes.max()) + 1
+            # base-V positional mix stays exact in int64 while
+            # v**n < 2**63; beyond that fall back to Python ints
+            L = len(codes) - n + 1
+            dt = np.int64 if v ** n < 2 ** 63 else object
+            key = codes[:L].astype(dt)
+            for j in range(1, n):
+                key = key * v + codes[j : L + j]
+            g = pd.DataFrame(
+                {"d": doc_idx[: len(codes) - n + 1][valid], "k": key[valid]}
+            )
+            per_doc = g.groupby("d", sort=False)["k"].agg(["size", "nunique"])
+            d_ix = per_doc.index.to_numpy()
+            total = per_doc["size"].to_numpy().astype(np.float64)
+            distinct = per_doc["nunique"].to_numpy().astype(np.float64)
+            out[col][d_ix] = (total - distinct) / total
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(n_tokens),
+            "dup_2gram_frac": pa.array(out["dup_2gram_frac"], type=pa.float64()),
+            "dup_3gram_frac": pa.array(out["dup_3gram_frac"], type=pa.float64()),
+            "top_token_frac": pa.array(out["top_token_frac"], type=pa.float64()),
+        }
+    )
+
+
+def repetition(docs_ds, batch_size: int = 1024):
+    return docs_ds.map_batches(
+        repetition_batch, batch_format="pyarrow", batch_size=batch_size
     )
 
 

@@ -83,3 +83,46 @@ def test_units_helpers():
     assert to_string_with_units(0) == "0"
     assert modify_path("/a/b") == "/a/b/"
     assert modify_path("/a/b///") == "/a/b/"
+
+
+def test_repetition_signals():
+    """repetition_batch vs a per-doc naive reference (hand-checkable
+    fractions; empty and single-token docs are zeros)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.analysis import repetition_batch
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = ["a b a b c", "x y z", "q q q q", "", "solo"]
+    for _ in range(40):
+        n = int(rng.integers(0, 30))
+        texts.append(" ".join(rng.choice(vocab, size=n)))
+    b = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.uint64()),
+            "text": pa.array(texts),
+        }
+    )
+    got = repetition_batch(b).to_pandas()
+    assert list(got["dup_2gram_frac"][:5]) == [0.25, 0.0, 2 / 3, 0.0, 0.0]
+    assert list(got["dup_3gram_frac"][:5]) == [0.0, 0.0, 0.5, 0.0, 0.0]
+    assert list(got["top_token_frac"][:5]) == [0.4, 1 / 3, 1.0, 0.0, 1.0]
+
+    def naive(text, n):
+        t = tokenize(text)
+        grams = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+        if not grams:
+            return 0.0
+        return (len(grams) - len(set(grams))) / len(grams)
+
+    for i, t in enumerate(texts):
+        assert got["dup_2gram_frac"][i] == naive(t, 2), (i, t)
+        assert got["dup_3gram_frac"][i] == naive(t, 3), (i, t)
+        toks = tokenize(t)
+        exp_top = (
+            max(toks.count(x) for x in set(toks)) / len(toks) if toks else 0.0
+        )
+        assert got["top_token_frac"][i] == exp_top, (i, t)
