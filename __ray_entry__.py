@@ -740,6 +740,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _documents(sf_dir).map_batches(counts, batch_format="pyarrow")
 
+    def events_asof(sf_dir):
+        """Backward as-of join (clicks -> latest preceding view per
+        user): the classic time-series attribution operator, one
+        bucketed shuffle + per-bucket merge_asof
+        (relational.asof_join); ties at equal ts break to max view id
+        on both sides."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import asof_join
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        clicks = ev.filter(expr="event_type == 'click'").map_batches(
+            lambda b: b.select(["event_id", "ts", "user_id"]),
+            batch_format="pyarrow",
+        )
+        views = ev.filter(expr="event_type == 'view'").map_batches(
+            lambda b: b.select(["event_id", "ts", "user_id"]),
+            batch_format="pyarrow",
+        )
+        out = asof_join(
+            clicks, views, by="user_id", on="ts", tiebreak="event_id"
+        ).to_pandas()
+        return pa.table(
+            {
+                "click_id": pa.array(
+                    out["event_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "user_id": pa.array(
+                    out["user_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "view_id": pa.array(
+                    out["event_id_r"].fillna(-1).to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def events_window(sf_dir):
         import ray.data
 
@@ -1305,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_region": supplier_nation_region,
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
+        "events_asof": events_asof,
         "events_window": events_window,
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
@@ -1694,6 +1735,17 @@ SELECT doc_id,
        coalesce(list_sum(list_transform(tokens,
                 x -> CAST(ceil(length(x) / 4.0) AS BIGINT))), 0)::BIGINT AS n_subword
 FROM t
+""",
+        "events_asof": """
+WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'view'),
+j AS (SELECT c.event_id AS click_id, c.user_id, max(v.ts) AS vts
+      FROM c LEFT JOIN v ON v.user_id = c.user_id AND v.ts <= c.ts
+      GROUP BY 1, 2),
+j2 AS (SELECT j.click_id, j.user_id, max(v.event_id) AS vid
+       FROM j LEFT JOIN v ON v.user_id = j.user_id AND v.ts = j.vts
+       GROUP BY 1, 2)
+SELECT click_id, user_id, coalesce(vid, -1) AS view_id FROM j2
 """,
         "events_window": """
 SELECT event_type,

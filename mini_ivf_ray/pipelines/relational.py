@@ -229,3 +229,119 @@ def bucketed_hash_join(
     return left.union(right).groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    on: str,
+    tiebreak: str | None = None,
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+):
+    """Distributed backward as-of join: every left row picks the single
+    right row with the same ``by`` key and the greatest ``on`` value
+    <= the left row's (left-outer: unmatched left rows keep nulls).
+    Ties on equal ``on`` break deterministically to the greatest
+    ``tiebreak`` value (pass a unique id column for reproducible runs).
+
+    Shape: both sides tagged with ``bucket = hash64(by) % B`` and a side
+    flag, unioned, shuffled ONCE by bucket, and each bucket runs one
+    vectorized ``pd.merge_asof(..., by=key)`` over its co-located keys —
+    the classic distributed as-of plan (time-series attribution,
+    dimension-history lookup).
+
+    Partitioning assumption (documented per task brief): all rows of one
+    ``by`` key land in one bucket task, so per-key history must fit a
+    worker.  The skew extension at extreme scale is time-range
+    sub-splitting with right-side boundary replication (each left time
+    slice also receives the latest right row before its slice start);
+    not needed at sandbox scale.
+    """
+
+    def _schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(
+            [(n, pa.from_numpy_dtype(t)) for n, t in zip(base.names, base.types)]
+        )
+
+    ls, rs = _schema(left_ds), _schema(right_ds)
+    l_rest = [f for f in ls.names if f not in (by, on)]
+    taken = set(ls.names)
+    rename = {
+        f: (f + suffix if f in taken else f)
+        for f in rs.names
+        if f not in (by, on)
+    }
+    on_r = on + suffix  # right side's own `on` value survives the merge
+    r_rest = list(rename.values()) + [on_r]
+    fields = [(by, ls.field(by).type), (on, ls.field(on).type)]
+    fields += [(n, ls.field(n).type) for n in l_rest]
+    fields += [(new, rs.field(old).type) for old, new in rename.items()]
+    fields += [(on_r, rs.field(on).type)]
+    canon = pa.schema(fields)
+
+    if num_buckets is None:
+        import ray
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(64, 8 * n_cpus)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+                batch = batch.append_column(on_r, batch[on])
+            cols = {}
+            for f in canon:
+                cols[f.name] = (
+                    batch[f.name]
+                    if f.name in batch.column_names
+                    else pa.nulls(batch.num_rows, type=f.type)
+                )
+            out = pa.table(cols)
+            h = _key_hash(out[by].to_numpy(zero_copy_only=False))
+            b = (h % np.uint64(num_buckets)).astype(np.int64)
+            return out.append_column("bucket", pa.array(b)).append_column(
+                "side", pa.array(np.full(len(b), side, dtype=np.int8))
+            )
+
+        return fn
+
+    left = left_ds.map_batches(tag(0), batch_format="pyarrow")
+    right = right_ds.map_batches(tag(1), batch_format="pyarrow")
+    out_cols = [by, on] + l_rest + r_rest
+
+    def join_bucket(group: pd.DataFrame):
+        # returns Arrow with the canonical schema: pandas upcasts
+        # unmatched int64 right columns to float64 (and only in buckets
+        # that HAVE unmatched rows) — per-group Arrow conversion with
+        # from_pandas NaN->null keeps every block's schema identical
+        l = group[group["side"] == 0][[by, on] + l_rest]
+        r = group[group["side"] == 1][[by, on] + r_rest]
+        if len(l) == 0:
+            return canon.empty_table()
+        l = l.sort_values(on, kind="stable")
+        r = r.sort_values(
+            [on] + ([rename.get(tiebreak, tiebreak)] if tiebreak else []),
+            kind="stable",
+        )
+        # merge_asof(backward) takes the LAST right row at each
+        # qualifying `on`; the (on, tiebreak) sort makes that the max
+        # tiebreak among equal timestamps — deterministic
+        m = pd.merge_asof(l, r, on=on, by=by, direction="backward")
+        return pa.table(
+            {
+                c: pa.array(m[c], type=canon.field(c).type, from_pandas=True)
+                for c in out_cols
+            }
+        )
+
+    return left.union(right).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

@@ -122,3 +122,63 @@ def test_bucketed_join_salted_hot_key_identical():
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_asof_join_matches_naive(ray_session):
+    """asof_join vs a per-row naive reference: random (key, ts) data
+    with duplicate timestamps (tiebreak -> max id), keys missing from
+    the right side (null -> -1), and a hot key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import asof_join
+
+    rng = np.random.default_rng(23)
+    nl, nr = 600, 400
+    # duplicate-heavy ts grid so ties actually occur
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, nl),
+            "ts": rng.integers(0, 50, nl).astype(np.int64),
+            "lid": np.arange(nl, dtype=np.int64),
+            "lval": rng.normal(size=nl),
+        }
+    )
+    left.loc[: nl // 3, "k"] = 3  # hot key
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 10, nr),  # keys 10,11 never on right
+            "ts": rng.integers(0, 50, nr).astype(np.int64),
+            "rid": np.arange(nr, dtype=np.int64),
+        }
+    )
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            by="k",
+            on="ts",
+            tiebreak="rid",
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == nl
+    exp = []
+    for _, lrow in left.iterrows():
+        m = right[(right["k"] == lrow["k"]) & (right["ts"] <= lrow["ts"])]
+        if len(m):
+            mm = m[m["ts"] == m["ts"].max()]
+            exp.append(int(mm["rid"].max()))
+        else:
+            exp.append(-1)
+    exp = pd.Series(exp, index=left["lid"]).sort_index()
+    got_r = got["rid"].fillna(-1).astype(np.int64)
+    np.testing.assert_array_equal(got_r.to_numpy(), exp.to_numpy())
+    # right's own ts survives as ts_r and is <= left ts where matched
+    matched = got["rid"].notna()
+    assert (got.loc[matched, "ts_r"] <= got.loc[matched, "ts"]).all()
+    assert got.loc[~matched, "ts_r"].isna().all()
