@@ -780,6 +780,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def events_session_range(sf_dir):
+        """Large-large range join: every event joined to the sessionize
+        interval containing it (same user, start_ts <= t <= end_ts) —
+        relational.range_join in keyed mode, one bucketed shuffle."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.events import sessionize
+        from mini_ivf_ray.pipelines.relational import range_join
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+
+        def to_t(batch: pa.Table) -> pa.Table:
+            t = (
+                batch["ts"]
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+                // 1_000_000
+            )
+            return pa.table(
+                {
+                    "event_id": batch["event_id"],
+                    "user_id": batch["user_id"],
+                    "t": pa.array(t, type=pa.int64()),
+                }
+            )
+
+        pts = ds.map_batches(to_t, batch_format="pyarrow")
+        sess = sessionize(ds, gap_sec=1800).map_batches(
+            lambda df: pa.table(
+                {
+                    "user_id": pa.array(df["user_id"].astype(np.int64)),
+                    "session_idx": pa.array(df["session_idx"].astype(np.int64)),
+                    "start_ts": pa.array(df["start_ts"].astype(np.int64)),
+                    "end_ts": pa.array(df["end_ts"].astype(np.int64)),
+                }
+            ),
+            batch_format="pandas",
+        )
+        out = range_join(
+            pts, sess, on="t", lo="start_ts", hi="end_ts", by="user_id"
+        ).to_pandas()
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    out["event_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "user_id": pa.array(
+                    out["user_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "session_idx": pa.array(
+                    out["session_idx"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def events_window(sf_dir):
         import ray.data
 
@@ -1346,6 +1405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
         "events_asof": events_asof,
+        "events_session_range": events_session_range,
         "events_window": events_window,
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
@@ -1746,6 +1806,22 @@ j2 AS (SELECT j.click_id, j.user_id, max(v.event_id) AS vid
        FROM j LEFT JOIN v ON v.user_id = j.user_id AND v.ts = j.vts
        GROUP BY 1, 2)
 SELECT click_id, user_id, coalesce(vid, -1) AS view_id FROM j2
+""",
+        "events_session_range": """
+WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+o AS (SELECT user_id, event_id, t,
+             CASE WHEN lag(t) OVER w IS NULL
+                       OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+s AS (SELECT user_id, event_id, t,
+             sum(new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+      FROM o),
+sess AS (SELECT user_id, session_idx, min(t) AS start_ts, max(t) AS end_ts
+         FROM s GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, sess.session_idx::BIGINT AS session_idx
+FROM e JOIN sess ON sess.user_id = e.user_id
+                AND e.t BETWEEN sess.start_ts AND sess.end_ts
 """,
         "events_window": """
 SELECT event_type,

@@ -345,3 +345,144 @@ def asof_join(
     return left.union(right).groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+def range_join(
+    points_ds,
+    intervals_ds,
+    on: str,
+    lo: str,
+    hi: str,
+    by: str | None = None,
+    bounds=None,
+    suffix: str = "_r",
+    num_buckets: int | None = None,
+):
+    """Interval-containment join: every point row pairs with every
+    interval row satisfying ``lo <= point[on] <= hi`` (inclusive), plus
+    an equal ``by`` key when given.  Inner semantics; overlapping
+    intervals yield one output row per covering interval.
+
+    Distribution strategy (one shuffle either way):
+
+    * ``by`` given — both sides bucket on ``hash64(by) % B`` (the
+      asof_join co-location plan); per bucket a pandas key-merge then a
+      vectorized containment filter.  Assumes per-key interval counts
+      are moderate (sessions, calendars, SLA windows) — the key-merge
+      materializes |points_k| x |intervals_k| per key before filtering.
+    * ``bounds`` given (sorted domain cut points, no key) — the classic
+      domain-chunked interval join: each point lands in its chunk via
+      ``searchsorted``; each interval is REPLICATED into every chunk it
+      overlaps, so any (point, interval) containment pair co-locates in
+      exactly the point's chunk (no cross-chunk dedup needed).  Chunk
+      count is the parallelism/memory knob; pick ~8x cluster cores from
+      a sampled quantile sketch of the domain.
+    """
+    if (by is None) == (bounds is None):
+        raise ValueError("pass exactly one of `by` or `bounds`")
+
+    def _schema(ds) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        return pa.schema(
+            [(n, pa.from_numpy_dtype(t)) for n, t in zip(base.names, base.types)]
+        )
+
+    ps, vs = _schema(points_ds), _schema(intervals_ds)
+    p_names = list(ps.names)
+    taken = set(p_names)
+    rename = {f: (f + suffix if f in taken else f) for f in vs.names}
+    v_names = list(rename.values())
+    lo_c, hi_c = rename[lo], rename[hi]
+    by_v = rename[by] if by is not None else None
+    fields = [(n, ps.field(n).type) for n in p_names]
+    fields += [(new, vs.field(old).type) for old, new in rename.items()]
+    canon = pa.schema(fields)
+    out_cols = p_names + v_names
+
+    if num_buckets is None:
+        import ray
+
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(64, 8 * n_cpus)
+    cuts = np.asarray(bounds, dtype=np.float64) if bounds is not None else None
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if side == 1:
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            cols = {}
+            for f in canon:
+                cols[f.name] = (
+                    batch[f.name]
+                    if f.name in batch.column_names
+                    else pa.nulls(batch.num_rows, type=f.type)
+                )
+            out = pa.table(cols)
+            if by is not None:
+                key = out[by if side == 0 else by_v].to_numpy(zero_copy_only=False)
+                b = (_key_hash(key) % np.uint64(num_buckets)).astype(np.int64)
+                rep = out.append_column("bucket", pa.array(b))
+            elif side == 0:
+                x = out[on].to_numpy(zero_copy_only=False).astype(np.float64)
+                b = np.searchsorted(cuts, x, side="right")
+                rep = out.append_column("bucket", pa.array(b.astype(np.int64)))
+            else:
+                l = out[lo_c].to_numpy(zero_copy_only=False).astype(np.float64)
+                h = out[hi_c].to_numpy(zero_copy_only=False).astype(np.float64)
+                c0 = np.searchsorted(cuts, l, side="right")
+                c1 = np.searchsorted(cuts, h, side="right")
+                parts = []
+                for off in range(int((c1 - c0).max()) + 1 if len(c0) else 0):
+                    m = c0 + off <= c1
+                    if not m.any():
+                        break
+                    sel = out.filter(pa.array(m))
+                    parts.append(
+                        sel.append_column(
+                            "bucket",
+                            pa.array((c0[m] + off).astype(np.int64)),
+                        )
+                    )
+                rep = (
+                    pa.concat_tables(parts)
+                    if parts
+                    else out.append_column(
+                        "bucket", pa.array(np.empty(0, dtype=np.int64))
+                    ).slice(0, 0)
+                )
+            return rep.append_column(
+                "side", pa.array(np.full(rep.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    points = points_ds.map_batches(tag(0), batch_format="pyarrow")
+    ivals = intervals_ds.map_batches(tag(1), batch_format="pyarrow")
+
+    def join_bucket(group: pd.DataFrame):
+        p = group[group["side"] == 0][p_names]
+        v = group[group["side"] == 1][v_names]
+        if len(p) == 0 or len(v) == 0:
+            return canon.empty_table()
+        if by is not None:
+            m = p.merge(v, left_on=by, right_on=by_v, how="inner")
+        else:
+            m = p.assign(_one=1).merge(v.assign(_one=1), on="_one").drop(
+                columns="_one"
+            )
+        keep = (m[lo_c] <= m[on]) & (m[on] <= m[hi_c])
+        m = m[keep]
+        return pa.table(
+            {
+                c: pa.array(m[c], type=canon.field(c).type, from_pandas=True)
+                for c in out_cols
+            }
+        )
+
+    return points.union(ivals).groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )

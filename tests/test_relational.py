@@ -182,3 +182,64 @@ def test_asof_join_matches_naive(ray_session):
     matched = got["rid"].notna()
     assert (got.loc[matched, "ts_r"] <= got.loc[matched, "ts"]).all()
     assert got.loc[~matched, "ts_r"].isna().all()
+
+
+def test_range_join_both_modes(ray_session):
+    """range_join vs a naive nested-loop reference, in keyed-bucket
+    mode and in domain-chunked (bounds) mode with overlapping
+    intervals spanning multiple chunks."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import range_join
+
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "x": rng.uniform(0, 100, 300),
+            "pid": np.arange(300, dtype=np.int64),
+        }
+    )
+    iv = pd.DataFrame({"k": rng.integers(0, 6, 40), "lo": rng.uniform(0, 80, 40)})
+    iv["hi"] = iv["lo"] + rng.uniform(0, 30, 40)
+    iv["vid"] = np.arange(40, dtype=np.int64)
+
+    def naive(keyed):
+        return sorted(
+            (int(p.pid), int(v.vid))
+            for _, p in pts.iterrows()
+            for _, v in iv.iterrows()
+            if (not keyed or p.k == v.k) and v.lo <= p.x <= v.hi
+        )
+
+    got = range_join(
+        ray.data.from_pandas(pts),
+        ray.data.from_pandas(iv),
+        on="x",
+        lo="lo",
+        hi="hi",
+        by="k",
+        num_buckets=16,
+    ).to_pandas()
+    assert sorted(zip(got["pid"].astype(int), got["vid"].astype(int))) == naive(True)
+
+    got2 = range_join(
+        ray.data.from_pandas(pts.drop(columns="k")),
+        ray.data.from_pandas(iv.drop(columns="k")),
+        on="x",
+        lo="lo",
+        hi="hi",
+        bounds=[20, 40, 60, 80],
+    ).to_pandas()
+    assert sorted(zip(got2["pid"].astype(int), got2["vid"].astype(int))) == naive(False)
+
+    # exactly one of by/bounds required
+    import pytest
+
+    with pytest.raises(ValueError):
+        range_join(
+            ray.data.from_pandas(pts), ray.data.from_pandas(iv),
+            on="x", lo="lo", hi="hi",
+        )
