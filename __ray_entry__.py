@@ -1374,6 +1374,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_features(ray.data.from_arrow(synth_media(150, KIND_AUDIO)))
 
+    def stable_split_q(sf_dir):
+        """Deterministic train/val/test assignment: salted-md5 permille
+        buckets — pure function of the row, reproducible across runs,
+        cluster sizes and block orders (pipelines/sampling.py)."""
+        from mini_ivf_ray.pipelines.sampling import stable_split
+
+        return stable_split(_documents(sf_dir), salt="v1")
+
+    def decontaminate_q(sf_dir):
+        """Eval-set decontamination: docs (id >= 100) sharing any exact
+        8-token shingle with the 'benchmark' corpus (docs 0-99), with a
+        distinct-shared-gram count per hit."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.dedup import decontaminate
+
+        t = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ev = t.filter(pa.compute.less(t["doc_id"], 100))["text"].to_pylist()
+        return decontaminate(
+            _documents(sf_dir), ev, w=8, exclude_ids=range(100)
+        )
+
     return {
         "tokenize_postings": tokenize_postings,
         "term_df": term_df,
@@ -1425,6 +1449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": video_frames,
         "audio_feats": audio_feats,
         "image_resize": image_resize,
+        "stable_split": stable_split_q,
+        "decontaminate": decontaminate_q,
     }
 
 
@@ -1897,6 +1923,40 @@ reach(v, u) AS (
   SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.u
 )
 SELECT v AS doc_id, min(u)::BIGINT AS cluster_id FROM reach GROUP BY v
+""",
+        # stable_split: md5 is the one hash both engines compute
+        # bit-identically; first 15 hex chars == top 60 bits of the
+        # digest, so the UBIGINT cast replays split_bucket exactly.
+        "stable_split": """
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15)) AS UBIGINT)
+              % 1000 AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+        # decontaminate: eval corpus = docs 0-99; train side = the rest.
+        # t[i:i+7] is DuckDB's 1-based INCLUSIVE slice -> 8 tokens.
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(t[i:i+7], ' ')
+                        for i in generate_series(1, len(t) - 7)]) AS s
+  FROM toks
+),
+ev AS (SELECT DISTINCT unnest(s) AS gram FROM g WHERE doc_id < 100),
+hits AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id >= 100)
+SELECT h.doc_id, count(*)::BIGINT AS n_shared
+FROM hits h JOIN ev USING (gram)
+GROUP BY h.doc_id
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle

@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 
 from mini_ivf_ray.functions.matview import list_to_matrix
-from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.functions.tokenize import tokenize, tokenize_batch
 
 logger = logging.getLogger(__name__)
 
@@ -1194,4 +1194,108 @@ def connected_components_ds(
         edges.map_batches(star_to_labels, batch_format="pyarrow")
         .groupby("gkey")
         .map_groups(drop_doc, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(docs_ds, eval_texts: list[str], w: int = 8, exclude_ids=None):
+    """Train-set decontamination: find docs sharing ANY exact w-gram
+    (token shingle) with an eval corpus — the standard leakage guard a
+    training pipeline runs before every release (the n-gram-overlap
+    variant used by the public GPT-3/PaLM/Llama decontamination
+    write-ups).
+
+    Returns (doc_id, n_shared) — n_shared = count of DISTINCT shared
+    w-grams; rows only for contaminated docs.  The eval shingle set is
+    broadcast ONCE as exact strings (not hashes: bit-auditable against
+    a SQL oracle, zero collision risk); the scan is one stateless
+    map_batches, no shuffle.  Assumption: the eval set is benchmark-
+    sized (10^2-10^6 shingles), negligible next to a 100-TB train side.
+
+    The per-batch scan is fully vectorized: all w-grams of the batch
+    are formed by ONE ``binary_join_element_wise`` over w shifted views
+    of the flattened token array (grams crossing a doc boundary masked
+    out by offset arithmetic), membership is ONE hashed ``pc.is_in``
+    against the broadcast eval array, and only the (rare) hits reach a
+    pandas distinct-count.
+    """
+    import itertools
+
+    import pyarrow.compute as pc
+    import ray
+
+    ev: set[str] = set()
+    for t in eval_texts:
+        toks = tokenize(t)
+        for i in range(len(toks) - w + 1):
+            ev.add(" ".join(toks[i : i + w]))
+    ev_ref = ray.put(pa.array(sorted(ev), type=pa.string()))
+    excl_arr = (
+        np.asarray(sorted(int(x) for x in exclude_ids), dtype=np.int64)
+        if exclude_ids is not None
+        else np.empty(0, dtype=np.int64)
+    )
+
+    class Finder:
+        def __init__(self):
+            self.ev = ray.get(ev_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_shared": pa.array([], type=pa.int64()),
+                }
+            )
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            if excl_arr.size:
+                keep = ~np.isin(ids, excl_arr)
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    ids = ids[keep]
+            if len(ids) == 0 or len(self.ev) == 0:
+                return empty
+            toks, dls = tokenize_batch(batch["text"].to_pylist())
+            total = int(dls.sum())
+            m = total - w + 1  # candidate gram starts over the flat array
+            if m <= 0:
+                return empty
+            flat = np.fromiter(
+                itertools.chain.from_iterable(toks), dtype=object, count=total
+            )
+            ends = np.cumsum(dls)
+            starts = np.arange(m, dtype=np.int64)
+            # doc owning each start, and whether the gram fits inside it
+            doc_idx = np.searchsorted(ends, starts, side="right")
+            valid = starts + w <= ends[doc_idx]
+            joined = pc.binary_join_element_wise(
+                *(pa.array(flat[k : k + m], type=pa.string()) for k in range(w)),
+                " ",
+            )
+            hit = pc.is_in(joined, value_set=self.ev).to_numpy(
+                zero_copy_only=False
+            )
+            sel = hit & valid
+            if not sel.any():
+                return empty
+            hits = pd.DataFrame(
+                {
+                    "doc_id": ids[doc_idx[sel]],
+                    "gram": joined.take(pa.array(np.flatnonzero(sel))).to_pylist(),
+                }
+            ).drop_duplicates()
+            out = hits.groupby("doc_id", sort=True).size().reset_index(name="n_shared")
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                    "n_shared": pa.array(out["n_shared"].to_numpy(np.int64)),
+                }
+            )
+
+    return docs_ds.map_batches(
+        Finder, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
     )

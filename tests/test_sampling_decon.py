@@ -1,0 +1,115 @@
+"""stable_split (deterministic salted-hash splits) and decontaminate
+(eval-set w-gram overlap scan)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+            }
+        )
+    )
+
+
+class TestStableSplit:
+    def test_matches_reference_md5(self):
+        from mini_ivf_ray.pipelines.sampling import split_bucket
+
+        ids = np.array([0, 1, 42, 10**12, 7], dtype=np.int64)
+        got = split_bucket(ids, "v1")
+        want = [
+            int(hashlib.md5(f"{i}:v1".encode()).hexdigest()[:15], 16) % 1000
+            for i in ids
+        ]
+        assert got.tolist() == want
+
+    def test_deterministic_and_order_independent(self):
+        """Same doc -> same split regardless of row order / blocking."""
+        from mini_ivf_ray.pipelines.sampling import stable_split
+
+        rows = [(i, f"doc {i}") for i in range(2000)]
+        a = stable_split(_docs_ds(rows)).to_pandas()
+        b = (
+            stable_split(_docs_ds(rows[::-1]).repartition(7))
+            .to_pandas()
+        )
+        a = a.sort_values("doc_id").reset_index(drop=True)
+        b = b.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_proportions_and_salt_versioning(self):
+        from mini_ivf_ray.pipelines.sampling import stable_split
+
+        rows = [(i, "x") for i in range(20000)]
+        df = stable_split(_docs_ds(rows), salt="v1").to_pandas()
+        frac_train = (df["split"] == "train").mean()
+        # binomial(20000, .98): ±5 sigma ≈ ±0.005
+        assert abs(frac_train - 0.98) < 0.01
+        assert set(df["split"].unique()) == {"train", "val", "test"}
+        df2 = stable_split(_docs_ds(rows), salt="v2").to_pandas()
+        merged = df.merge(df2, on="doc_id", suffixes=("_1", "_2"))
+        # a new salt is a genuinely different assignment
+        assert (merged["bucket_1"] != merged["bucket_2"]).mean() > 0.9
+
+
+class TestDecontaminate:
+    W = 5
+
+    def test_planted_overlap(self):
+        from mini_ivf_ray.pipelines.dedup import decontaminate
+
+        leak = "alpha bravo charlie delta echo"  # exactly W tokens
+        rows = [
+            (0, f"clean words only here none shared {i}") for i in range(20)
+        ]
+        rows += [(100, f"prefix stuff {leak} suffix tail")]  # 1 shared gram
+        rows += [(101, f"{leak} and again {leak}")]  # dup gram counted once
+        rows += [(102, "alpha bravo charlie delta foxtrot")]  # near miss
+        ds = _docs_ds(rows)
+        out = (
+            decontaminate(ds, [f"intro {leak} outro"], w=self.W)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [100, 101]
+        assert out["n_shared"].tolist() == [1, 1]
+
+    def test_exclude_and_short_docs(self):
+        from mini_ivf_ray.pipelines.dedup import decontaminate
+
+        leak = "one two three four five"
+        rows = [(1, leak), (2, leak), (3, "one two")]  # 3: shorter than w
+        out = decontaminate(
+            _docs_ds(rows), [leak], w=self.W, exclude_ids=[1]
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+
+    def test_distinct_gram_count(self):
+        from mini_ivf_ray.pipelines.dedup import decontaminate
+
+        ev = "a b c d e f"  # two 5-grams: abcde, bcdef
+        rows = [(10, "z z a b c d e f z z")]  # contains both
+        out = decontaminate(_docs_ds(rows), [ev], w=self.W).to_pandas()
+        assert out["n_shared"].tolist() == [2]
+
+    def test_empty_eval(self):
+        from mini_ivf_ray.pipelines.dedup import decontaminate
+
+        out = decontaminate(
+            _docs_ds([(1, "some text here")]), [], w=self.W
+        ).to_pandas()
+        assert len(out) == 0
