@@ -1398,6 +1398,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _documents(sf_dir), ev, w=8, exclude_ids=range(100)
         )
 
+    def per_source_cap(sf_dir):
+        """Per-host document cap (k lowest doc_ids per source) — the
+        boilerplate control that stops one site dominating a crawl."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import cap_per_group
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+        return cap_per_group(ds, "source", k=10)
+
+    def stratified_sample_q(sf_dir):
+        """Deterministic stratified sample: 30 docs per language by
+        salted-md5 rank (reproducible, SQL-auditable draw)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import stratified_sample
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        return stratified_sample(ds, "lang", n=30, salt="v1")
+
     return {
         "tokenize_postings": tokenize_postings,
         "term_df": term_df,
@@ -1451,6 +1477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": image_resize,
         "stable_split": stable_split_q,
         "decontaminate": decontaminate_q,
+        "per_source_cap": per_source_cap,
+        "stratified_sample": stratified_sample_q,
     }
 
 
@@ -1957,6 +1985,25 @@ hits AS (SELECT doc_id, unnest(s) AS gram FROM g WHERE doc_id >= 100)
 SELECT h.doc_id, count(*)::BIGINT AS n_shared
 FROM hits h JOIN ev USING (gram)
 GROUP BY h.doc_id
+""",
+        "per_source_cap": """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""",
+        # stratified_sample: the same 60-bit md5 order key as
+        # stable_split; doc_id breaks (never-observed) hash ties.
+        "stratified_sample": """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substr(md5(doc_id || ':v1'), 1, 15))
+                         AS UBIGINT), doc_id) AS rn
+  FROM documents
+) WHERE rn <= 30
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle

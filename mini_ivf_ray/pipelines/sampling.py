@@ -18,7 +18,24 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+
+
+def salt_hash60(doc_ids, salt: str) -> np.ndarray:
+    """Top 60 bits of md5(f"{id}:{salt}") as int64 — the deterministic
+    pseudo-random order key shared by split/sample operators and their
+    SQL oracles (== ('0x' || substr(md5(...), 1, 15))::UBIGINT)."""
+    md5 = hashlib.md5
+    frombytes = int.from_bytes
+    return np.fromiter(
+        (
+            frombytes(md5(f"{int(i)}:{salt}".encode()).digest()[:8], "big") >> 4
+            for i in doc_ids
+        ),
+        dtype=np.int64,
+        count=len(doc_ids),
+    )
 
 
 def split_bucket(doc_ids, salt: str) -> np.ndarray:
@@ -26,17 +43,7 @@ def split_bucket(doc_ids, salt: str) -> np.ndarray:
     1000 (== first 15 hex chars as an int — the form a SQL auditor
     replays as ``('0x' || substr(md5(...), 1, 15))::UBIGINT``).  Pure,
     order-independent, salt-versioned."""
-    md5 = hashlib.md5
-    frombytes = int.from_bytes
-    return np.fromiter(
-        (
-            (frombytes(md5(f"{int(i)}:{salt}".encode()).digest()[:8], "big") >> 4)
-            % 1000
-            for i in doc_ids
-        ),
-        dtype=np.int64,
-        count=len(doc_ids),
-    )
+    return salt_hash60(doc_ids, salt) % 1000
 
 
 def stable_split(
@@ -64,3 +71,78 @@ def stable_split(
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped head: exact k-smallest rows per group, combiner-first
+# ---------------------------------------------------------------------------
+
+
+def grouped_head(ds, group_col: str, k: int, order_cols: list[str], num_buckets=None):
+    """Exact k rows per group, smallest by ``order_cols`` (which MUST be
+    a total order within each group — include a unique tiebreak).
+
+    Scale shape: a per-batch combiner keeps each batch's per-group
+    min-k FIRST (any row outside its batch-local top-k cannot be in
+    the global top-k), so the one exchange carries at most
+    k × groups-per-batch rows per batch — never the corpus.  Survivors
+    are co-located by fixed-width group-hash buckets (group-count skew
+    spreads across buckets; a single mega-group is already bounded at
+    k × batches rows by the combiner) and finalized per bucket.
+    """
+    import ray
+
+    from mini_ivf_ray.pipelines.relational import _key_hash
+
+    if num_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(32, 4 * n_cpus)
+
+    def _head(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([group_col, *order_cols], kind="mergesort")
+        return df.groupby(group_col, sort=False).head(k)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _head(batch.to_pandas())
+        df["_gb"] = (
+            _key_hash(df[group_col].to_numpy()) % num_buckets
+        ).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        return _head(group).drop(columns=["_gb"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_gb")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def cap_per_group(docs_ds, group_col: str = "source", k: int = 10):
+    """Per-host/source document cap — the crawl-boilerplate control a
+    web pipeline applies so no single site dominates training data.
+    Deterministic rule: keep the k lowest doc_ids per group."""
+    return grouped_head(docs_ds, group_col, k, order_cols=["doc_id"])
+
+
+def stratified_sample(
+    docs_ds, group_col: str = "lang", n: int = 30, salt: str = "v1"
+):
+    """Deterministic stratified sample: n docs per group, chosen by
+    salted-md5 rank (pseudo-random but reproducible and SQL-auditable;
+    the salt versions the draw).  Output keeps the input columns."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "_h", pa.array(salt_hash60(ids, salt), type=pa.int64())
+        )
+
+    out = grouped_head(
+        docs_ds.map_batches(add_key, batch_format="pyarrow"),
+        group_col,
+        n,
+        order_cols=["_h", "doc_id"],
+    )
+    return out.drop_columns(["_h"])

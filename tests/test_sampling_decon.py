@@ -113,3 +113,80 @@ class TestDecontaminate:
             _docs_ds([(1, "some text here")]), [], w=self.W
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestGroupedHead:
+    def _ds(self, df, nblocks=9):
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(nblocks)
+
+    def test_cap_per_group_exact_vs_pandas(self):
+        from mini_ivf_ray.pipelines.sampling import cap_per_group
+
+        rng = np.random.default_rng(3)
+        # skewed: one mega-source with 5000 docs, a tail of tiny ones
+        src = np.concatenate(
+            [np.zeros(5000, np.int64), rng.integers(1, 200, 2000)]
+        )
+        df = pd.DataFrame(
+            {"doc_id": rng.permutation(len(src)).astype(np.int64),
+             "source": [f"s{s}" for s in src]}
+        )
+        got = (
+            cap_per_group(self._ds(df), "source", k=7)
+            .to_pandas()
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        want = (
+            df.sort_values(["source", "doc_id"], kind="mergesort")
+            .groupby("source", sort=True)
+            .head(7)
+            .sort_values(["source", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "source"]], want)
+
+    def test_stratified_sample_deterministic(self):
+        from mini_ivf_ray.pipelines.sampling import salt_hash60, stratified_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(3000, dtype=np.int64),
+             "lang": [f"l{i % 4}" for i in range(3000)]}
+        )
+        got = (
+            stratified_sample(self._ds(df), "lang", n=11, salt="s9")
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        ref = df.assign(_h=salt_hash60(df["doc_id"].to_numpy(), "s9"))
+        want = (
+            ref.sort_values(["lang", "_h", "doc_id"], kind="mergesort")
+            .groupby("lang", sort=True)
+            .head(11)
+            .drop(columns="_h")
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "lang"]], want[["doc_id", "lang"]])
+        # independent of blocking
+        got2 = (
+            stratified_sample(self._ds(df.iloc[::-1], nblocks=3), "lang", n=11, salt="s9")
+            .to_pandas()
+            .sort_values(["lang", "doc_id"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["doc_id", "lang"]], got2[["doc_id", "lang"]])
+
+    def test_group_smaller_than_k(self):
+        from mini_ivf_ray.pipelines.sampling import cap_per_group
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(5, dtype=np.int64), "source": ["a"] * 3 + ["b"] * 2}
+        )
+        got = cap_per_group(self._ds(df, nblocks=2), "source", k=100).to_pandas()
+        assert len(got) == 5
