@@ -1424,6 +1424,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return stratified_sample(ds, "lang", n=30, salt="v1")
 
+    def source_mix(sf_dir):
+        """Weighted domain mixture: src0 upsampled 2.5x, src1 kept at
+        0.5x, src2 dropped, everything else 1x — deterministic
+        fractional repeats via salted-hash Bernoulli."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import weighted_mix
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+        return weighted_mix(
+            ds, {"src0": 2500, "src1": 500, "src2": 0}, salt="mix:v1"
+        )
+
+    def token_budget(sf_dir):
+        """Greedy 15k-token corpus head in deterministic salted-hash
+        priority order (distributed cumulative-sum cutoff — never a
+        global sort)."""
+        from mini_ivf_ray.pipelines.sampling import token_budget_head
+
+        return token_budget_head(_documents(sf_dir), budget=15000)
+
     return {
         "tokenize_postings": tokenize_postings,
         "term_df": term_df,
@@ -1479,6 +1503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
+        "source_mix": source_mix,
+        "token_budget": token_budget,
     }
 
 
@@ -2004,6 +2030,42 @@ SELECT doc_id, lang FROM (
                          AS UBIGINT), doc_id) AS rn
   FROM documents
 ) WHERE rn <= 30
+""",
+        "source_mix": """
+WITH w(source, w_pm) AS (VALUES ('src0', 2500), ('src1', 500), ('src2', 0)),
+r AS (
+  SELECT d.doc_id, d.source, COALESCE(w.w_pm, 1000) AS pm,
+         CAST(('0x' || substr(md5(d.doc_id || ':mix:v1'), 1, 15))
+              AS UBIGINT) % 1000 AS h
+  FROM documents d LEFT JOIN w USING (source)
+),
+e AS (
+  SELECT doc_id, source,
+         pm // 1000 + CASE WHEN h < pm % 1000 THEN 1 ELSE 0 END AS rep
+  FROM r
+)
+SELECT doc_id, source, unnest(generate_series(1, rep)) AS copy
+FROM e WHERE rep > 0
+""",
+        # token_budget: the window cumsum IS the spec; the Ray side
+        # reproduces it with a range histogram + one-bucket cutoff.
+        "token_budget": f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS dl
+  FROM documents
+),
+o AS (
+  SELECT doc_id, dl,
+         CAST(('0x' || substr(md5(doc_id || ':tb:v1'), 1, 15)) AS UBIGINT) AS h
+  FROM toks
+),
+c AS (
+  SELECT doc_id, dl,
+         sum(dl) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM o
+)
+SELECT doc_id, dl FROM c WHERE cum <= 15000
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle

@@ -146,3 +146,156 @@ def stratified_sample(
         order_cols=["_h", "doc_id"],
     )
     return out.drop_columns(["_h"])
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing (up/down-sampling by deterministic repeats)
+# ---------------------------------------------------------------------------
+
+
+def weighted_mix(
+    docs_ds,
+    weights_pm: dict[str, int],
+    group_col: str = "source",
+    salt: str = "mix:v1",
+    default_pm: int = 1000,
+):
+    """Domain/source mixture weighting: emit each doc ``w/1000`` times,
+    with the fractional part resolved by a salted-hash Bernoulli draw —
+    the deterministic up/down-sampling rule a training pipeline uses to
+    hit a target domain mixture (weights in permille so the rule is
+    exact integer arithmetic, bit-auditable by a SQL window).
+
+    Output: (doc_id, group_col, copy) with copy = 1..repeat.  Stateless
+    vectorized map over a broadcast weight dict — no shuffle; repeats
+    land in the emitting task's block (downstream shuffles, if any,
+    spread them).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group_col].to_pylist()
+        w = np.fromiter(
+            (int(weights_pm.get(g, default_pm)) for g in grp),
+            dtype=np.int64,
+            count=len(grp),
+        )
+        rep = w // 1000 + (salt_hash60(ids, salt) % 1000 < w % 1000)
+        idx = np.repeat(np.arange(len(ids)), rep)
+        stop = np.cumsum(rep)
+        copy = np.arange(int(stop[-1]) if len(stop) else 0) - np.repeat(
+            stop - rep, rep
+        ) + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[idx]),
+                group_col: pa.array(
+                    np.asarray(grp, dtype=object)[idx], type=pa.string()
+                ),
+                "copy": pa.array(copy, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-budget head: greedy prefix by deterministic priority
+# ---------------------------------------------------------------------------
+
+
+def token_budget_head(
+    docs_ds, budget: int, salt: str = "tb:v1", num_ranges: int = 4096
+):
+    """Take documents in deterministic (salted-hash, doc_id) priority
+    order until the cumulative token count would exceed ``budget``
+    (inclusive-prefix rule: keep rows whose running sum <= budget) —
+    how a pipeline cuts a corpus down to a target token budget
+    reproducibly.
+
+    Never sorts the corpus.  The 60-bit priority key is uniform, so
+    fixed-width KEY-RANGE buckets (top bits) give a balanced histogram:
+    (1) one tokenize pass builds a slim (doc_id, h, dl) projection
+        (materialized: ~24 B/doc — the only O(docs) state, spillable);
+    (2) per-range token sums reduce to the driver (num_ranges rows;
+        one combine level absorbs 10^7-batch inputs);
+    (3) the driver cumsums ranges to find the single boundary range,
+        fetches only ITS rows (≈ docs/num_ranges, uniform by
+        construction), and computes the exact in-range cutoff;
+    (4) a stateless filter emits the kept rows.
+    Same two-pass shape as the grouped-quantile operator.
+    """
+    from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+    shift = 60 - int(num_ranges - 1).bit_length()
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, dls = tokenize_batch(batch["text"].to_pylist())
+        h = salt_hash60(ids, salt)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "h": pa.array(h, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
+                "rng": pa.array(h >> shift, type=pa.int64()),
+            }
+        )
+
+    slim = docs_ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("rng", sort=True)["dl"].sum()
+        return pa.table(
+            {
+                "rng": pa.array(df.index.to_numpy(np.int64)),
+                "s": pa.array(df.to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        slim.map_batches(range_sums, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rng", sort=True)["s"]
+        .sum()
+    )
+    cum = hist.cumsum()
+    full = cum[cum <= budget]
+    # ranges fully inside the budget
+    last_full = int(full.index[-1]) if len(full) else -1
+    spent = int(full.iloc[-1]) if len(full) else 0
+    boundary = hist.index[hist.index > last_full]
+    cut_h, cut_id = None, None
+    b = int(boundary[0]) if len(boundary) else None
+    if b is not None:
+        bt = (
+            slim.map_batches(
+                lambda t: t.filter(pa.compute.equal(t["rng"], b)),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values(["h", "doc_id"], kind="mergesort")
+        )
+        run = spent + bt["dl"].cumsum()
+        keep = bt[run <= budget]
+        if len(keep):
+            cut_h = int(keep["h"].iloc[-1])
+            cut_id = int(keep["doc_id"].iloc[-1])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        m = df["rng"] <= last_full
+        if cut_h is not None:
+            m |= (df["rng"] == b) & (
+                (df["h"] < cut_h)
+                | ((df["h"] == cut_h) & (df["doc_id"] <= cut_id))
+            )
+        out = df[m]
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "dl": pa.array(out["dl"].to_numpy(np.int64)),
+            }
+        )
+
+    return slim.map_batches(emit, batch_format="pyarrow")

@@ -190,3 +190,81 @@ class TestGroupedHead:
         )
         got = cap_per_group(self._ds(df, nblocks=2), "source", k=100).to_pandas()
         assert len(got) == 5
+
+
+class TestWeightedMix:
+    def test_exact_repeats(self):
+        from mini_ivf_ray.pipelines.sampling import salt_hash60, weighted_mix
+
+        import ray.data
+
+        n = 4000
+        df = pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64),
+             "source": [f"s{i % 4}" for i in range(n)]}
+        )
+        w = {"s0": 3000, "s1": 1500, "s2": 0}  # s3 -> default 1000
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(5)
+        out = weighted_mix(ds, w, salt="m:t").to_pandas()
+        pm = df["source"].map(lambda s: w.get(s, 1000)).to_numpy(np.int64)
+        rep = pm // 1000 + (
+            salt_hash60(df["doc_id"].to_numpy(), "m:t") % 1000 < pm % 1000
+        )
+        got = out.groupby("doc_id").size()
+        want = pd.Series(rep, index=df["doc_id"])
+        want = want[want > 0]
+        assert got.sort_index().equals(want.sort_index())
+        # copy index is 1..rep for every doc
+        mx = out.groupby("doc_id")["copy"].agg(["min", "max", "count"])
+        assert (mx["min"] == 1).all() and (mx["max"] == mx["count"]).all()
+        # s1 at 1500pm lands near 1.5x, s2 is gone
+        bysrc = out.groupby("source").size()
+        assert "s2" not in bysrc.index
+        assert abs(bysrc["s1"] / 1000 - 1.5) < 0.1
+
+
+class TestTokenBudget:
+    def _mk(self, n, seed=5):
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(f"w{rng.integers(0, 50)}" for _ in range(rng.integers(1, 40)))
+            for _ in range(n)
+        ]
+        return pd.DataFrame(
+            {"doc_id": np.arange(n, dtype=np.int64), "text": texts}
+        )
+
+    def _ref(self, df, budget, salt="tb:v1"):
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+        from mini_ivf_ray.pipelines.sampling import salt_hash60
+
+        _, dls = tokenize_batch(df["text"].tolist())
+        r = pd.DataFrame(
+            {"doc_id": df["doc_id"], "dl": dls,
+             "h": salt_hash60(df["doc_id"].to_numpy(), salt)}
+        ).sort_values(["h", "doc_id"], kind="mergesort")
+        r = r[r["dl"].cumsum() <= budget]
+        return r[["doc_id", "dl"]].sort_values("doc_id").reset_index(drop=True)
+
+    def test_matches_reference(self):
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import token_budget_head
+
+        df = self._mk(2500)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(8)
+        for budget in (0, 500, 20000, 10**9):
+            got = token_budget_head(ds, budget, num_ranges=64).to_pandas()
+            if got.empty:
+                # Ray 2.49 to_pandas() drops the schema when every
+                # block is empty; rebuild it for the comparison.
+                got = pd.DataFrame(
+                    {"doc_id": pd.Series(dtype=np.int64),
+                     "dl": pd.Series(dtype=np.int64)}
+                )
+            got = got.sort_values("doc_id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, self._ref(df, budget))
