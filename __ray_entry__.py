@@ -1448,6 +1448,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return token_budget_head(_documents(sf_dir), budget=15000)
 
+    def lm_score(sf_dir):
+        """CCNet-style perplexity signal: add-one bigram LM trained on
+        the corpus itself (one counting pass -> broadcast model), then
+        per-doc cross-entropy in a stateless vectorized scoring pass."""
+        from mini_ivf_ray.pipelines.lm import lm_cross_entropy
+
+        return lm_cross_entropy(_documents(sf_dir))
+
+    def doc_keywords(sf_dir):
+        """Top-3 tf-idf keywords per document, ranked on the exact
+        float64 score with (score desc, term asc) tie-break; the df/N
+        pass reuses the corpus-stats stage."""
+        from mini_ivf_ray.pipelines.lm import tfidf_keywords
+
+        return tfidf_keywords(_documents(sf_dir), k=3)
+
+    def nb_classify_q(sf_dir):
+        """Multinomial Naive-Bayes source classifier: distributed
+        (class, term) count training, broadcast (V x C) log-prob
+        matrix, vectorized argmax scoring (tie-break class asc)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.lm import nb_classify
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        )
+        return nb_classify(ds, label_col="source")
+
     return {
         "tokenize_postings": tokenize_postings,
         "term_df": term_df,
@@ -1505,6 +1535,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample_q,
         "source_mix": source_mix,
         "token_budget": token_budget,
+        "lm_score": lm_score,
+        "doc_keywords": doc_keywords,
+        "nb_classify": nb_classify_q,
     }
 
 
@@ -2066,6 +2099,90 @@ c AS (
   FROM o
 )
 SELECT doc_id, dl FROM c WHERE cum <= 15000
+""",
+        "lm_score": f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+vv AS (SELECT count(*)::BIGINT AS V FROM uni),
+pe AS (
+  SELECT doc_id, pw, split_part(pw, ' ', 1) AS w1 FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS pw
+    FROM toks
+  )
+),
+big AS (SELECT pw, count(*)::BIGINT AS c FROM pe GROUP BY pw)
+SELECT pe.doc_id,
+       count(*)::BIGINT AS n_bigrams,
+       ROUND(-avg(ln((big.c + 1.0) / (uni.c + (SELECT V FROM vv)))), 6)
+         AS cross_entropy_r
+FROM pe JOIN big USING (pw) JOIN uni ON uni.w = pe.w1
+GROUP BY pe.doc_id
+""",
+        "doc_keywords": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM terms GROUP BY 1),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln((SELECT n FROM nn) / df.df) AS score
+  FROM tf JOIN df USING (term)
+),
+r AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC)
+           AS rank
+  FROM s
+)
+SELECT doc_id, rank, term, ROUND(score, 6) AS tfidf_r FROM r WHERE rank <= 3
+""",
+        "nb_classify": f"""
+WITH terms AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms GROUP BY 1, 2),
+ctok AS (
+  SELECT d.source AS cls, t.term, sum(t.tf)::BIGINT AS c
+  FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2
+),
+ctot AS (SELECT cls, sum(c)::BIGINT AS tot FROM ctok GROUP BY 1),
+vv AS (SELECT count(DISTINCT term)::BIGINT AS V FROM terms),
+cdoc AS (SELECT source AS cls, count(*)::BIGINT AS nd FROM documents GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+base AS (
+  SELECT d.doc_id, cd.cls, ln(cd.nd / (SELECT n FROM nn)::DOUBLE) AS prior
+  FROM documents d CROSS JOIN cdoc cd
+),
+sums AS (
+  SELECT t.doc_id, c.cls,
+         sum(t.tf * ln((COALESCE(ct.c, 0) + 1.0)
+                       / (c2.tot + (SELECT V FROM vv)))) AS s
+  FROM tf t
+  CROSS JOIN (SELECT cls FROM cdoc) c
+  LEFT JOIN ctok ct ON ct.cls = c.cls AND ct.term = t.term
+  JOIN ctot c2 ON c2.cls = c.cls
+  GROUP BY t.doc_id, c.cls
+),
+sc AS (
+  SELECT b.doc_id, b.cls, b.prior + COALESCE(s.s, 0) AS score
+  FROM base b LEFT JOIN sums s ON s.doc_id = b.doc_id AND s.cls = b.cls
+)
+SELECT doc_id, cls AS pred FROM (
+  SELECT doc_id, cls,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC)
+           AS rn
+  FROM sc
+) WHERE rn = 1
 """,
         # lsh_near_dup / simhash_pairs / ann_ivf_probe / ann_ivfpq /
         # image_features / video_frames: intentionally no SQL oracle
