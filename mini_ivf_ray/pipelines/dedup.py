@@ -299,15 +299,22 @@ class MinHasher:
         )
 
 
-def minhash_signatures(docs_ds, k: int = 64, w: int = 3, concurrency=(1, 4)):
-    return docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"k": k, "w": w},
-        batch_format="pyarrow",
-        batch_size=1024,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+# per-worker-process MinHasher cache: the state (k seeded keys) is
+# trivial to rebuild, so a TASK pool with a module-level cache beats an
+# actor pool by its multi-second spin-up/teardown wall (memory pitfall
+# #11; same pattern as stages/spimi.make_spill_fn) — this stage was
+# ~2.7 s of a 4.6 s pipeline on a 5k-doc corpus, nearly all pool floor.
+_MINHASHERS: dict[tuple[int, int], "MinHasher"] = {}
+
+
+def minhash_signatures(docs_ds, k: int = 64, w: int = 3, concurrency=None):
+    def sign(batch: pa.Table) -> pa.Table:
+        mh = _MINHASHERS.get((k, w))
+        if mh is None:
+            mh = _MINHASHERS[(k, w)] = MinHasher(k=k, w=w)
+        return mh(batch)
+
+    return docs_ds.map_batches(sign, batch_format="pyarrow", batch_size=1024)
 
 
 def _group_buckets() -> int:
