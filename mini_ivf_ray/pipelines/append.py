@@ -93,29 +93,33 @@ def decode_segment_postings(path: str):
     t = pq.read_table(path, columns=["term", "first_doc_id", "count", "payload"])
     terms = t["term"].to_pylist()
     firsts = t["first_doc_id"].to_numpy()
-    counts = t["count"].to_numpy()
+    counts = t["count"].to_numpy().astype(np.int64)
     payloads = t["payload"].to_pylist()
     total = int(counts.sum())
-    docs = np.empty(total, dtype=np.uint64)
-    tfs = np.empty(total, dtype=np.int64)
-    dls = np.empty(total, dtype=np.int64)
     vals = (
         decode_varints(np.concatenate([np.frombuffer(p, dtype=np.uint8) for p in payloads]))
         if payloads
         else np.empty(0, dtype=np.uint64)
     )
-    off = 0
-    a = 0
-    for i in range(len(terms)):
-        n = int(counts[i])
-        seg = vals[off : off + 3 * n - 1]
-        off += 3 * n - 1
-        docs[a] = firsts[i]
-        if n > 1:
-            docs[a + 1 : a + n] = np.uint64(firsts[i]) + np.cumsum(seg[: n - 1])
-        tfs[a : a + n] = seg[n - 1 : 2 * n - 1].astype(np.int64)
-        dls[a : a + n] = seg[2 * n - 1 :].astype(np.int64)
-        a += n
+    if total == 0:
+        e = np.empty(0)
+        return np.empty(0, object), e.astype(np.uint64), e.astype(np.int64), e.astype(np.int64)
+    # fully vectorized un-blocking (was a per-term Python loop): each
+    # term's payload segment is [n-1 doc deltas, n tfs, n dls]; build
+    # gather indices from the per-term offsets and recover the absolute
+    # doc_ids with one carry-corrected global cumsum.
+    seg_off = np.concatenate(([0], np.cumsum(3 * counts - 1)[:-1]))  # payload start per term
+    out_off = np.concatenate(([0], np.cumsum(counts)[:-1]))  # output start per term
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off, counts)  # 0..n-1 in term
+    first_rep = np.repeat(firsts.astype(np.uint64), counts)
+    gather_delta = np.repeat(seg_off, counts) + pos - 1  # valid where pos > 0
+    delta = np.where(pos > 0, vals[np.maximum(gather_delta, 0)], np.uint64(0))
+    cs = np.cumsum(delta.astype(np.uint64), dtype=np.uint64)
+    carry = np.where(out_off > 0, cs[np.maximum(out_off - 1, 0)], np.uint64(0))
+    docs = first_rep + cs - np.repeat(carry, counts)
+    gtf = np.repeat(seg_off + counts - 1, counts) + pos
+    tfs = vals[gtf].astype(np.int64)
+    dls = vals[gtf + np.repeat(counts, counts)].astype(np.int64)
     term_arr = np.repeat(np.asarray(terms, dtype=object), counts)
     return term_arr, docs, tfs, dls
 
@@ -221,6 +225,13 @@ def append_index(
     prev_root = _prev_dir(index_dir)
     spill_root = os.path.join(index_dir, "append_spill")
     t0 = time.perf_counter()
+    stage_walls: dict[str, float] = {}
+    _last = [t0]
+
+    def _mark(name: str) -> None:
+        now = time.perf_counter()
+        stage_walls[name] = round(now - _last[0], 3)
+        _last[0] = now
 
     if os.path.exists(marker):
         with open(marker) as f:
@@ -279,6 +290,7 @@ def append_index(
             json.dump(state, f)
         os.replace(marker + ".tmp", marker)
         prior = state["prior"]
+        _mark("prepare_wall_sec")
 
     # snapshot (idempotent: also completes a crash between marker and
     # snapshot on resume)
@@ -298,6 +310,7 @@ def append_index(
     doc_id_space = 2**64 if cfg.doc_id_from_url else max_doc_id + 1
 
     pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
+    _mark("plan_wall_sec")
     spill_tokens = 0
     hot_b: dict[str, int] = {}
     if pending:
@@ -307,6 +320,7 @@ def append_index(
         _resalt_segments_to_runs(
             prev_root, old_dir, plan, cfg, doc_id_space, set(pending)
         )
+        _mark("resalt_wall_sec")
 
         # ---- stage 5: tokenize-spill the increment ---------------------
         new_dir = os.path.join(spill_root, "new")
@@ -339,6 +353,7 @@ def append_index(
                     else:
                         hot_counter[key] += int(v)
         hot_b = dict(hot_counter)
+        _mark("spill_wall_sec")
 
         # ---- stage 6: encode old+new runs with UNION stats -------------
         total_tokens = prior["total_tokens"] + spill_tokens
@@ -366,6 +381,7 @@ def append_index(
             [{"pid": p} for p in pending], override_num_blocks=len(pending)
         ).map_batches(encoder, batch_format="pyarrow", batch_size=1, num_cpus=1).count()
         shutil.rmtree(spill_root, ignore_errors=True)
+        _mark("encode_wall_sec")
     else:
         total_tokens = prior["total_tokens"] + spill_tokens
 
@@ -428,6 +444,7 @@ def append_index(
             **totals,
             "append_wall_sec": round(time.perf_counter() - t0, 3),
             "partitions_built_this_run": len(pending),
+            "stage_walls": stage_walls,
         },
     }
     mf.commit_index(index_dir, meta)
