@@ -1448,6 +1448,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return token_budget_head(_documents(sf_dir), budget=15000)
 
+    def pack_sequences(sf_dir):
+        """Greedy sequence packing: concatenate docs in doc_id order,
+        chunk into 512-token training sequences, report each doc's
+        starting (seq_id, seq_off).  Distributed prefix sum via linear
+        doc_id ranges — never a global sort."""
+        from mini_ivf_ray.pipelines.sampling import pack_sequences as _pack
+
+        return _pack(_documents(sf_dir), budget=512)
+
     def lm_score(sf_dir):
         """CCNet-style perplexity signal: add-one bigram LM trained on
         the corpus itself (one counting pass -> broadcast model), then
@@ -1535,6 +1544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample_q,
         "source_mix": source_mix,
         "token_budget": token_budget,
+        "pack_sequences": pack_sequences,
         "lm_score": lm_score,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
@@ -2099,6 +2109,23 @@ c AS (
   FROM o
 )
 SELECT doc_id, dl FROM c WHERE cum <= 15000
+""",
+        # pack_sequences: the window prefix sum IS the spec; the Ray
+        # side reproduces it with a range histogram + per-range scan.
+        "pack_sequences": f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS dl
+  FROM documents
+),
+c AS (
+  SELECT doc_id, dl,
+         sum(dl) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - dl AS before
+  FROM toks
+)
+SELECT doc_id, dl, (before // 512)::BIGINT AS seq_id,
+       (before % 512)::BIGINT AS seq_off
+FROM c
 """,
         "lm_score": f"""
 WITH toks AS (

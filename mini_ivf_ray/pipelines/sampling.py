@@ -299,3 +299,114 @@ def token_budget_head(
         )
 
     return slim.map_batches(emit, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: greedy doc -> fixed-length training-sequence layout
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(docs_ds, budget: int, num_ranges: int | None = None):
+    """Greedy sequence packing: concatenate documents in doc_id order
+    and chunk the token stream into fixed ``budget``-token training
+    sequences — the layout step every LLM pretraining pipeline runs
+    before writing tokenized shards.  Each document is assigned the
+    sequence it STARTS in (``seq_id``) and its token offset there
+    (``seq_off``); a document longer than the remaining room simply
+    straddles into the following sequence(s), as in real packing.
+
+    Never sorts the corpus.  The global prefix sum is decomposed as a
+    distributed scan (same two-pass shape as ``token_budget_head``):
+      (1) one tokenize pass builds a slim (doc_id, dl) projection
+          (~16 B/doc, the only O(docs) state, spillable);
+      (2) docs bucket into LINEAR doc_id ranges over [min, max]
+          (balanced for sequential or uniform-hash id layouts; id skew
+          degrades balance, never correctness);
+      (3) per-range token sums reduce to the driver (num_ranges rows)
+          and one cumsum yields each range's global start offset;
+      (4) one slim bucketed exchange co-locates each range; a local
+          doc_id sort + cumsum + the broadcast range offset gives every
+          document its exact global prefix.
+    Output: (doc_id, dl, seq_id, seq_off).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+    if num_ranges is None:
+        num_ranges = max(64, 8 * int(ray.cluster_resources().get("CPU", 8)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, dls = tokenize_batch(batch["text"].to_pylist())
+        return pa.table(
+            {"doc_id": pa.array(ids), "dl": pa.array(dls, type=pa.int64())}
+        )
+
+    slim = docs_ds.map_batches(project, batch_format="pyarrow").materialize()
+
+    mm = slim.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t["doc_id"]).as_py()], type=pa.int64()),
+                "hi": pa.array([pc.max(t["doc_id"]).as_py()], type=pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    if not len(mm):
+        return slim.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "dl": pa.array([], type=pa.int64()),
+                    "seq_id": pa.array([], type=pa.int64()),
+                    "seq_off": pa.array([], type=pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    lo = int(mm["lo"].min())
+    width = max(1, (int(mm["hi"].max()) - lo) // num_ranges + 1)
+
+    def add_rng(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.append_column(
+            "rng", pa.array((ids - lo) // width, type=pa.int64())
+        )
+
+    ranged = slim.map_batches(add_rng, batch_format="pyarrow")
+
+    def range_sums(batch: pa.Table) -> pa.Table:
+        s = batch.to_pandas().groupby("rng", sort=True)["dl"].sum()
+        return pa.table(
+            {
+                "rng": pa.array(s.index.to_numpy(np.int64)),
+                "s": pa.array(s.to_numpy(np.int64)),
+            }
+        )
+
+    hist = (
+        ranged.map_batches(range_sums, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rng", sort=True)["s"]
+        .sum()
+    )
+    cum = hist.cumsum()
+    starts = {int(r): int(cum[r]) - int(hist[r]) for r in hist.index}
+
+    def pack_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        dl = df["dl"].to_numpy(np.int64)
+        before = starts.get(int(df["rng"].iloc[0]), 0) + np.cumsum(dl) - dl
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "dl": dl,
+                "seq_id": before // budget,
+                "seq_off": before % budget,
+            }
+        )
+
+    return ranged.groupby("rng").map_groups(pack_group, batch_format="pandas")

@@ -268,3 +268,55 @@ class TestTokenBudget:
                 )
             got = got.sort_values("doc_id").reset_index(drop=True)
             pd.testing.assert_frame_equal(got, self._ref(df, budget))
+
+
+class TestPackSequences:
+    def _reference(self, ids, texts, budget):
+        from mini_ivf_ray.functions.tokenize import tokenize
+
+        order = np.argsort(ids, kind="stable")
+        dl = np.array([len(tokenize(texts[i])) for i in order], dtype=np.int64)
+        before = np.cumsum(dl) - dl
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids)[order],
+                "dl": dl,
+                "seq_id": before // budget,
+                "seq_off": before % budget,
+            }
+        )
+
+    def test_matches_reference_multi_range(self):
+        from mini_ivf_ray.pipelines.sampling import pack_sequences
+
+        rng = np.random.default_rng(5)
+        # sparse non-contiguous ids exercise the linear-range bucketing
+        ids = np.sort(rng.choice(100_000, size=300, replace=False)).astype(np.int64)
+        texts = [
+            " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(0, 40))))
+            for _ in ids
+        ]
+        got = (
+            pack_sequences(_docs_ds(list(zip(ids.tolist(), texts))), budget=64,
+                           num_ranges=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._reference(ids.tolist(), texts, 64).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_straddling_doc(self):
+        from mini_ivf_ray.pipelines.sampling import pack_sequences
+
+        rows = [(1, "a b c d e"), (2, "f g"), (3, "h")]
+        got = (
+            pack_sequences(_docs_ds(rows), budget=4, num_ranges=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # doc 1 fills seq0 and straddles into seq1; doc 2 starts at
+        # (1, 1); doc 3 at (1, 3)
+        assert got["seq_id"].tolist() == [0, 1, 1]
+        assert got["seq_off"].tolist() == [0, 1, 3]
