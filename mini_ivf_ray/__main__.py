@@ -55,6 +55,12 @@ def main(argv=None) -> int:
     ap.add_argument("pages")
     ap.add_argument("index_dir")
     ap.add_argument("--no-dedup", action="store_true")
+    ap.add_argument(
+        "--skip-existing",
+        action="store_true",
+        help="drop increment docs whose url is already indexed "
+        "(re-crawl mode) instead of raising",
+    )
 
     q = sub.add_parser("query")
     q.add_argument("index_dir")
@@ -122,6 +128,7 @@ def main(argv=None) -> int:
                 args.index_dir,
                 cfg,
                 dedup=not args.no_dedup,
+                on_existing="skip" if args.skip_existing else "error",
             )
             print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
         elif args.cmd == "query":

@@ -46,6 +46,10 @@ rank-identically in tests/test_append.py.
 A document present in both the old index and the increment surfaces as
 a duplicate (term, doc_id) posting and makes the encoder raise — the
 increment must be new/deduped urls, failures are loud, never silent.
+``on_existing="skip"`` handles the routine re-crawl case instead:
+already-indexed doc_ids are dropped from the increment (the committed
+version wins) via a broadcast-increment-ids probe over the committed
+prepared files' id column — never a shuffle, never a text read.
 """
 
 from __future__ import annotations
@@ -204,14 +208,55 @@ def _resalt_segments_to_runs(
     ).map_batches(resalt, batch_format="pyarrow", batch_size=1, num_cpus=1).count()
 
 
+def _existing_id_hits(prep_dir: str, old_files: list[str], inc_ids) -> np.ndarray:
+    """Increment doc_ids already present in the committed prepared
+    corpus.  The (small) increment id set is broadcast once; the
+    committed side is scanned id-column-only and only hits — at most
+    increment-sized — come back.  O(old-corpus-ids) read, zero shuffle."""
+    import ray
+    import ray.data
+
+    inc_ids = np.unique(np.asarray(inc_ids).astype(np.uint64))
+    if not old_files or inc_ids.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ids_ref = ray.put(inc_ids)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sorted_ids = _ray.get(ids_ref)
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        pos = np.minimum(
+            np.searchsorted(sorted_ids, ids), sorted_ids.size - 1
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids[sorted_ids[pos] == ids], type=pa.uint64())}
+        )
+
+    hits = (
+        ray.data.read_parquet(
+            [os.path.join(prep_dir, f) for f in old_files], columns=["doc_id"]
+        )
+        .map_batches(probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return np.unique(hits["doc_id"].to_numpy().astype(np.uint64))
+
+
 def append_index(
     docs_ds_factory,
     index_dir: str,
     cfg: PipelineConfig | None = None,
     dedup: bool = True,
     lineage_extra: dict | None = None,
+    on_existing: str = "error",
 ) -> dict:
     """Append ``docs_ds_factory()``'s pages to a committed index.
+
+    ``on_existing``: ``"error"`` (default) keeps the loud encoder raise
+    when an increment doc_id is already indexed; ``"skip"`` drops those
+    docs from the increment (the committed version wins — the re-crawl
+    workflow where overlapping urls are expected).
 
     Returns the new index manifest.  Resumable: an interrupted append
     re-runs from its ``append.json`` marker (committed partitions are
@@ -250,12 +295,45 @@ def append_index(
             [l for l in existing.get("lineage", {}).get("increments", [])]
         ) + 1
 
+        if on_existing not in ("error", "skip"):
+            raise ValueError(f"on_existing must be 'error' or 'skip', got {on_existing!r}")
+
         # ---- stage 1: prepare the NEW batch only ----------------------
         inc_tmp = os.path.join(index_dir, f"prepared_inc{increment}.tmp")
         shutil.rmtree(inc_tmp, ignore_errors=True)
         docs = prepare_documents(docs_ds_factory(), cfg, dedup=dedup)
         os.makedirs(inc_tmp, exist_ok=True)
         docs.write_parquet(inc_tmp)
+
+        skipped_existing = 0
+        if on_existing == "skip":
+            inc_files = sorted(
+                f for f in os.listdir(inc_tmp) if f.endswith(".parquet")
+            )
+            old_files = [
+                f for f in os.listdir(prep_dir) if f.endswith(".parquet")
+            ]
+            inc_ids = np.concatenate(
+                [
+                    pq.read_table(
+                        os.path.join(inc_tmp, f), columns=["doc_id"]
+                    )["doc_id"].to_numpy().astype(np.uint64)
+                    for f in inc_files
+                ]
+            ) if inc_files else np.empty(0, dtype=np.uint64)
+            hits = _existing_id_hits(prep_dir, old_files, inc_ids)
+            if hits.size:
+                for f in inc_files:
+                    p = os.path.join(inc_tmp, f)
+                    t = pq.read_table(p)
+                    mask = ~np.isin(
+                        t["doc_id"].to_numpy().astype(np.uint64), hits
+                    )
+                    if mask.all():
+                        continue
+                    skipped_existing += int((~mask).sum())
+                    pq.write_table(t.filter(pa.array(mask)), p + ".tmp")
+                    os.replace(p + ".tmp", p)
         # stale inc files from a pre-marker crash of the same increment
         # would duplicate documents (loudly — the encoder raises — but
         # needlessly): clear them before the move
@@ -279,6 +357,7 @@ def append_index(
         state = {
             "increment": increment,
             "inc_files": moved,
+            "skipped_existing": skipped_existing,
             "prior": {
                 "n_docs": prior_stats.n_docs,
                 "total_tokens": prior_stats.total_tokens,
@@ -419,6 +498,7 @@ def append_index(
             "increment": increment,
             "prior_n_docs": prior["n_docs"],
             "new_docs": n_docs - prior["n_docs"],
+            "skipped_existing": int(state.get("skipped_existing", 0)),
         }
     )
     meta = {

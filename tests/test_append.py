@@ -154,6 +154,40 @@ def test_append_duplicate_doc_raises(tmp_path):
         )
 
 
+def test_append_skip_existing(tmp_path):
+    """on_existing='skip': a re-crawl increment overlapping the
+    committed index drops the already-indexed urls (committed version
+    wins) and the result equals a fresh build of the true union,
+    byte-identically."""
+    cfg = PipelineConfig(num_partitions=3)
+    pages = generate_pages(400, seed=101, vocab_size=300, dup_frac=0.0)
+    fresh = str(tmp_path / "fresh")
+    build_index(lambda: ray.data.from_arrow(pages), fresh, cfg)
+
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages.slice(0, 250)), inc, cfg)
+    # increment rows 150..400 overlap the committed 150..250
+    meta = append_index(
+        lambda: ray.data.from_arrow(pages.slice(150)),
+        inc,
+        cfg,
+        on_existing="skip",
+    )
+    last = meta["lineage"]["increments"][-1]
+    assert last["skipped_existing"] == 100
+    assert last["new_docs"] == 150
+    for p in range(cfg.num_partitions):
+        assert _segment_bytes(fresh, p) == _segment_bytes(inc, p)
+
+    with pytest.raises(ValueError, match="on_existing"):
+        append_index(
+            lambda: ray.data.from_arrow(pages.slice(0, 10)),
+            inc,
+            cfg,
+            on_existing="replace",
+        )
+
+
 def test_append_requires_committed_index(tmp_path):
     cfg = PipelineConfig(num_partitions=2)
     with pytest.raises(FileNotFoundError):
