@@ -424,6 +424,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return fingerprints(_documents(sf_dir))
 
+    def scrub(sf_dir):
+        """Denylist whole-word scrub (C4 bad-words pass): RE2 replace +
+        per-doc redaction count, stateless vectorized map; pyarrow and
+        DuckDB both run RE2, so output matches byte-for-byte."""
+        from mini_ivf_ray.pipelines.analysis import scrub_terms
+
+        return scrub_terms(_documents(sf_dir), ["customer", "value"])
+
     def ann_bruteforce(sf_dir):
         from mini_ivf_ray.pipelines.similarity import brute_force_ann
 
@@ -1506,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unique_docs": unique_docs,
         "dl_quantiles": dl_quantiles,
         "langid": langid_q,
+        "scrub": scrub,
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
@@ -1866,6 +1875,12 @@ SELECT lang, count(*)::BIGINT AS n_docs,
 FROM d GROUP BY lang
 """,
         "langid": _langid_sql(),
+        "scrub": r"""
+SELECT doc_id,
+       regexp_replace(text, '\b(customer|value)\b', '[REDACTED]', 'g') AS clean_text,
+       len(regexp_extract_all(text, '\b(customer|value)\b'))::BIGINT AS n_redacted
+FROM documents
+""",
         "fingerprint": f"""
 SELECT doc_id,
        md5(array_to_string(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' '))

@@ -346,3 +346,38 @@ def grouped_dl_quantiles(docs_ds, qs=(0.5, 0.9, 0.99)):
             },
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Denylist term scrub (C4-style "bad words" pass)
+# ---------------------------------------------------------------------------
+
+
+def scrub_terms(docs_ds, terms, repl: str = "[REDACTED]"):
+    """Replace whole-word occurrences of a denylist (profanity / PII
+    tokens in a real pipeline) and report the per-doc redaction count —
+    the C4 bad-words pass as a stateless vectorized map.
+
+    Both this engine (pyarrow string kernels) and the DuckDB oracle run
+    RE2, so ``\\b(t1|t2|...)\\b`` substitution and counting match
+    byte-for-byte.  Zero shuffle, zero state; the pattern compiles once
+    per call site and ships in the task closure.
+    """
+    import pyarrow.compute as pc
+
+    pat = r"\b(" + "|".join(sorted(terms)) + r")\b"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": pc.replace_substring_regex(
+                    batch["text"], pat, repl
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(batch["text"], pat), pa.int64()
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

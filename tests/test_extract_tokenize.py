@@ -126,3 +126,38 @@ def test_repetition_signals():
             max(toks.count(x) for x in set(toks)) / len(toks) if toks else 0.0
         )
         assert got["top_token_frac"][i] == exp_top, (i, t)
+
+
+def test_scrub_terms():
+    """Denylist scrub: whole-word-only replacement + exact counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from mini_ivf_ray.pipelines.analysis import scrub_terms
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                "text": pa.array(
+                    [
+                        "customer value customers",  # 'customers' must survive
+                        "the value of value",
+                        "nothing here",
+                    ]
+                ),
+            }
+        )
+    )
+    got = (
+        scrub_terms(ds, ["customer", "value"], repl="<X>")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["clean_text"].tolist() == [
+        "<X> <X> customers",
+        "the <X> of <X>",
+        "nothing here",
+    ]
+    assert got["n_redacted"].tolist() == [2, 2, 0]
