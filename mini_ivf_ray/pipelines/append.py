@@ -20,13 +20,17 @@ The design therefore re-encodes partitions but never re-tokenizes:
                touch an index mid-append).
   3. plan      recomputed over the UNION prepared dir with the same
                sampling rule a fresh build would use.
-  4. old spill the snapshot segments are DECODED (term, doc_id, tf, dl
+  4. old spill when the recomputed salt plan DIFFERS from the committed
+               one, snapshot segments are DECODED (term, doc_id, tf, dl
                are all in the payload varints) and re-salted under the
                new plan into sorted spill runs — committed segments are
                just another input run for the k-way merge encoder.
-               This is vectorized decode + hash assignment: no text
-               processing, the expensive half of a build at 100-TB
-               scale.
+               When the plan is UNCHANGED (the common append), this
+               stage disappears entirely: each old segment already IS a
+               sorted run for its own partition and is fed to the
+               encoder through a lazy block-decode adapter
+               (stages/spimi.SegmentRun) — no decode pass, no parquet
+               round trip, no extra task wave.
   5. new spill the increment's prepared files go through the normal
                single-tokenize spill (exact token/hot-df counters).
   6. encode    the standard per-partition k-way merge encoder over
@@ -65,7 +69,6 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
-from mini_ivf_ray.functions.codec import decode_varints
 from mini_ivf_ray.pipelines.build import _estimate_salt_plan, _prepared_meta
 from mini_ivf_ray.stages.prepare import prepare_documents
 from mini_ivf_ray.stages.spimi import (
@@ -91,41 +94,13 @@ def _prev_dir(index_dir: str) -> str:
 def decode_segment_postings(path: str):
     """segment postings.parquet -> (terms np.object_, doc_id uint64,
     tf int64, dl int64), in the file's (term, doc_id) sorted order.
-    Inverse of the block codec: one concatenated varint decode, then
-    per-block slicing (same shape as sources/decoded.decode_partition,
-    but yielding raw tf/dl instead of baked contributions)."""
-    t = pq.read_table(path, columns=["term", "first_doc_id", "count", "payload"])
-    terms = t["term"].to_pylist()
-    firsts = t["first_doc_id"].to_numpy()
-    counts = t["count"].to_numpy().astype(np.int64)
-    payloads = t["payload"].to_pylist()
-    total = int(counts.sum())
-    vals = (
-        decode_varints(np.concatenate([np.frombuffer(p, dtype=np.uint8) for p in payloads]))
-        if payloads
-        else np.empty(0, dtype=np.uint64)
+    Thin wrapper over ``stages.spimi.decode_block_table`` (the decode
+    core lives next to the encoder it inverts)."""
+    from mini_ivf_ray.stages.spimi import decode_block_table
+
+    return decode_block_table(
+        pq.read_table(path, columns=["term", "first_doc_id", "count", "payload"])
     )
-    if total == 0:
-        e = np.empty(0)
-        return np.empty(0, object), e.astype(np.uint64), e.astype(np.int64), e.astype(np.int64)
-    # fully vectorized un-blocking (was a per-term Python loop): each
-    # term's payload segment is [n-1 doc deltas, n tfs, n dls]; build
-    # gather indices from the per-term offsets and recover the absolute
-    # doc_ids with one carry-corrected global cumsum.
-    seg_off = np.concatenate(([0], np.cumsum(3 * counts - 1)[:-1]))  # payload start per term
-    out_off = np.concatenate(([0], np.cumsum(counts)[:-1]))  # output start per term
-    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off, counts)  # 0..n-1 in term
-    first_rep = np.repeat(firsts.astype(np.uint64), counts)
-    gather_delta = np.repeat(seg_off, counts) + pos - 1  # valid where pos > 0
-    delta = np.where(pos > 0, vals[np.maximum(gather_delta, 0)], np.uint64(0))
-    cs = np.cumsum(delta.astype(np.uint64), dtype=np.uint64)
-    carry = np.where(out_off > 0, cs[np.maximum(out_off - 1, 0)], np.uint64(0))
-    docs = first_rep + cs - np.repeat(carry, counts)
-    gtf = np.repeat(seg_off + counts - 1, counts) + pos
-    tfs = vals[gtf].astype(np.int64)
-    dls = vals[gtf + np.repeat(counts, counts)].astype(np.int64)
-    term_arr = np.repeat(np.asarray(terms, dtype=object), counts)
-    return term_arr, docs, tfs, dls
 
 
 def _resalt_segments_to_runs(
@@ -250,6 +225,8 @@ def append_index(
     dedup: bool = True,
     lineage_extra: dict | None = None,
     on_existing: str = "error",
+    reuse_plan: bool | None = None,
+    _force_resalt: bool = False,
 ) -> dict:
     """Append ``docs_ds_factory()``'s pages to a committed index.
 
@@ -258,9 +235,21 @@ def append_index(
     docs from the increment (the committed version wins — the re-crawl
     workflow where overlapping urls are expected).
 
+    ``reuse_plan``: ``True`` keeps the committed salt plan (a small
+    increment does not change a web corpus's hot-term profile), which
+    skips plan estimation AND guarantees the no-resalt segment-run
+    path — the recurring-crawl steady state.  ``False`` recomputes the
+    plan over the union (byte-identical to a fresh union build whenever
+    the plans coincide).  ``None`` (default) picks automatically:
+    reuse when the increment is <= 20 % of the committed corpus.
+    Either way the index is exact — the plan only shapes partition
+    balance and block boundaries, never scores or ranks.
+
     Returns the new index manifest.  Resumable: an interrupted append
     re-runs from its ``append.json`` marker (committed partitions are
-    skipped, spill runs are regenerated idempotently)."""
+    skipped, spill runs are regenerated idempotently; the plan decision
+    is a deterministic function of on-disk state, so a resume repeats
+    it)."""
     import ray
     import ray.data
 
@@ -381,24 +370,48 @@ def append_index(
     if os.path.exists(man_path):
         os.remove(man_path)
 
-    prior_df = CorpusStats.load(index_dir).df  # sidecar still holds A's stats
+    _prior_stats = CorpusStats.load(index_dir)  # sidecar still holds A's stats
+    prior_df = _prior_stats.df
+    prior_salted = dict(_prior_stats.salted or {})
 
     # ---- stage 3: plan over the UNION prepared dir ---------------------
     n_docs, max_doc_id = _prepared_meta(prep_dir)
-    plan = _estimate_salt_plan(prep_dir, cfg, n_docs)
+    if reuse_plan is None:
+        reuse_plan = (n_docs - prior["n_docs"]) <= 0.2 * max(1, prior["n_docs"])
+    if reuse_plan and not _force_resalt:
+        plan = dict(prior_salted)
+    else:
+        plan = _estimate_salt_plan(prep_dir, cfg, n_docs)
     doc_id_space = 2**64 if cfg.doc_id_from_url else max_doc_id + 1
 
     pending = sorted(mf.pending_partitions(index_dir, cfg.num_partitions))
     _mark("plan_wall_sec")
     spill_tokens = 0
     hot_b: dict[str, int] = {}
+    # fast path: an UNCHANGED salt plan means every old posting routes
+    # to the partition it already lives in, so each committed segment
+    # IS a sorted merge run for its own partition — feed it to the
+    # encoder directly (lazy block decode, stages/spimi.SegmentRun) and
+    # skip the whole resalt stage + its parquet round trip.  Salt
+    # boundaries are doc_id ranges over doc_id_space, so a mutable
+    # space (sequential ids, doc_id_from_url=False) forces the resalt
+    # path whenever any term is salted.
+    segment_runs = (
+        not _force_resalt
+        and dict(plan) == prior_salted
+        and (cfg.doc_id_from_url or not plan)
+    )
+    old_dir = os.path.join(spill_root, "old")
     if pending:
-        # ---- stage 4: old segments -> re-salted sorted runs ------------
-        old_dir = os.path.join(spill_root, "old")
-        shutil.rmtree(old_dir, ignore_errors=True)
-        _resalt_segments_to_runs(
-            prev_root, old_dir, plan, cfg, doc_id_space, set(pending)
-        )
+        if segment_runs:
+            stage_walls["append_path"] = "segment_runs"
+        else:
+            # ---- stage 4: old segments -> re-salted sorted runs --------
+            stage_walls["append_path"] = "resalt"
+            shutil.rmtree(old_dir, ignore_errors=True)
+            _resalt_segments_to_runs(
+                prev_root, old_dir, plan, cfg, doc_id_space, set(pending)
+            )
         _mark("resalt_wall_sec")
 
         # ---- stage 5: tokenize-spill the increment ---------------------
@@ -443,6 +456,11 @@ def append_index(
             t: prior_df.get(t, 0) + hot_b.get(t, 0) for t in plan
         }
         run_map: dict[int, list] = {}
+        if segment_runs:
+            for p in pending:
+                seg = os.path.join(prev_root, f"part={p}", "postings.parquet")
+                if os.path.exists(seg):
+                    run_map.setdefault(p, []).append((seg, "segment"))
         for d in (old_dir, new_dir):
             if os.path.isdir(d):
                 for p, rs in scan_spill_runs(d).items():

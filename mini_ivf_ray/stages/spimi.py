@@ -484,6 +484,111 @@ class _BlockWriter:
         return 0
 
 
+def decode_block_table(t: pa.Table):
+    """Encoded block rows (term, first_doc_id, count, payload) ->
+    (terms np.object_, doc_id uint64, tf int64, dl int64) posting
+    arrays in block order — i.e. (term, doc_id) sorted within a
+    segment.  Inverse of ``encode_posting_run``; fully vectorized: one
+    concatenated varint decode, then per-block gather indices from the
+    per-block offsets with a carry-corrected global cumsum recovering
+    absolute doc_ids.  Works on any row-group slice (every block row is
+    self-contained: first_doc_id is absolute)."""
+    from mini_ivf_ray.functions.codec import decode_varints
+
+    terms = t["term"].to_pylist()
+    firsts = t["first_doc_id"].to_numpy()
+    counts = t["count"].to_numpy().astype(np.int64)
+    payloads = t["payload"].to_pylist()
+    total = int(counts.sum())
+    vals = (
+        decode_varints(
+            np.concatenate([np.frombuffer(p, dtype=np.uint8) for p in payloads])
+        )
+        if payloads
+        else np.empty(0, dtype=np.uint64)
+    )
+    if total == 0:
+        e = np.empty(0)
+        return (
+            np.empty(0, object),
+            e.astype(np.uint64),
+            e.astype(np.int64),
+            e.astype(np.int64),
+        )
+    # each block's payload segment is [n-1 doc deltas, n tfs, n dls]
+    seg_off = np.concatenate(([0], np.cumsum(3 * counts - 1)[:-1]))
+    out_off = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off, counts)
+    first_rep = np.repeat(firsts.astype(np.uint64), counts)
+    gather_delta = np.repeat(seg_off, counts) + pos - 1  # valid where pos > 0
+    delta = np.where(pos > 0, vals[np.maximum(gather_delta, 0)], np.uint64(0))
+    cs = np.cumsum(delta.astype(np.uint64), dtype=np.uint64)
+    carry = np.where(out_off > 0, cs[np.maximum(out_off - 1, 0)], np.uint64(0))
+    docs = first_rep + cs - np.repeat(carry, counts)
+    gtf = np.repeat(seg_off + counts - 1, counts) + pos
+    tfs = vals[gtf].astype(np.int64)
+    dls = vals[gtf + np.repeat(counts, counts)].astype(np.int64)
+    term_arr = np.repeat(np.asarray(terms, dtype=object), counts)
+    return term_arr, docs, tfs, dls
+
+
+class _SegRowGroup:
+    __slots__ = ("num_rows",)
+
+    def __init__(self, n: int):
+        self.num_rows = n
+
+
+class _SegMeta:
+    def __init__(self, counts: list[int]):
+        self._counts = counts
+        self.num_row_groups = len(counts)
+
+    def row_group(self, g: int) -> _SegRowGroup:
+        return _SegRowGroup(self._counts[g])
+
+
+class SegmentRun:
+    """A COMMITTED segment file presented as a sorted (term, doc_id,
+    tf, dl) merge run — duck-typed to the ``(ParquetFile, row groups)``
+    interface ``_RunMerger`` consumes.  The no-resalt append path feeds
+    old segments straight into the k-way encoder when the salt plan is
+    unchanged: decode is lazy, one parquet row group at a time, so
+    frontier memory stays row-group-bounded (4096 blocks) no matter the
+    partition size.  ``metadata.row_group(g).num_rows`` reports DECODED
+    posting counts (one cheap count-column read at open)."""
+
+    _COLS = ["term", "first_doc_id", "count", "payload"]
+
+    def __init__(self, path: str):
+        self.pf = pq.ParquetFile(path)
+        counts = []
+        for g in range(self.pf.metadata.num_row_groups):
+            c = self.pf.read_row_group(g, columns=["count"])["count"]
+            counts.append(int(pc.sum(c).as_py() or 0))
+        self.metadata = _SegMeta(counts)
+
+    def iter_batches(self, batch_size: int, row_groups=None, columns=None):
+        groups = (
+            range(self.pf.metadata.num_row_groups)
+            if row_groups is None
+            else row_groups
+        )
+        for g in groups:
+            t = self.pf.read_row_group(g, columns=self._COLS)
+            terms, docs, tfs, dls = decode_block_table(t)
+            for s in range(0, docs.size, batch_size):
+                e = min(s + batch_size, docs.size)
+                yield pa.record_batch(
+                    {
+                        "term": pa.array(terms[s:e], type=pa.string()),
+                        "doc_id": pa.array(docs[s:e], type=pa.uint64()),
+                        "tf": pa.array(tfs[s:e], type=pa.int64()),
+                        "dl": pa.array(dls[s:e], type=pa.int64()),
+                    }
+                )
+
+
 def scan_spill_runs(spill_dir: str) -> dict[int, list[tuple[str, list[int]]]]:
     """ONE footer-metadata pass over the spill run files ->
     {pid: [(file, row-group indices)]}.  Done once on the driver (or one
@@ -653,9 +758,15 @@ def make_spill_encoder(
         for p in batch["pid"].to_pylist():
             p = int(p)
             file_groups = run_map.get(p, [])
-            runs = [
-                (pq.ParquetFile(f), groups) for f, groups in file_groups
-            ]
+            runs = []
+            for f, groups in file_groups:
+                if groups == "segment":
+                    # committed old segment as a lazily-decoded run
+                    # (no-resalt append path)
+                    sr = SegmentRun(f)
+                    runs.append((sr, list(range(sr.metadata.num_row_groups))))
+                else:
+                    runs.append((pq.ParquetFile(f), groups))
             if not runs:
                 continue
             c = encode_partition(p, runs)

@@ -83,6 +83,36 @@ def test_append_equals_fresh_build(tmp_path):
     assert not os.path.exists(os.path.join(inc, "prev_segments"))
 
 
+@pytest.mark.parametrize("force_resalt", [False, True])
+def test_append_paths_byte_identical(tmp_path, force_resalt):
+    """Both append paths — segment-run fast path (unchanged plan) and
+    forced resalt — produce byte-identical segments vs a fresh union
+    build."""
+    cfg = PipelineConfig(num_partitions=4)
+    pages_a, pages_b = _split_pages(n_total=500, n_a=300, seed=71)
+    union = ray.data.from_arrow(
+        generate_pages(500, seed=71, vocab_size=400, dup_frac=0.0)
+    )
+    fresh = str(tmp_path / "fresh")
+    build_index(lambda: union, fresh, cfg)
+
+    inc = str(tmp_path / "inc")
+    build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
+    meta = append_index(
+        lambda: ray.data.from_arrow(pages_b),
+        inc,
+        cfg,
+        _force_resalt=force_resalt,
+    )
+    path_taken = meta["counters"]["stage_walls"]["append_path"]
+    if force_resalt:
+        assert path_taken == "resalt"
+    for p in range(cfg.num_partitions):
+        assert _segment_bytes(fresh, p) == _segment_bytes(inc, p), (
+            f"partition {p} path={path_taken}"
+        )
+
+
 def test_append_twice(tmp_path):
     """A ∪ B ∪ C via two appends == fresh build."""
     cfg = PipelineConfig(num_partitions=3)
