@@ -1331,56 +1331,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def image_features(sf_dir):
+        """REAL image decode: payloads are genuine BMP files, decoded
+        by the dependency-free pure-numpy codec
+        (functions/mediacodec.py); features come from actual pixels."""
         import ray.data
 
         from mini_ivf_ray.pipelines.multimodal import (
             KIND_IMAGE,
             decode_images,
-            synth_media,
+            synth_media_real,
         )
 
-        return decode_images(ray.data.from_arrow(synth_media(200, KIND_IMAGE)))
+        return decode_images(ray.data.from_arrow(synth_media_real(200, KIND_IMAGE)))
 
     def video_frames(sf_dir):
+        """REAL frame sampling: MVF1 containers of genuine BMP frames;
+        each sampled frame is re-emitted as a standalone real BMP."""
         import ray.data
 
         from mini_ivf_ray.pipelines.multimodal import (
             KIND_VIDEO,
             sample_frames,
-            synth_media,
+            synth_media_real,
         )
 
-        return sample_frames(ray.data.from_arrow(synth_media(100, KIND_VIDEO)))
+        return sample_frames(ray.data.from_arrow(synth_media_real(100, KIND_VIDEO)))
 
     def image_resize(sf_dir):
-        """Nearest-neighbor image resize — the resize KERNEL is real
-        numpy index sampling; only the codec boundary stays stubbed."""
+        """Nearest-neighbor image resize over REAL BMP inputs — both
+        the codec (mediacodec.decode_bmp) and the resize kernel are
+        real numpy."""
         import ray.data
 
         from mini_ivf_ray.pipelines.multimodal import (
             KIND_IMAGE,
             resize_images,
-            synth_media,
+            synth_media_real,
         )
 
         return resize_images(
-            ray.data.from_arrow(synth_media(200, KIND_IMAGE)), out_h=8, out_w=8
+            ray.data.from_arrow(synth_media_real(200, KIND_IMAGE)), out_h=8, out_w=8
         )
 
     def audio_feats(sf_dir):
-        """Audio feature-extraction plumbing (windowed energy/zero-cross
-        over opaque binary payloads; real codec stubbed like
-        image/video — the Arrow schema, batch sizing and actor
-        signature are the real, tested surface)."""
+        """Windowed RMS energy over REAL RIFF/PCM16 WAV payloads,
+        decoded by the stdlib struct+numpy codec (mediacodec.decode_wav)
+        — no fake byte-level features left on this path."""
         import ray.data
 
         from mini_ivf_ray.pipelines.multimodal import (
             KIND_AUDIO,
             audio_features,
-            synth_media,
+            synth_media_real,
         )
 
-        return audio_features(ray.data.from_arrow(synth_media(150, KIND_AUDIO)))
+        return audio_features(ray.data.from_arrow(synth_media_real(150, KIND_AUDIO)))
 
     def stable_split_q(sf_dir):
         """Deterministic train/val/test assignment: salted-md5 permille
