@@ -383,6 +383,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out_dir=f"/tmp/graft_clean_{tag}",
         )
 
+    def dup_spans_q(sf_dir):
+        """Cross-document exact duplicated-span detection (Lee et al.
+        2021, arXiv:2107.06499 at w-token gram granularity): merged
+        per-doc spans of 8-grams that occur >= 2 times corpus-wide,
+        keep-first rule.  Distributed: slim (bucket, gram-hash, doc,
+        pos) rows -> fixed-width bucket groupby -> gaps-and-islands
+        span merge (pipelines/spans.py)."""
+        from mini_ivf_ray.pipelines.spans import dup_spans
+
+        return dup_spans(_documents(sf_dir), w=8)
+
+    def span_clean_q(sf_dir):
+        """Duplicate-span REMOVAL: the cleaned corpus (all docs,
+        tokens covered by any duplicate 8-gram dropped, re-joined with
+        single spaces).  One bucketed exchange co-locates each doc's
+        text with its duplicate positions."""
+        from mini_ivf_ray.pipelines.spans import remove_duplicate_spans
+
+        return remove_duplicate_spans(_documents(sf_dir), w=8)
+
     def unique_docs(sf_dir):
         """Docs whose text is globally unique (HAVING count = 1) —
         the anti-duplicate side of exact_dedup."""
@@ -1517,6 +1537,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter_q,
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
+        "dup_spans": dup_spans_q,
+        "span_clean": span_clean_q,
         "dl_quantiles": dl_quantiles,
         "langid": langid_q,
         "scrub": scrub,
@@ -1815,6 +1837,30 @@ WHERE jaccard >= 0.6
 """
 
 
+
+def _span_grams_cte(w: int) -> str:
+    """Shared CTE prefix for the duplicated-span oracles: w-gram
+    positions -> keep-first duplicate occurrences (row_number > 1)."""
+    return f"""
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest([i - 1 FOR i IN generate_series(1, len(tk) - {w} + 1)]) AS pos,
+         unnest([array_to_string(tk[i:i+{w}-1], ' ')
+                 FOR i IN generate_series(1, len(tk) - {w} + 1)]) AS gram
+  FROM t WHERE len(tk) >= {w}
+),
+r AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM g
+),
+d AS (SELECT doc_id, pos FROM r WHERE rn > 1)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     postings_sql = f"""
 WITH {_TOK_CTE}
@@ -1849,6 +1895,33 @@ FROM documents
         "exact_dedup": """
 SELECT md5(text) AS h, min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS n_dups
 FROM documents GROUP BY md5(text)
+""",
+        "dup_spans": f"""
+WITH {_span_grams_cte(8)},
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM d
+),
+grp AS (SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid FROM isl)
+SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + 8)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_grams
+FROM grp GROUP BY doc_id, gid
+""",
+        "span_clean": f"""
+WITH {_span_grams_cte(8)},
+cov AS (
+  SELECT doc_id, list(DISTINCT p) AS cover FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p FROM d
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(array_to_string(
+    [tk[i] FOR i IN generate_series(1, len(tk))
+     IF NOT coalesce(list_contains(cov.cover, i - 1), FALSE)], ' '), '') AS text_clean
+FROM t LEFT JOIN cov USING(doc_id)
 """,
         "quality": _quality_sql(),
         "repetition": _repetition_sql(),
