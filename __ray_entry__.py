@@ -403,6 +403,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return remove_duplicate_spans(_documents(sf_dir), w=8)
 
+    def heavy_hitters_q(sf_dir):
+        """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
+        via mergeable Misra-Gries candidate summaries + an exact
+        broadcast-verify pass (pipelines/sketches.py) — integer
+        threshold arithmetic matches the HAVING oracle bit-for-bit."""
+        from mini_ivf_ray.pipelines.sketches import heavy_hitter_terms
+
+        return heavy_hitter_terms(_documents(sf_dir), numer=1, denom=100)
+
     def unique_docs(sf_dir):
         """Docs whose text is globally unique (HAVING count = 1) —
         the anti-duplicate side of exact_dedup."""
@@ -1537,6 +1546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": quality_filter_q,
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
+        "heavy_hitters": heavy_hitters_q,
         "dup_spans": dup_spans_q,
         "span_clean": span_clean_q,
         "dl_quantiles": dl_quantiles,
@@ -1922,6 +1932,16 @@ SELECT t.doc_id,
     [tk[i] FOR i IN generate_series(1, len(tk))
      IF NOT coalesce(list_contains(cov.cover, i - 1), FALSE)], ' '), '') AS text_clean
 FROM t LEFT JOIN cov USING(doc_id)
+""",
+        "heavy_hitters": f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT term, count(*)::BIGINT AS cnt
+FROM tok GROUP BY term
+HAVING count(*) * 100 >= 1 * (SELECT n FROM tot)
 """,
         "quality": _quality_sql(),
         "repetition": _repetition_sql(),

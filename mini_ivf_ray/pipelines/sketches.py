@@ -1,0 +1,127 @@
+"""Mergeable-sketch operators.
+
+Task-brief addition ("a novel sketch" class).  First entry: EXACT
+corpus-wide heavy hitters via the two-pass sketch-then-verify shape —
+the standard way to get exact answers at 100 TB without an O(vocab)
+shuffle:
+
+Pass 1 (candidates): per-batch Misra-Gries(k) summaries.  MG summaries
+are mergeable (Agarwal et al., "Mergeable Summaries", PODS 2012): after
+summing per-batch summaries, any term with true count >= N/(k+1) is
+guaranteed present.  With k >= denom/numer, every term with frequency
+>= numer/denom of the corpus survives — a PROVABLE superset, never a
+heuristic.  Per-batch summaries are <= k rows, so the driver merge
+handles B*k tiny rows (same adaptive-combine caveat as
+``build.py``'s counter rows; one combine level covers 10^7 batches).
+
+Pass 2 (verify): broadcast the candidate term set; one vectorized
+counting pass emits exact per-batch counts for candidates ONLY
+(<= k rows per batch); the driver sums and applies the integer
+threshold ``cnt * denom >= numer * total_tokens`` — integer arithmetic
+on both sides, so the DuckDB ``HAVING count(*) * denom >= total``
+oracle matches bit-for-bit (no float phi rounding trap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+
+def _mg_batch(batch: pa.Table, k: int) -> pa.Table:
+    """Misra-Gries(k) summary of one batch, computed from exact batch
+    counts: subtract the (k+1)-th largest count from every count, keep
+    positives.  Per-term decrement <= n_batch/(k+1) — the MG bound."""
+    texts = batch["text"].to_pylist()
+    toks, dls = tokenize_batch(texts)
+    n_tokens = int(dls.sum())
+    flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+    if flat.size:
+        terms, counts = np.unique(flat, return_counts=True)
+        if terms.size > k:
+            t = np.partition(counts, terms.size - (k + 1))[terms.size - (k + 1)]
+            keep = counts > t
+            terms, counts = terms[keep], counts[keep] - t
+    else:
+        terms = np.asarray([], dtype=object)
+        counts = np.asarray([], dtype=np.int64)
+    # one extra row carries the batch token total (term = NULL)
+    return pa.table(
+        {
+            "term": pa.array(list(terms) + [None], type=pa.string()),
+            "cnt": pa.array(
+                np.r_[counts.astype(np.int64), n_tokens], type=pa.int64()
+            ),
+        }
+    )
+
+
+class _CandidateCounter:
+    """Pass-2 actor: broadcast candidate terms once, per batch emit
+    exact counts for candidates only (vectorized membership via a
+    sorted term array + searchsorted, never per-row dict probes)."""
+
+    def __init__(self, cand_ref):
+        import ray
+
+        cand = ray.get(cand_ref)
+        self.cand = np.sort(np.asarray(cand, dtype=object))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks, _ = tokenize_batch(texts)
+        flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+        if not flat.size or not self.cand.size:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "cnt": pa.array([], type=pa.int64()),
+                }
+            )
+        terms, counts = np.unique(flat, return_counts=True)
+        idx = np.searchsorted(self.cand, terms)
+        idx_c = np.minimum(idx, self.cand.size - 1)
+        hit = self.cand[idx_c] == terms
+        return pa.table(
+            {
+                "term": pa.array(terms[hit], type=pa.string()),
+                "cnt": pa.array(counts[hit].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+
+def heavy_hitter_terms(docs_ds, numer: int = 1, denom: int = 100):
+    """EXACT heavy hitters: (term, cnt) for every term whose corpus
+    token frequency satisfies ``cnt * denom >= numer * total_tokens``
+    (i.e. frequency >= numer/denom).  pandas DataFrame result — the
+    output is bounded by denom/numer rows, driver-sized by contract."""
+    import ray
+
+    k = int(np.ceil(denom / numer))
+    mg = docs_ds.map_batches(
+        _mg_batch, fn_kwargs={"k": k}, batch_format="pyarrow"
+    ).to_pandas()
+    total = int(mg.loc[mg["term"].isna(), "cnt"].sum())
+    merged = mg.dropna(subset=["term"]).groupby("term", sort=False)["cnt"].sum()
+    # provable superset: true_cnt - merged_cnt <= total/(k+1) < total*numer/denom
+    cand = merged.index.to_numpy(dtype=object)
+    if not len(cand) or total == 0:
+        return pd.DataFrame(
+            {"term": pd.Series(dtype=object), "cnt": pd.Series(dtype=np.int64)}
+        )
+    ref = ray.put(cand)
+    exact = docs_ds.map_batches(
+        _CandidateCounter,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        num_cpus=1,
+    ).to_pandas()
+    cnt = exact.groupby("term", sort=True)["cnt"].sum()
+    hh = cnt[cnt * denom >= numer * total]
+    return pd.DataFrame(
+        {"term": hh.index.to_numpy(dtype=object), "cnt": hh.to_numpy(np.int64)}
+    ).reset_index(drop=True)

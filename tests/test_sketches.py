@@ -1,0 +1,74 @@
+"""Heavy hitters: MG candidate pass must be a provable superset; the
+verify pass must make the final answer exact, including when the
+per-batch trim path is active (distinct-per-batch >> k)."""
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.sketches import _mg_batch, heavy_hitter_terms
+
+
+def _zipf_docs(n_docs=200, vocab=2000, seed=11):
+    """Wide-vocab Zipf corpus so per-batch distinct terms far exceed
+    the MG counter budget k."""
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, vocab + 1, dtype=np.float64)
+    p = ranks**-1.1
+    p /= p.sum()
+    texts = []
+    for _ in range(n_docs):
+        ids = rng.choice(vocab, size=int(rng.integers(50, 150)), p=p)
+        texts.append(" ".join(f"w{i:05d}" for i in ids))
+    return texts
+
+
+def test_exact_heavy_hitters_with_active_trim():
+    texts = _zipf_docs()
+    exact = Counter()
+    for t in texts:
+        exact.update(tokenize(t))
+    total = sum(exact.values())
+    numer, denom = 1, 50  # k = 50 << ~1000 distinct per batch
+    expect = {t: c for t, c in exact.items() if c * denom >= numer * total}
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    ).repartition(16)  # force many batches -> many MG summaries merged
+    got = heavy_hitter_terms(ds, numer=numer, denom=denom)
+    assert dict(zip(got["term"], got["cnt"])) == expect
+    assert len(expect) > 0  # non-vacuous
+
+
+def test_mg_batch_trim_is_bounded_and_small():
+    """The per-batch summary keeps <= k terms and decrements each count
+    by at most n_batch/(k+1) (the MG mergeability bound)."""
+    texts = _zipf_docs(n_docs=30, vocab=500, seed=3)
+    batch = pa.table({"text": texts})
+    k = 20
+    out = _mg_batch(batch, k=k).to_pandas()
+    total_row = out[out["term"].isna()]
+    n_batch = int(total_row["cnt"].iloc[0])
+    kept = out.dropna(subset=["term"])
+    assert len(kept) <= k
+    exact = Counter()
+    for t in texts:
+        exact.update(tokenize(t))
+    bound = n_batch / (k + 1)
+    for term, cnt in zip(kept["term"], kept["cnt"]):
+        assert 0 < cnt <= exact[term]
+        assert exact[term] - cnt <= bound
+    # terms NOT kept must have true count <= bound (superset guarantee)
+    dropped = set(exact) - set(kept["term"])
+    assert all(exact[t] <= bound for t in dropped)
+
+
+def test_empty_corpus():
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], type=pa.int64()), "text": [""]})
+    )
+    got = heavy_hitter_terms(ds)
+    assert len(got) == 0
