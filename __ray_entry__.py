@@ -78,6 +78,15 @@ def _documents_full(sf_dir: str):
     return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _documents_meta(sf_dir: str):
+    """Pruned read for url/domain derivation: only (doc_id, source)."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "source"]
+    )
+
+
 def _embeddings(sf_dir: str):
     import ray.data
 
@@ -402,6 +411,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from mini_ivf_ray.pipelines.spans import remove_duplicate_spans
 
         return remove_duplicate_spans(_documents(sf_dir), w=8)
+
+    def url_canon_q(sf_dir):
+        """URL canonicalization (functions/urls.py) gated by a REAL
+        SQL oracle: messy urls are derived deterministically from
+        (doc_id, source) on both sides — four per-row variants exercise
+        case folding, default-port drop, fragment drop, tracking-param
+        drop and query-param sorting — and the oracle constructs the
+        expected canonical string independently."""
+        from mini_ivf_ray.functions.urls import canonicalize_url, host_of, registered_domain
+
+        def mk(batch):
+            ids = batch["doc_id"].to_numpy()
+            srcs = batch["source"].to_pylist()
+            urls = []
+            for i, s in zip(ids, srcs):
+                v = int(i) % 4
+                if v == 0:
+                    urls.append(f"HTTPS://WWW.{s.upper()}.Example:443/p/{i}?utm_source=x&b=2&a=1#frag")
+                elif v == 1:
+                    urls.append(f"http://{s.upper()}.example:80/p/{i}/")
+                elif v == 2:
+                    urls.append(f"https://sub.{s.upper()}.example:8443/p/{i}?z=1&gclid=g")
+                else:
+                    urls.append(f"https://{s.upper()}.example/p/{i}")
+            canon = [canonicalize_url(u) for u in urls]
+            dom = [registered_domain(host_of(c)) for c in canon]
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "url_canon": pa.array(canon, type=pa.string()),
+                "domain": pa.array(dom, type=pa.string()),
+            })
+
+        return _documents_meta(sf_dir).map_batches(mk, batch_format="pyarrow")
+
+    def domain_stats_q(sf_dir):
+        """Per-registered-domain page counts over the derived urls
+        (pipelines/web.py shape: per-batch partial counts, one small
+        groupby) — SQL-oracled."""
+        from ray.data.aggregate import Sum
+
+        from mini_ivf_ray.functions.urls import canonicalize_url, host_of, registered_domain
+
+        def partials(batch):
+            import pandas as pd
+
+            ids = batch["doc_id"].to_numpy()
+            srcs = batch["source"].to_pylist()
+            doms = [
+                registered_domain(host_of(canonicalize_url(
+                    f"HTTPS://WWW.{s.upper()}.Example:443/p/{i}?utm_source=x#f")))
+                for i, s in zip(ids, srcs)
+            ]
+            g = pd.DataFrame({"domain": doms}).groupby("domain", sort=False).size()
+            return pa.table({
+                "domain": pa.array(g.index.to_numpy(dtype=object), type=pa.string()),
+                "n_pages": pa.array(g.to_numpy("int64"), type=pa.int64()),
+            })
+
+        return (
+            _documents_meta(sf_dir)
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby("domain")
+            .aggregate(Sum("n_pages", alias_name="n_pages"))
+        )
 
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
@@ -1547,6 +1620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "url_canon": url_canon_q,
+        "domain_stats": domain_stats_q,
         "dup_spans": dup_spans_q,
         "span_clean": span_clean_q,
         "dl_quantiles": dl_quantiles,
@@ -1932,6 +2007,21 @@ SELECT t.doc_id,
     [tk[i] FOR i IN generate_series(1, len(tk))
      IF NOT coalesce(list_contains(cov.cover, i - 1), FALSE)], ' '), '') AS text_clean
 FROM t LEFT JOIN cov USING(doc_id)
+""",
+        "url_canon": """
+SELECT doc_id,
+  CASE doc_id % 4
+    WHEN 0 THEN 'https://www.' || lower(source) || '.example/p/' || doc_id || '?a=1&b=2'
+    WHEN 1 THEN 'http://' || lower(source) || '.example/p/' || doc_id || '/'
+    WHEN 2 THEN 'https://sub.' || lower(source) || '.example:8443/p/' || doc_id || '?z=1'
+    ELSE 'https://' || lower(source) || '.example/p/' || doc_id
+  END AS url_canon,
+  lower(source) || '.example' AS domain
+FROM documents
+""",
+        "domain_stats": """
+SELECT lower(source) || '.example' AS domain, count(*)::BIGINT AS n_pages
+FROM documents GROUP BY 1
 """,
         "heavy_hitters": f"""
 WITH tok AS (
