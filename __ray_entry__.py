@@ -476,6 +476,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("n_pages", alias_name="n_pages"))
         )
 
+    def pii_redact_q(sf_dir):
+        """PII redaction (email/IPv4/phone -> typed placeholders) over
+        text augmented with deterministically planted PII — same
+        augmentation on both sides, so the RE2 substitution and counts
+        hash-match the DuckDB regexp oracle byte-for-byte."""
+        from mini_ivf_ray.pipelines.analysis import redact_pii
+
+        def plant(batch):
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_pylist()
+            aug = [
+                f"{t} contact a{i}@mail.example call 555-867-{int(i) % 10000:04d} from 10.0.{int(i) % 256}.7"
+                for t, i in zip(texts, ids)
+            ]
+            return pa.table(
+                {"doc_id": batch["doc_id"], "text": pa.array(aug, type=pa.string())}
+            )
+
+        return redact_pii(_documents(sf_dir).map_batches(plant, batch_format="pyarrow"))
+
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
         via mergeable Misra-Gries candidate summaries + an exact
@@ -1620,6 +1640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "pii_redact": pii_redact_q,
         "url_canon": url_canon_q,
         "domain_stats": domain_stats_q,
         "dup_spans": dup_spans_q,
@@ -2007,6 +2028,32 @@ SELECT t.doc_id,
     [tk[i] FOR i IN generate_series(1, len(tk))
      IF NOT coalesce(list_contains(cov.cover, i - 1), FALSE)], ' '), '') AS text_clean
 FROM t LEFT JOIN cov USING(doc_id)
+""",
+        "pii_redact": """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact a' || doc_id || '@mail.example call 555-867-' ||
+         lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' from 10.0.' ||
+         (doc_id % 256) || '.7' AS text
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+  FROM aug
+),
+p2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))::BIGINT AS n_ips,
+         regexp_replace(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '[IP]', 'g') AS t
+  FROM p1
+)
+SELECT doc_id,
+       regexp_replace(t, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b', '[PHONE]', 'g') AS clean_text,
+       n_emails, n_ips,
+       len(regexp_extract_all(t, '\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b'))::BIGINT AS n_phones
+FROM p2
 """,
         "url_canon": """
 SELECT doc_id,

@@ -381,3 +381,43 @@ def scrub_terms(docs_ds, terms, repl: str = "[REDACTED]"):
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / phone / IPv4)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no lookaround/backrefs): identical semantics in the
+# pyarrow compute kernels and the DuckDB oracle, both RE2-backed.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(docs_ds, text_col: str = "text"):
+    """Replace emails, IPv4 addresses and phone numbers with typed
+    placeholders; report per-doc counts per category.  Stateless
+    vectorized map (three RE2 passes, applied in the fixed PII_PATTERNS
+    order so the email pass cannot eat phone digits and vice versa);
+    zero shuffle."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        counts = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[name] = pc.cast(pc.count_substring_regex(col, pat), pa.int64())
+            col = pc.replace_substring_regex(col, pat, repl)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "clean_text": col,
+                "n_emails": counts["email"],
+                "n_ips": counts["ipv4"],
+                "n_phones": counts["phone"],
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")

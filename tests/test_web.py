@@ -96,3 +96,27 @@ def test_dedup_by_canonical_merges_tracking_variants():
     assert len(out) == 50  # variant merged onto canonical url
     kept = out[out["url"] == canonicalize_url(url0)]
     assert len(kept) == 1 and kept["text"].iloc[0] == "replacement text"
+
+
+def test_redact_pii():
+    from mini_ivf_ray.pipelines.analysis import redact_pii
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                "mail me at First.Last+tag@sub.Example.ORG today",
+                "server 192.168.0.1 and phone 555-867-5309 ok",
+                "nothing sensitive here 1234 5.6 plain",
+            ],
+        }
+    )
+    out = redact_pii(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert list(out["clean_text"]) == [
+        "mail me at [EMAIL] today",
+        "server [IP] and phone [PHONE] ok",
+        "nothing sensitive here 1234 5.6 plain",
+    ]
+    assert list(out["n_emails"]) == [1, 0, 0]
+    assert list(out["n_ips"]) == [0, 1, 0]
+    assert list(out["n_phones"]) == [0, 1, 0]
