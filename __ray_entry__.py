@@ -496,6 +496,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return redact_pii(_documents(sf_dir).map_batches(plant, batch_format="pyarrow"))
 
+    def distinct_terms_q(sf_dir):
+        """Distinct-term cardinality: the HLL sketch (4 KB mergeable
+        register blobs, Flajolet et al. 2007) self-checks against the
+        exact distributed count (raise if outside the 5-sigma ~8%
+        band), and the EXACT count is the oracled output — the
+        ann_uint8_l2 self-check-then-oracle pattern."""
+        import pandas as pd
+
+        from mini_ivf_ray.pipelines.sketches import (
+            distinct_terms_exact,
+            distinct_terms_hll,
+        )
+
+        exact = distinct_terms_exact(_documents(sf_dir))
+        est = distinct_terms_hll(_documents(sf_dir))
+        if exact and abs(est - exact) / exact > 0.10:
+            raise AssertionError(
+                f"HLL estimate {est:.0f} outside 10% of exact {exact}"
+            )
+        return pd.DataFrame({"n_distinct": pd.array([exact], dtype="int64")})
+
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
         via mergeable Misra-Gries candidate summaries + an exact
@@ -1640,6 +1661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "distinct_terms": distinct_terms_q,
         "pii_redact": pii_redact_q,
         "url_canon": url_canon_q,
         "domain_stats": domain_stats_q,
@@ -2069,6 +2091,12 @@ FROM documents
         "domain_stats": """
 SELECT lower(source) || '.example' AS domain, count(*)::BIGINT AS n_pages
 FROM documents GROUP BY 1
+""",
+        "distinct_terms": f"""
+SELECT count(DISTINCT term)::BIGINT AS n_distinct FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term
+  FROM documents
+)
 """,
         "heavy_hitters": f"""
 WITH tok AS (

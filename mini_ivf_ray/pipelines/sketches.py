@@ -125,3 +125,86 @@ def heavy_hitter_terms(docs_ds, numer: int = 1, denom: int = 100):
     return pd.DataFrame(
         {"term": hh.index.to_numpy(dtype=object), "cnt": hh.to_numpy(np.int64)}
     ).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers; rel. std err 1.04/sqrt(m) ~ 1.6%
+
+
+def _hll_registers(hashes: np.ndarray) -> np.ndarray:
+    """uint64 hashes -> (m,) uint8 register array (max rank per
+    register).  Fully vectorized; the rank computation stays exact
+    because the 52-bit remainder fits float64."""
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    if not hashes.size:
+        return regs
+    idx = (hashes >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = hashes & np.uint64((1 << (64 - HLL_P)) - 1)
+    rank = np.full(len(w), 64 - HLL_P + 1, dtype=np.uint8)
+    nz = w > 0
+    # bit_length(w) = floor(log2(w)) + 1, exact for w < 2^52
+    bl = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    rank[nz] = ((64 - HLL_P) - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate (Flajolet et al. 2007) with the
+    small-range linear-counting correction; no large-range correction
+    needed with 64-bit hashes."""
+    m = float(HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if e <= 2.5 * m:
+        v = int(np.count_nonzero(regs == 0))
+        if v:
+            e = m * np.log(m / v)
+    return float(e)
+
+
+def _hll_term_batch(batch: pa.Table) -> pa.Table:
+    """One row per batch: the batch's HLL register array over its
+    DISTINCT terms (dedup before hashing — md5 runs once per distinct
+    term per batch) plus the exact distinct-term list's own hash set
+    size is NOT shipped; only the 4 KB register blob is."""
+    from mini_ivf_ray.functions.hashing import md5_u64
+
+    texts = batch["text"].to_pylist()
+    toks, _ = tokenize_batch(texts)
+    flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+    uniq = np.unique(flat) if flat.size else np.asarray([], dtype=object)
+    h = np.fromiter((md5_u64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    regs = _hll_registers(h)
+    return pa.table({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+
+def distinct_terms_hll(docs_ds) -> float:
+    """Approximate distinct terms: per-batch 4 KB register blobs merged
+    by elementwise max on the driver (mergeable by construction —
+    max commutes; B batches ship B*4 KB, never the vocabulary)."""
+    blobs = docs_ds.map_batches(_hll_term_batch, batch_format="pyarrow").to_pandas()
+    regs = np.zeros(HLL_M, dtype=np.uint8)
+    for b in blobs["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+    return _hll_estimate(regs)
+
+
+def distinct_terms_exact(docs_ds) -> int:
+    """Exact distinct terms via per-batch unique -> driver set union.
+    Vocab-bounded by Heaps' law — the contract the stats sidecar
+    already relies on; the HLL path above is the unbounded-cardinality
+    answer (urls, shingles) where this contract breaks."""
+    def uniq_batch(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks, _ = tokenize_batch(texts)
+        flat = np.asarray([t for lst in toks for t in lst], dtype=object)
+        u = np.unique(flat) if flat.size else np.asarray([], dtype=object)
+        return pa.table({"term": pa.array(list(u), type=pa.string())})
+
+    out = docs_ds.map_batches(uniq_batch, batch_format="pyarrow").to_pandas()
+    return int(out["term"].nunique())

@@ -72,3 +72,27 @@ def test_empty_corpus():
     )
     got = heavy_hitter_terms(ds)
     assert len(got) == 0
+
+
+def test_hll_vs_exact_on_wide_vocab():
+    from mini_ivf_ray.pipelines.sketches import distinct_terms_exact, distinct_terms_hll
+
+    texts = _zipf_docs(n_docs=150, vocab=3000, seed=21)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()), "text": texts})
+    ).repartition(12)  # many batches -> real register merging
+    exact = distinct_terms_exact(ds)
+    est = distinct_terms_hll(ds)
+    assert exact > 1000
+    assert abs(est - exact) / exact < 0.08
+
+
+def test_hll_registers_merge_is_order_invariant():
+    from mini_ivf_ray.pipelines.sketches import _hll_estimate, _hll_registers
+
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**64, 50_000, dtype=np.uint64)
+    whole = _hll_registers(h)
+    parts = np.maximum.reduce([_hll_registers(c) for c in np.array_split(h, 7)])
+    assert np.array_equal(whole, parts)
+    assert _hll_estimate(whole) == _hll_estimate(parts)
