@@ -517,6 +517,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pd.DataFrame({"n_distinct": pd.array([exact], dtype="int64")})
 
+    def bloom_seen_q(sf_dir):
+        """Bloom-filter seen-list (crawl frontier dedup): build the
+        sketch over the corpus urls, probe with half present / half
+        absent urls.  Zero false negatives is a hard in-query assertion
+        (a Bloom guarantee, not a statistic); the false-positive count
+        must sit under 3x the analytic bound; the oracled output is the
+        exact present count."""
+        import pandas as pd
+
+        from mini_ivf_ray.functions.hashing import md5_u64
+        from mini_ivf_ray.pipelines.sketches import (
+            BLOOM_BITS,
+            BLOOM_K,
+            bloom_contains,
+            build_bloom,
+        )
+
+        def mk_urls(batch):
+            ids = batch["doc_id"].to_numpy()
+            srcs = batch["source"].to_pylist()
+            urls = [
+                f"https://{s}.example/p/{int(i)}" for i, s in zip(ids, srcs)
+            ]
+            return pa.table({"url": pa.array(urls, type=pa.string()),
+                             "doc_id": batch["doc_id"]})
+
+        urls_ds = _documents_meta(sf_dir).map_batches(mk_urls, batch_format="pyarrow")
+        packed = build_bloom(urls_ds, "url")
+
+        probe = urls_ds.to_pandas()
+        present = probe["url"].to_numpy(dtype=object)
+        absent = np.asarray(
+            [f"https://absent.example/p/{int(i)}" for i in probe["doc_id"]],
+            dtype=object,
+        )
+        hp = np.fromiter((md5_u64(u) for u in present), dtype=np.uint64, count=len(present))
+        ha = np.fromiter((md5_u64(u) for u in absent), dtype=np.uint64, count=len(absent))
+        got_p = bloom_contains(packed, hp)
+        got_a = bloom_contains(packed, ha)
+        if not got_p.all():
+            raise AssertionError("bloom false negative — impossible by construction")
+        n = len(present)
+        fpr_bound = (1.0 - np.exp(-BLOOM_K * n / BLOOM_BITS)) ** BLOOM_K
+        if got_a.sum() > max(10, 3 * fpr_bound * len(absent)):
+            raise AssertionError(
+                f"bloom FPR {got_a.mean():.2e} far above bound {fpr_bound:.2e}"
+            )
+        return pd.DataFrame({"n_present": pd.array([int(n)], dtype="int64")})
+
+    def customers_with_orders(sf_dir):
+        """Distributed SEMI join (large ⋉ large): customers having at
+        least one order.  Right side slims to distinct keys per batch
+        before the single bucketed exchange (pipelines/relational.py
+        bucketed_semi_join)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_semi_join
+
+        cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+        ).map_batches(
+            lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+            batch_format="pyarrow",
+        )
+        return bucketed_semi_join(cust, orders, on="c_custkey")
+
+    def customers_without_urgent(sf_dir):
+        """Distributed ANTI join: customers with no 1-URGENT order —
+        same exchange as the semi join, inverted membership (the
+        predicate pushdown keeps the right side slim AND the result
+        non-vacuous at every sf)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_semi_join
+
+        cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"))
+        orders = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=["o_custkey", "o_orderpriority"],
+            )
+            .filter(expr="o_orderpriority == '1-URGENT'")
+            .map_batches(
+                lambda b: pa.table({"c_custkey": b["o_custkey"]}),
+                batch_format="pyarrow",
+            )
+        )
+        return bucketed_semi_join(cust, orders, on="c_custkey", anti=True)
+
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
         via mergeable Misra-Gries candidate summaries + an exact
@@ -1661,6 +1751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "customers_with_orders": customers_with_orders,
+        "customers_without_urgent": customers_without_urgent,
+        "bloom_seen": bloom_seen_q,
         "distinct_terms": distinct_terms_q,
         "pii_redact": pii_redact_q,
         "url_canon": url_canon_q,
@@ -2091,6 +2184,16 @@ FROM documents
         "domain_stats": """
 SELECT lower(source) || '.example' AS domain, count(*)::BIGINT AS n_pages
 FROM documents GROUP BY 1
+""",
+        "customers_with_orders": """
+SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+        "customers_without_urgent": """
+SELECT * FROM customer WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "bloom_seen": """
+SELECT count(*)::BIGINT AS n_present FROM documents
 """,
         "distinct_terms": f"""
 SELECT count(DISTINCT term)::BIGINT AS n_distinct FROM (

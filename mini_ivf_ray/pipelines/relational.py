@@ -486,3 +486,99 @@ def range_join(
     return points.union(ivals).groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+def broadcast_semi_join(big_ds, keys, on: str, anti: bool = False):
+    """Filter ``big_ds`` to rows whose ``on`` is (semi) / is not (anti)
+    in the broadcast key set.  ``keys``: small array-like — shipped once
+    via ``ray.put``, probed per batch with one vectorized ``np.isin``.
+    The decontaminate/fetch_by_ids shape, exposed as a named operator."""
+    import ray
+
+    karr = np.unique(np.asarray(keys))
+    ref = ray.put(karr)
+
+    class _Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch[on].to_numpy(zero_copy_only=False)
+            m = np.isin(vals, self.keys)
+            return batch.filter(pa.array(~m if anti else m))
+
+    return big_ds.map_batches(
+        _Filter, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
+    )
+
+
+def bucketed_semi_join(
+    left_ds, right_ds, on: str, anti: bool = False, num_buckets: int | None = None
+):
+    """Large ⋉ large semi/anti join, both sides distributed.
+
+    The right side is slimmed to DISTINCT keys per batch before the
+    exchange (a semi join never needs right payload — only membership),
+    so the shuffle carries left rows + right keys, never right rows.
+    One bucket groupby co-locates each left row with every right key
+    that could match it (same ``_key_hash`` discipline as
+    ``bucketed_hash_join``); per bucket one vectorized ``isin``.
+    """
+    import ray
+
+    if num_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(64, 8 * n_cpus)
+
+    lschema = left_ds.schema()
+    lnames = list(lschema.base_schema.names)
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        key = batch[on].to_numpy(zero_copy_only=False)
+        b = (_key_hash(key) % np.uint64(num_buckets)).astype(np.int64)
+        batch = batch.append_column("__bucket", pa.array(b, type=pa.int64()))
+        return batch.append_column(
+            "__side", pa.array(np.zeros(len(b), dtype=np.int8), type=pa.int8())
+        )
+
+    def right_keys(batch: pa.Table) -> pa.Table:
+        key = np.unique(batch[on].to_numpy(zero_copy_only=False))
+        b = (_key_hash(key) % np.uint64(num_buckets)).astype(np.int64)
+        cols = {}
+        for name in lnames:
+            if name == on:
+                cols[name] = pa.array(key)
+            else:
+                cols[name] = pa.nulls(
+                    len(key), type=left_ds.schema().base_schema.field(name).type
+                )
+        t = pa.table(cols)
+        t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+        return t.append_column(
+            "__side", pa.array(np.ones(len(key), dtype=np.int8), type=pa.int8())
+        )
+
+    # the null-padded right rows make integer left columns nullable ->
+    # pandas float64 inside map_groups; cast back once rights are gone
+    base = left_ds.schema().base_schema
+    int_cols = [
+        n for n in lnames if pa.types.is_integer(base.field(n).type)
+    ]
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [c for c in df.columns if c not in ("__bucket", "__side")]
+        left = df[df["__side"] == 0]
+        rk = df.loc[df["__side"] == 1, on].unique()
+        m = left[on].isin(rk).to_numpy()
+        kept = left.loc[~m if anti else m, out_cols]
+        return kept.astype({c: np.int64 for c in int_cols if c in kept.columns})
+
+    unioned = left_ds.map_batches(left_rows, batch_format="pyarrow").union(
+        right_ds.map_batches(right_keys, batch_format="pyarrow")
+    )
+    return unioned.groupby("__bucket").map_groups(bucket_fn, batch_format="pandas")

@@ -208,3 +208,65 @@ def distinct_terms_exact(docs_ds) -> int:
 
     out = docs_ds.map_batches(uniq_batch, batch_format="pyarrow").to_pandas()
     return int(out["term"].nunique())
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (crawl seen-list / URL frontier dedup)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # 128 KB per blob
+BLOOM_K = 7
+
+
+def _bloom_hashes(h: np.ndarray) -> np.ndarray:
+    """(n, k) bit positions via Kirsch-Mitzenmacher double hashing:
+    g_i = h1 + i*h2 (mod m) — two derived 64-bit streams, k probes."""
+    h = h.astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        h1 = h
+        h2 = h ^ np.uint64(0x9E3779B97F4A7C15)
+        h2 ^= h2 >> np.uint64(30)
+        h2 *= np.uint64(0xBF58476D1CE4E5B9)
+        h2 ^= h2 >> np.uint64(27)
+        h2 |= np.uint64(1)  # odd -> full-period stride
+        ks = np.arange(BLOOM_K, dtype=np.uint64)
+        pos = (h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(BLOOM_BITS)
+    return pos.astype(np.int64)
+
+
+def _bloom_bits(hashes: np.ndarray) -> np.ndarray:
+    """uint64 value hashes -> packed bit array (BLOOM_BITS/8 bytes)."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    if hashes.size:
+        bits[_bloom_hashes(hashes).ravel()] = True
+    return np.packbits(bits)
+
+
+def bloom_contains(packed: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership probe: True iff ALL k bits set.  Zero
+    false negatives by construction; FPR ~ (1 - e^(-kn/m))^k."""
+    bits = np.unpackbits(packed).astype(bool)
+    if not hashes.size:
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_hashes(hashes)
+    return bits[pos].all(axis=1)
+
+
+def build_bloom(ds, col: str, hash_fn=None) -> np.ndarray:
+    """Distributed build: per-batch 128 KB packed blobs OR-merged on the
+    driver (mergeable by construction — OR commutes).  ``hash_fn`` maps
+    a python value to uint64; defaults to md5_u64 of str(value)."""
+    from mini_ivf_ray.functions.hashing import md5_u64
+
+    hf = hash_fn or (lambda v: md5_u64(str(v)))
+
+    def blob_batch(batch: pa.Table) -> pa.Table:
+        vals = batch[col].to_pylist()
+        h = np.fromiter((hf(v) for v in vals), dtype=np.uint64, count=len(vals))
+        return pa.table({"bloom": pa.array([_bloom_bits(h).tobytes()], type=pa.binary())})
+
+    blobs = ds.map_batches(blob_batch, batch_format="pyarrow").to_pandas()
+    packed = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for b in blobs["bloom"]:
+        packed |= np.frombuffer(b, dtype=np.uint8)
+    return packed

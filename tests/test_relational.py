@@ -243,3 +243,59 @@ def test_range_join_both_modes(ray_session):
             ray.data.from_pandas(pts), ray.data.from_pandas(iv),
             on="x", lo="lo", hi="hi",
         )
+
+
+def test_semi_and_anti_join_match_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import (
+        broadcast_semi_join,
+        bucketed_semi_join,
+    )
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 200, 1000), "v": np.arange(1000)}
+    )
+    right = pd.DataFrame({"k": rng.integers(100, 300, 400), "w": np.arange(400)})
+    lds = ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(8)
+    rds = ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(4)
+
+    rkeys = set(right["k"])
+    want_semi = left[left["k"].isin(rkeys)].sort_values(["k", "v"]).reset_index(drop=True)
+    want_anti = left[~left["k"].isin(rkeys)].sort_values(["k", "v"]).reset_index(drop=True)
+
+    got_semi = (
+        bucketed_semi_join(lds, rds, on="k")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    got_anti = (
+        bucketed_semi_join(lds, rds, on="k", anti=True)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_semi[["k", "v"]].astype("int64"), want_semi.astype("int64"))
+    pd.testing.assert_frame_equal(got_anti[["k", "v"]].astype("int64"), want_anti.astype("int64"))
+
+    # broadcast variant agrees
+    got_b = (
+        broadcast_semi_join(lds, right["k"].to_numpy(), on="k")
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got_b[["k", "v"]].astype("int64"), want_semi.astype("int64"))
+
+    # string keys through the same hash path
+    lds2 = ray.data.from_items([{"k": f"s{i%7}", "v": i} for i in range(50)])
+    rds2 = ray.data.from_items([{"k": "s1"}, {"k": "s3"}, {"k": "zz"}])
+    got2 = bucketed_semi_join(lds2, rds2, on="k").to_pandas()
+    assert set(got2["k"]) == {"s1", "s3"} and len(got2) == len(
+        [i for i in range(50) if i % 7 in (1, 3)]
+    )

@@ -96,3 +96,33 @@ def test_hll_registers_merge_is_order_invariant():
     parts = np.maximum.reduce([_hll_registers(c) for c in np.array_split(h, 7)])
     assert np.array_equal(whole, parts)
     assert _hll_estimate(whole) == _hll_estimate(parts)
+
+
+def test_bloom_no_false_negatives_and_low_fpr():
+    from mini_ivf_ray.pipelines.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        _bloom_bits,
+        bloom_contains,
+    )
+
+    rng = np.random.default_rng(9)
+    present = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+    absent = rng.integers(0, 2**64, 20_000, dtype=np.uint64)
+    packed = _bloom_bits(present)
+    assert bloom_contains(packed, present).all()  # hard guarantee
+    fpr = bloom_contains(packed, absent).mean()
+    bound = (1.0 - np.exp(-BLOOM_K * len(present) / BLOOM_BITS)) ** BLOOM_K
+    assert fpr <= 3 * bound + 1e-4
+
+
+def test_bloom_merge_is_or():
+    from mini_ivf_ray.pipelines.sketches import _bloom_bits, bloom_contains
+
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, 5000, dtype=np.uint64)
+    merged = _bloom_bits(a) | _bloom_bits(b)
+    whole = _bloom_bits(np.concatenate([a, b]))
+    assert np.array_equal(merged, whole)
+    assert bloom_contains(merged, a).all() and bloom_contains(merged, b).all()
