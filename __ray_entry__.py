@@ -607,6 +607,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_semi_join(cust, orders, on="c_custkey", anti=True)
 
+    def events_distinct_users(sf_dir):
+        """Exact per-hour distinct users: per-batch DISTINCT-pair
+        combiner, one bucketed exchange, per-bucket nunique
+        (pipelines/events.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.events import distinct_users_per_window
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+        )
+        return distinct_users_per_window(ev, window_sec=3600)
+
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
         via mergeable Misra-Gries candidate summaries + an exact
@@ -1751,6 +1764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "events_distinct_users": events_distinct_users,
         "customers_with_orders": customers_with_orders,
         "customers_without_urgent": customers_without_urgent,
         "bloom_seen": bloom_seen_q,
@@ -2184,6 +2198,11 @@ FROM documents
         "domain_stats": """
 SELECT lower(source) || '.example' AS domain, count(*)::BIGINT AS n_pages
 FROM documents GROUP BY 1
+""",
+        "events_distinct_users": """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
 """,
         "customers_with_orders": """
 SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)

@@ -199,3 +199,62 @@ def hopping_window_agg(events_ds, window_sec: int = 3600, hop_sec: int = 900):
             "sv_r": pa.array(np.round(out["sv"].to_numpy(), 4), type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-window distinct users (exact COUNT DISTINCT under a shuffle combiner)
+# ---------------------------------------------------------------------------
+
+
+def _distinct_pair_rows(batch: pa.Table, window_sec: int, num_buckets: int) -> pa.Table:
+    """Per-batch combiner: DISTINCT (window, user) pairs only — repeat
+    events by the same user in the same window never enter the
+    exchange.  Bucket key spreads sequential windows uniformly."""
+    ts = batch["ts"].to_numpy()
+    win = ts.astype("datetime64[s]").astype(np.int64) // window_sec * window_sec
+    df = pd.DataFrame(
+        {"window_start": win, "user_id": batch["user_id"].to_numpy()}
+    ).drop_duplicates()
+    bkey = (df["window_start"].to_numpy() // window_sec) % num_buckets
+    return pa.table(
+        {
+            "bkey": pa.array(bkey.astype(np.int64), type=pa.int64()),
+            "window_start": pa.array(df["window_start"].to_numpy(), type=pa.int64()),
+            "user_id": pa.array(df["user_id"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+def _bucket_nunique(df: pd.DataFrame) -> pd.DataFrame:
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "window_start": pd.Series(dtype=np.int64),
+                "n_users": pd.Series(dtype=np.int64),
+            }
+        )
+    g = df.groupby("window_start", sort=True)["user_id"].nunique()
+    return pd.DataFrame(
+        {
+            "window_start": g.index.to_numpy(np.int64),
+            "n_users": g.to_numpy(np.int64),
+        }
+    )
+
+
+def distinct_users_per_window(events_ds, window_sec: int = 3600, num_buckets=None):
+    """EXACT per-tumbling-window distinct-user counts.  All pairs of a
+    window share a bucket, so the per-bucket nunique is globally exact;
+    the exchange carries distinct (window, user) pairs, never raw
+    events."""
+    import ray
+
+    if num_buckets is None:
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_buckets = max(32, 4 * n_cpus)
+    rows = events_ds.map_batches(
+        _distinct_pair_rows,
+        fn_kwargs={"window_sec": window_sec, "num_buckets": num_buckets},
+        batch_format="pyarrow",
+    )
+    return rows.groupby("bkey").map_groups(_bucket_nunique, batch_format="pandas")

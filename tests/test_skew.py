@@ -60,3 +60,37 @@ def test_unsalted_and_salted_indexes_agree(tmp_path):
     ra = search(ia, qds, cfg_a).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     rb = search(ib, qds, cfg_b).to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert ra.equals(rb)
+
+
+def test_distinct_users_per_window_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from mini_ivf_ray.pipelines.events import distinct_users_per_window
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + rng.integers(0, 86_400_000_000 * 3, n).astype("timedelta64[us]")
+    users = rng.integers(0, 400, n)  # heavy repeats: combiner must dedup
+    tbl = pa.table({"ts": pa.array(ts, type=pa.timestamp("us")),
+                    "user_id": pa.array(users, type=pa.int64())})
+    got = (
+        distinct_users_per_window(ray.data.from_arrow(tbl).repartition(16))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    win = ts.astype("datetime64[s]").astype(np.int64) // 3600 * 3600
+    want = (
+        pd.DataFrame({"w": win, "u": users})
+        .groupby("w")["u"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"w": "window_start", "u": "n_users"})
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
