@@ -620,6 +620,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return distinct_users_per_window(ev, window_sec=3600)
 
+    def clip_tokens_q(sf_dir):
+        """Context-length clipping to 64 tokens (pipelines/sampling.py
+        clip_tokens), SQL-oracled via list slicing."""
+        from mini_ivf_ray.pipelines.sampling import clip_tokens
+
+        return clip_tokens(_documents(sf_dir), max_tokens=64)
+
     def heavy_hitters_q(sf_dir):
         """EXACT heavy-hitter terms (frequency >= 1/100 of all tokens)
         via mergeable Misra-Gries candidate summaries + an exact
@@ -1764,6 +1771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": clean_corpus_q,
         "unique_docs": unique_docs,
         "heavy_hitters": heavy_hitters_q,
+        "clip_tokens": clip_tokens_q,
         "events_distinct_users": events_distinct_users,
         "customers_with_orders": customers_with_orders,
         "customers_without_urgent": customers_without_urgent,
@@ -2198,6 +2206,16 @@ FROM documents
         "domain_stats": """
 SELECT lower(source) || '.example' AS domain, count(*)::BIGINT AS n_pages
 FROM documents GROUP BY 1
+""",
+        "clip_tokens": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk FROM documents
+)
+SELECT doc_id,
+       coalesce(array_to_string(tk[1:64], ' '), '') AS text_clip,
+       len(tk)::BIGINT AS n_tokens,
+       len(tk) > 64 AS clipped
+FROM t
 """,
         "events_distinct_users": """
 SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,

@@ -410,3 +410,28 @@ def pack_sequences(docs_ds, budget: int, num_ranges: int | None = None):
         )
 
     return ranged.groupby("rng").map_groups(pack_group, batch_format="pandas")
+
+
+def clip_tokens(docs_ds, max_tokens: int = 64):
+    """Context-length clipping: keep the first ``max_tokens`` tokens of
+    each doc (re-joined with single spaces), report the original token
+    count and whether the doc was clipped.  Stateless vectorized map —
+    the standard pre-tokenizer truncation step of a training pipeline."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks, dls = tokenize_batch(batch["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_clip": pa.array(
+                    [" ".join(t[:max_tokens]) for t in toks], type=pa.string()
+                ),
+                "n_tokens": pa.array(dls, type=pa.int64()),
+                "clipped": pa.array(dls > max_tokens, type=pa.bool_()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
