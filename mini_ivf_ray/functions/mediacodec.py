@@ -1,12 +1,15 @@
 """Real media codecs with zero third-party dependencies.
 
-The container lacks PIL / libav, but two public container formats are
-fully decodable with ``struct`` + numpy alone:
+The container lacks PIL / libav, but three public container formats are
+fully decodable with ``struct`` + ``zlib`` (stdlib) + numpy alone:
 
 * **BMP** (Windows Bitmap, uncompressed 24-bit ``BI_RGB``): 14-byte
   file header + 40-byte ``BITMAPINFOHEADER``, bottom-up BGR rows padded
   to 4-byte boundaries.  Public spec; the encoder/decoder below
   round-trips bit-exactly.
+* **PNG** (8-bit, non-interlaced, color types 0/2/3/4/6): chunk walk
+  with CRC verification, zlib inflate, all five scanline filters —
+  a real compressed-image codec with zero third-party deps.
 * **WAV** (RIFF PCM): ``RIFF``/``WAVE`` chunk walk, ``fmt `` (PCM16)
   + ``data`` chunks, little-endian interleaved int16 samples.
 
@@ -18,13 +21,14 @@ concatenation is ours.
 
 These give the multimodal stages (`pipelines/multimodal.py`) a REAL
 decode path (closing the round-2 verdict's "real media codecs" gap for
-the formats this sandbox can express); JPEG/PNG/MP4 stay behind the
-honest PIL/av import gates.
+the formats this sandbox can express); JPEG/MP4 stay behind the honest
+PIL/av import gates.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -173,12 +177,204 @@ def decode_bmv(payload: bytes) -> list[np.ndarray]:
     return frames
 
 
+# ---------------------------------------------------------------------------
+# PNG — lossless, zlib (stdlib) + numpy only
+# ---------------------------------------------------------------------------
+#
+# Full decoder for non-interlaced 8-bit PNGs of color types 0 (gray),
+# 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA): chunk walk with CRC
+# verification, zlib inflate, all five scanline filters (None/Sub/Up/
+# Average/Paeth).  None/Up/Sub are fully vectorized (Sub is a per-lane
+# cumsum mod 256); Average/Paeth carry an intra-row data dependency and
+# run a per-pixel loop with bpp-wide numpy ops.  The encoder can write
+# any fixed filter type per image, which lets tests round-trip every
+# filter path bit-exactly.  Public spec: RFC 2083 / W3C PNG.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+_PNG_COLOR_BY_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}  # gray, gray+A, RGB, RGBA
+_PNG_CHANNELS_BY_COLOR = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+_FILTER_CODE = {"none": 0, "sub": 1, "up": 2, "average": 3, "paeth": 4}
+
+
+def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over int16/int32 inputs."""
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa_ = np.abs(p - a)
+    pb_ = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    out = np.where((pa_ <= pb_) & (pa_ <= pc_), a, np.where(pb_ <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def encode_png(img: np.ndarray, filter_type: str = "up", level: int = 6) -> bytes:
+    """(h, w) or (h, w, c) uint8 -> PNG file bytes (8-bit, non-interlaced).
+
+    ``filter_type`` applies one fixed filter to every scanline — "up" is
+    a good cheap default; the other four exist so the decoder's every
+    filter path can be exercised and round-tripped bit-exactly."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3 or img.shape[2] not in _PNG_COLOR_BY_CHANNELS:
+        raise ValueError(f"encode_png wants (h, w, 1|2|3|4) uint8, got {img.shape}")
+    h, w, c = img.shape
+    color = _PNG_COLOR_BY_CHANNELS[c]
+    code = _FILTER_CODE[filter_type]
+    raw = img.reshape(h, w * c).astype(np.uint8)
+    prev = np.zeros(w * c, dtype=np.uint8)
+    left = np.zeros_like(raw)
+    left[:, c:] = raw[:, :-c]
+    if code == 0:
+        filt = raw
+    elif code == 1:  # Sub
+        filt = raw - left
+    elif code == 2:  # Up
+        up = np.vstack([prev, raw[:-1]])
+        filt = raw - up
+    elif code == 3:  # Average
+        up = np.vstack([prev, raw[:-1]])
+        filt = raw - ((left.astype(np.uint16) + up.astype(np.uint16)) // 2).astype(
+            np.uint8
+        )
+    else:  # Paeth
+        up = np.vstack([prev, raw[:-1]])
+        upleft = np.zeros_like(up)
+        upleft[:, c:] = up[:, :-c]
+        filt = raw - _paeth_predict(left, up, upleft)
+    scan = np.empty((h, 1 + w * c), dtype=np.uint8)
+    scan[:, 0] = code
+    scan[:, 1:] = filt
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return b"".join(
+        [
+            _PNG_SIG,
+            _png_chunk(b"IHDR", ihdr),
+            _png_chunk(b"IDAT", zlib.compress(scan.tobytes(), level)),
+            _png_chunk(b"IEND", b""),
+        ]
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG file bytes -> (h, w, c) uint8 (c = 1/2/3/4; palette images
+    expand to RGB).  Verifies chunk CRCs; raises on interlaced or
+    non-8-bit inputs."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat_parts: list[bytes] = []
+    palette = None
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat_parts.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat_parts:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_method != 0:
+        raise ValueError(f"only 8-bit zlib filter-0 PNGs supported (depth={depth})")
+    if interlace != 0:
+        raise ValueError("interlaced (Adam7) PNGs not supported")
+    if color not in _PNG_CHANNELS_BY_COLOR:
+        raise ValueError(f"unsupported PNG color type {color}")
+    c = _PNG_CHANNELS_BY_COLOR[color]
+    raw = zlib.decompress(b"".join(idat_parts))
+    stride = w * c
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline payload length mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    codes = scan[:, 0]
+    data = scan[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        code = int(codes[y])
+        row = data[y]
+        if code == 0:
+            rec = row.copy()
+        elif code == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = np.cumsum(
+                row.reshape(w, c).astype(np.uint64), axis=0, dtype=np.uint64
+            ).astype(np.uint8).reshape(stride)
+        elif code == 2:  # Up
+            rec = row + prev
+        elif code == 3:  # Average
+            rec = np.empty(stride, dtype=np.uint8)
+            up16 = prev.astype(np.uint16)
+            rec[:c] = row[:c] + (up16[:c] // 2).astype(np.uint8)
+            for x in range(c, stride, c):
+                avg = (rec[x - c : x].astype(np.uint16) + up16[x : x + c]) // 2
+                rec[x : x + c] = row[x : x + c] + avg.astype(np.uint8)
+        elif code == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.uint8)
+            zero = np.zeros(c, dtype=np.uint8)
+            rec[:c] = row[:c] + _paeth_predict(zero, prev[:c], zero)
+            for x in range(c, stride, c):
+                pred = _paeth_predict(
+                    rec[x - c : x], prev[x : x + c], prev[x - c : x]
+                )
+                rec[x : x + c] = row[x : x + c] + pred
+        else:
+            raise ValueError(f"bad PNG filter code {code} on row {y}")
+        out[y] = rec
+        prev = rec
+    img = out.reshape(h, w, c)
+    if color == 3:  # palette -> RGB
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        img = palette[img[:, :, 0]]
+    return img
+
+
 def sniff(payload: bytes) -> str:
-    """Identify a payload: 'bmp' | 'wav' | 'bmv' | 'synthetic'."""
+    """Identify a payload: 'bmp' | 'png' | 'jpeg' | 'wav' | 'bmv' | 'synthetic'."""
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == _BMV_MAGIC:
         return "bmv"
     return "synthetic"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-dispatched still-image decode -> (h, w, c) uint8.
+    Covers the dependency-free formats (BMP, PNG); anything else
+    raises with the sniffed format name."""
+    fmt = sniff(payload)
+    if fmt == "bmp":
+        img = decode_bmp(payload)
+    elif fmt == "png":
+        img = decode_png(payload)
+    else:
+        raise ValueError(f"decode_image: unsupported payload format {fmt!r}")
+    return img if img.ndim == 3 else img[:, :, None]

@@ -9,11 +9,12 @@ pandas round-trips cleanly (ray_guide pitfall).
 Decode paths, in order of preference (sniffed per payload by magic
 bytes, `functions/mediacodec.sniff`):
 
-* **Real, dependency-free** — BMP (uncompressed 24-bit), RIFF/WAV
-  PCM16, and the MVF1 multi-frame BMP container, all decoded for real
-  by `functions/mediacodec.py` (struct + numpy only).  Round 3: this
-  replaces the former "honest stub" as the primary path.
-* **Real, library-gated** — JPEG/PNG via PIL, compressed video via av;
+* **Real, dependency-free** — BMP (uncompressed 24-bit), PNG (8-bit,
+  all five scanline filters, zlib via stdlib), RIFF/WAV PCM16, and the
+  MVF1 multi-frame BMP container, all decoded for real by
+  `functions/mediacodec.py` (struct + zlib + numpy only).  Round 3:
+  this replaces the former "honest stub" as the primary path.
+* **Real, library-gated** — JPEG via PIL, compressed video via av;
   those libraries are absent in this container, so the gate raises
   `NotImplementedError` with real intent rather than faking output.
 * **Synthetic fallback** — the legacy 16-byte header
@@ -90,7 +91,13 @@ def synth_media_real(n: int, kind: int, seed: int = 42) -> pa.Table:
         if kind == KIND_IMAGE:
             h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            rows_payload.append(mediacodec.encode_bmp(img))
+            # alternate containers so BOTH real decode paths run in
+            # every pipeline (PNG cycles through all filter types)
+            if i % 2 == 0:
+                rows_payload.append(mediacodec.encode_bmp(img))
+            else:
+                ftype = ("none", "sub", "up", "average", "paeth")[(i // 2) % 5]
+                rows_payload.append(mediacodec.encode_png(img, filter_type=ftype))
         elif kind == KIND_VIDEO:
             h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             frames = [
@@ -124,10 +131,10 @@ def _parse(payload: bytes) -> tuple[np.void, np.ndarray]:
 
 class ImageDecode:
     """Actor stage: payload binary -> (height, width, channels,
-    features list<float>).  BMP payloads are decoded FOR REAL
-    (`mediacodec.decode_bmp`, pure numpy) and featurized from actual
-    pixels; legacy synthetic payloads keep the byte-histogram fake;
-    JPEG/PNG would need PIL and raise an explicit NotImplementedError
+    features list<float>).  BMP and PNG payloads are decoded FOR REAL
+    (`mediacodec.decode_bmp` / `decode_png`, stdlib+numpy) and
+    featurized from actual pixels; legacy synthetic payloads keep the
+    byte-histogram fake; JPEG would need PIL and raises an explicit NotImplementedError
     instead of silently faking.  ``use_real_decoder=True`` asserts the
     library codecs are available up front (they are not in this
     container)."""
@@ -135,8 +142,8 @@ class ImageDecode:
     def __init__(self, use_real_decoder: bool = False, bins: int = 16):
         if use_real_decoder and not _HAVE_PIL:
             raise NotImplementedError(
-                "library image codecs (JPEG/PNG) require PIL, not present "
-                "in this environment; BMP decodes without it"
+                "library image codecs (JPEG) require PIL, not present "
+                "in this environment; BMP/PNG decode without it"
             )
         self.use_real = use_real_decoder
         self.bins = bins
@@ -148,6 +155,10 @@ class ImageDecode:
             fmt = mediacodec.sniff(payload)
             if fmt == "bmp":
                 img = mediacodec.decode_bmp(payload)  # real pixel decode
+                h, w, c = img.shape
+                body = img.reshape(-1)
+            elif fmt == "png":
+                img = mediacodec.decode_png(payload)  # real inflate+unfilter
                 h, w, c = img.shape
                 body = img.reshape(-1)
             elif fmt == "synthetic":
@@ -299,8 +310,12 @@ class ImageResize:
         for mid, payload in zip(
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            if mediacodec.sniff(payload) == "bmp":
+            fmt = mediacodec.sniff(payload)
+            if fmt == "bmp":
                 img = mediacodec.decode_bmp(payload)  # real pixel decode
+                h, w, c = img.shape
+            elif fmt == "png":
+                img = mediacodec.decode_png(payload)
                 h, w, c = img.shape
             else:
                 header, body = _parse(payload)

@@ -131,8 +131,10 @@ def test_image_decode_real_bmp_pixels():
     out = out.sort_values("media_id").reset_index(drop=True)
     assert len(out) == 20 and (out["channels"] == 3).all()
     payloads = media["payload"].to_pylist()
+    # even ids are BMP, odd ids are PNG (synth_media_real alternates)
+    assert mc.sniff(payloads[0]) == "bmp" and mc.sniff(payloads[7]) == "png"
     for i in (0, 7, 19):
-        img = mc.decode_bmp(payloads[i])
+        img = mc.decode_image(payloads[i])
         assert (out.loc[i, "height"], out.loc[i, "width"]) == img.shape[:2]
         hist, _ = np.histogram(img.reshape(-1), bins=np.linspace(0, 256, 17))
         expect = np.round(hist / img.size, 6)
@@ -181,8 +183,56 @@ def test_resize_real_bmp():
     media = synth_media_real(10, KIND_IMAGE, seed=6)
     out = resize_images(ray.data.from_arrow(media), out_h=4, out_w=4).to_pandas()
     out = out.sort_values("media_id").reset_index(drop=True)
-    img = mc.decode_bmp(media["payload"].to_pylist()[0])
-    h, w = img.shape[:2]
-    yi = np.minimum((np.arange(4) * h) // 4, h - 1)
-    xi = np.minimum((np.arange(4) * w) // 4, w - 1)
-    assert out.loc[0, "pixels"] == img[yi[:, None], xi[None, :], :].tobytes()
+    for i in (0, 1):  # 0 = BMP path, 1 = PNG path
+        img = mc.decode_image(media["payload"].to_pylist()[i])
+        h, w = img.shape[:2]
+        yi = np.minimum((np.arange(4) * h) // 4, h - 1)
+        xi = np.minimum((np.arange(4) * w) // 4, w - 1)
+        assert out.loc[i, "pixels"] == img[yi[:, None], xi[None, :], :].tobytes()
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    """Full PNG codec: every fixed filter × channel count round-trips
+    bit-exactly; palette images expand through PLTE; corrupt CRC and
+    unsupported variants raise."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from mini_ivf_ray.functions import mediacodec as mc
+
+    rng = np.random.default_rng(11)
+    for c in (1, 2, 3, 4):
+        for f in ("none", "sub", "up", "average", "paeth"):
+            img = rng.integers(0, 256, (19, 13, c), dtype=np.uint8)
+            out = mc.decode_png(mc.encode_png(img, filter_type=f))
+            assert out.shape == img.shape and np.array_equal(out, img), (c, f)
+    # smooth gradient exercises the predictive filters' win
+    g = (np.arange(48 * 48, dtype=np.uint32).reshape(48, 48) % 256).astype(np.uint8)
+    assert np.array_equal(mc.decode_png(mc.encode_png(g, "paeth"))[:, :, 0], g)
+    assert len(mc.encode_png(g, "paeth")) < len(mc.encode_png(g, "none"))
+    assert mc.sniff(mc.encode_png(g)) == "png"
+    # palette (color type 3): hand-built PLTE + indexed scanlines
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    scan = np.hstack([np.zeros((2, 1), np.uint8), idx])
+    body = (
+        mc._PNG_SIG
+        + mc._png_chunk(b"IHDR", _struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0))
+        + mc._png_chunk(b"PLTE", pal.tobytes())
+        + mc._png_chunk(b"IDAT", _zlib.compress(scan.tobytes()))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(mc.decode_png(body), pal[idx])
+    # corrupt CRC raises
+    good = bytearray(mc.encode_png(g))
+    good[-5] ^= 0xFF  # flip a bit inside IEND's CRC
+    with pytest.raises(ValueError):
+        mc.decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        mc.decode_png(b"not a png")
+    # decode_image dispatch
+    img = rng.integers(0, 256, (5, 5, 3), dtype=np.uint8)
+    assert np.array_equal(mc.decode_image(mc.encode_png(img)), img)
+    assert np.array_equal(mc.decode_image(mc.encode_bmp(img)), img)
+    with pytest.raises(ValueError):
+        mc.decode_image(b"\xff\xd8\xff fake-jpeg")
