@@ -1583,6 +1583,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def hdf5_roundtrip(sf_dir):
+        """S5 (HDF5 IO, reference hdf5_io.h:52-87) end-to-end WITHOUT
+        h5py: the embeddings table is written to a real HDF5 file by
+        the dependency-free h5lite writer (superblock v0, contiguous
+        float32 dataset — the stock ann-benchmarks layout), read back
+        through the DISTRIBUTED byte-range reader
+        (sources/hdf5.read_hdf5_vectors, one seek per task), and
+        unnested to (vec_id, pos, val) scalar rows so the oracle
+        compares every element exactly — pure IO, no arithmetic."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.sources.hdf5 import (
+            read_hdf5_vectors,
+            write_hdf5_matrix,
+        )
+
+        t = pqmod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        vec_ids = t["vec_id"].to_numpy()
+        order = np.argsort(vec_ids)
+        if not np.array_equal(vec_ids[order], np.arange(len(vec_ids))):
+            raise AssertionError("embeddings vec_id not contiguous 0..n-1")
+        mat = list_to_matrix(t["embedding"], np.float32)[order]
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = f"/tmp/graft_h5_{tag}.hdf5"
+        write_hdf5_matrix(path, mat, "train")
+
+        def explode(batch: pa.Table) -> pa.Table:
+            m = list_to_matrix(batch["embedding"], np.float32)
+            n, d = m.shape
+            ids = batch["vec_id"].to_numpy()
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.repeat(ids, d)),
+                    "pos": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                    "val": pa.array(m.reshape(-1)),
+                }
+            )
+
+        return read_hdf5_vectors(path, "train").map_batches(
+            explode, batch_format="pyarrow"
+        )
+
     def image_features(sf_dir):
         """REAL image decode: payloads are genuine BMP files, decoded
         by the dependency-free pure-numpy codec
@@ -1813,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,
+        "hdf5_roundtrip": hdf5_roundtrip,
         "image_features": image_features,
         "video_frames": video_frames,
         "audio_feats": audio_feats,
@@ -2292,6 +2338,12 @@ FROM documents
 """,
         "ann_bruteforce": _ann_sql(),
         "ann_ivf_full": _ann_sql(),
+        "hdf5_roundtrip": """
+SELECT vec_id,
+       unnest(generate_series(0, len(embedding) - 1)) AS pos,
+       unnest(embedding) AS val
+FROM embeddings
+""",
         "filter_project": "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'",
         "source_stats": """
 SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,

@@ -211,24 +211,21 @@ def test_uint8_l2_ivf_matches_bruteforce(tmp_path):
     assert seg.schema.field("embedding").type.value_type == pa.uint8()
 
 
-def test_hdf5_gated_or_roundtrip(tmp_path):
-    """HDF5 IO (reference hdf5_io.h:52-87): full round-trip when h5py
-    exists; otherwise a clear ImportError (never a silent wrong
-    answer)."""
-    import pytest
-
+def test_hdf5_roundtrip_and_distributed_read(tmp_path):
+    """HDF5 IO (reference hdf5_io.h:52-87), now dependency-free via
+    h5lite: write/read round-trip plus the distributed Ray range-read
+    surface.  No h5py required."""
     from mini_ivf_ray.sources import hdf5 as h5
 
-    try:
-        import h5py  # noqa: F401
-    except ImportError:
-        with pytest.raises(ImportError, match="h5py"):
-            h5.read_hdf5_matrix(str(tmp_path / "x.hdf5"))
-        return
     mat = np.arange(60, dtype=np.float32).reshape(10, 6)
     p = str(tmp_path / "x.hdf5")
     h5.write_hdf5_matrix(p, mat, "train")
     np.testing.assert_array_equal(h5.read_hdf5_matrix(p, "train"), mat)
+    # append a second dataset; the first must survive (h5py "a" mode)
+    gt = np.arange(20, dtype=np.int32).reshape(5, 4)
+    h5.write_hdf5_matrix(p, gt, "neighbors")
+    np.testing.assert_array_equal(h5.read_hdf5_matrix(p, "train"), mat)
+    np.testing.assert_array_equal(h5.read_hdf5_matrix(p, "neighbors"), gt)
     df = h5.read_hdf5_vectors(p, "train").to_pandas().sort_values("vec_id")
     np.testing.assert_array_equal(
         np.array(df["embedding"].tolist(), dtype=np.float32), mat
