@@ -10,13 +10,13 @@ Decode paths, in order of preference (sniffed per payload by magic
 bytes, `functions/mediacodec.sniff`):
 
 * **Real, dependency-free** — BMP (uncompressed 24-bit), PNG (8-bit,
-  all five scanline filters, zlib via stdlib), RIFF/WAV PCM16, and the
-  MVF1 multi-frame BMP container, all decoded for real by
-  `functions/mediacodec.py` (struct + zlib + numpy only).  Round 3:
-  this replaces the former "honest stub" as the primary path.
-* **Real, library-gated** — JPEG via PIL, compressed video via av;
-  those libraries are absent in this container, so the gate raises
-  `NotImplementedError` with real intent rather than faking output.
+  all five scanline filters, zlib via stdlib), baseline JPEG
+  (`functions/jpegcodec.py`: Annex K tables, DCT, 4:4:4/4:2:0),
+  RIFF/WAV PCM16, and the MVF1 multi-frame BMP container — all decoded
+  for real (struct + zlib + numpy only).  Round 3: the former "honest
+  stub" gate is gone; no third-party codec library is needed.
+* Compressed VIDEO (H.26x/MP4) has no dependency-free path; video
+  rows use the MVF1 container of real per-frame images.
 * **Synthetic fallback** — the legacy 16-byte header
   ``[kind u8 | height u16 | width u16 | channels u8 | n_frames u16 |
   sample_rate u32 | reserved]`` + pseudo-pixel bytes (``synth_media``),
@@ -46,14 +46,6 @@ _HEADER = np.dtype(
         ("reserved", "<u4"),
     ]
 )
-
-try:  # real decoder path — absent in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
-
 
 def synth_media(n: int, kind: int, seed: int = 42) -> pa.Table:
     """Deterministic media table (media_id, kind, payload, n_bytes)."""
@@ -91,13 +83,19 @@ def synth_media_real(n: int, kind: int, seed: int = 42) -> pa.Table:
         if kind == KIND_IMAGE:
             h, w = int(rng.integers(8, 32)), int(rng.integers(8, 32))
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            # alternate containers so BOTH real decode paths run in
-            # every pipeline (PNG cycles through all filter types)
-            if i % 2 == 0:
+            # rotate containers so ALL THREE real decode paths run in
+            # every pipeline (PNG cycles through all filter types;
+            # JPEG alternates 4:4:4 / 4:2:0)
+            if i % 3 == 0:
                 rows_payload.append(mediacodec.encode_bmp(img))
-            else:
-                ftype = ("none", "sub", "up", "average", "paeth")[(i // 2) % 5]
+            elif i % 3 == 1:
+                ftype = ("none", "sub", "up", "average", "paeth")[(i // 3) % 5]
                 rows_payload.append(mediacodec.encode_png(img, filter_type=ftype))
+            else:
+                from mini_ivf_ray.functions.jpegcodec import encode_jpeg
+
+                sub = "444" if (i // 3) % 2 == 0 else "420"
+                rows_payload.append(encode_jpeg(img, quality=92, subsample=sub))
         elif kind == KIND_VIDEO:
             h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             frames = [
@@ -131,21 +129,14 @@ def _parse(payload: bytes) -> tuple[np.void, np.ndarray]:
 
 class ImageDecode:
     """Actor stage: payload binary -> (height, width, channels,
-    features list<float>).  BMP and PNG payloads are decoded FOR REAL
-    (`mediacodec.decode_bmp` / `decode_png`, stdlib+numpy) and
-    featurized from actual pixels; legacy synthetic payloads keep the
-    byte-histogram fake; JPEG would need PIL and raises an explicit NotImplementedError
-    instead of silently faking.  ``use_real_decoder=True`` asserts the
-    library codecs are available up front (they are not in this
-    container)."""
+    features list<float>).  BMP, PNG and baseline JPEG payloads are
+    all decoded FOR REAL (`mediacodec.decode_image` — stdlib + numpy
+    codecs, no PIL) and featurized from actual pixels; legacy
+    synthetic payloads keep the byte-histogram fake; anything else
+    (e.g. an audio payload routed to the image stage) raises instead
+    of silently faking."""
 
-    def __init__(self, use_real_decoder: bool = False, bins: int = 16):
-        if use_real_decoder and not _HAVE_PIL:
-            raise NotImplementedError(
-                "library image codecs (JPEG) require PIL, not present "
-                "in this environment; BMP/PNG decode without it"
-            )
-        self.use_real = use_real_decoder
+    def __init__(self, bins: int = 16):
         self.bins = bins
         self.edges = np.linspace(0, 256, bins + 1)
 
@@ -153,12 +144,8 @@ class ImageDecode:
         hs, ws, cs, feats = [], [], [], []
         for payload in batch["payload"].to_pylist():
             fmt = mediacodec.sniff(payload)
-            if fmt == "bmp":
-                img = mediacodec.decode_bmp(payload)  # real pixel decode
-                h, w, c = img.shape
-                body = img.reshape(-1)
-            elif fmt == "png":
-                img = mediacodec.decode_png(payload)  # real inflate+unfilter
+            if fmt in ("bmp", "png", "jpeg"):
+                img = mediacodec.decode_image(payload)  # real pixel decode
                 h, w, c = img.shape
                 body = img.reshape(-1)
             elif fmt == "synthetic":
@@ -166,8 +153,8 @@ class ImageDecode:
                 h, w = int(header["height"]), int(header["width"])
                 c = int(header["channels"])
             else:
-                raise NotImplementedError(
-                    f"image decode for {fmt!r} payloads requires PIL/av"
+                raise ValueError(
+                    f"image decode got a non-image payload ({fmt!r})"
                 )
             hist, _ = np.histogram(body, bins=self.edges)
             f = hist / max(1, body.size)
@@ -311,11 +298,8 @@ class ImageResize:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             fmt = mediacodec.sniff(payload)
-            if fmt == "bmp":
-                img = mediacodec.decode_bmp(payload)  # real pixel decode
-                h, w, c = img.shape
-            elif fmt == "png":
-                img = mediacodec.decode_png(payload)
+            if fmt in ("bmp", "png", "jpeg"):
+                img = mediacodec.decode_image(payload)  # real pixel decode
                 h, w, c = img.shape
             else:
                 header, body = _parse(payload)

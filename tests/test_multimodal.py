@@ -57,9 +57,20 @@ def test_audio_features():
     assert all(len(r) >= 1 for r in out["rms"])
 
 
-def test_real_decoder_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        ImageDecode(use_real_decoder=True)
+def test_image_decode_rejects_non_image_payloads():
+    """A WAV payload routed to the image stage raises instead of
+    silently faking features (the former PIL stub gate is gone: BMP,
+    PNG and baseline JPEG all decode for real without PIL)."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.functions import mediacodec as mc
+
+    wav = mc.encode_wav(np.zeros(100, np.int16), 8000)
+    batch = pa.table(
+        {"media_id": pa.array([0], pa.int64()), "payload": pa.array([wav], pa.binary())}
+    )
+    with pytest.raises(ValueError, match="non-image payload"):
+        ImageDecode()(batch)
 
 
 def test_resize_images_real_kernel():
