@@ -607,6 +607,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_semi_join(cust, orders, on="c_custkey", anti=True)
 
+    def customer_orders_left(sf_dir):
+        """Distributed LEFT OUTER join (large ⟕ large): every customer,
+        with order rows where they exist and nulls where they don't —
+        the same single bucketed exchange as the inner join
+        (pipelines/relational.py bucketed_hash_join how='left')."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+        cust = ray.data.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+        )
+        orders = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "orders.parquet"),
+                columns=[
+                    "o_custkey",
+                    "o_orderkey",
+                    "o_totalprice",
+                    "o_orderpriority",
+                ],
+            )
+            .filter(expr="o_orderpriority == '1-URGENT'")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "c_custkey": b["o_custkey"],
+                        "o_orderkey": b["o_orderkey"],
+                        "o_totalprice": b["o_totalprice"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        return bucketed_hash_join(cust, orders, on="c_custkey", how="left")
+
+    def part_lineitem_outer(sf_dir):
+        """Distributed FULL OUTER join: parts never ordered AND order
+        lines pointing at unknown parts both survive with null
+        padding."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+        part = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "part.parquet"),
+                columns=["p_partkey", "p_name", "p_size"],
+            )
+            .filter(expr="p_size < 26")
+            .select_columns(["p_partkey", "p_name"])
+        )
+        li = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_partkey", "l_orderkey", "l_quantity"],
+            )
+            .filter(expr="l_quantity >= 45")
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "p_partkey": b["l_partkey"],
+                        "l_orderkey": b["l_orderkey"],
+                        "l_quantity": b["l_quantity"],
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        return bucketed_hash_join(part, li, on="p_partkey", how="outer")
+
+    def events_window_funcs(sf_dir):
+        """SQL window functions (ROW_NUMBER / LAG delta / running sum /
+        rolling sum) per user over the event stream: ONE bucketed
+        exchange, all columns computed vectorized over the bucket-wide
+        sort (pipelines/window.py).  Integer-exact outputs so the
+        oracle match is bit-for-bit."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.window import keyed_window_funcs
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "value"],
+        )
+        return keyed_window_funcs(ev)
+
     def events_distinct_users(sf_dir):
         """Exact per-hour distinct users: per-batch DISTINCT-pair
         combiner, one bucketed exchange, per-bucket nunique
@@ -1819,6 +1907,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_tokens": clip_tokens_q,
         "events_distinct_users": events_distinct_users,
         "customers_with_orders": customers_with_orders,
+        "customer_orders_left": customer_orders_left,
+        "part_lineitem_outer": part_lineitem_outer,
+        "events_window_funcs": events_window_funcs,
         "customers_without_urgent": customers_without_urgent,
         "bloom_seen": bloom_seen_q,
         "distinct_terms": distinct_terms_q,
@@ -2274,6 +2365,35 @@ SELECT * FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
         "customers_without_urgent": """
 SELECT * FROM customer WHERE c_custkey NOT IN
   (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+        "customer_orders_left": """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN
+  (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c.c_custkey = o.o_custkey
+""",
+        "part_lineitem_outer": """
+SELECT coalesce(p.p_partkey, l.l_partkey) AS p_partkey, p.p_name,
+       l.l_orderkey, l.l_quantity
+FROM (SELECT * FROM part WHERE p_size < 26) p
+FULL OUTER JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) l
+  ON p.p_partkey = l.l_partkey
+""",
+        "events_window_funcs": """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value) AS BIGINT) AS vfloor
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       ROW_NUMBER() OVER w AS seq,
+       coalesce(ts_us - LAG(ts_us) OVER w, -1) AS delta_us,
+       CAST(SUM(vfloor) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS run_vsum,
+       CAST(SUM(vfloor) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS roll_vsum
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 """,
         "bloom_seen": """
 SELECT count(*)::BIGINT AS n_present FROM documents

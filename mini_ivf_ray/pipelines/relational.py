@@ -71,6 +71,7 @@ def bucketed_hash_join(
     suffix: str = "_r",
     hot_keys=None,
     nsalt: int = 8,
+    how: str = "inner",
 ):
     """Large ⨝ large: explicit partitioned hash join.  Both sides get
     ``bucket = hash64(key) [+ salt stride] % B`` columns plus a side
@@ -219,12 +220,29 @@ def bucketed_hash_join(
     left = left_ds.map_batches(tag(0, None), batch_format="pyarrow")
     right = right_ds.map_batches(tag(1, rename), batch_format="pyarrow")
 
+    if how not in ("inner", "left", "outer"):
+        raise ValueError(f"how must be inner/left/outer, got {how!r}")
+    if how == "outer" and hot:
+        # a replicated-but-unmatched hot right row would surface once
+        # per salt replica; left/inner drop those rows so salting stays
+        # exact there
+        raise ValueError("hot_keys salting is not outer-join-safe")
+
     def join_bucket(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["side"] == 0][[on] + l_names]
         r = group[group["side"] == 1][[on] + r_names]
-        if len(l) == 0 or len(r) == 0:
+        if len(l) == 0 and how != "outer":
             return pd.DataFrame({c: [] for c in [on] + l_names + r_names})
-        return l.merge(r, on=on, how="inner")
+        if len(r) == 0 and how == "inner":
+            return pd.DataFrame({c: [] for c in [on] + l_names + r_names})
+        out = l.merge(r, on=on, how=how)
+        if how != "inner":
+            # unmatched string cells: pandas pads with NaN, SQL NULL is
+            # None — emit proper nulls so Arrow/consumers see NULL
+            for c in out.columns:
+                if out[c].dtype == object:
+                    out[c] = out[c].where(out[c].notna(), None)
+        return out
 
     return left.union(right).groupby("bucket").map_groups(
         join_bucket, batch_format="pandas"

@@ -299,3 +299,109 @@ def test_semi_and_anti_join_match_pandas():
     assert set(got2["k"]) == {"s1", "s3"} and len(got2) == len(
         [i for i in range(50) if i % 7 in (1, 3)]
     )
+
+
+def test_bucketed_left_and_outer_join_match_pandas():
+    """how='left'/'outer' vs pandas ground truth — unmatched keys on
+    BOTH sides (dangling right keys in _sides; left keys missing from
+    right by construction), plus duplicate right keys."""
+    import pytest
+
+    left, right = _sides(seed=11, n_left=300, n_right=900)
+    for how in ("left", "outer"):
+        expect = _canon(left.merge(right, on="k", how=how))
+        got = _canon(
+            bucketed_hash_join(
+                ray.data.from_pandas(left),
+                ray.data.from_pandas(right),
+                on="k",
+                num_buckets=16,
+                how=how,
+            ).to_pandas()
+        )
+        # NaN sorts are stable in both since _canon uses mergesort on
+        # identical values; compare NaN-safely
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+        if how == "left":
+            assert len(got) >= len(left)  # every left row survives
+        else:
+            n_unmatched_right = (~right.k.isin(left.k)).sum()
+            assert got["lv"].isna().sum() == n_unmatched_right
+    with pytest.raises(ValueError, match="outer-join-safe"):
+        bucketed_hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            hot_keys=[1],
+            how="outer",
+        )
+
+
+def test_left_join_with_hot_key_salting():
+    """Salting stays exact under how='left': hot-key left rows spread
+    over salt buckets still meet every replica'd right row once, and
+    unmatched left rows survive exactly once."""
+    left, right = _sides(seed=13, n_left=200, n_right=600)
+    # make key 5 hot on the right, and add left keys with no right rows
+    right = pd.concat(
+        [right, pd.DataFrame({"k": [5] * 300, "rv": np.arange(300.0)})],
+        ignore_index=True,
+    )
+    expect = _canon(left.merge(right, on="k", how="left"))
+    got = _canon(
+        bucketed_hash_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            on="k",
+            num_buckets=32,
+            hot_keys=[5],
+            nsalt=4,
+            how="left",
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_keyed_window_funcs_match_pandas():
+    """Window operator vs a driver-side pandas reference: seq, lag
+    delta, running and rolling sums, all integer-exact."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.window import keyed_window_funcs
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "user_id": rng.integers(0, 37, n),
+            "ts": pd.to_datetime(
+                rng.integers(1_600_000_000, 1_600_900_000, n), unit="s"
+            ),
+            "value": rng.normal(50, 20, n),
+        }
+    )
+    # force ties: many events share a timestamp within a user
+    df.loc[: n // 4, "ts"] = pd.Timestamp("2020-09-13 12:00:00")
+    got = (
+        keyed_window_funcs(ray.data.from_pandas(df), num_buckets=8)
+        .to_pandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["ts_us"] = ref["ts"].astype("datetime64[us]").astype(np.int64)
+    ref["vfloor"] = np.floor(ref["value"]).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+    g = ref.groupby("user_id", sort=False)
+    ref["seq"] = g.cumcount() + 1
+    ref["delta_us"] = (ref["ts_us"] - g["ts_us"].shift(1)).fillna(-1).astype(np.int64)
+    ref["run_vsum"] = g["vfloor"].cumsum()
+    ref["roll_vsum"] = (
+        g["vfloor"].rolling(3, min_periods=1).sum().reset_index(drop=True).astype(np.int64)
+    )
+    for col in ("seq", "delta_us", "run_vsum", "roll_vsum"):
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), ref[col].to_numpy(), err_msg=col
+        )
+    assert len(got) == n
