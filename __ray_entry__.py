@@ -1864,6 +1864,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lm_cross_entropy(_documents(sf_dir))
 
+    def collocations_q(sf_dir):
+        """Top adjacent-bigram collocations with integer PMI evidence
+        (n_pair, n_w1, n_w2) — one distributed counting pass
+        (pipelines/lm.py collocations over train_bigram_counts),
+        deterministic (n_pair DESC, w1, w2) ranking."""
+        from mini_ivf_ray.pipelines.lm import collocations
+
+        return collocations(_documents(sf_dir), top_n=200, min_count=3)
+
+    def events_pivot(sf_dir):
+        """PIVOT long->wide: per-user count column per event type.
+        Per-batch dense (keys x values) combiner, ONE bucketed
+        exchange (pipelines/olap.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.olap import pivot_counts
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type"],
+        )
+        return pivot_counts(
+            ev,
+            "user_id",
+            "event_type",
+            ["click", "error", "purchase", "signup", "view"],
+        )
+
+    def orders_rollup(sf_dir):
+        """GROUP BY ROLLUP(priority, status): base cells distributed
+        with per-batch combiners, coarser levels re-aggregated from the
+        cells (read-once).  Integer-exact aggregates (COUNT +
+        SUM(floor(price)))."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.olap import rollup_agg
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        return rollup_agg(
+            orders,
+            ("o_orderpriority", "o_orderstatus"),
+            count_as="n_orders",
+            floor_sum_col="o_totalprice",
+            floor_sum_as="sum_price_fl",
+        )
+
     def doc_keywords(sf_dir):
         """Top-3 tf-idf keywords per document, ranked on the exact
         float64 score with (score desc, term asc) tie-break; the df/N
@@ -1962,6 +2011,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": token_budget,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,
+        "collocations": collocations_q,
+        "events_pivot": events_pivot,
+        "orders_rollup": orders_rollup,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
     }
@@ -2716,6 +2768,45 @@ c AS (
 SELECT doc_id, dl, (before // 512)::BIGINT AS seq_id,
        (before % 512)::BIGINT AS seq_off
 FROM c
+""",
+        "collocations": f"""
+WITH tok AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t FROM documents
+),
+big AS (
+  SELECT unnest([t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]) AS bg
+  FROM tok WHERE len(t) >= 2
+),
+pc AS (
+  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+         count(*)::BIGINT AS n_pair
+  FROM big GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, count(*)::BIGINT AS n
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1
+)
+SELECT pc.w1, pc.w2, pc.n_pair, u1.n AS n_w1, u2.n AS n_w2
+FROM pc JOIN uni u1 ON pc.w1 = u1.w JOIN uni u2 ON pc.w2 = u2.w
+WHERE pc.n_pair >= 3
+ORDER BY pc.n_pair DESC, pc.w1, pc.w2
+LIMIT 200
+""",
+        "events_pivot": """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+       count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+       count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+       count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+       count(*) FILTER (WHERE event_type NOT IN
+         ('click', 'error', 'purchase', 'signup', 'view'))::BIGINT AS n_other
+FROM events GROUP BY user_id
+""",
+        "orders_rollup": """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """,
         "lm_score": f"""
 WITH toks AS (

@@ -366,3 +366,40 @@ def nb_classify(docs_ds, model: NBModel | None = None, label_col: str = "source"
         )
 
     return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def collocations(docs_ds, top_n: int = 200, min_count: int = 3):
+    """Top adjacent-bigram collocations with the integer evidence a
+    PMI/likelihood-ratio test needs: (w1, w2, n_pair, n_w1, n_w2).
+
+    Reuses the single distributed counting pass of
+    ``train_bigram_counts`` (per-batch Counter combiners, adaptive
+    driver/bucketed reduce); ranking and the unigram attach happen on
+    the model-sized aggregate.  Emitting integers rather than the PMI
+    float keeps the result exactly comparable (a log/division would
+    re-open the float-rounding trap); callers derive
+    pmi = log(n_pair * N / (n_w1 * n_w2)) themselves.
+
+    Deterministic order/tiebreak: n_pair DESC, then (w1, w2) ASC."""
+    import pandas as pd
+
+    model = train_bigram_counts(docs_ds)
+    keep = model.big_c >= min_count
+    keys, n_pair = model.big_keys[keep], model.big_c[keep]
+    c1 = (keys // (model.V + 1)).astype(np.int64)
+    c2 = (keys % (model.V + 1)).astype(np.int64)
+    w1 = model.vocab_s[c1].astype("U")
+    w2 = model.vocab_s[c2].astype("U")
+    df = pd.DataFrame(
+        {
+            "w1": w1,
+            "w2": w2,
+            "n_pair": n_pair,
+            "n_w1": model.uni_c[c1],
+            "n_w2": model.uni_c[c2],
+        }
+    )
+    df = df.sort_values(
+        ["n_pair", "w1", "w2"], ascending=[False, True, True], kind="mergesort"
+    ).head(top_n)
+    return df.reset_index(drop=True)

@@ -1,0 +1,163 @@
+"""OLAP-style wide aggregates: pivot and rollup.
+
+Both follow the repo's standard shuffle discipline: per-batch
+combiners shrink rows to (key, partial-aggregate) BEFORE any exchange,
+then ONE fixed-width bucketed groupby (CPU-scaled) finishes the
+reduction — never a per-distinct-key groupby (one block per group) and
+never a second pass over the input.
+
+* ``pivot_counts`` — long->wide: one row per key with a count column
+  per pivot value (SQL ``count(*) FILTER (WHERE col = v)``).  The
+  pivot vocabulary must be given explicitly (fixed output schema, the
+  same contract as SQL PIVOT ... IN (...)).
+* ``rollup_agg`` — GROUP BY ROLLUP(d1, d2) over integer-exact
+  aggregates.  The base (d1, d2) cells are produced distributed; the
+  coarser levels ((d1, NULL) and (NULL, NULL)) re-aggregate the BASE
+  CELLS, which are group-cardinality-sized, not corpus-sized — the
+  classic rollup-from-cube-cells trick, so the input is read once.
+
+No reference analog; task-brief training-data/warehouse family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _num_buckets(num_buckets: int | None) -> int:
+    if num_buckets is not None:
+        return num_buckets
+    import ray
+
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(32, 4 * n_cpus)
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    num_buckets: int | None = None,
+):
+    """One row per ``key`` with ``n_<value>`` count columns.
+
+    Per batch: factorize (key, pivot) and np.add.at into a dense
+    (keys x values) matrix -> partial wide rows; unknown pivot values
+    count into ``n_other``.  Exchange: one bucketed groupby, pandas
+    sum inside."""
+    nb = _num_buckets(num_buckets)
+    val_cols = [f"n_{v}" for v in pivot_values]
+    val_index = {v: i for i, v in enumerate(pivot_values)}
+
+    def partials(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        p = batch[pivot_col].to_pylist()
+        codes, uniq = pd.factorize(k)
+        pcol = np.array([val_index.get(v, len(pivot_values)) for v in p])
+        mat = np.zeros((len(uniq), len(pivot_values) + 1), dtype=np.int64)
+        np.add.at(mat, (codes, pcol), 1)
+        with np.errstate(over="ignore"):
+            h = (
+                np.asarray(uniq).astype(np.int64).view(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+            ) >> np.uint64(32)
+        cols = {key: pa.array(np.asarray(uniq))}
+        for i, c in enumerate(val_cols):
+            cols[c] = pa.array(mat[:, i])
+        cols["n_other"] = pa.array(mat[:, len(pivot_values)])
+        cols["bucket"] = pa.array((h % np.uint64(nb)).astype(np.int64))
+        return pa.table(cols)
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby(key, sort=False, as_index=False)[
+            val_cols + ["n_other"]
+        ].sum()
+        return out
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+
+
+def rollup_agg(
+    ds,
+    dims: tuple[str, str],
+    count_as: str = "n_rows",
+    floor_sum_col: str | None = None,
+    floor_sum_as: str = "sum_floor",
+    num_buckets: int | None = None,
+):
+    """GROUP BY ROLLUP(d1, d2): rows for (d1, d2), (d1, NULL) and
+    (NULL, NULL) levels.  Aggregates are integer-exact: COUNT(*) plus
+    an optional SUM(floor(col)) (floor keeps float inputs exact and
+    associative).  Base cells are computed distributed with per-batch
+    combiners; the rollup levels re-aggregate those cells."""
+    d1, d2 = dims
+    nb = _num_buckets(num_buckets)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                d1: batch[d1].to_pandas(),
+                d2: batch[d2].to_pandas(),
+            }
+        )
+        if floor_sum_col is not None:
+            df["_v"] = np.floor(
+                batch[floor_sum_col].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+        else:
+            df["_v"] = 0
+        g = df.groupby([d1, d2], sort=False)["_v"].agg(["count", "sum"]).reset_index()
+        h = pd.util.hash_pandas_object(g[d1].astype(str), index=False).to_numpy()
+        return pa.table(
+            {
+                d1: pa.array(g[d1]),
+                d2: pa.array(g[d2]),
+                count_as: pa.array(g["count"].to_numpy().astype(np.int64)),
+                floor_sum_as: pa.array(g["sum"].to_numpy().astype(np.int64)),
+                "bucket": pa.array(
+                    (h.view(np.uint64) % np.uint64(nb)).astype(np.int64)
+                ),
+            }
+        )
+
+    def reduce_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # bucket is keyed on d1 only, so every (d1, *) cell AND the
+        # (d1, NULL) level can be finished locally in this bucket
+        base = group.groupby([d1, d2], sort=False, as_index=False)[
+            [count_as, floor_sum_as]
+        ].sum()
+        lvl1 = base.groupby(d1, sort=False, as_index=False)[
+            [count_as, floor_sum_as]
+        ].sum()
+        lvl1[d2] = None
+        return pd.concat([base, lvl1[base.columns]], ignore_index=True)
+
+    cells = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(reduce_bucket, batch_format="pandas")
+    )
+    # grand total: one tiny driver-side reduction over the level-1
+    # cells (group-cardinality-sized — memory pitfall #12: driver
+    # reduce beats a shuffle for small aggregates)
+    df = cells.to_pandas()
+    lvl1 = df[df[d2].isna()]
+    total = pd.DataFrame(
+        {
+            d1: [None],
+            d2: [None],
+            count_as: [int(lvl1[count_as].sum())],
+            floor_sum_as: [int(lvl1[floor_sum_as].sum())],
+        }
+    )
+    out = pd.concat([df, total[df.columns]], ignore_index=True)
+    if floor_sum_col is None:
+        out = out.drop(columns=[floor_sum_as])
+    return out
