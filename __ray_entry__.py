@@ -679,6 +679,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_hash_join(part, li, on="p_partkey", how="outer")
 
+    def sink_roundtrip(sf_dir):
+        """Resumable partitioned-sink contract (sources/sink.py): the
+        documents table is written as one directory per hash-of-key
+        partition with atomic per-partition commits, then read back
+        from only-committed partitions — byte-exact vs the source.
+        The write is idempotent: this call resumes (= writes nothing)
+        if a previous run committed the sink."""
+        import ray.data
+
+        from mini_ivf_ray.sources.sink import read_partitioned, write_partitioned
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = f"/tmp/graft_sink_{tag}"
+        write_partitioned(docs, path, key="doc_id", num_partitions=16)
+        return read_partitioned(path, num_partitions=16)
+
     def events_window_funcs(sf_dir):
         """SQL window functions (ROW_NUMBER / LAG delta / running sum /
         rolling sum) per user over the event stream: ONE bucketed
@@ -1959,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": customer_orders_left,
         "part_lineitem_outer": part_lineitem_outer,
         "events_window_funcs": events_window_funcs,
+        "sink_roundtrip": sink_roundtrip,
         "customers_without_urgent": customers_without_urgent,
         "bloom_seen": bloom_seen_q,
         "distinct_terms": distinct_terms_q,
@@ -2430,6 +2451,9 @@ SELECT coalesce(p.p_partkey, l.l_partkey) AS p_partkey, p.p_name,
 FROM (SELECT * FROM part WHERE p_size < 26) p
 FULL OUTER JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) l
   ON p.p_partkey = l.l_partkey
+""",
+        "sink_roundtrip": """
+SELECT doc_id, lang, n_chars FROM documents
 """,
         "events_window_funcs": """
 WITH e AS (
