@@ -679,6 +679,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return bucketed_hash_join(part, li, on="p_partkey", how="outer")
 
+    def docs_diff(sf_dir):
+        """Snapshot diff (recurring-crawl contract): documents vs a
+        deterministically mutated second snapshot (drop doc_id%17,
+        bump n_chars on doc_id%13, add synthetic doc_id%23 rows) —
+        every key classified added/removed/changed/unchanged.  Both
+        sides shrink to (key, 8-byte fingerprint) BEFORE the single
+        outer-join exchange (pipelines/relational.py table_diff)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import table_diff
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+
+        def mutate(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy()
+            nch = b["n_chars"].to_numpy()
+            base = pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "lang": b["lang"],
+                    "n_chars": pa.array(np.where(did % 13 == 0, nch + 1, nch)),
+                }
+            ).filter(pa.array(did % 17 != 0))
+            addsel = did % 23 == 0
+            added = pa.table(
+                {
+                    "doc_id": pa.array(did[addsel] + 1_000_000),
+                    "lang": pa.array(["xx"] * int(addsel.sum())),
+                    "n_chars": pa.array(
+                        np.ones(int(addsel.sum()), dtype=nch.dtype)
+                    ),
+                }
+            )
+            return pa.concat_tables([base, added])
+
+        new_ds = docs.map_batches(mutate, batch_format="pyarrow")
+        return table_diff(docs, new_ds, key="doc_id", compare_cols=["lang", "n_chars"])
+
     def sink_roundtrip(sf_dir):
         """Resumable partitioned-sink contract (sources/sink.py): the
         documents table is written as one directory per hash-of-key
@@ -1980,6 +2021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_lineitem_outer": part_lineitem_outer,
         "events_window_funcs": events_window_funcs,
         "sink_roundtrip": sink_roundtrip,
+        "docs_diff": docs_diff,
         "customers_without_urgent": customers_without_urgent,
         "bloom_seen": bloom_seen_q,
         "distinct_terms": distinct_terms_q,
@@ -2454,6 +2496,23 @@ FULL OUTER JOIN (SELECT * FROM lineitem WHERE l_quantity >= 45) l
 """,
         "sink_roundtrip": """
 SELECT doc_id, lang, n_chars FROM documents
+""",
+        "docs_diff": """
+WITH old AS (SELECT doc_id, lang, n_chars FROM documents),
+new AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 13 = 0 THEN n_chars + 1 ELSE n_chars END AS n_chars
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'xx' AS lang, 1 AS n_chars
+  FROM documents WHERE doc_id % 23 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.lang = n.lang AND o.n_chars = n.n_chars THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
 """,
         "events_window_funcs": """
 WITH e AS (

@@ -405,3 +405,44 @@ def test_keyed_window_funcs_match_pandas():
             got[col].to_numpy(), ref[col].to_numpy(), err_msg=col
         )
     assert len(got) == n
+
+
+def test_table_diff_matches_ground_truth():
+    """added/removed/changed/unchanged classification vs a pandas
+    reference, including NULL compare values and string keys."""
+    from mini_ivf_ray.pipelines.relational import table_diff
+
+    old = pd.DataFrame(
+        {
+            "k": ["a", "b", "c", "d", "e"],
+            "x": [1, 2, 3, 4, 5],
+            "s": ["p", None, "r", "s", "t"],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "k": ["a", "b", "c", "f"],          # d, e removed; f added
+            "x": [1, 2, 99, 7],                  # c changed
+            "s": ["p", None, "r", "u"],          # None == None -> unchanged
+        }
+    )
+    got = (
+        table_diff(
+            ray.data.from_pandas(old),
+            ray.data.from_pandas(new),
+            key="k",
+            compare_cols=["x", "s"],
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("k")["status"]
+        .to_dict()
+    )
+    assert got == {
+        "a": "unchanged",
+        "b": "unchanged",
+        "c": "changed",
+        "d": "removed",
+        "e": "removed",
+        "f": "added",
+    }
