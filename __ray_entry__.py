@@ -256,6 +256,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_filtered(sf_dir):
+        """Metadata-FILTERED retrieval: the same query set restricted
+        to lang='en' documents.  The doc-id whitelist is broadcast ONCE
+        (ray.put) and masked into the full match set BEFORE the top-k
+        cut (pipelines/query.py filtered_topk); corpus-wide statistics,
+        so surviving docs score bit-identically to bm25_topk."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        allowed = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+            filters=[("lang", "=", "en")],
+        )["doc_id"].to_numpy()
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG, allowed_docs=allowed).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_conjunctive(sf_dir):
         """Conjunctive (AND) retrieval over the same index and query
         set: only docs containing EVERY query term rank; scores are the
@@ -2003,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lengths": doc_lengths,
         "top_terms": top_terms,
         "bm25_topk": bm25_topk,
+        "bm25_filtered": bm25_filtered,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -2100,7 +2137,7 @@ def _bm25_values() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(conjunctive: bool = False) -> str:
+def _bm25_sql(conjunctive: bool = False, lang: str | None = None) -> str:
     # conjunctive: a doc ranks only if it matched EVERY distinct query
     # term (count of matched q rows == the query's term count; q.term
     # values are distinct per query and postings are unique per
@@ -2112,6 +2149,13 @@ def _bm25_sql(conjunctive: bool = False) -> str:
         if conjunctive
         else ""
     )
+    # filtered retrieval: corpus-wide stats, result set restricted to
+    # the metadata predicate (same semantics as search(allowed_docs=…))
+    if lang is not None:
+        conj_filter += (
+            f" JOIN documents filt ON filt.doc_id = scores.doc_id"
+            f" AND filt.lang = '{lang}'"
+        )
     return f"""
 WITH {_TOK_CTE},
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
@@ -2383,6 +2427,7 @@ FROM documents
 """,
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
+        "bm25_filtered": _bm25_sql(lang="en"),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),

@@ -187,37 +187,79 @@ def taat_topk(
     wins.  (Reference analog: QueryBaseline scans the selected posting
     lists member-at-a-time with no pruning, index_ivfpq.cpp:351-410 —
     TAAT is that scan, vectorized.)"""
-    blocks_list = sorted(
-        (b for b in blocks_list if b.n_blocks), key=lambda b: b.term
-    )
-    scored = 0
-    if not blocks_list:
-        out: list[tuple[int, float]] = []
-    elif len(blocks_list) == 1:
-        d, c = blocks_list[0].all_postings()
-        scored = d.size
-        out = _topk_exact(d, c, k)
-    else:
-        parts = [b.all_postings() for b in blocks_list]
-        scored = sum(d.size for d, _ in parts)
-        # one sort via np.unique(return_inverse=True): the inverse IS
-        # the per-posting slot map, so the per-term searchsorted passes
-        # disappear (~15% off the TAAT wall; a hash-based factorize map
-        # was tried and measured SLOWER than the sort on u64 doc ids).
-        # Accumulation stays one vectorized += per term in
-        # lexicographic term order — scores bit-identical.
-        uniq, inv = np.unique(
-            np.concatenate([d for d, _ in parts]), return_inverse=True
-        )
-        scores = np.zeros(len(uniq), dtype=np.float64)
-        off = 0
-        for d, c in parts:
-            scores[inv[off : off + d.size]] += c
-            off += d.size
-        out = _topk_exact(uniq, scores, k)
+    # one sort via np.unique(return_inverse=True) inside
+    # _taat_accumulate: the inverse IS the per-posting slot map, so the
+    # per-term searchsorted passes disappear (~15% off the TAAT wall; a
+    # hash-based factorize map was tried and measured SLOWER than the
+    # sort on u64 doc ids).  Accumulation stays one vectorized += per
+    # term in lexicographic term order — scores bit-identical.
+    uniq, scores, scored = _taat_accumulate(blocks_list)
+    out = _topk_exact(uniq, scores, k) if uniq.size else []
     if counters is not None:
         counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
         counters["taat_queries"] = counters.get("taat_queries", 0) + 1
+        counters["n_queries"] = counters.get("n_queries", 0) + 1
+    return out
+
+
+def _taat_accumulate(
+    blocks_list: list[PostingBlocks],
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """The TAAT union evaluation shared by taat_topk and filtered_topk:
+    (unique docs asc, full scores, postings decoded), accumulation one
+    vectorized += per term in lexicographic term order (the oracles'
+    exact float64 pattern)."""
+    blocks_list = sorted((b for b in blocks_list if b.n_blocks), key=lambda b: b.term)
+    if not blocks_list:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64), 0
+    if len(blocks_list) == 1:
+        d, c = blocks_list[0].all_postings()
+        return d, c, d.size
+    parts = [b.all_postings() for b in blocks_list]
+    scored = sum(d.size for d, _ in parts)
+    uniq, inv = np.unique(
+        np.concatenate([d for d, _ in parts]), return_inverse=True
+    )
+    scores = np.zeros(len(uniq), dtype=np.float64)
+    off = 0
+    for d, c in parts:
+        scores[inv[off : off + d.size]] += c
+        off += d.size
+    return uniq, scores, scored
+
+
+def _allowed_mask(docs: np.ndarray, allowed: np.ndarray) -> np.ndarray:
+    """Membership of ``docs`` in the sorted ``allowed`` id array."""
+    if allowed.size == 0 or docs.size == 0:
+        return np.zeros(docs.size, dtype=bool)
+    idx = np.searchsorted(allowed, docs)
+    idx[idx >= allowed.size] = allowed.size - 1
+    return allowed[idx] == docs
+
+
+def filtered_topk(
+    blocks_list: list[PostingBlocks],
+    k: int,
+    allowed: np.ndarray,
+    n_query_terms: int = 0,
+    mode: str = "or",
+    counters: dict | None = None,
+) -> list[tuple[int, float]]:
+    """Exact metadata-FILTERED retrieval: rank only documents in the
+    (sorted uint64) ``allowed`` id set.  Classic filtered-search
+    semantics — corpus-wide statistics, restricted result set — so a
+    surviving doc scores bit-identically to its unfiltered counterpart.
+    The filter is applied to the full match set BEFORE the top-k cut
+    (a post-filtered top-k would silently under-fill)."""
+    if mode == "and":
+        docs, scores, scored = conjunctive_matches(blocks_list, n_query_terms)
+    else:
+        docs, scores, scored = _taat_accumulate(blocks_list)
+    keep = _allowed_mask(docs, allowed)
+    out = _topk_exact(docs[keep], scores[keep], k) if keep.any() else []
+    if counters is not None:
+        counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
+        counters["filtered_queries"] = counters.get("filtered_queries", 0) + 1
         counters["n_queries"] = counters.get("n_queries", 0) + 1
     return out
 
@@ -290,17 +332,29 @@ def topk_from_blocks(
     cfg: PipelineConfig,
     counters: dict | None = None,
     mode: str = "or",
+    allowed: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Hybrid evaluation entry: TAAT below the posting-count threshold,
     block-max WAND above it.  Both are exact and bit-identical.
     ``mode="and"`` routes to conjunctive evaluation instead (every
     fetched term must match; callers must ensure ``fetched`` covers ALL
-    query terms, including unresolved ones as ``None``)."""
+    query terms, including unresolved ones as ``None``).  ``allowed``
+    (sorted uint64 doc ids) restricts the result set exactly
+    (filtered_topk)."""
     blocks_list = [b for b in fetched.values() if b is not None]
     total = sum(b.n_postings for b in blocks_list)
     for b in blocks_list:
         b.set_scoring(
             bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg.k1, cfg.b
+        )
+    if allowed is not None:
+        return filtered_topk(
+            blocks_list,
+            cfg.topk,
+            allowed,
+            n_query_terms=len(fetched),
+            mode=mode,
+            counters=counters,
         )
     if mode == "and":
         return conjunctive_topk(
@@ -473,10 +527,24 @@ class BM25Searcher:
         shared_tables: dict | None = None,
         decoded_refs: dict | None = None,
         mode: str = "or",
+        allowed_ref=None,
     ):
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         self.mode = mode
+        # metadata filter: sorted uint64 doc-id whitelist, ray.put once
+        # by search() and shared zero-copy by every actor
+        if allowed_ref is None:
+            self.allowed = None
+        else:
+            import ray
+
+            arr = (
+                ray.get(allowed_ref)
+                if isinstance(allowed_ref, ray.ObjectRef)
+                else allowed_ref
+            )
+            self.allowed = np.asarray(arr, dtype=np.uint64)
         # default the partitioning/scoring config FROM THE INDEX — a
         # mismatched num_partitions/hot_df_threshold would silently
         # resolve terms to the wrong partitions
@@ -515,7 +583,12 @@ class BM25Searcher:
             for p in dict.fromkeys(locs):
                 pp[p] = pp.get(p, 0) + 1
         return topk_from_blocks(
-            fetched, self.stats, self.cfg, counters=self.counters, mode=self.mode
+            fetched,
+            self.stats,
+            self.cfg,
+            counters=self.counters,
+            mode=self.mode,
+            allowed=self.allowed,
         )
 
     def conjunctive_matches_for_text(
@@ -573,6 +646,7 @@ def search(
     cfg: PipelineConfig | None = None,
     share: str | bool = "decoded",
     mode: str = "or",
+    allowed_docs=None,
 ):
     """queries (query_id, text) -> results (query_id, rank, doc_id, score).
 
@@ -580,7 +654,12 @@ def search(
     store and give every actor zero-copy views (per-actor decode
     duplication was the serving scaling ceiling).  share="tables":
     share only the raw Arrow segment tables.  share=False: each actor
-    reads from disk (the cold path)."""
+    reads from disk (the cold path).
+
+    allowed_docs: optional iterable/array of doc ids — exact filtered
+    retrieval (results restricted to the set; corpus-wide statistics,
+    so surviving docs score bit-identically to unfiltered search).
+    Broadcast once via ray.put, never re-shipped per batch."""
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     shared = decoded = None
     if share == "decoded":
@@ -589,9 +668,16 @@ def search(
         decoded = share_decoded_index(index_dir, cfg)
     elif share:
         shared = share_segments(index_dir, cfg.num_partitions)
+    allowed_ref = None
+    if allowed_docs is not None:
+        import ray
+
+        allowed_ref = ray.put(
+            np.unique(np.asarray(allowed_docs, dtype=np.uint64))
+        )
     return queries_ds.map_batches(
         BM25Searcher,
-        fn_constructor_args=(index_dir, cfg, shared, decoded, mode),
+        fn_constructor_args=(index_dir, cfg, shared, decoded, mode, allowed_ref),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),  # autoscale to free CPUs

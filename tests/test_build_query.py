@@ -267,3 +267,69 @@ def test_phrase_topk_matches_oracle(tiny_index):
     assert not contains_phrase(["a", "b", "a", "c"], ["c", "a"])
     assert not contains_phrase(["a"], ["a", "b"])
     assert not contains_phrase(["a", "b"], [])
+
+
+def test_filtered_search_rank_identity(tiny_index):
+    """allowed_docs filtering: exactly the full ranking restricted to
+    the whitelist (corpus-wide stats, filter BEFORE the top-k cut),
+    scores bit-identical; empty whitelist -> empty; universal
+    whitelist == unfiltered (both modes)."""
+    import dataclasses
+
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(11)
+    queries = _mk_queries(docs, rng, nq=25)
+    qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries])
+
+    all_ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    allowed = all_ids[all_ids % 3 != 0]
+    # ground truth: rank the FULL corpus, then filter, then head k —
+    # a post-filtered top-k would under-fill, which is the exact bug
+    # the filter-before-cut design avoids
+    cfg_all = dataclasses.replace(cfg, topk=len(docs))
+    full = brute_force_topk(docs, queries, cfg_all)
+    exp = (
+        full[full["doc_id"].astype(np.uint64).isin(allowed)]
+        .sort_values(["query_id", "rank"])
+        .groupby("query_id")
+        .head(cfg.topk)
+        .reset_index(drop=True)
+    )
+    got = (
+        search(idx, qds, cfg, allowed_docs=allowed)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    np.testing.assert_array_equal(
+        got["doc_id"].to_numpy().astype(np.uint64),
+        exp["doc_id"].to_numpy().astype(np.uint64),
+    )
+    np.testing.assert_array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
+    # per-query rank sequence is 0..n-1
+    for _, g in got.groupby("query_id"):
+        assert list(g["rank"]) == list(range(len(g)))
+
+    # empty whitelist -> zero rows, no error
+    got_empty = search(
+        idx, qds, cfg, allowed_docs=np.empty(0, dtype=np.uint64)
+    ).to_pandas()
+    assert len(got_empty) == 0
+
+    # universal whitelist == unfiltered, for OR and AND modes
+    for mode in ("or", "and"):
+        a = (
+            search(idx, qds, cfg, mode=mode, allowed_docs=all_ids)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        b = (
+            search(idx, qds, cfg, mode=mode)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
+        np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
