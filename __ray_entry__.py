@@ -870,6 +870,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scrub_terms(_documents(sf_dir), ["customer", "value"])
 
+    def hybrid_rrf(sf_dir):
+        """Hybrid retrieval: reciprocal-rank fusion (RRF, K=60) of the
+        BM25 lexical ranking and the exact-cosine semantic ranking for
+        more-like-this queries (query i = first 5 tokens + embedding of
+        document i; documents/embeddings share the 0..n-1 id space).
+        Both systems return top-20; rrf = Σ 1/(60 + rank0 + 1) over
+        the systems that retrieved the doc, ties broken doc_id asc,
+        final top-10.  Fusion itself is per-query over k-sized lists —
+        at corpus scale it is a map over query partitions; here the
+        driver fuses 8 × ≤40 rows."""
+        import dataclasses
+        import re
+
+        import pandas as pd
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+        from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+        idx = _ensure_index(sf_dir)
+        docs = (
+            pqmod.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+                filters=[("doc_id", "<", N_ANN_QUERIES)],
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        queries = [
+            (int(d), " ".join(re.findall("[a-z0-9]+", t.lower())[:5]))
+            for d, t in zip(docs["doc_id"], docs["text"])
+        ]
+        cfg20 = dataclasses.replace(_CFG, topk=20)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in queries]
+        )
+        bm = search(idx, qds, cfg20).to_pandas()[["query_id", "rank", "doc_id"]]
+        bm["doc_id"] = bm["doc_id"].astype(np.int64)
+        qids, Q = _ann_queries(sf_dir)
+        ann = brute_force_ann(_embeddings(sf_dir), Q, qids, k=20)[
+            ["query_id", "rank", "vec_id"]
+        ].rename(columns={"vec_id": "doc_id", "rank": "rank_ann"})
+        fused = bm.rename(columns={"rank": "rank_bm"}).merge(
+            ann, on=["query_id", "doc_id"], how="outer"
+        )
+        rrf = np.zeros(len(fused))
+        rb, ra = fused["rank_bm"].to_numpy(), fused["rank_ann"].to_numpy()
+        rrf += np.where(np.isnan(rb), 0.0, 1.0 / (60.0 + rb + 1.0))
+        rrf += np.where(np.isnan(ra), 0.0, 1.0 / (60.0 + ra + 1.0))
+        fused["rrf"] = rrf
+        fused = fused.sort_values(
+            ["query_id", "rrf", "doc_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        fused["rank"] = fused.groupby("query_id").cumcount()
+        out = fused[fused["rank"] < 10]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    out["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    out["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rrf": pa.array(out["rrf"].to_numpy(), type=pa.float64()),
+            }
+        )
+
     def ann_bruteforce(sf_dir):
         from mini_ivf_ray.pipelines.similarity import brute_force_ann
 
@@ -2072,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub": scrub,
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
+        "hybrid_rrf": hybrid_rrf,
         "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
         "source_stats": source_stats,
@@ -2249,6 +2324,64 @@ ranked AS (SELECT query_id, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM verified)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+"""
+
+
+def _hybrid_sql() -> str:
+    # RRF fusion of the BM25 CTE (same formula as _bm25_sql) and the
+    # exact-cosine CTE (same as _ann_sql), queries = first-5-tokens +
+    # embedding of documents 0..N-1.  rrf = Σ 1/(60 + rank0 + 1); the
+    # float is a division plus one two-term add — bit-identical given
+    # identical ranks (which the per-system oracles already prove).
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+            FROM documents WHERE doc_id < {N_ANN_QUERIES})),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+bm AS (SELECT query_id, doc_id,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) - 1 AS rank_bm
+       FROM scores QUALIFY rank_bm < 20),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < {N_ANN_QUERIES}),
+sims AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM qv CROSS JOIN embeddings e),
+ann AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id ASC) - 1 AS rank_ann
+        FROM sims QUALIFY rank_ann < 20),
+fused AS (
+  SELECT coalesce(bm.query_id, ann.query_id) AS query_id,
+         coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+         coalesce(1.0 / (60.0 + bm.rank_bm + 1.0), 0.0)
+         + coalesce(1.0 / (60.0 + ann.rank_ann + 1.0), 0.0) AS rrf
+  FROM bm FULL OUTER JOIN ann
+    ON bm.query_id = ann.query_id AND bm.doc_id = ann.doc_id),
+ranked AS (SELECT query_id, doc_id, rrf,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, doc_id ASC) - 1 AS rank
+           FROM fused)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
 FROM ranked WHERE rank < 10
 """
 
@@ -2638,6 +2771,7 @@ FROM documents
 """,
         "ann_bruteforce": _ann_sql(),
         "ann_ivf_full": _ann_sql(),
+        "hybrid_rrf": _hybrid_sql(),
         "hdf5_roundtrip": """
 SELECT vec_id,
        unnest(generate_series(0, len(embedding) - 1)) AS pos,
