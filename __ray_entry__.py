@@ -292,6 +292,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _victim_ids(sf_dir):
+        import pyarrow.parquet as pqmod
+
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        return ids[ids % 10 == 3]
+
+    def bm25_deleted(sf_dir):
+        """Tombstone-masked retrieval (pipelines/maintenance.delete_docs
+        semantics): docs with doc_id % 10 == 3 are deleted; statistics
+        keep counting them (Lucene live-docs model) so surviving docs
+        score bit-identically to bm25_topk; the mask is applied to the
+        full match set BEFORE the top-k cut.  The tombstone array is
+        broadcast once (ray.put), never re-shipped per batch."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(
+            idx, qds, _CFG, denied_docs=_victim_ids(sf_dir)
+        ).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def bm25_compacted(sf_dir):
+        """Full delete -> compact -> search lifecycle: a COPY of the
+        committed index tombstones doc_id % 10 == 3, compact_index
+        physically rewrites every partition without them (decode +
+        vectorized drop + k-way re-encode, never a re-tokenize of
+        surviving text) and recomputes EXACT corpus statistics — so
+        scores here equal a fresh build of the remaining corpus, which
+        is what the oracle computes (stats over live docs only)."""
+        import shutil
+
+        import ray.data
+
+        from mini_ivf_ray.pipelines.maintenance import (
+            compact_index,
+            delete_docs,
+        )
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        work = tempfile.mkdtemp(prefix="graft_cmpidx_") + "/idx"
+        shutil.copytree(idx, work)
+        delete_docs(work, _victim_ids(sf_dir).astype(np.uint64))
+        meta = compact_index(work, _CFG)
+        assert meta["counters"]["removed_docs"] == len(_victim_ids(sf_dir))
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(work, qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_conjunctive(sf_dir):
         """Conjunctive (AND) retrieval over the same index and query
         set: only docs containing EVERY query term rank; scores are the
@@ -2114,6 +2198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": top_terms,
         "bm25_topk": bm25_topk,
         "bm25_filtered": bm25_filtered,
+        "bm25_deleted": bm25_deleted,
+        "bm25_compacted": bm25_compacted,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -2212,7 +2298,12 @@ def _bm25_values() -> str:
     return ", ".join(rows)
 
 
-def _bm25_sql(conjunctive: bool = False, lang: str | None = None) -> str:
+def _bm25_sql(
+    conjunctive: bool = False,
+    lang: str | None = None,
+    exclude_pred: str | None = None,
+    live_pred: str | None = None,
+) -> str:
     # conjunctive: a doc ranks only if it matched EVERY distinct query
     # term (count of matched q rows == the query's term count; q.term
     # values are distinct per query and postings are unique per
@@ -2231,13 +2322,34 @@ def _bm25_sql(conjunctive: bool = False, lang: str | None = None) -> str:
             f" JOIN documents filt ON filt.doc_id = scores.doc_id"
             f" AND filt.lang = '{lang}'"
         )
+    # tombstone masking (delete_docs, pre-compaction): statistics keep
+    # counting deleted documents (live-docs semantics), the result set
+    # excludes them — surviving docs score identically to bm25_topk
+    if exclude_pred is not None:
+        conj_filter += (
+            f" JOIN documents tomb ON tomb.doc_id = scores.doc_id"
+            f" AND NOT ({exclude_pred})"
+        )
+    # post-compaction: the ENTIRE statistics computation runs over the
+    # remaining corpus only (compact_index recomputes exact stats)
+    if live_pred is not None:
+        live_cte = (
+            f"live AS (SELECT doc_id FROM documents WHERE {live_pred}), "
+            "tokl AS (SELECT tok.doc_id, tok.term FROM tok "
+            "JOIN live USING (doc_id)), "
+        )
+        tok_src, n_docs_src = "tokl", "(SELECT count(*) FROM live)"
+    else:
+        live_cte = ""
+        tok_src, n_docs_src = "tok", "(SELECT count(*) FROM documents)"
     return f"""
 WITH {_TOK_CTE},
-postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
-dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
-stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-                 (SELECT count(*) FROM tok)::DOUBLE
-                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+{live_cte}
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {tok_src} GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {tok_src} GROUP BY 1),
+stats AS (SELECT {n_docs_src}::DOUBLE AS n,
+                 (SELECT count(*) FROM {tok_src})::DOUBLE
+                   / {n_docs_src}::DOUBLE AS avgdl),
 df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
 q(query_id, term) AS (VALUES {_bm25_values()}),
 qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
@@ -2561,6 +2673,8 @@ FROM documents
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
         "bm25_filtered": _bm25_sql(lang="en"),
+        "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
+        "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),

@@ -70,6 +70,20 @@ def main(argv=None) -> int:
     s = sub.add_parser("stats")
     s.add_argument("index_dir")
 
+    dl = sub.add_parser(
+        "delete", help="tombstone doc ids (take-downs); search masks them "
+        "immediately, compact removes them physically"
+    )
+    dl.add_argument("index_dir")
+    dl.add_argument("doc_ids", nargs="+", type=int)
+    dl.add_argument("--ignore-missing", action="store_true")
+
+    cp = sub.add_parser(
+        "compact", help="rewrite segments without tombstoned docs and "
+        "recompute exact statistics"
+    )
+    cp.add_argument("index_dir")
+
     g = sub.add_parser("synth")
     g.add_argument("out_dir")
     g.add_argument("--docs", type=int, required=True)
@@ -131,11 +145,30 @@ def main(argv=None) -> int:
                 on_existing="skip" if args.skip_existing else "error",
             )
             print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
+        elif args.cmd == "delete":
+            from mini_ivf_ray.pipelines.maintenance import delete_docs
+
+            out = delete_docs(
+                args.index_dir,
+                args.doc_ids,
+                on_missing="ignore" if args.ignore_missing else "error",
+            )
+            print(json.dumps(out))
+        elif args.cmd == "compact":
+            from mini_ivf_ray.pipelines.maintenance import compact_index
+
+            meta = compact_index(args.index_dir)
+            print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
         elif args.cmd == "query":
             from mini_ivf_ray.pipelines.query import BM25Searcher
+            from mini_ivf_ray.pipelines.maintenance import deleted_ids
 
             cfg = PipelineConfig.from_index(args.index_dir, topk=args.topk)
-            searcher = BM25Searcher(args.index_dir, cfg)
+            tomb = deleted_ids(args.index_dir)
+            searcher = BM25Searcher(
+                args.index_dir, cfg,
+                denied_ref=tomb if tomb.size else None,
+            )
             for rank, (doc, score) in enumerate(searcher.topk_for_text(args.text)):
                 print(json.dumps({"rank": rank, "doc_id": doc, "score": round(score, 6)}))
         elif args.cmd == "groundtruth":

@@ -110,11 +110,17 @@ def _resalt_segments_to_runs(
     cfg: PipelineConfig,
     doc_id_space: int,
     pending: set[int],
+    drop_ids: np.ndarray | None = None,
 ) -> None:
     """Decode every snapshot partition and spill its postings as sorted
     run files under the NEW salt plan.  One Ray task per old partition
     (vectorized decode + assignment, no tokenize); run files are
-    content-named, so a resumed append rewrites identical bytes."""
+    content-named, so a resumed append rewrites identical bytes.
+
+    ``drop_ids`` (sorted uint64, broadcast once): postings of these
+    documents are removed from the stream — the compaction path
+    (pipelines/maintenance.compact_index) physically deleting
+    tombstoned documents during the rewrite."""
     import ray
     import ray.data
 
@@ -128,16 +134,28 @@ def _resalt_segments_to_runs(
     if not old_parts:
         return
     plan_ref = ray.put(dict(plan))
+    drop_ref = (
+        ray.put(np.unique(np.asarray(drop_ids, dtype=np.uint64)))
+        if drop_ids is not None and len(drop_ids)
+        else None
+    )
 
     def resalt(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
         assigner = PartitionAssigner(_ray.get(plan_ref), cfg, doc_id_space)
+        drop = _ray.get(drop_ref) if drop_ref is not None else None
         done = []
         for old_p in batch["pid"].to_pylist():
             old_p = int(old_p)
             seg = os.path.join(prev_root, f"part={old_p}", "postings.parquet")
             terms, docs, tfs, dls = decode_segment_postings(seg)
+            if drop is not None and docs.size:
+                pos = np.minimum(np.searchsorted(drop, docs), drop.size - 1)
+                keep = drop[pos] != docs
+                terms, docs, tfs, dls = (
+                    terms[keep], docs[keep], tfs[keep], dls[keep]
+                )
             if terms.size == 0:
                 continue
             pid, codes, _ = assigner.assign(terms, docs)
@@ -215,6 +233,8 @@ def _existing_id_hits(prep_dir: str, old_files: list[str], inc_ids) -> np.ndarra
         .map_batches(probe, batch_format="pyarrow")
         .to_pandas()
     )
+    if "doc_id" not in hits.columns:  # zero hits: empty frame, no schema
+        return np.empty(0, dtype=np.uint64)
     return np.unique(hits["doc_id"].to_numpy().astype(np.uint64))
 
 
@@ -267,6 +287,11 @@ def append_index(
         stage_walls[name] = round(now - _last[0], 3)
         _last[0] = now
 
+    if os.path.exists(os.path.join(index_dir, "compact.json")):
+        raise RuntimeError(
+            f"append_index: index at {index_dir} has an in-progress "
+            "compaction (compact.json) — finish it with compact_index()"
+        )
     if os.path.exists(marker):
         with open(marker) as f:
             state = json.load(f)

@@ -197,6 +197,13 @@ def build_index(
             f"{index_dir}: an append is in progress (append.json); "
             "re-run append_index to resume it"
         )
+    if os.path.exists(os.path.join(index_dir, "compact.json")):
+        # same ownership rule for an interrupted COMPACTION (segments
+        # snapshot moved, manifest removed, stats sidecar stale)
+        raise RuntimeError(
+            f"{index_dir}: a compaction is in progress (compact.json); "
+            "re-run compact_index to resume it"
+        )
     existing = mf.read_index_manifest(index_dir)
     if existing is not None:
         return existing

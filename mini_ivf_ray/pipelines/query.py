@@ -240,22 +240,31 @@ def _allowed_mask(docs: np.ndarray, allowed: np.ndarray) -> np.ndarray:
 def filtered_topk(
     blocks_list: list[PostingBlocks],
     k: int,
-    allowed: np.ndarray,
+    allowed: np.ndarray | None,
     n_query_terms: int = 0,
     mode: str = "or",
     counters: dict | None = None,
+    denied: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact metadata-FILTERED retrieval: rank only documents in the
-    (sorted uint64) ``allowed`` id set.  Classic filtered-search
-    semantics — corpus-wide statistics, restricted result set — so a
-    surviving doc scores bit-identically to its unfiltered counterpart.
-    The filter is applied to the full match set BEFORE the top-k cut
-    (a post-filtered top-k would silently under-fill)."""
+    (sorted uint64) ``allowed`` id set and NOT in the (sorted uint64)
+    ``denied`` set.  Classic filtered-search semantics — corpus-wide
+    statistics, restricted result set — so a surviving doc scores
+    bit-identically to its unfiltered counterpart.  ``denied`` is the
+    live-docs tombstone mask (Lucene deleted-docs semantics: statistics
+    keep counting deleted documents until a compaction rewrites the
+    segments).  The filter is applied to the full match set BEFORE the
+    top-k cut (a post-filtered top-k would silently under-fill)."""
     if mode == "and":
         docs, scores, scored = conjunctive_matches(blocks_list, n_query_terms)
     else:
         docs, scores, scored = _taat_accumulate(blocks_list)
-    keep = _allowed_mask(docs, allowed)
+    if allowed is not None:
+        keep = _allowed_mask(docs, allowed)
+    else:
+        keep = np.ones(docs.size, dtype=bool)
+    if denied is not None and denied.size:
+        keep &= ~_allowed_mask(docs, denied)
     out = _topk_exact(docs[keep], scores[keep], k) if keep.any() else []
     if counters is not None:
         counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
@@ -333,21 +342,22 @@ def topk_from_blocks(
     counters: dict | None = None,
     mode: str = "or",
     allowed: np.ndarray | None = None,
+    denied: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Hybrid evaluation entry: TAAT below the posting-count threshold,
     block-max WAND above it.  Both are exact and bit-identical.
     ``mode="and"`` routes to conjunctive evaluation instead (every
     fetched term must match; callers must ensure ``fetched`` covers ALL
-    query terms, including unresolved ones as ``None``).  ``allowed``
-    (sorted uint64 doc ids) restricts the result set exactly
-    (filtered_topk)."""
+    query terms, including unresolved ones as ``None``).  ``allowed`` /
+    ``denied`` (sorted uint64 doc ids) restrict the result set exactly
+    (filtered_topk; ``denied`` is the tombstone live-docs mask)."""
     blocks_list = [b for b in fetched.values() if b is not None]
     total = sum(b.n_postings for b in blocks_list)
     for b in blocks_list:
         b.set_scoring(
             bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg.k1, cfg.b
         )
-    if allowed is not None:
+    if allowed is not None or (denied is not None and denied.size):
         return filtered_topk(
             blocks_list,
             cfg.topk,
@@ -355,6 +365,7 @@ def topk_from_blocks(
             n_query_terms=len(fetched),
             mode=mode,
             counters=counters,
+            denied=denied,
         )
     if mode == "and":
         return conjunctive_topk(
@@ -528,23 +539,24 @@ class BM25Searcher:
         decoded_refs: dict | None = None,
         mode: str = "or",
         allowed_ref=None,
+        denied_ref=None,
     ):
         if mode not in ("or", "and"):
             raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
         self.mode = mode
-        # metadata filter: sorted uint64 doc-id whitelist, ray.put once
-        # by search() and shared zero-copy by every actor
-        if allowed_ref is None:
-            self.allowed = None
-        else:
+
+        # metadata filter / tombstones: sorted uint64 doc-id arrays,
+        # ray.put once by search() and shared zero-copy by every actor
+        def _resolve(ref):
+            if ref is None:
+                return None
             import ray
 
-            arr = (
-                ray.get(allowed_ref)
-                if isinstance(allowed_ref, ray.ObjectRef)
-                else allowed_ref
-            )
-            self.allowed = np.asarray(arr, dtype=np.uint64)
+            arr = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            return np.asarray(arr, dtype=np.uint64)
+
+        self.allowed = _resolve(allowed_ref)
+        self.denied = _resolve(denied_ref)
         # default the partitioning/scoring config FROM THE INDEX — a
         # mismatched num_partitions/hot_df_threshold would silently
         # resolve terms to the wrong partitions
@@ -589,6 +601,7 @@ class BM25Searcher:
             counters=self.counters,
             mode=self.mode,
             allowed=self.allowed,
+            denied=self.denied,
         )
 
     def conjunctive_matches_for_text(
@@ -647,6 +660,8 @@ def search(
     share: str | bool = "decoded",
     mode: str = "or",
     allowed_docs=None,
+    denied_docs=None,
+    respect_deletes: bool = True,
 ):
     """queries (query_id, text) -> results (query_id, rank, doc_id, score).
 
@@ -659,7 +674,14 @@ def search(
     allowed_docs: optional iterable/array of doc ids — exact filtered
     retrieval (results restricted to the set; corpus-wide statistics,
     so surviving docs score bit-identically to unfiltered search).
-    Broadcast once via ray.put, never re-shipped per batch."""
+    Broadcast once via ray.put, never re-shipped per batch.
+
+    denied_docs: optional doc ids to EXCLUDE (same exact pre-top-k
+    semantics).  When respect_deletes is True (default), the index's
+    persisted tombstones (pipelines/maintenance.delete_docs) are merged
+    in automatically — live-docs masking à la Lucene deleted docs:
+    statistics keep counting deleted documents until compact_index
+    rewrites the segments."""
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     shared = decoded = None
     if share == "decoded":
@@ -675,9 +697,25 @@ def search(
         allowed_ref = ray.put(
             np.unique(np.asarray(allowed_docs, dtype=np.uint64))
         )
+    denied = None
+    if denied_docs is not None:
+        denied = np.asarray(denied_docs, dtype=np.uint64)
+    if respect_deletes:
+        from mini_ivf_ray.pipelines.maintenance import deleted_ids
+
+        tomb = deleted_ids(index_dir)
+        if tomb.size:
+            denied = tomb if denied is None else np.concatenate([denied, tomb])
+    denied_ref = None
+    if denied is not None and denied.size:
+        import ray
+
+        denied_ref = ray.put(np.unique(denied))
     return queries_ds.map_batches(
         BM25Searcher,
-        fn_constructor_args=(index_dir, cfg, shared, decoded, mode, allowed_ref),
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, mode, allowed_ref, denied_ref,
+        ),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),  # autoscale to free CPUs
