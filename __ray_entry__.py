@@ -54,6 +54,12 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
     (8, "hash merge sort"),
 ]
 
+# misspellings of real corpus terms (+ one exact term, one hopeless):
+# spell_suggest matches the corpus vocabulary within Levenshtein <= 2
+SPELL_QUERIES: list[str] = [
+    "bacth", "daat", "custmer", "streem", "jion", "fliter", "data", "qqqqqqq",
+]
+
 N_ANN_QUERIES = 8
 TOKEN_RE_SQL = "[a-z0-9]+"
 STOPWORDS_SQL = "('the','a','of','and','to','in')"
@@ -373,6 +379,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "score_r": pa.array(
                     np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
+            }
+        )
+
+    def spell_suggest(sf_dir):
+        """Did-you-mean: each (misspelled) query term is matched
+        against the index DICTIONARY within Levenshtein distance 2 and
+        ranked (distance asc, df desc, term asc), top 3.  SymSpell
+        delete-key intersection over ONE streamed dictionary pass —
+        the tiny query-side delete keys broadcast once, zero shuffle —
+        then an exact banded-DP verify of the small candidate set
+        (pipelines/spell.py)."""
+        from mini_ivf_ray.pipelines.spell import suggest_for_index
+
+        idx = _ensure_index(sf_dir)
+        out = suggest_for_index(idx, SPELL_QUERIES, max_edits=2, topn=3)
+        return pa.table(
+            {
+                "query": pa.array(out["query"], type=pa.string()),
+                "suggestion": pa.array(out["suggestion"], type=pa.string()),
+                "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
+                "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
             }
         )
 
@@ -2200,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": bm25_filtered,
         "bm25_deleted": bm25_deleted,
         "bm25_compacted": bm25_compacted,
+        "spell_suggest": spell_suggest,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -2372,6 +2401,30 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+"""
+
+
+def _spell_sql() -> str:
+    """Did-you-mean replay: DuckDB's levenshtein() is the same
+    standard insert/delete/substitute metric pipelines/spell.py
+    computes; the vocabulary and df come from the shared tokenizer
+    CTE, matching the index dictionary exactly."""
+    vals = ", ".join(f"('{q}')" for q in SPELL_QUERIES)
+    return f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+q(query) AS (VALUES {vals}),
+cand AS (
+  SELECT q.query, v.term AS suggestion,
+         levenshtein(q.query, v.term)::BIGINT AS lev, v.df
+  FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query
+                               ORDER BY lev ASC, df DESC, suggestion ASC)
+            - 1 AS rank
+  FROM cand)
+SELECT query, suggestion, lev, df, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank < 3
 """
 
 
@@ -2675,6 +2728,7 @@ FROM documents
         "bm25_filtered": _bm25_sql(lang="en"),
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
+        "spell_suggest": _spell_sql(),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
