@@ -404,6 +404,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_snippets(sf_dir):
+        """Keyword-in-context snippets for the bm25_topk result set:
+        per (query, ranked doc), a 7-token window around the first
+        occurrence of the doc's most selective query term (lowest
+        corpus df, term-asc tie-break).  Results + query-term dfs are
+        broadcast once; ONE column-pruned documents pass emits every
+        snippet — zero shuffle (pipelines/snippets.py)."""
+        import ray.data
+
+        from mini_ivf_ray.functions.tokenize import tokenize as _tok
+        from mini_ivf_ray.pipelines.query import search
+        from mini_ivf_ray.pipelines.snippets import snippets_for_results
+        from mini_ivf_ray.state.stats import CorpusStats
+
+        idx = _ensure_index(sf_dir)
+        stats = CorpusStats.load(idx)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG).to_pandas()
+        res["doc_id"] = res["doc_id"].astype(np.int64)
+        qterms = {
+            qid: [
+                (t, stats.df[t])
+                for t in sorted(set(_tok(text)))
+                if stats.df.get(t, 0) > 0
+            ]
+            for qid, text in BM25_QUERIES
+        }
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        out = snippets_for_results(docs, res, qterms, window=3)
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"].to_numpy(), type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "snippet": pa.array(out["snippet"], type=pa.string()),
+            }
+        )
+
     def bm25_conjunctive(sf_dir):
         """Conjunctive (AND) retrieval over the same index and query
         set: only docs containing EVERY query term rank; scores are the
@@ -2229,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_deleted": bm25_deleted,
         "bm25_compacted": bm25_compacted,
         "spell_suggest": spell_suggest,
+        "bm25_snippets": bm25_snippets,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -2401,6 +2446,54 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+"""
+
+
+def _snippet_sql() -> str:
+    """Snippet replay: the bm25 ranked CTE plus list_position / list
+    slicing — DuckDB's 1-based inclusive tl[greatest(1,p-3):
+    least(len,p+3)] is exactly pipelines/snippets.snippet_for_tokens'
+    window rule."""
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS toks
+       FROM documents),
+pos AS (SELECT r.query_id, r.doc_id, r.rank, q.term, d.df, t.toks,
+               list_position(t.toks, q.term) AS p
+        FROM ranked r
+        JOIN q ON q.query_id = r.query_id
+        JOIN df d ON d.term = q.term
+        JOIN tl t ON t.doc_id = r.doc_id
+        WHERE r.rank < 10 AND list_position(t.toks, q.term) > 0),
+best AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                                      ORDER BY df ASC, term ASC) AS rn
+         FROM pos)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank, term,
+       array_to_string(toks[greatest(1, p - 3):least(len(toks), p + 3)], ' ')
+         AS snippet
+FROM best WHERE rn = 1
 """
 
 
@@ -2729,6 +2822,7 @@ FROM documents
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "spell_suggest": _spell_sql(),
+        "bm25_snippets": _snippet_sql(),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
