@@ -117,8 +117,8 @@ def _ensure_index(sf_dir: str) -> str:
     return idx
 
 
-def _ensure_ivf(sf_dir: str, pq: bool = False) -> str:
-    key = f"{sf_dir}:{pq}"
+def _ensure_ivf(sf_dir: str, pq: bool = False, sq: bool = False) -> str:
+    key = f"{sf_dir}:{pq}:{sq}"
     if key in _ivf_cache:
         return _ivf_cache[key]
     from mini_ivf_ray.pipelines.similarity import build_ivf_index
@@ -127,6 +127,7 @@ def _ensure_ivf(sf_dir: str, pq: bool = False) -> str:
     build_ivf_index(
         _embeddings(sf_dir), idx, n_centroids=8, seed=7,
         pq_m=16 if pq else None, pq_ks=16,
+        sq_bits=8 if sq else None,
     )
     _ivf_cache[key] = idx
     return idx
@@ -1767,6 +1768,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_sq8(sf_dir):
+        """IVF-SQ8 (Faiss IVFScalarQuantizer counterpart): segments
+        carry ONLY uint8 per-dimension codes (8x smaller than float64
+        on disk and in the exchange); search folds the affine decode
+        into the query weights — one float32 matmul per probed
+        partition, the decoded matrix never materializes.  Self-check:
+        at nprobe=ALL the only error is quantization, so Recall@10 vs
+        the exact ground truth must be >= 0.95 (asserted); the probed
+        configuration is reported alongside."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import (
+            ann_search,
+            brute_force_ann,
+        )
+
+        qids, Q = _ann_queries(sf_dir)
+        gt = brute_force_ann(_embeddings(sf_dir), Q, qids, k=10)
+        gt_sets = {
+            int(q): set(g["vec_id"]) for q, g in gt.groupby("query_id")
+        }
+        idx = _ensure_ivf(sf_dir, sq=True)
+        rows = []
+        for name, nprobe in (("sq8_nprobe2", 2), ("sq8_nprobe_all", 8)):
+            qds = ray.data.from_items(
+                [
+                    {"vec_id": int(i), "embedding": q.tolist()}
+                    for i, q in zip(qids, Q)
+                ]
+            )
+            df = ann_search(idx, qds, k=10, nprobe=nprobe).to_pandas()
+            hit = tot = 0
+            for q, g in df.groupby("query_id"):
+                hit += len(set(g["vec_id"]) & gt_sets[int(q)])
+                tot += len(gt_sets[int(q)])
+            rows.append((name, round(hit / max(1, tot), 4), len(df)))
+        assert rows[-1][1] >= 0.95, (
+            f"SQ8 full-probe recall {rows[-1][1]} < 0.95 — quantizer broken"
+        )
+        return pa.table(
+            {
+                "config": pa.array([r[0] for r in rows], type=pa.string()),
+                "recall_at_10": pa.array(
+                    [r[1] for r in rows], type=pa.float64()
+                ),
+                "n_results": pa.array(
+                    [r[2] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+
     def ann_recall(sf_dir):
         """The reference's headline metric (Recall@10,
         test_ivfpq_sift1m_baseline.cpp:82-89): IVF nprobe=2 and IVFPQ
@@ -2329,6 +2381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_pairs": jaccard_verified_pairs,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "ann_recall": ann_recall,
+        "ann_sq8": ann_sq8,
         "append_roundtrip": append_roundtrip,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,

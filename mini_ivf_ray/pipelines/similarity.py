@@ -107,6 +107,26 @@ def _pq_encode(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     return codes
 
 
+def _train_sq(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension scalar-quantizer bounds from the training sample:
+    (vmin, vscale) with vscale = (vmax - vmin) / 255 (0 for constant
+    dims).  The classic SQ8 trained the Faiss-QT_8bit way — codes
+    approximate raw coordinates, not residuals."""
+    vmin = x.min(axis=0)
+    vmax = x.max(axis=0)
+    vscale = (vmax - vmin) / 255.0
+    return vmin, vscale
+
+
+def _sq_encode(mat: np.ndarray, vmin: np.ndarray, vscale: np.ndarray) -> np.ndarray:
+    """(n, d) float -> (n, d) uint8: round((x - min) / scale), clipped.
+    Out-of-train-range values clip to the nearest representable code
+    (the standard SQ behavior)."""
+    safe = np.where(vscale > 0, vscale, 1.0)
+    q = np.rint((mat - vmin) / safe)
+    return np.clip(q, 0.0, 255.0).astype(np.uint8)
+
+
 def _adc_scores(q: np.ndarray, books: np.ndarray, codes: np.ndarray) -> np.ndarray:
     """Asymmetric L2^2 distances query->codes via table lookup
     (reference DTable/ADist, index_ivfpq.cpp:554-568, 672-681)."""
@@ -124,11 +144,15 @@ def _adc_scores(q: np.ndarray, books: np.ndarray, codes: np.ndarray) -> np.ndarr
 
 
 class _Assigner:
-    def __init__(self, cent_ref, books_ref, residual: bool = False, metric: str = "cosine"):
+    def __init__(
+        self, cent_ref, books_ref, residual: bool = False,
+        metric: str = "cosine", sq_ref=None,
+    ):
         import ray
 
         self.cent = ray.get(cent_ref)
         self.books = ray.get(books_ref) if books_ref is not None else None
+        self.sq = ray.get(sq_ref) if sq_ref is not None else None
         self.residual = residual
         self.metric = metric
 
@@ -150,6 +174,16 @@ class _Assigner:
             _EMB_COL: emb_col,
             "part": pa.array(part.astype(np.int64)),
         }
+        if self.sq is not None:
+            # SQ8 segments store ONLY the uint8 codes (8x smaller than
+            # float64 on disk and over the exchange) — the raw column
+            # is dropped below
+            vmin, vscale = self.sq
+            codes = _sq_encode(mat, vmin, vscale)
+            cols["sq"] = pa.array(
+                [c.tobytes() for c in codes], type=pa.binary()
+            )
+            del cols[_EMB_COL]
         if self.books is not None:
             # residual PQ (Faiss-style IVFPQ): quantize x - centroid(x);
             # the reference quantizes raw vectors (index_ivfpq.cpp:84-86)
@@ -175,13 +209,26 @@ def build_ivf_index(
     train_sample: int = 100_000,
     seed: int = 42,
     metric: str = "cosine",
+    sq_bits: int | None = None,
 ) -> dict:
     """Train (sampled, driver-side — reference clamps nsamples the same
     way, index_ivf.cpp:42-45), then distributed assign + per-partition
     segment write with atomic manifests.  Resumable like the fulltext
-    build: committed partitions are skipped."""
+    build: committed partitions are skipped.
+
+    ``sq_bits=8``: IVF-SQ8 — per-dimension scalar quantization (the
+    Faiss IVFScalarQuantizer counterpart to the reference's IVFPQ):
+    segments carry ONLY uint8 codes (8x smaller than float64),
+    distances are computed against affine-decoded codes.  Mutually
+    exclusive with pq_m."""
     import ray
 
+    if sq_bits is not None and sq_bits != 8:
+        raise ValueError(f"sq_bits must be 8 or None, got {sq_bits}")
+    if sq_bits and pq_m:
+        raise ValueError("sq_bits and pq_m are mutually exclusive")
+    if sq_bits and metric != "cosine":
+        raise ValueError("sq_bits currently supports metric='cosine'")
     existing = mf.read_index_manifest(index_dir)
     if existing is not None:
         return existing
@@ -192,6 +239,7 @@ def build_ivf_index(
         z = np.load(cent_path, allow_pickle=False)
         cent = z["cent"]
         books = z["books"] if "books" in z.files else None
+        sq = (z["sq_min"], z["sq_scale"]) if "sq_min" in z.files else None
     else:
         sample = embeddings_ds.limit(train_sample)
         tbl = pa.concat_tables(list(sample.iter_batches(batch_format="pyarrow")))
@@ -204,14 +252,16 @@ def build_ivf_index(
             books = _train_pq(train_in, pq_m, pq_ks, pq_iters, seed)
         else:
             books = None
+        sq = _train_sq(mat) if sq_bits else None
         os.makedirs(index_dir, exist_ok=True)
         tmp = cent_path + ".tmp"
+        arrays = {"cent": cent}
+        if books is not None:
+            arrays.update(books=books, residual=np.array(pq_residual))
+        if sq is not None:
+            arrays.update(sq_min=sq[0], sq_scale=sq[1])
         with open(tmp, "wb") as fh:
-            if books is not None:
-                np.savez(fh, cent=cent, books=books,
-                         residual=np.array(pq_residual))
-            else:
-                np.savez(fh, cent=cent)
+            np.savez(fh, **arrays)
         os.replace(tmp, cent_path)
     # reference-format codebook sidecars (quantizer.cpp:122-131)
     if not os.path.exists(os.path.join(index_dir, "cq_centers.fvecs")):
@@ -222,9 +272,10 @@ def build_ivf_index(
     if pending:
         cent_ref = ray.put(cent)
         books_ref = ray.put(books) if books is not None else None
+        sq_ref = ray.put(sq) if sq is not None else None
         assigned = embeddings_ds.map_batches(
             _Assigner,
-            fn_constructor_args=(cent_ref, books_ref, pq_residual, metric),
+            fn_constructor_args=(cent_ref, books_ref, pq_residual, metric, sq_ref),
             batch_format="pyarrow",
             batch_size=4096,
             concurrency=(1, 8),
@@ -263,7 +314,11 @@ def build_ivf_index(
         parts.append({"partition": p, **pm["counters"]})
         counters["n_vectors"] += pm["counters"]["n_vectors"]
     meta = {
-        "kind": "ivfpq" if books is not None else "ivf",
+        "kind": (
+            "ivfsq8" if sq is not None
+            else "ivfpq" if books is not None
+            else "ivf"
+        ),
         "metric": metric,
         "n_centroids": n_centroids,
         "pq_m": pq_m,
@@ -351,7 +406,10 @@ class IVFSearcher:
         self.cent = z["cent"]
         self.books = z["books"] if "books" in z.files else None
         self.residual = bool(z["residual"]) if "residual" in z.files else False
-        self._parts: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray | None, np.ndarray | None]] = {}
+        self.sq = (
+            (z["sq_min"], z["sq_scale"]) if "sq_min" in z.files else None
+        )
+        self._parts: dict[int, tuple] = {}
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.meta = json.load(f)
         self.metric = self.meta.get("metric", "cosine")
@@ -366,6 +424,16 @@ class IVFSearcher:
                     None,
                     None,
                 )
+            elif self.sq is not None:
+                # SQ8 segments: uint8 codes resident as float32 (fast
+                # matmul; decode folds into the query-side weights, so
+                # the decoded matrix is never materialized)
+                t = pq.read_table(path)
+                ids = t[_ID_COL].to_numpy()
+                codesf = np.frombuffer(
+                    b"".join(t["sq"].to_pylist()), dtype=np.uint8
+                ).reshape(len(ids), -1).astype(np.float32)
+                self._parts[p] = (ids, codesf, None, None)
             else:
                 t = pq.read_table(path)
                 ids = t[_ID_COL].to_numpy()
@@ -413,7 +481,14 @@ class IVFSearcher:
             if len(ids) == 0:
                 continue
             searched += len(ids)
-            if self.use_pq and codes is not None:
+            if self.sq is not None:
+                # decoded·q = codes·(scale*q) + min·q — one float32
+                # matmul against the resident codes, affine decode
+                # folded into the query weights
+                vmin, vscale = self.sq
+                w = (vscale * qn).astype(np.float32)
+                sims = (matv @ w).astype(np.float64) + float(vmin @ qn)
+            elif self.use_pq and codes is not None:
                 q_in = qn - self.cent[int(p)] if self.residual else qn
                 d2 = _adc_scores(q_in, self.books, codes)
                 sims = 1.0 - d2 / 2.0 if self.metric == "cosine" else -d2

@@ -341,3 +341,52 @@ def test_codebook_fvecs_roundtrip(tmp_path):
     assert a[["query_id", "rank", "vec_id"]].equals(
         b[["query_id", "rank", "vec_id"]]
     )
+
+
+def test_sq8_codec_error_bound():
+    from mini_ivf_ray.pipelines.similarity import _sq_encode, _train_sq
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(500, 24))
+    vmin, vscale = _train_sq(x)
+    codes = _sq_encode(x, vmin, vscale)
+    decoded = vmin + codes.astype(np.float64) * vscale
+    # in-range values decode within half a quantization step per dim
+    assert (np.abs(decoded - x) <= vscale / 2 + 1e-12).all()
+    # constant dims survive (scale 0 -> code 0 -> exact decode)
+    xc = np.hstack([x, np.full((500, 1), 3.7)])
+    vmin2, vscale2 = _train_sq(xc)
+    codes2 = _sq_encode(xc, vmin2, vscale2)
+    assert (codes2[:, -1] == 0).all()
+    assert np.allclose(vmin2[-1], 3.7)
+
+
+def test_sq8_full_probe_high_recall(tmp_path):
+    df = _clustered_embeddings(n=600)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "sq8")
+    meta = build_ivf_index(ds, idx, n_centroids=8, seed=7, sq_bits=8)
+    assert meta["kind"] == "ivfsq8"
+    # segments carry only uint8 codes, no float embedding column
+    import pyarrow.parquet as pqm
+
+    from mini_ivf_ray.state import manifest as mf
+
+    seg = pqm.read_table(
+        os.path.join(mf.partition_dir(idx, meta["partitions"][0]["partition"]),
+                     "vectors.parquet")
+    )
+    assert "sq" in seg.column_names and "embedding" not in seg.column_names
+
+    qdf = df.head(20)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=10)
+    res = ann_search(idx, ray.data.from_pandas(qdf), k=10, nprobe=8).to_pandas()
+    # full probe: quantization is the only error source
+    assert _recall(res, bf, 10) >= 0.95
+    # self is still its own nearest neighbour under quantized scores
+    r0 = res[res["rank"] == 0].sort_values("query_id")
+    assert (r0["vec_id"].to_numpy() == qdf["vec_id"].to_numpy()).all()
+    # partial probe still works (routing unchanged by quantization)
+    res3 = ann_search(idx, ray.data.from_pandas(qdf), k=10, nprobe=3).to_pandas()
+    assert _recall(res3, bf, 10) >= 0.8
