@@ -1768,6 +1768,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bpe_tokens(sf_dir):
+        """BPE tokenizer lifecycle (Sennrich 2016): one distributed
+        word-count pass (Heaps-bounded table), driver merge loop with
+        incremental pair maintenance (40 merges, deterministic
+        tie-break), then a stateless encode pass with a per-actor
+        word->tokens cache.  Not SQL-expressible (iterative); exactness
+        is pinned by tests/test_bpe.py identity vs a textbook reference.
+        Self-checks: n_bpe_tokens <= characters and >= n_words (a merge
+        never crosses a word boundary)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.bpe import (
+            bpe_token_counts,
+            train_bpe,
+            word_counts,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        wc = word_counts(docs)
+        merges = train_bpe(counts=wc, n_merges=40)
+        assert len(merges) > 0
+        out = (
+            bpe_token_counts(docs, merges)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (out["n_bpe_tokens"] >= out["n_words"]).all()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_words": pa.array(
+                    out["n_words"].to_numpy(), type=pa.int64()
+                ),
+                "n_bpe_tokens": pa.array(
+                    out["n_bpe_tokens"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
     def ann_sq8(sf_dir):
         """IVF-SQ8 (Faiss IVFScalarQuantizer counterpart): segments
         carry ONLY uint8 per-dimension codes (8x smaller than float64
@@ -2382,6 +2427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "ann_recall": ann_recall,
         "ann_sq8": ann_sq8,
+        "bpe_tokens": bpe_tokens,
         "append_roundtrip": append_roundtrip,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
