@@ -1145,6 +1145,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_append(sf_dir):
+        """Reference LoadIndex -> Populate (index_ivfpq.cpp:83-120):
+        an IVF index built over HALF the vectors, the other half
+        APPENDED onto the committed codebooks (assign + per-partition
+        atomic merge, increment lineage) — full-probe search over the
+        appended index is exact, so the very same brute-force SQL
+        oracle gates it."""
+        import shutil
+
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import (
+            ann_search,
+            append_ivf_index,
+            build_ivf_index,
+        )
+
+        emb = pqmod.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        half = emb.num_rows // 2
+        idx = tempfile.mkdtemp(prefix="graft_ivfapp_") + "/idx"
+        build_ivf_index(
+            ray.data.from_arrow(emb.slice(0, half)), idx,
+            n_centroids=8, seed=7,
+        )
+        meta = append_ivf_index(
+            lambda: ray.data.from_arrow(emb.slice(half)), idx
+        )
+        assert meta["counters"]["n_vectors"] == emb.num_rows
+        qids, Q = _ann_queries(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {"vec_id": int(i), "embedding": q.tolist()}
+                for i, q in zip(qids, Q)
+            ]
+        )
+        res = ann_search(idx, qds, k=10, nprobe=8).to_pandas()
+        shutil.rmtree(os.path.dirname(idx), ignore_errors=True)
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def filter_project(sf_dir):
         """Filter + project with the projection AND the filter pushed to
         the read: only (doc_id, n_chars, lang) columns leave storage and
@@ -2405,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": ann_bruteforce,
         "hybrid_rrf": hybrid_rrf,
         "ann_ivf_full": ann_ivf_full,
+        "ann_append": ann_append,
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
@@ -3132,6 +3182,7 @@ FROM documents
 """,
         "ann_bruteforce": _ann_sql(),
         "ann_ivf_full": _ann_sql(),
+        "ann_append": _ann_sql(),
         "hybrid_rrf": _hybrid_sql(),
         "hdf5_roundtrip": """
 SELECT vec_id,

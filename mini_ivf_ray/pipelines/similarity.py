@@ -229,6 +229,13 @@ def build_ivf_index(
         raise ValueError("sq_bits and pq_m are mutually exclusive")
     if sq_bits and metric != "cosine":
         raise ValueError("sq_bits currently supports metric='cosine'")
+    if os.path.exists(os.path.join(index_dir, "ivf_append.json")):
+        # an interrupted vector append owns this index; a plain build
+        # here would recommit the manifest and orphan the increment
+        raise RuntimeError(
+            f"{index_dir}: a vector append is in progress "
+            "(ivf_append.json); re-run append_ivf_index to resume it"
+        )
     existing = mf.read_index_manifest(index_dir)
     if existing is not None:
         return existing
@@ -329,6 +336,168 @@ def build_ivf_index(
         "counters": counters,
     }
     mf.commit_index(index_dir, meta)
+    return meta
+
+
+def append_ivf_index(
+    embeddings_ds_factory,
+    index_dir: str,
+    on_existing: str = "error",
+    _fail_parts: tuple = (),
+) -> dict:
+    """Populate NEW vectors onto a committed index's codebooks — the
+    reference's exact LoadIndex -> Populate workflow
+    (test_ivfpq_sift1m_baseline.cpp:53-56, index_ivfpq.cpp:83-120):
+    centroids / PQ books / SQ bounds are NOT retrained, new vectors are
+    assigned and appended to their partitions.
+
+    Shape: one broadcast-codebook assign pass over the increment, one
+    ``groupby(part)`` that touches only partitions receiving vectors;
+    each touched partition merges (old ++ new, re-sorted by vec_id) and
+    commits atomically with increment lineage — an interrupted append
+    resumes from its ``ivf_append.json`` marker and skips partitions
+    whose lineage already records this increment (the merge is
+    idempotent, never double-applied).
+
+    ``on_existing``: ``"error"`` raises when an increment vec_id is
+    already indexed; ``"skip"`` drops those rows (committed wins).
+
+    ``embeddings_ds_factory``: zero-arg callable returning the
+    increment Dataset (called once per attempt — resume re-reads the
+    same input, mirroring pipelines/append.append_index)."""
+    import ray
+
+    existing = mf.read_index_manifest(index_dir)
+    marker = os.path.join(index_dir, "ivf_append.json")
+    if existing is None and not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"append_ivf_index: no committed index at {index_dir}"
+        )
+    if on_existing not in ("error", "skip"):
+        raise ValueError(
+            f"on_existing must be 'error' or 'skip', got {on_existing!r}"
+        )
+    if os.path.exists(marker):
+        with open(marker) as f:
+            state = json.load(f)
+    else:
+        state = {
+            "increment": len(
+                existing.get("lineage", {}).get("increments", [])
+            ) + 1,
+            "prior_meta": existing,
+        }
+        with open(marker + ".tmp", "w") as f:
+            json.dump(state, f)
+        os.replace(marker + ".tmp", marker)
+        # the index is owned by this append until it finishes
+        os.remove(os.path.join(index_dir, "manifest.json"))
+    increment = int(state["increment"])
+    prior_meta = state["prior_meta"]
+    metric = prior_meta.get("metric", "cosine")
+    n_centroids = int(prior_meta["n_centroids"])
+
+    z = np.load(os.path.join(index_dir, "centroids.npz"), allow_pickle=False)
+    cent = z["cent"]
+    books = z["books"] if "books" in z.files else None
+    residual = bool(z["residual"]) if "residual" in z.files else False
+    sq = (z["sq_min"], z["sq_scale"]) if "sq_min" in z.files else None
+
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books) if books is not None else None
+    sq_ref = ray.put(sq) if sq is not None else None
+    assigned = embeddings_ds_factory().map_batches(
+        _Assigner,
+        fn_constructor_args=(cent_ref, books_ref, residual, metric, sq_ref),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+    skip_existing = on_existing == "skip"
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"part": pa.array([], type=pa.int64()),
+                             "n_new": pa.array([], type=pa.int64())})
+        p = int(group["part"][0].as_py())
+        if p in _fail_parts:  # crash-injection hook (tests only)
+            raise RuntimeError(f"simulated crash before partition {p}")
+        try:
+            pm = mf.read_partition_manifest(index_dir, p)
+            if increment in pm.get("lineage", {}).get("increments", []):
+                # resume: this partition already merged this increment
+                return pa.table({"part": pa.array([p], type=pa.int64()),
+                                 "n_new": pa.array([0], type=pa.int64())})
+            old_counters = pm["counters"]
+            old_lineage = pm.get("lineage", {})
+        except FileNotFoundError:
+            old_counters, old_lineage = {"n_vectors": 0}, {}
+        new = group.drop_columns(["part"])
+        path = os.path.join(mf.partition_dir(index_dir, p), "vectors.parquet")
+        if os.path.exists(path):
+            old = pq.read_table(path)
+            dup = np.intersect1d(
+                old[_ID_COL].to_numpy(), new[_ID_COL].to_numpy()
+            )
+            if dup.size:
+                if not skip_existing:
+                    raise ValueError(
+                        f"append_ivf_index: {dup.size} vec_id(s) already "
+                        f"indexed in partition {p} (first: {dup[:5].tolist()}); "
+                        "use on_existing='skip'"
+                    )
+                keep = ~np.isin(new[_ID_COL].to_numpy(), dup)
+                new = new.filter(pa.array(keep))
+            merged = pa.concat_tables([old, new], promote_options="default")
+        else:
+            merged = new
+        order = np.argsort(merged[_ID_COL].to_numpy(), kind="stable")
+        merged = merged.take(order)
+
+        def writer(tmp_dir):
+            pq.write_table(merged, f"{tmp_dir}/vectors.parquet")
+
+        lineage = dict(old_lineage)
+        lineage.setdefault("kind", "ivf")
+        lineage["increments"] = list(lineage.get("increments", [])) + [increment]
+        mf.commit_partition(
+            index_dir, p, writer, {"n_vectors": merged.num_rows}, lineage
+        )
+        return pa.table({"part": pa.array([p], type=pa.int64()),
+                         "n_new": pa.array([new.num_rows], type=pa.int64())})
+
+    stats = (
+        assigned.groupby("part")
+        .map_groups(merge_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    n_new = int(stats["n_new"].sum()) if len(stats) else 0
+
+    counters = {"n_vectors": 0}
+    parts = []
+    for p in range(n_centroids):
+        try:
+            pm = mf.read_partition_manifest(index_dir, p)
+        except FileNotFoundError:
+            continue
+        parts.append({"partition": p, **pm["counters"]})
+        counters["n_vectors"] += pm["counters"]["n_vectors"]
+    increments = list(
+        prior_meta.get("lineage", {}).get("increments", [])
+    ) + [{"increment": increment, "new_vectors": n_new}]
+    meta = {
+        **{k: v for k, v in prior_meta.items() if k not in ("partitions", "counters")},
+        "lineage": {
+            **prior_meta.get("lineage", {}),
+            "increments": increments,
+        },
+        "partitions": parts,
+        "counters": counters,
+    }
+    mf.commit_index(index_dir, meta)
+    os.remove(marker)
     return meta
 
 

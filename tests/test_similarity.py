@@ -5,6 +5,7 @@ import os
 
 import numpy as np
 import pandas as pd
+import pytest
 import pyarrow as pa
 
 import ray.data
@@ -390,3 +391,91 @@ def test_sq8_full_probe_high_recall(tmp_path):
     # partial probe still works (routing unchanged by quantization)
     res3 = ann_search(idx, ray.data.from_pandas(qdf), k=10, nprobe=3).to_pandas()
     assert _recall(res3, bf, 10) >= 0.8
+
+
+def test_ivf_append_populate(tmp_path):
+    """Reference LoadIndex -> Populate (index_ivfpq.cpp:83-120): new
+    vectors onto committed codebooks; full-probe search over the union
+    equals brute force exactly (raw IVF stores exact vectors)."""
+    from mini_ivf_ray.pipelines.similarity import append_ivf_index
+
+    df = _clustered_embeddings(n=600)
+    a, b = df.iloc[:400], df.iloc[400:]
+    ds_a = ray.data.from_pandas(a[["vec_id", "embedding"]])
+    idx = str(tmp_path / "ivfapp")
+    build_ivf_index(ds_a, idx, n_centroids=8, seed=7)
+
+    meta = append_ivf_index(
+        lambda: ray.data.from_pandas(b[["vec_id", "embedding"]]), idx
+    )
+    assert meta["counters"]["n_vectors"] == 600
+    assert meta["lineage"]["increments"][-1]["new_vectors"] == 200
+
+    union = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    qdf = df.iloc[390:410][["vec_id", "embedding"]]  # straddles A/B
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(union, Q, qdf["vec_id"].to_numpy(), k=5).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    res = (
+        ann_search(idx, ray.data.from_pandas(qdf), k=5, nprobe=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(res["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
+    np.testing.assert_allclose(res["cosine"].to_numpy(), bf["cosine"].to_numpy(), atol=2e-6)
+
+    # duplicate ids raise; skip mode drops them
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="already"):
+        append_ivf_index(
+            lambda: ray.data.from_pandas(b[["vec_id", "embedding"]]), idx
+        )
+    # a failed append leaves a marker: plain build refuses, resume works
+    assert os.path.exists(os.path.join(idx, "ivf_append.json"))
+    with _pytest.raises(RuntimeError, match="append"):
+        build_ivf_index(ds_a, idx, n_centroids=8, seed=7)
+    meta2 = append_ivf_index(
+        lambda: ray.data.from_pandas(b[["vec_id", "embedding"]]), idx,
+        on_existing="skip",
+    )
+    assert meta2["counters"]["n_vectors"] == 600  # nothing re-added
+    assert meta2["lineage"]["increments"][-1]["new_vectors"] == 0
+
+
+def test_ivf_append_resume_no_duplicates(tmp_path):
+    """Crash after SOME partitions merged, then resume: per-partition
+    increment lineage prevents double-merging."""
+    from mini_ivf_ray.pipelines.similarity import append_ivf_index
+    from mini_ivf_ray.state import manifest as mf_mod
+
+    df = _clustered_embeddings(n=500, seed=5)
+    a, b = df.iloc[:350], df.iloc[350:]
+    idx = str(tmp_path / "ivfres")
+    build_ivf_index(
+        ray.data.from_pandas(a[["vec_id", "embedding"]]), idx,
+        n_centroids=8, seed=7,
+    )
+
+    # first attempt dies before merging partition 0 (other partitions
+    # may or may not have committed first -- ray schedules groups in
+    # any order, which is exactly the crash window being tested)
+    with pytest.raises(Exception, match="simulated crash"):
+        append_ivf_index(
+            lambda: ray.data.from_pandas(b[["vec_id", "embedding"]]), idx,
+            _fail_parts=(0, 1),
+        )
+    assert os.path.exists(os.path.join(idx, "ivf_append.json"))
+    meta = append_ivf_index(
+        lambda: ray.data.from_pandas(b[["vec_id", "embedding"]]), idx
+    )
+    assert meta["counters"]["n_vectors"] == 500
+    # no vec_id appears twice anywhere
+    import pyarrow.parquet as pqm
+
+    seen = []
+    for p in range(8):
+        path = os.path.join(mf_mod.partition_dir(idx, p), "vectors.parquet")
+        if os.path.exists(path):
+            seen.append(pqm.read_table(path)["vec_id"].to_numpy())
+    seen = np.concatenate(seen)
+    assert len(seen) == 500 and len(np.unique(seen)) == 500
