@@ -1194,6 +1194,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_sq8_refined(sf_dir):
+        """Two-stage retrieval (Faiss IndexRefine pattern): the SQ8
+        index produces depth=100 candidates per query (full probe),
+        then ONE broadcast-id semi-join fetches the candidates' exact
+        vectors and re-ranks them — equal to exact brute force (the
+        same SQL oracle as ann_bruteforce gates it), at an index
+        footprint 8x smaller than raw."""
+        from mini_ivf_ray.pipelines.similarity import refine_ann
+
+        idx = _ensure_ivf(sf_dir, sq=True)
+        qids, Q = _ann_queries(sf_dir)
+        res = refine_ann(
+            idx, Q, qids, _embeddings(sf_dir), k=10, depth=100
+        ).sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def filter_project(sf_dir):
         """Filter + project with the projection AND the filter pushed to
         the read: only (doc_id, n_chars, lang) columns leave storage and
@@ -2455,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": hybrid_rrf,
         "ann_ivf_full": ann_ivf_full,
         "ann_append": ann_append,
+        "ann_sq8_refined": ann_sq8_refined,
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
@@ -3183,6 +3209,7 @@ FROM documents
         "ann_bruteforce": _ann_sql(),
         "ann_ivf_full": _ann_sql(),
         "ann_append": _ann_sql(),
+        "ann_sq8_refined": _ann_sql(),
         "hybrid_rrf": _hybrid_sql(),
         "hdf5_roundtrip": """
 SELECT vec_id,

@@ -28,6 +28,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -709,6 +710,82 @@ def ann_search(index_dir: str, queries_ds, k: int = 10, nprobe: int = 4,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def refine_ann(
+    index_dir: str,
+    Q: np.ndarray,
+    qids,
+    embeddings_ds,
+    k: int = 10,
+    depth: int = 100,
+    nprobe: int | None = None,
+) -> pd.DataFrame:
+    """Two-stage retrieval (the Faiss IndexRefine pattern): a quantized
+    index (SQ8/PQ/raw IVF) produces ``depth`` candidates per query,
+    then the candidates' EXACT vectors are fetched and re-ranked.
+
+    Scale shape: stage 1 probes the compressed index; stage 2 is one
+    broadcast-id semi-join over the embeddings table (only candidate
+    rows — O(nq x depth) — ever come back) + a driver-side (cands x d)
+    @ (d x nq) matmul.  With nprobe=all and sufficient depth the
+    result equals exact brute force: the only way a true top-k member
+    escapes is quantization error pushing it below rank ``depth``."""
+    import ray
+
+    man = mf.read_index_manifest(index_dir)
+    s = IVFSearcher(
+        index_dir, k=depth,
+        nprobe=nprobe if nprobe is not None else int(man["n_centroids"]),
+    )
+    qids = np.asarray(qids, dtype=np.int64)
+    cand_per_q: list[np.ndarray] = []
+    for q in Q:
+        ids, _, _ = s.query_one(np.asarray(q, dtype=np.float64))
+        cand_per_q.append(ids.astype(np.int64))
+    all_ids = np.unique(np.concatenate(cand_per_q)) if cand_per_q else np.empty(0, np.int64)
+    ids_ref = ray.put(all_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        want = _ray.get(ids_ref)
+        vid = batch[_ID_COL].to_numpy()
+        pos = np.minimum(np.searchsorted(want, vid), max(0, want.size - 1))
+        keep = want[pos] == vid if want.size else np.zeros(len(vid), bool)
+        return batch.filter(pa.array(keep))
+
+    got = pa.concat_tables(
+        embeddings_ds.map_batches(fetch, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ) if all_ids.size else None
+    out = {"query_id": [], "rank": [], "vec_id": [], "cosine": []}
+    if got is not None and got.num_rows:
+        fids = got[_ID_COL].to_numpy()
+        V = _normalize(list_to_matrix(got[_EMB_COL], np.float64))
+        order = np.argsort(fids, kind="stable")
+        fids, V = fids[order], V[order]
+        for qid, q, cids in zip(qids, Q, cand_per_q):
+            if not cids.size:
+                continue
+            qn = np.asarray(q, np.float64)
+            qn = qn / (np.linalg.norm(qn) or 1.0)
+            # every candidate came from the index over this same table,
+            # so membership is guaranteed; guard anyway
+            pos = np.minimum(np.searchsorted(fids, cids), fids.size - 1)
+            pos = pos[fids[pos] == cids]
+            sims = V[pos] @ qn
+            sel_ids = fids[pos]
+            top = np.lexsort((sel_ids, -sims))[: min(k, len(pos))]
+            out["query_id"].extend([int(qid)] * len(top))
+            out["rank"].extend(range(len(top)))
+            out["vec_id"].extend(sel_ids[top].tolist())
+            out["cosine"].extend(np.round(sims[top], 6).tolist())
+    df = pd.DataFrame(out)
+    if len(df):
+        df["rank"] = df["rank"].astype(np.int32)
+    return df
 
 
 # ---------------------------------------------------------------------------

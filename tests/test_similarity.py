@@ -479,3 +479,24 @@ def test_ivf_append_resume_no_duplicates(tmp_path):
             seen.append(pqm.read_table(path)["vec_id"].to_numpy())
     seen = np.concatenate(seen)
     assert len(seen) == 500 and len(np.unique(seen)) == 500
+
+
+def test_refine_sq8_equals_bruteforce(tmp_path):
+    """Two-stage refine (Faiss IndexRefine pattern): SQ8 candidates at
+    depth 50, exact re-rank -> identical to exact brute force."""
+    from mini_ivf_ray.pipelines.similarity import refine_ann
+
+    df = _clustered_embeddings(n=600)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "sq8r")
+    build_ivf_index(ds, idx, n_centroids=8, seed=7, sq_bits=8)
+
+    qdf = df.head(15)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    bf = brute_force_ann(ds, Q, qdf["vec_id"].to_numpy(), k=10).sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    res = refine_ann(
+        idx, Q, qdf["vec_id"].to_numpy(), ds, k=10, depth=50
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+    np.testing.assert_array_equal(res["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
+    np.testing.assert_allclose(res["cosine"].to_numpy(), bf["cosine"].to_numpy(), atol=1e-9)
