@@ -63,6 +63,8 @@ SPELL_QUERIES: list[str] = [
 N_ANN_QUERIES = 8
 TOKEN_RE_SQL = "[a-z0-9]+"
 STOPWORDS_SQL = "('the','a','of','and','to','in')"
+# python twin of STOPWORDS_SQL (keep in sync)
+STOPWORDS_PY = frozenset(("the", "a", "of", "and", "to", "in"))
 
 _CFG = PipelineConfig(num_partitions=8, topk=10, doc_id_from_url=False)
 
@@ -446,6 +448,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
                 "term": pa.array(out["term"], type=pa.string()),
                 "snippet": pa.array(out["snippet"], type=pa.string()),
+            }
+        )
+
+    def bm25_prf(sf_dir):
+        """Pseudo-relevance-feedback expansion (Rocchio/RM3 family):
+        pass 1 BM25 top-10; expansion terms mined from the feedback
+        docs with an INTEGER-exact rule (sum tf desc, df asc, term
+        asc; stopwords + original terms excluded) so the whole two-pass
+        pipeline is SQL-replayable; pass 2 BM25 over the expanded
+        query.  The feedback-text fetch is one broadcast-id pruned
+        documents pass (pipelines/prf.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.prf import prf_search
+
+        idx = _ensure_index(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        res, _ = prf_search(
+            idx, docs, BM25_QUERIES, _CFG, n_expand=2,
+            stopwords=STOPWORDS_PY, share="decoded",
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
             }
         )
 
@@ -2445,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_compacted": bm25_compacted,
         "spell_suggest": spell_suggest,
         "bm25_snippets": bm25_snippets,
+        "bm25_prf": bm25_prf,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -2621,6 +2660,71 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+"""
+
+
+def _prf_sql() -> str:
+    """Two-pass PRF replay: first-pass BM25 ranking, integer-exact
+    expansion-term mining (sum-tf desc, df asc, term asc; stopwords +
+    original terms anti-joined out), second-pass BM25 over the UNION
+    term set — the same score formula both passes."""
+    score_expr = """
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score"""
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores1 AS (
+  SELECT q.query_id, p.doc_id, {score_expr}
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked1 AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
+            FROM scores1),
+fb AS (SELECT query_id, doc_id FROM ranked1 WHERE rank < 10),
+cand AS (
+  SELECT f.query_id, p.term, CAST(sum(p.tf) AS BIGINT) AS w
+  FROM fb f
+  JOIN postings p ON p.doc_id = f.doc_id
+  LEFT JOIN q qq ON qq.query_id = f.query_id AND qq.term = p.term
+  WHERE qq.term IS NULL AND p.term NOT IN {STOPWORDS_SQL}
+  GROUP BY 1, 2),
+expt AS (
+  SELECT query_id, term FROM (
+    SELECT c.query_id, c.term,
+           row_number() OVER (PARTITION BY c.query_id
+                              ORDER BY c.w DESC, d.df ASC, c.term ASC) AS rn
+    FROM cand c JOIN df d ON d.term = c.term)
+  WHERE rn <= 2),
+q2(query_id, term) AS (
+  SELECT query_id, term FROM q UNION SELECT query_id, term FROM expt),
+scores2 AS (
+  SELECT q2.query_id, p.doc_id, {score_expr}
+  FROM q2
+  JOIN df d ON d.term = q2.term
+  JOIN postings p ON p.term = q2.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked2 AS (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
+            FROM scores2)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
+FROM ranked2 WHERE rank < 10
 """
 
 
@@ -2998,6 +3102,7 @@ FROM documents
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "spell_suggest": _spell_sql(),
         "bm25_snippets": _snippet_sql(),
+        "bm25_prf": _prf_sql(),
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
