@@ -1232,6 +1232,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_deleted(sf_dir):
+        """Vector tombstones (delete_vectors): a COPY of the committed
+        IVF index tombstones vec_id % 10 == 3; the searcher masks them
+        before the top-k cut, then compact_ivf_index physically
+        rewrites only partitions containing tombstones and the same
+        search repeats bit-identically — both stages checked against
+        ONE exact SQL oracle over the surviving vectors (full probe =
+        exact)."""
+        import shutil
+
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.similarity import (
+            ann_search,
+            compact_ivf_index,
+            delete_vectors,
+        )
+
+        src = _ensure_ivf(sf_dir)
+        work = tempfile.mkdtemp(prefix="graft_ivfdel_") + "/idx"
+        shutil.copytree(src, work)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id"]
+        )["vec_id"].to_numpy()
+        victims = ids[(ids % 10 == 3) & (ids >= N_ANN_QUERIES)]
+        delete_vectors(work, victims)
+
+        qids, Q = _ann_queries(sf_dir)
+
+        def run():
+            qds = ray.data.from_items(
+                [
+                    {"vec_id": int(i), "embedding": q.tolist()}
+                    for i, q in zip(qids, Q)
+                ]
+            )
+            return (
+                ann_search(work, qds, k=10, nprobe=8)
+                .to_pandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+
+        masked = run()
+        compact_ivf_index(work)
+        compacted = run()
+        import pandas as pd_
+
+        pd_.testing.assert_frame_equal(masked, compacted)
+        shutil.rmtree(os.path.dirname(work), ignore_errors=True)
+        res = masked
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(res["rank"].to_numpy().astype(np.int64), type=pa.int64()),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def ann_sq8_refined(sf_dir):
         """Two-stage retrieval (Faiss IndexRefine pattern): the SQ8
         index produces depth=100 candidates per query (full probe),
@@ -2520,6 +2582,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": ann_ivf_full,
         "ann_append": ann_append,
         "ann_sq8_refined": ann_sq8_refined,
+        "ann_deleted": ann_deleted,
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
@@ -2923,14 +2986,17 @@ FROM ranked WHERE rank < 10
 """
 
 
-def _ann_sql() -> str:
+def _ann_sql(exclude_pred: str | None = None) -> str:
+    # exclude_pred: tombstone masking (delete_vectors semantics) — the
+    # corpus side drops matching rows before ranking
+    where = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id < {N_ANN_QUERIES}),
 sims AS (SELECT q.query_id, e.vec_id,
                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[])) AS cos
-         FROM q CROSS JOIN embeddings e),
+         FROM q CROSS JOIN (SELECT * FROM embeddings {where}) e),
 ranked AS (SELECT query_id, vec_id, cos,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, vec_id ASC) - 1 AS rank
@@ -3315,6 +3381,9 @@ FROM documents
         "ann_ivf_full": _ann_sql(),
         "ann_append": _ann_sql(),
         "ann_sq8_refined": _ann_sql(),
+        "ann_deleted": _ann_sql(
+            exclude_pred=f"vec_id % 10 = 3 AND vec_id >= {N_ANN_QUERIES}"
+        ),
         "hybrid_rrf": _hybrid_sql(),
         "hdf5_roundtrip": """
 SELECT vec_id,

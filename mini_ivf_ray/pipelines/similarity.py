@@ -502,6 +502,190 @@ def append_ivf_index(
     return meta
 
 
+def vec_tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "vec_deletes.parquet")
+
+
+def deleted_vec_ids(index_dir: str) -> np.ndarray:
+    """Sorted int64 tombstoned vec ids (empty when none)."""
+    path = vec_tombstones_path(index_dir)
+    if not os.path.exists(path):
+        return np.empty(0, dtype=np.int64)
+    return pq.read_table(path)["vec_id"].to_numpy().astype(np.int64)
+
+
+def delete_vectors(
+    index_dir: str, vec_ids, on_missing: str = "error"
+) -> dict:
+    """Tombstone vectors in a committed IVF index (the ANN counterpart
+    of pipelines/maintenance.delete_docs): IVFSearcher masks them
+    before the top-k cut immediately; compact_ivf_index removes them
+    physically.  Existence is verified with one broadcast-id pruned
+    pass over the segment id columns."""
+    import ray
+    import ray.data
+
+    if mf.read_index_manifest(index_dir) is None:
+        raise FileNotFoundError(
+            f"delete_vectors: no committed index at {index_dir}"
+        )
+    if os.path.exists(os.path.join(index_dir, "ivf_append.json")):
+        raise RuntimeError(
+            f"delete_vectors: index at {index_dir} has an in-progress append"
+        )
+    if on_missing not in ("error", "ignore"):
+        raise ValueError(
+            f"on_missing must be 'error' or 'ignore', got {on_missing!r}"
+        )
+    ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+    man = mf.read_index_manifest(index_dir)
+    paths = [
+        os.path.join(mf.partition_dir(index_dir, p["partition"]), "vectors.parquet")
+        for p in man["partitions"]
+    ]
+    paths = [p for p in paths if os.path.exists(p)]
+    ids_ref = ray.put(ids)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        want = _ray.get(ids_ref)
+        vid = batch[_ID_COL].to_numpy().astype(np.int64)
+        pos = np.minimum(np.searchsorted(want, vid), want.size - 1)
+        return pa.table(
+            {_ID_COL: pa.array(vid[want[pos] == vid], type=pa.int64())}
+        )
+
+    hits = np.empty(0, dtype=np.int64)
+    if paths and ids.size:
+        got = (
+            ray.data.read_parquet(paths, columns=[_ID_COL])
+            .map_batches(probe, batch_format="pyarrow")
+            .to_pandas()
+        )
+        if _ID_COL in got.columns and len(got):
+            hits = np.unique(got[_ID_COL].to_numpy().astype(np.int64))
+    missing = np.setdiff1d(ids, hits)
+    if missing.size and on_missing == "error":
+        raise KeyError(
+            f"delete_vectors: {missing.size} vec id(s) not indexed "
+            f"(first: {missing[:5].tolist()})"
+        )
+    prior = deleted_vec_ids(index_dir)
+    merged = np.union1d(prior, hits)
+    path = vec_tombstones_path(index_dir)
+    if merged.size:
+        pq.write_table(
+            pa.table({"vec_id": pa.array(merged, type=pa.int64())}),
+            path + ".tmp",
+        )
+        os.replace(path + ".tmp", path)
+    return {
+        "requested": int(ids.size),
+        "missing": int(missing.size),
+        "new_tombstones": int(merged.size - prior.size),
+        "total_tombstones": int(merged.size),
+    }
+
+
+def compact_ivf_index(index_dir: str) -> dict:
+    """Physically drop tombstoned vectors: one Ray task per partition
+    rewrites (filter + atomic commit) only partitions containing
+    tombstones.  No global statistics are baked into IVF segments (the
+    codebooks are data-independent once trained), so unlike the BM25
+    compaction nothing else changes — untouched partitions keep their
+    exact bytes.  Idempotent and marker-free: tombstones clear only
+    after every partition committed, so an interrupted compaction
+    re-runs to completion (re-filtering a clean partition is a no-op
+    skip)."""
+    import ray
+    import ray.data
+
+    man = mf.read_index_manifest(index_dir)
+    if man is None:
+        raise FileNotFoundError(
+            f"compact_ivf_index: no committed index at {index_dir}"
+        )
+    tomb = deleted_vec_ids(index_dir)
+    if tomb.size == 0:
+        return man
+    tomb_ref = ray.put(tomb)
+    parts = [p["partition"] for p in man["partitions"]]
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        drop = _ray.get(tomb_ref)
+        out_p, out_removed = [], []
+        for p in batch["pid"].to_pylist():
+            p = int(p)
+            path = os.path.join(mf.partition_dir(index_dir, p), "vectors.parquet")
+            if not os.path.exists(path):
+                continue
+            t = pq.read_table(path)
+            vid = t[_ID_COL].to_numpy().astype(np.int64)
+            pos = np.minimum(np.searchsorted(drop, vid), drop.size - 1)
+            keep = drop[pos] != vid
+            n_drop = int((~keep).sum())
+            if n_drop == 0:
+                continue
+            kept = t.filter(pa.array(keep))
+            try:
+                lineage = mf.read_partition_manifest(index_dir, p).get("lineage", {})
+            except FileNotFoundError:
+                lineage = {}
+            lineage = dict(lineage)
+            lineage["compactions"] = int(lineage.get("compactions", 0)) + 1
+
+            def writer(tmp_dir):
+                pq.write_table(kept, f"{tmp_dir}/vectors.parquet")
+
+            mf.commit_partition(
+                index_dir, p, writer, {"n_vectors": kept.num_rows}, lineage
+            )
+            out_p.append(p)
+            out_removed.append(n_drop)
+        return pa.table(
+            {
+                "pid": pa.array(out_p, type=pa.int64()),
+                "removed": pa.array(out_removed, type=pa.int64()),
+            }
+        )
+
+    stats = (
+        ray.data.from_items(
+            [{"pid": p} for p in parts], override_num_blocks=max(1, len(parts))
+        )
+        .map_batches(rewrite, batch_format="pyarrow", batch_size=1, num_cpus=1)
+        .to_pandas()
+    )
+    removed = int(stats["removed"].sum()) if len(stats) else 0
+
+    counters = {"n_vectors": 0}
+    out_parts = []
+    for p in range(int(man["n_centroids"])):
+        try:
+            pm = mf.read_partition_manifest(index_dir, p)
+        except FileNotFoundError:
+            continue
+        out_parts.append({"partition": p, **pm["counters"]})
+        counters["n_vectors"] += pm["counters"]["n_vectors"]
+    meta = {
+        **{k: v for k, v in man.items() if k not in ("partitions", "counters")},
+        "lineage": {
+            **man.get("lineage", {}),
+            "compactions": list(
+                man.get("lineage", {}).get("compactions", [])
+            ) + [{"removed_vectors": removed}],
+        },
+        "partitions": out_parts,
+        "counters": counters,
+    }
+    mf.commit_index(index_dir, meta)
+    os.remove(vec_tombstones_path(index_dir))
+    return meta
+
+
 # ---------------------------------------------------------------------------
 # Reference-format codebook interop (r2 VERDICT missing #4)
 # ---------------------------------------------------------------------------
@@ -579,6 +763,8 @@ class IVFSearcher:
         self.sq = (
             (z["sq_min"], z["sq_scale"]) if "sq_min" in z.files else None
         )
+        # tombstones (delete_vectors): masked before the top-k cut
+        self.denied = deleted_vec_ids(index_dir)
         self._parts: dict[int, tuple] = {}
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.meta = json.load(f)
@@ -673,6 +859,17 @@ class IVFSearcher:
             return np.empty(0, dtype=np.int64), np.empty(0), 0
         ids = np.concatenate(all_ids)
         sims = np.concatenate(all_sims)
+        if self.denied.size:
+            # live-docs mask applied to the full match set BEFORE the
+            # top-k cut (a post-filter would under-fill)
+            pos = np.minimum(
+                np.searchsorted(self.denied, ids.astype(np.int64)),
+                self.denied.size - 1,
+            )
+            keep = self.denied[pos] != ids.astype(np.int64)
+            ids, sims = ids[keep], sims[keep]
+            if not ids.size:
+                return np.empty(0, dtype=np.int64), np.empty(0), searched
         k = min(self.k, len(ids))
         top = np.argpartition(-sims, k - 1)[:k]
         top = top[np.lexsort((ids[top], -sims[top]))]

@@ -500,3 +500,63 @@ def test_refine_sq8_equals_bruteforce(tmp_path):
     ).sort_values(["query_id", "rank"]).reset_index(drop=True)
     np.testing.assert_array_equal(res["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
     np.testing.assert_allclose(res["cosine"].to_numpy(), bf["cosine"].to_numpy(), atol=1e-9)
+
+
+def test_vector_delete_and_compact(tmp_path):
+    """ANN maintenance lifecycle: tombstoned vectors vanish from search
+    immediately (survivor scores unchanged); compaction physically
+    removes them and search equals brute force over the remainder."""
+    from mini_ivf_ray.pipelines.similarity import (
+        compact_ivf_index,
+        delete_vectors,
+        deleted_vec_ids,
+    )
+    from mini_ivf_ray.state import manifest as mf_mod
+
+    df = _clustered_embeddings(n=500, seed=9)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]])
+    idx = str(tmp_path / "ivfdel")
+    build_ivf_index(ds, idx, n_centroids=8, seed=7)
+
+    victims = df["vec_id"].to_numpy()[::4]
+    out = delete_vectors(idx, victims)
+    assert out["total_tombstones"] == len(victims)
+    assert np.array_equal(deleted_vec_ids(idx), np.sort(victims))
+    with pytest.raises(KeyError):
+        delete_vectors(idx, [999999])
+
+    qdf = df.head(12)[["vec_id", "embedding"]]
+    Q = np.array(qdf["embedding"].tolist())
+    keep_df = df[~df["vec_id"].isin(victims)]
+    bf = brute_force_ann(
+        ray.data.from_pandas(keep_df[["vec_id", "embedding"]]),
+        Q, qdf["vec_id"].to_numpy(), k=5,
+    ).sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    res = (
+        ann_search(idx, ray.data.from_pandas(qdf), k=5, nprobe=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(res["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
+    np.testing.assert_allclose(res["cosine"].to_numpy(), bf["cosine"].to_numpy(), atol=2e-6)
+
+    meta = compact_ivf_index(idx)
+    assert deleted_vec_ids(idx).size == 0
+    assert meta["counters"]["n_vectors"] == len(df) - len(victims)
+    # victims physically gone from every segment
+    import pyarrow.parquet as pqm
+
+    for p in range(8):
+        path = os.path.join(mf_mod.partition_dir(idx, p), "vectors.parquet")
+        if os.path.exists(path):
+            vid = pqm.read_table(path)["vec_id"].to_numpy()
+            assert not np.isin(vid, victims).any()
+    # search after compaction still equals brute force over survivors
+    res2 = (
+        ann_search(idx, ray.data.from_pandas(qdf), k=5, nprobe=8)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(res2["vec_id"].to_numpy(), bf["vec_id"].to_numpy())
+    # compaction with no tombstones is a no-op
+    again = compact_ivf_index(idx)
+    assert again["counters"]["n_vectors"] == meta["counters"]["n_vectors"]
