@@ -451,6 +451,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def doc_chunks(sf_dir):
+        """Context-window chunking (RAG/embedding prep): 64-token
+        windows with 16-token overlap, one flat-map pass, zero shuffle
+        (pipelines/sampling.chunk_documents)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import chunk_documents
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        t = pa.concat_tables(
+            chunk_documents(docs, chunk_tokens=64, overlap=16).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("doc_id", "ascending"), ("chunk_id", "ascending")]
+        )
+        return t.take(order)
+
     def bm25_prf(sf_dir):
         """Pseudo-relevance-feedback expansion (Rocchio/RM3 family):
         pass 1 BM25 top-10; expansion terms mined from the feedback
@@ -2546,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "bm25_snippets": bm25_snippets,
         "bm25_prf": bm25_prf,
+        "doc_chunks": doc_chunks,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -3169,6 +3192,21 @@ FROM documents
         "spell_suggest": _spell_sql(),
         "bm25_snippets": _snippet_sql(),
         "bm25_prf": _prf_sql(),
+        "doc_chunks": f"""
+WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
+            FROM documents),
+meta AS (SELECT doc_id, t, len(t) AS n,
+                CASE WHEN len(t) <= 64 THEN 1
+                     ELSE 1 + CAST(ceil((len(t) - 64)::DOUBLE / 48) AS BIGINT)
+                END AS nch
+         FROM tl),
+ch AS (SELECT doc_id, t, n, unnest(generate_series(0, nch - 1)) AS i FROM meta)
+SELECT doc_id, i AS chunk_id,
+       CAST(greatest(0, least(n, i * 48 + 64) - i * 48) AS BIGINT) AS n_tokens,
+       coalesce(array_to_string(t[i * 48 + 1 : least(n, i * 48 + 64)], ' '), '')
+         AS chunk
+FROM ch
+""",
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),

@@ -435,3 +435,59 @@ def clip_tokens(docs_ds, max_tokens: int = 64):
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def chunk_documents(
+    docs_ds,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+):
+    """Split documents into fixed-size overlapping token windows — the
+    context-length chunking step RAG/embedding pipelines run before
+    encoding (``pack_sequences``'s sibling: packing concatenates short
+    docs, chunking splits long ones).
+
+    Chunk ``i`` covers tokens [i*stride, i*stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; a doc of n <= chunk_tokens tokens
+    yields exactly one chunk, else 1 + ceil((n - chunk_tokens) /
+    stride) — every token belongs to >= 1 chunk, consecutive chunks
+    share ``overlap`` tokens.  Stateless per-batch flat map (one output
+    row per chunk), zero shuffle; deterministic, so the DuckDB
+    list-slice oracle replays it exactly.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk) with chunk the
+    space-joined token window (empty string for an empty document's
+    single chunk, matching coalesce(array_to_string(...), ''))."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.functions.tokenize import tokenize
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_d, out_c, out_n, out_t = [], [], [], []
+        for did, text in zip(ids, batch[text_col].to_pylist()):
+            toks = tokenize(text)
+            n = len(toks)
+            nch = 1 if n <= chunk_tokens else 1 + -(-(n - chunk_tokens) // stride)
+            for i in range(nch):
+                lo = i * stride
+                hi = min(n, lo + chunk_tokens)
+                out_d.append(int(did))
+                out_c.append(i)
+                out_n.append(max(0, hi - lo))
+                out_t.append(" ".join(toks[lo:hi]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "chunk_id": pa.array(out_c, type=pa.int64()),
+                "n_tokens": pa.array(out_n, type=pa.int64()),
+                "chunk": pa.array(out_t, type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(explode, batch_format="pyarrow")

@@ -320,3 +320,51 @@ class TestPackSequences:
         # (1, 1); doc 3 at (1, 3)
         assert got["seq_id"].tolist() == [0, 1, 1]
         assert got["seq_off"].tolist() == [0, 1, 3]
+
+
+def test_chunk_documents_rules():
+    import pyarrow as pa
+
+    import ray.data as ray_data
+
+    from mini_ivf_ray.pipelines.sampling import chunk_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [
+                " ".join(f"w{i}" for i in range(10)),   # 1 chunk
+                " ".join(f"w{i}" for i in range(100)),  # 3 chunks (64/16)
+                "",                                      # empty: 1 empty chunk
+            ],
+        }
+    )
+    out = (
+        chunk_documents(ray_data.from_arrow(docs), chunk_tokens=64, overlap=16)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out[out.doc_id == 1]["n_tokens"]) == [10]
+    g2 = out[out.doc_id == 2]
+    # chunks cover [0,64) and [48,100) — 1 + ceil((100-64)/48) = 2,
+    # every token covered, 16-token overlap between the two
+    assert list(g2["n_tokens"]) == [64, 52]
+    toks2 = g2["chunk"].tolist()
+    assert toks2[0].split()[0] == "w0" and toks2[1].split()[0] == "w48"
+    # consecutive chunks share exactly the overlap suffix/prefix
+    assert toks2[0].split()[-16:] == toks2[1].split()[:16]
+    g3 = out[out.doc_id == 3]
+    assert list(g3["n_tokens"]) == [0] and g3["chunk"].iloc[0] == ""
+    # blocking independence
+    out2 = (
+        chunk_documents(
+            ray_data.from_arrow(docs).repartition(3), chunk_tokens=64, overlap=16
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(out, out2)
