@@ -451,6 +451,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def tpch_q1(sf_dir):
+        """TPC-H Q1 pricing summary over lineitem: per-batch integer
+        (cents/hundredths) partial sums per (returnflag, linestatus),
+        one tiny driver reduce — the canonical combiner-first aggregate
+        with exact money arithmetic (pipelines/olap.pricing_summary)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.olap import pricing_summary
+
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+            ],
+        )
+        out = pricing_summary(li, cutoff="2000-12-01")
+        return pa.table(
+            {
+                "l_returnflag": pa.array(out["l_returnflag"], type=pa.string()),
+                "l_linestatus": pa.array(out["l_linestatus"], type=pa.string()),
+                "sum_qty": pa.array(out["sum_qty"].to_numpy(), type=pa.int64()),
+                "sum_base_cents": pa.array(
+                    out["sum_base_cents"].to_numpy(), type=pa.int64()
+                ),
+                "sum_disc_e4": pa.array(
+                    out["sum_disc_e4"].to_numpy(), type=pa.int64()
+                ),
+                "sum_charge_e6": pa.array(
+                    out["sum_charge_e6"].to_numpy(), type=pa.int64()
+                ),
+                "avg_qty": pa.array(out["avg_qty"].to_numpy(), type=pa.float64()),
+                "avg_price": pa.array(
+                    out["avg_price"].to_numpy(), type=pa.float64()
+                ),
+                "avg_disc": pa.array(
+                    out["avg_disc"].to_numpy(), type=pa.float64()
+                ),
+                "count_order": pa.array(
+                    out["count_order"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
     def doc_chunks(sf_dir):
         """Context-window chunking (RAG/embedding prep): 64-token
         windows with 16-token overlap, one flat-map pass, zero shuffle
@@ -2569,6 +2613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_snippets": bm25_snippets,
         "bm25_prf": bm25_prf,
         "doc_chunks": doc_chunks,
+        "tpch_q1": tpch_q1,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -3192,6 +3237,29 @@ FROM documents
         "spell_suggest": _spell_sql(),
         "bm25_snippets": _snippet_sql(),
         "bm25_prf": _prf_sql(),
+        "tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT)
+         AS sum_charge_e6,
+       sum(CAST(round(l_quantity) AS BIGINT))::DOUBLE / count(*) AS avg_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::DOUBLE / 100
+         / count(*) AS avg_price,
+       sum(CAST(round(l_discount * 100) AS BIGINT))::DOUBLE / 100
+         / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
         "doc_chunks": f"""
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
             FROM documents),

@@ -161,3 +161,69 @@ def rollup_agg(
     if floor_sum_col is None:
         out = out.drop(columns=[floor_sum_as])
     return out
+
+
+def pricing_summary(lineitem_ds, cutoff: str = "2000-12-01"):
+    """TPC-H Q1 (pricing summary report) — the canonical combiner-first
+    aggregate: per-batch partial sums per (returnflag, linestatus),
+    one tiny driver reduce (<= groups x batches rows), zero shuffle.
+
+    Money is accumulated as EXACT INTEGERS (pitfall: numpy round is
+    half-even, DuckDB's half-away; float sums are order-dependent):
+    prices as cents, discount/tax as hundredths, so
+      sum_disc_e4   = sum(cents * (100 - disc_h))          [cents x 1e2]
+      sum_charge_e6 = sum(cents * (100-disc_h) * (100+tax_h)) [cents x 1e4]
+    are int64-exact (headroom: ~7e10 per row, ~1e8 rows before
+    overflow — shard the reduce by group beyond that).  The avg_*
+    columns are raw float64 divisions of those exact integers, so both
+    engines produce bit-identical doubles."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cut = np.datetime64(cutoff + "T00:00:00", "us")
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(cut))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], type=pa.string() if c in ("rf", "ls") else pa.int64())
+                 for c in ("rf", "ls", "sum_qty", "sum_base_cents",
+                           "sum_disc_e4", "sum_charge_e6", "sum_disc_h", "n")}
+            )
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_h = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax_h = np.rint(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "rf": b["l_returnflag"].to_pandas(),
+                "ls": b["l_linestatus"].to_pandas(),
+                "sum_qty": qty,
+                "sum_base_cents": cents,
+                "sum_disc_e4": cents * (100 - disc_h),
+                "sum_charge_e6": cents * (100 - disc_h) * (100 + tax_h),
+                "sum_disc_h": disc_h,
+                "n": 1,
+            }
+        )
+        out = df.groupby(["rf", "ls"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = lineitem_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    if "rf" not in parts.columns or not len(parts):
+        return pd.DataFrame()
+    agg = parts.groupby(["rf", "ls"], sort=True).sum().reset_index()
+    agg = agg.rename(columns={"rf": "l_returnflag", "ls": "l_linestatus",
+                              "n": "count_order"})
+    # raw float64 divisions of exact integers: bit-identical cross-engine
+    agg["avg_qty"] = agg["sum_qty"].astype(np.float64) / agg["count_order"]
+    agg["avg_price"] = (
+        agg["sum_base_cents"].astype(np.float64) / 100.0 / agg["count_order"]
+    )
+    agg["avg_disc"] = (
+        agg["sum_disc_h"].astype(np.float64) / 100.0 / agg["count_order"]
+    )
+    return agg
