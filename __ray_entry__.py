@@ -495,6 +495,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def tpch_q3(sf_dir):
+        """TPC-H Q3 shipping-priority composition: BUILDING-segment
+        customer keys reduce orders via one broadcast semi-filter (the
+        small side ships once), the surviving orders broadcast-join
+        into a pruned lineitem scan, revenue accumulates as exact
+        integer e4 (cents x hundredths) per order with per-batch
+        combiners, top-10 by (revenue desc, orderkey asc)."""
+        import pandas as pd
+        import ray.data
+
+        from mini_ivf_ray.pipelines.relational import broadcast_join
+
+        cust = pd.read_parquet(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        keys = set(
+            cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"].tolist()
+        )
+        orders = pd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        )
+        cut = pd.Timestamp("2000-06-30")
+        sel = orders[
+            orders["o_custkey"].isin(keys) & (orders["o_orderdate"] < cut)
+        ][["o_orderkey", "o_orderdate"]].rename(
+            columns={"o_orderkey": "l_orderkey"}
+        )
+        li = ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+
+        def rev_partials(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+
+            b = batch.filter(
+                pc_.greater(
+                    batch["l_shipdate"],
+                    pa.scalar(np.datetime64("2000-06-30T00:00:00", "us")),
+                )
+            )
+            if b.num_rows == 0:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], type=pa.int64()),
+                        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+                        "rev_e4": pa.array([], type=pa.int64()),
+                    }
+                )
+            cents = np.rint(
+                b["l_extendedprice"].to_numpy() * 100
+            ).astype(np.int64)
+            disc_h = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+            df = pd.DataFrame(
+                {
+                    "l_orderkey": b["l_orderkey"].to_numpy(),
+                    "o_orderdate": b["o_orderdate"].to_pandas(),
+                    "rev_e4": cents * (100 - disc_h),
+                }
+            )
+            out = df.groupby(
+                ["l_orderkey", "o_orderdate"], sort=False
+            )["rev_e4"].sum().reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        joined = broadcast_join(li, sel, on="l_orderkey")
+        parts = joined.map_batches(
+            rev_partials, batch_format="pyarrow"
+        ).to_pandas()
+        agg = (
+            parts.groupby(["l_orderkey", "o_orderdate"], sort=True)["rev_e4"]
+            .sum()
+            .reset_index()
+        )
+        agg = agg.sort_values(
+            ["rev_e4", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    agg["l_orderkey"].to_numpy(), type=pa.int64()
+                ),
+                "o_orderdate": pa.array(
+                    agg["o_orderdate"].dt.strftime("%Y-%m-%d"),
+                    type=pa.string(),
+                ),
+                "revenue_e4": pa.array(
+                    agg["rev_e4"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
     def doc_chunks(sf_dir):
         """Context-window chunking (RAG/embedding prep): 64-token
         windows with 16-token overlap, one flat-map pass, zero shuffle
@@ -2614,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prf": bm25_prf,
         "doc_chunks": doc_chunks,
         "tpch_q1": tpch_q1,
+        "tpch_q3": tpch_q3,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
@@ -3259,6 +3354,28 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        "tpch_q3": """
+WITH sel AS (
+  SELECT o.o_orderkey, o.o_orderdate
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '2000-06-30 00:00:00'),
+rev AS (
+  SELECT s.o_orderkey, s.o_orderdate,
+         CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS revenue_e4
+  FROM sel s
+  JOIN lineitem l ON l.l_orderkey = s.o_orderkey
+  WHERE l.l_shipdate > TIMESTAMP '2000-06-30 00:00:00'
+  GROUP BY 1, 2)
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       revenue_e4
+FROM rev
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10
 """,
         "doc_chunks": f"""
 WITH tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS t
