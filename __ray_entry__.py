@@ -451,6 +451,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def gzip_quality(sf_dir):
+        """zlib compression-ratio quality signal (Gopher repetition
+        filter): deterministic stdlib zlib at fixed level, so rows are
+        stable; self-checks that a planted highly-repetitive string
+        compresses below natural prose.  n_bytes is SQL-checkable
+        (octet_length); the gz columns have no SQL equivalent, so the
+        query is rows-only by design."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.analysis import compression_signals
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        out = (
+            compression_signals(docs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        nz = out[out["n_bytes"] > 0]
+        assert (nz["gz_ratio"] > 0).all() and (nz["gz_ratio"] < 1.5).all()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_bytes": pa.array(out["n_bytes"].to_numpy(), type=pa.int64()),
+                "n_gz_bytes": pa.array(
+                    out["n_gz_bytes"].to_numpy(), type=pa.int64()
+                ),
+                "gz_ratio": pa.array(
+                    out["gz_ratio"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
     def tpch_q1(sf_dir):
         """TPC-H Q1 pricing summary over lineitem: per-batch integer
         (cents/hundredths) partial sums per (returnflag, linestatus),
@@ -2709,6 +2747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": doc_chunks,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
+        "gzip_quality": gzip_quality,
         "bm25_conjunctive": bm25_conjunctive,
         "phrase_topk": phrase_topk_q,
         "bm25_exhaustive": bm25_exhaustive,
