@@ -1245,6 +1245,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_dl_quantiles(_documents_full(sf_dir))
 
+    def adaptive_filter(sf_dir):
+        """Corpus-adaptive cleaning: keep documents at or above their
+        LANGUAGE's median token length — exact per-group quantile from
+        the distributed histogram, thresholds broadcast once, one
+        filter pass (pipelines/analysis.adaptive_length_filter)."""
+        from mini_ivf_ray.pipelines.analysis import adaptive_length_filter
+
+        t = pa.concat_tables(
+            adaptive_length_filter(_documents_full(sf_dir), q=0.5).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        order = pa.compute.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+        return t.take(order)
+
     def langid_q(sf_dir):
         from mini_ivf_ray.pipelines.analysis import langid
 
@@ -2776,6 +2791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans": dup_spans_q,
         "span_clean": span_clean_q,
         "dl_quantiles": dl_quantiles,
+        "adaptive_filter": adaptive_filter,
         "langid": langid_q,
         "scrub": scrub,
         "fingerprint": fingerprint_q,
@@ -3625,6 +3641,15 @@ SELECT lang, count(*)::BIGINT AS n_docs,
        quantile_disc(dl, 0.9)::BIGINT AS q90,
        quantile_disc(dl, 0.99)::BIGINT AS q99
 FROM d GROUP BY lang
+""",
+        "adaptive_filter": f"""
+WITH d AS (SELECT doc_id, lang,
+                  len(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'))::BIGINT AS dl
+           FROM documents),
+thr AS (SELECT lang, quantile_disc(dl, 0.5) AS t FROM d GROUP BY 1)
+SELECT d.doc_id, d.lang, d.dl
+FROM d JOIN thr USING (lang)
+WHERE d.dl >= thr.t
 """,
         "langid": _langid_sql(),
         "scrub": r"""

@@ -460,3 +460,65 @@ def compression_signals(docs_ds, level: int = 6, batch_size: int = 1024):
     return docs_ds.map_batches(
         signals, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def adaptive_length_filter(docs_ds, q: float = 0.5):
+    """Per-group ADAPTIVE threshold filter — the composition pattern a
+    corpus-dependent cleaning rule needs: (1) exact per-language
+    length quantile from the distributed (lang, dl) histogram
+    (grouped_dl_quantiles' rule: value at rank ceil(q*n)), (2) the
+    tiny {lang: threshold} map broadcast once, (3) one filter pass
+    keeping docs with dl >= their language's threshold.  Two passes
+    over the data, zero O(docs) driver state.  Output: (doc_id, lang,
+    dl) of the survivors."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+    def hist_partials(batch: pa.Table) -> pa.Table:
+        _, dls = tokenize_batch(batch["text"].to_pylist())
+        df = pd.DataFrame({"lang": batch["lang"].to_pylist(), "dl": dls, "n": 1})
+        g = df.groupby(["lang", "dl"], sort=False)["n"].sum().reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], type=pa.string()),
+                "dl": pa.array(g["dl"].to_numpy().astype(np.int64)),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    hist = (
+        docs_ds.map_batches(hist_partials, batch_format="pyarrow", batch_size=1024)
+        .groupby(["lang", "dl"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "dl"], kind="mergesort")
+    )
+    thr: dict[str, int] = {}
+    for lang, g in hist.groupby("lang", sort=True):
+        counts = g["n"].to_numpy()
+        vals = g["dl"].to_numpy()
+        n = int(counts.sum())
+        rank = int(np.ceil(q * n))  # quantile_disc rule
+        thr[lang] = int(vals[np.searchsorted(np.cumsum(counts), rank)])
+    thr_ref = ray.put(thr)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        t = _ray.get(thr_ref)
+        _, dls = tokenize_batch(batch["text"].to_pylist())
+        langs = batch["lang"].to_pylist()
+        mask = np.array(
+            [dl >= t.get(l, 0) for l, dl in zip(langs, dls)], dtype=bool
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(mask)),
+                "lang": batch["lang"].filter(pa.array(mask)),
+                "dl": pa.array(dls[mask], type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow", batch_size=1024)
