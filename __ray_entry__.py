@@ -1245,6 +1245,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_dl_quantiles(_documents_full(sf_dir))
 
+    def crawl_dedup(sf_dir):
+        """Incremental-crawl content dedup: documents split by doc_id
+        parity into 'history' (even) and 'new crawl' (odd); every new
+        doc whose exact 3-gram Jaccard vs some history doc is >= 0.6
+        is reported with its evidence — MinHash-LSH candidates over
+        the union + exact verify + one broadcast-id old-side probe
+        (pipelines/dedup.dedup_against_history)."""
+        import pyarrow.compute as pc_
+        import ray.data
+
+        from mini_ivf_ray.pipelines.dedup import dedup_against_history
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        def _side(par):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy()
+                return b.filter(pa.array(ids % 2 == par))
+
+            return f
+
+        old = docs.map_batches(_side(0), batch_format="pyarrow")
+        new = docs.map_batches(_side(1), batch_format="pyarrow")
+        out = dedup_against_history(new, old, w=3, threshold=0.6)
+        return pa.table(
+            {
+                "new_id": pa.array(
+                    out["new_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "old_id": pa.array(
+                    out["old_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "jaccard": pa.array(
+                    out["jaccard"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
     def adaptive_filter(sf_dir):
         """Corpus-adaptive cleaning: keep documents at or above their
         LANGUAGE's median token length — exact per-group quantile from
@@ -2792,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_clean": span_clean_q,
         "dl_quantiles": dl_quantiles,
         "adaptive_filter": adaptive_filter,
+        "crawl_dedup": crawl_dedup,
         "langid": langid_q,
         "scrub": scrub,
         "fingerprint": fingerprint_q,
@@ -3811,6 +3852,36 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         # replays with list ops.  The size-ratio join predicate is
         # exact-safe pruning: jaccard <= min(|A|,|B|)/max(|A|,|B|).
         "jaccard_verified_pairs": _JACCARD_PAIRS_SQL,
+        # crawl_dedup: same exact shingle-Jaccard evidence, restricted
+        # to (new = odd id) x (history = even id) pairs; LSH only
+        # proposes candidates, so the SQL needs no LSH replay.  The
+        # 10/6 size-ratio prune is exact for threshold 0.6
+        # (jaccard <= min(|A|,|B|)/max(|A|,|B|)).
+        "crawl_dedup": """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) = 0 THEN []
+         WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+         ELSE list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t)-2)])
+    END AS s
+  FROM toks
+)
+SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+  CASE WHEN len(list_distinct(list_concat(n.s, o.s))) = 0 THEN 1.0
+       ELSE len(list_intersect(n.s, o.s))::DOUBLE
+            / len(list_distinct(list_concat(n.s, o.s)))
+  END AS jaccard
+FROM sh n JOIN sh o
+  ON n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+ AND len(o.s) * 10 >= len(n.s) * 6
+ AND len(n.s) * 10 >= len(o.s) * 6
+WHERE jaccard >= 0.6
+ORDER BY new_id, old_id
+""",
         "jaccard_dup_clusters": f"""
 WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
 edges AS (

@@ -1306,3 +1306,56 @@ def decontaminate(docs_ds, eval_texts: list[str], w: int = 8, exclude_ids=None):
     return docs_ds.map_batches(
         Finder, batch_format="pyarrow", concurrency=(1, 8), num_cpus=1
     )
+
+
+def dedup_against_history(
+    docs_new_ds,
+    docs_old_ds,
+    w: int = 3,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 16,
+):
+    """Incremental-crawl near-dup filter: which NEW documents duplicate
+    an already-ingested document?  The recurring-crawl companion to
+    ``append_index(on_existing="skip")`` — skip handles the same url,
+    this handles the same CONTENT under a different url.
+
+    Composition of the existing machinery, nothing new moves at scale:
+    MinHash-LSH candidates over old ∪ new (slim band rows, bucketed
+    groupbys), exact n-gram-Jaccard verify of the candidate set, then
+    the candidate ids alone (≪ corpus) are classified old/new with one
+    broadcast-id probe of the OLD side.  Within-increment duplicates
+    are the existing ``lsh_candidate_pairs`` job; this returns only
+    cross-generation evidence.
+
+    Returns a pandas frame (new_id, old_id, jaccard) — every verified
+    (new doc, old doc) duplicate pair, jaccard as the raw float64
+    division (SQL-replayable bit-for-bit)."""
+    union = docs_old_ds.union(docs_new_ds)
+    pairs = lsh_candidate_pairs(
+        union, k=k, w=w, bands=bands, threshold=0.5
+    ).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame(
+            {"new_id": pd.Series(dtype=np.int64),
+             "old_id": pd.Series(dtype=np.int64),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+    verified = verify_pairs_exact(union, pairs, w=w, threshold=threshold)
+    cand_ids = set(verified["id_a"]) | set(verified["id_b"])
+    old_hit = fetch_by_ids(docs_old_ds, "doc_id", cand_ids, ["doc_id"])
+    old_ids = set(old_hit["doc_id"].to_pylist())
+    rows = []
+    for id_a, id_b, jac in verified[["id_a", "id_b", "jaccard"]].itertuples(
+        index=False
+    ):
+        a_old, b_old = int(id_a) in old_ids, int(id_b) in old_ids
+        if a_old and not b_old:
+            rows.append((int(id_b), int(id_a), float(jac)))
+        elif b_old and not a_old:
+            rows.append((int(id_a), int(id_b), float(jac)))
+    out = pd.DataFrame(rows, columns=["new_id", "old_id", "jaccard"])
+    return out.sort_values(["new_id", "old_id"], kind="mergesort").reset_index(
+        drop=True
+    )
