@@ -685,6 +685,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_mmr(sf_dir):
+        """Diversity rerank (MMR, Carbonell-Goldstein 1998): BM25
+        top-20 candidates per query, candidate embeddings fetched with
+        one broadcast-id semi-join (documents/embeddings share the id
+        space), greedy lam=0.7 selection to a diversified top-10.
+        Iterative argmax is not SQL-expressible — rows-only; rule
+        properties pinned by tests/test_rerank.py.  Self-check: the
+        rank-0 doc per query equals the BM25 rank-0 doc (MMR's first
+        pick is the relevance argmax)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+        from mini_ivf_ray.pipelines.rerank import mmr_rerank_results
+
+        idx = _ensure_index(sf_dir)
+        cfg20 = PipelineConfig.from_index(idx, topk=20)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, cfg20).to_pandas()
+        res["doc_id"] = res["doc_id"].astype(np.int64)
+        out = mmr_rerank_results(
+            res, _embeddings(sf_dir), k=10, lam=0.7
+        )
+        first = res[res["rank"] == 0].set_index("query_id")["doc_id"]
+        for qid, g in out.groupby("query_id"):
+            assert int(g[g["rank"] == 0]["doc_id"].iloc[0]) == int(first[qid])
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            }
+        )
+
     def bm25_conjunctive(sf_dir):
         """Conjunctive (AND) retrieval over the same index and query
         set: only docs containing EVERY query term rank; scores are the
@@ -2799,6 +2834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spell_suggest": spell_suggest,
         "bm25_snippets": bm25_snippets,
         "bm25_prf": bm25_prf,
+        "bm25_mmr": bm25_mmr,
         "doc_chunks": doc_chunks,
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
