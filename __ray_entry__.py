@@ -1280,6 +1280,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_dl_quantiles(_documents_full(sf_dir))
 
+    def domain_split(sf_dir):
+        """Leakage-safe train/val/test split keyed by REGISTERED DOMAIN
+        (every page of a site lands in one split — near-dup pages can
+        never straddle train and test).  Self-checks the invariant:
+        exactly one split per domain (pipelines/sampling.grouped_split)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sampling import grouped_split
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+
+        def add_domain(b: pa.Table) -> pa.Table:
+            doms = [f"{s.lower()}.example" for s in b["source"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "domain": pa.array(doms, type=pa.string()),
+                }
+            )
+
+        out = (
+            grouped_split(
+                docs.map_batches(add_domain, batch_format="pyarrow"),
+                key_col="domain",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert (out.groupby("domain")["split"].nunique() == 1).all()
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "domain": pa.array(out["domain"], type=pa.string()),
+                "bucket": pa.array(out["bucket"].to_numpy(), type=pa.int64()),
+                "split": pa.array(out["split"], type=pa.string()),
+            }
+        )
+
     def crawl_dedup(sf_dir):
         """Incremental-crawl content dedup: documents split by doc_id
         parity into 'history' (even) and 'new crawl' (odd); every new
@@ -2869,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dl_quantiles": dl_quantiles,
         "adaptive_filter": adaptive_filter,
         "crawl_dedup": crawl_dedup,
+        "domain_split": domain_split,
         "langid": langid_q,
         "scrub": scrub,
         "fingerprint": fingerprint_q,
@@ -3935,6 +3980,22 @@ SELECT v AS doc_id, min(u)::BIGINT AS cluster_id FROM reach GROUP BY v
         # stable_split: md5 is the one hash both engines compute
         # bit-identically; first 15 hex chars == top 60 bits of the
         # digest, so the UBIGINT cast replays split_bucket exactly.
+        "domain_split": """
+WITH d AS (
+  SELECT doc_id, lower(source) || '.example' AS domain FROM documents
+),
+b AS (
+  SELECT doc_id, domain,
+         CAST(CAST(('0x' || substr(md5(domain || ':v1'), 1, 15)) AS UBIGINT)
+              % 1000 AS BIGINT) AS bucket
+  FROM d
+)
+SELECT doc_id, domain, bucket,
+       CASE WHEN bucket < 980 THEN 'train'
+            WHEN bucket < 990 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
         "stable_split": """
 WITH b AS (
   SELECT doc_id,

@@ -491,3 +491,49 @@ def chunk_documents(
         )
 
     return docs_ds.map_batches(explode, batch_format="pyarrow")
+
+
+def grouped_split(
+    docs_ds,
+    key_col: str,
+    salt: str = "v1",
+    train_permille: int = 980,
+    val_permille: int = 990,
+):
+    """LEAKAGE-SAFE train/val/test split: every row of a GROUP (e.g. a
+    registered domain) lands in the same split — the assignment hashes
+    the group key, not the row id, so near-duplicate pages from one
+    site can never straddle train and test (the contamination
+    stable_split cannot prevent).  Same permille rule and md5 form as
+    stable_split; stateless map, zero shuffle, per-batch distinct-key
+    hash cache (Zipf domains make it ~free).
+
+    Output: (doc_id, <key_col>, bucket, split)."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        cache: dict[str, int] = {}
+        buckets = np.empty(len(keys), dtype=np.int64)
+        for i, k in enumerate(keys):
+            b = cache.get(k)
+            if b is None:
+                h = hashlib.md5(f"{k}:{salt}".encode()).digest()
+                b = (int.from_bytes(h[:8], "big") >> 4) % 1000
+                cache[k] = b
+            buckets[i] = b
+        split = np.where(
+            buckets < train_permille,
+            "train",
+            np.where(buckets < val_permille, "val", "test"),
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                key_col: batch[key_col],
+                "bucket": pa.array(buckets, type=pa.int64()),
+                "split": pa.array(split.astype(object), type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow")
