@@ -1280,6 +1280,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_dl_quantiles(_documents_full(sf_dir))
 
+    def winnow_fps(sf_dir):
+        """Winnowing fingerprints (Schleimer et al. 2003 / MOSS):
+        k=4-gram 60-bit md5 hashes, w=5 windows, rightmost-minimum
+        selection — the classic local fingerprinting scheme whose
+        selected set is guaranteed to witness any shared substring of
+        >= w+k-1 tokens (pipelines/spans.winnow_fingerprints)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.spans import winnow_fingerprints
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        t = pa.concat_tables(
+            winnow_fingerprints(docs, k=4, w=5).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        order = pa.compute.sort_indices(
+            t,
+            sort_keys=[
+                ("doc_id", "ascending"),
+                ("pos", "ascending"),
+                ("fp", "ascending"),
+            ],
+        )
+        return t.take(order)
+
     def domain_split(sf_dir):
         """Leakage-safe train/val/test split keyed by REGISTERED DOMAIN
         (every page of a site lands in one split — near-dup pages can
@@ -2914,6 +2943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_filter": adaptive_filter,
         "crawl_dedup": crawl_dedup,
         "domain_split": domain_split,
+        "winnow_fps": winnow_fps,
         "langid": langid_q,
         "scrub": scrub,
         "fingerprint": fingerprint_q,
@@ -3980,6 +4010,31 @@ SELECT v AS doc_id, min(u)::BIGINT AS cluster_id FROM reach GROUP BY v
         # stable_split: md5 is the one hash both engines compute
         # bit-identically; first 15 hex chars == top 60 bits of the
         # digest, so the UBIGINT cast replays split_bucket exactly.
+        # winnow_fps: rightmost window minimum = len - position of the
+        # min in the REVERSED window (list_position is 1-based first hit)
+        "winnow_fps": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+g AS (SELECT doc_id,
+             unnest([i - 1 FOR i IN generate_series(1, len(tk) - 3)]) AS pos,
+             unnest([CAST(CAST(('0x' || substr(
+                       md5(array_to_string(tk[i:i+3], ' ')), 1, 15)) AS UBIGINT)
+                     AS BIGINT)
+                     FOR i IN generate_series(1, len(tk) - 3)]) AS hv
+      FROM t WHERE len(tk) >= 4),
+lh AS (SELECT doc_id, list(hv ORDER BY pos) AS hs FROM g GROUP BY 1),
+win AS (SELECT doc_id, hs,
+               unnest(generate_series(1, greatest(1, len(hs) - 4))) AS i
+        FROM lh),
+sl AS (SELECT doc_id, i, hs[i:least(len(hs), i + 4)] AS wl FROM win),
+sel AS (SELECT doc_id,
+               i - 1 + (len(wl) - list_position(list_reverse(wl), list_min(wl)))
+                 AS pos,
+               list_min(wl) AS fp
+        FROM sl)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp
+FROM sel ORDER BY doc_id, pos, fp
+""",
         "domain_split": """
 WITH d AS (
   SELECT doc_id, lower(source) || '.example' AS domain FROM documents

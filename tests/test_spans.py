@@ -118,3 +118,46 @@ def test_fully_covered_doc_becomes_empty_string():
     out = remove_duplicate_spans(ds, w=4).to_pandas()
     got = dict(zip(out["doc_id"], out["text_clean"]))
     assert got == {1: "a b c d", 2: ""}
+
+
+def test_winnowing_guarantee_and_density():
+    """Schleimer-2003 guarantee: any shared run of >= w+k-1 tokens
+    yields >= 1 shared fingerprint; selection density stays well below
+    1 fingerprint per gram."""
+    import pyarrow as pa
+
+    import ray.data
+    from mini_ivf_ray.pipelines.spans import winnow_fingerprints
+
+    rng = __import__("numpy").random.default_rng(13)
+    words = [f"w{i}" for i in range(50)]
+    shared = " ".join(rng.choice(words, size=12))  # 12 >= w + k - 1 = 8
+    doc_a = " ".join(rng.choice(words, size=30)) + " " + shared
+    doc_b = shared + " " + " ".join(rng.choice(words, size=30))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": [doc_a, doc_b, "too short"],
+        }
+    )
+    out = winnow_fingerprints(
+        ray.data.from_arrow(docs), k=4, w=5
+    ).to_pandas()
+    fa = set(out[out.doc_id == 1]["fp"])
+    fb = set(out[out.doc_id == 2]["fp"])
+    assert fa & fb, "shared 12-token run must share a fingerprint"
+    # doc 3 has < k tokens -> nothing emitted
+    assert (out.doc_id == 3).sum() == 0
+    # density bound: far fewer selections than grams (~2/(w+1))
+    n_grams_a = len(doc_a.split()) - 3
+    assert len(out[out.doc_id == 1]) <= n_grams_a * 0.7
+    # blocking independence
+    out2 = winnow_fingerprints(
+        ray.data.from_arrow(docs).repartition(3), k=4, w=5
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True),
+        out2.sort_values(["doc_id", "pos", "fp"]).reset_index(drop=True),
+    )
