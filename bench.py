@@ -35,6 +35,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "400000"))
 BENCH_QUERIES = int(os.environ.get("GRAFT_BENCH_QUERIES", "6000"))
 PAGES_DIR = f"/tmp/graft_bench_pages_{BENCH_DOCS}"
+# scaling mode runs build + steady-state query only: the efficiency ratio
+# uses just those walls, and the skipped stages (append, cold path, operator
+# benchmarks) would widen the host-drift window between interleaved levels
+FAST = os.environ.get("GRAFT_BENCH_FAST", "") == "1"
 
 
 def _bench_queries(n: int, seed: int = 9):
@@ -128,6 +132,24 @@ def run_bench() -> dict:
     pool_metrics = pool.metrics()
     pool.shutdown()
 
+    if FAST:
+        ray.shutdown()
+        headline = round(build_sec + query_sec, 3)
+        return {
+            "metric": "index-build + BM25 top-10 query wall time "
+            f"({n_docs} docs, {BENCH_QUERIES} queries; fast/scaling mode)",
+            "value": headline,
+            "unit": "sec",
+            "queries": timings,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "n_results": n_res,
+            "docs_per_sec": round(n_docs / build_sec, 1),
+            "qps": round(BENCH_QUERIES / query_sec, 1),
+            "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
+        }
+
     # cold-burst Dataset path (one-shot map_batches pool), for reference
     qds = ray.data.from_items([{"query_id": q, "text": t} for q, t in queries[:1000]])
     t0 = time.perf_counter()
@@ -214,7 +236,7 @@ def run_scaling() -> dict:
     )
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_FAST="1")
         # taskset: a num_cpus=8 Ray session still schedules its workers
         # across all physical cores; confining the process tree to ncpu
         # cores is the honest N-vs-4N stand-in

@@ -1329,9 +1329,18 @@ def dedup_against_history(
     are the existing ``lsh_candidate_pairs`` job; this returns only
     cross-generation evidence.
 
-    Returns a pandas frame (new_id, old_id, jaccard) — every verified
-    (new doc, old doc) duplicate pair, jaccard as the raw float64
-    division (SQL-replayable bit-for-bit)."""
+    Returns a pandas frame (new_id, old_id, jaccard) of verified
+    (new doc, old doc) duplicate pairs, jaccard as the raw float64
+    division (SQL-replayable bit-for-bit).  Recall is PROBABILISTIC
+    near the threshold: candidates come from MinHash-LSH (at the
+    defaults bands=16, r=4 a pair at jaccard 0.6 is caught with
+    ~89% probability, rising steeply above) plus an est_jaccard>=0.5
+    MinHash prefilter, so borderline pairs just above ``threshold``
+    can be missed; every pair the LSH surfaces is verified with the
+    EXACT n-gram jaccard, so precision is exact.  (The sf-table
+    oracle corpus carries no borderline pairs — its duplicates sit
+    far above the threshold — which is why the crawl_dedup SQL
+    oracle matches bit-for-bit despite the probabilistic recall.)"""
     union = docs_old_ds.union(docs_new_ds)
     pairs = lsh_candidate_pairs(
         union, k=k, w=w, bands=bands, threshold=0.5

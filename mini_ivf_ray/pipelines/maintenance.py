@@ -108,8 +108,13 @@ def delete_docs(
     removed — and statistics updated — by ``compact_index``.  Ids are
     verified against the index's prepared corpus (broadcast-id probe,
     O(increment) driver work): ``on_missing="error"`` raises on unknown
-    ids, ``"ignore"`` drops them.  Idempotent: re-deleting a tombstoned
-    id is a no-op.  A deleted url stays deleted on re-crawl append
+    ids, ``"ignore"`` drops them.  Idempotent UNTIL the next compaction:
+    re-deleting a tombstoned id is a no-op, but once ``compact_index``
+    physically drops the doc from prepared/ the id is unknown to the
+    index, so replaying the same delete with the default
+    ``on_missing="error"`` raises — callers replaying delete logs
+    across a compaction boundary should pass ``on_missing="ignore"``.
+    A deleted url stays deleted on re-crawl append
     (``on_existing="skip"`` keeps the committed — tombstoned — version)
     until a compaction physically removes it."""
     assert_no_maintenance(index_dir, "delete_docs")
@@ -225,6 +230,8 @@ def _drop_from_prepared(prep_dir: str, tomb: np.ndarray) -> int:
     appends / rebuilds cannot resurrect them).  Only files containing
     hits are rewritten; idempotent."""
     dropped = 0
+    if tomb.size == 0:  # pure segment-merge compaction: nothing to drop
+        return 0
     for f in sorted(glob.glob(os.path.join(prep_dir, "*.parquet"))):
         t = pq.read_table(f)
         ids = t["doc_id"].to_numpy().astype(np.uint64)
@@ -274,15 +281,30 @@ def compact_index(index_dir: str, cfg: PipelineConfig | None = None) -> dict:
                 "append — finish it with append_index() first"
             )
         tomb = deleted_ids(index_dir)
-        if tomb.size == 0:
+        bounds_exact = existing.get("lineage", {}).get("bounds_exact", True)
+        if tomb.size == 0 and bounds_exact:
+            # nothing to remove and the index is single-epoch with exact
+            # stored bounds — nothing to do.  (A multi-epoch index —
+            # incremental appends — proceeds even with no tombstones:
+            # compaction is also the segment merger / bound tightener.)
             return existing
         prior_stats = CorpusStats.load(index_dir)
-        deltas = _removed_deltas(
-            prep_dir, tomb, list(prior_stats.salted or {})
-        )
+        if tomb.size:
+            deltas = _removed_deltas(
+                prep_dir, tomb, list(prior_stats.salted or {})
+            )
+        else:
+            deltas = {"removed_docs": 0, "removed_tokens": 0, "removed_df": {}}
         # snapshot the tombstone set: deletes arriving DURING a long
-        # compaction stay tombstones for the next cycle
-        shutil.copyfile(tombstones_path(index_dir), snap_path)
+        # compaction stay tombstones for the next cycle.  (A pure
+        # segment-merge compaction has no tombstones file — snapshot an
+        # empty set directly.)
+        if os.path.exists(tombstones_path(index_dir)):
+            shutil.copyfile(tombstones_path(index_dir), snap_path)
+        else:
+            t = pa.table({"doc_id": pa.array([], type=pa.uint64())})
+            pq.write_table(t, snap_path + ".tmp")
+            os.replace(snap_path + ".tmp", snap_path)
         state = {
             "compaction": len(
                 existing.get("lineage", {}).get("compactions", [])
@@ -402,6 +424,10 @@ def compact_index(index_dir: str, cfg: PipelineConfig | None = None) -> dict:
                 prior.get("lineage", {}).get("increments", [])
             ),
             "compactions": compactions,
+            # compaction re-encoded every partition into one segment
+            # under the current exact statistics: stored per-block
+            # max_scores are trustworthy upper bounds again
+            "bounds_exact": True,
         },
         "n_docs": stats.n_docs,
         "total_tokens": stats.total_tokens,

@@ -43,8 +43,10 @@ class TermIterator:
         self.term = blocks.term
         self.blocks = blocks
         self.idf = idf
-        self.global_ub = float(blocks.max_scores.max()) if blocks.n_blocks else 0.0
+        # scoring FIRST: raw-mode blocks (multi-epoch partitions)
+        # compute their exact max_scores inside set_scoring
         blocks.set_scoring(idf, avgdl, cfg.k1, cfg.b)
+        self.global_ub = float(blocks.max_scores.max()) if blocks.n_blocks else 0.0
         self.bi = 0
         self.pos = 0  # index within current block (valid postings start here)
         self.exhausted = blocks.n_blocks == 0
@@ -509,14 +511,11 @@ def share_segments(index_dir: str, num_partitions: int) -> dict:
 
     @ray.remote(num_cpus=0.5)
     def _read(p: int):
-        import os
+        # reads EVERY segment file of the partition (base + increments)
+        # and returns term-contiguous rows (sources/segments helper)
+        from mini_ivf_ray.sources.segments import read_partition_table
 
-        import pyarrow.parquet as pqm
-
-        from mini_ivf_ray.state.manifest import partition_dir
-
-        path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
-        return pqm.read_table(path) if os.path.exists(path) else None
+        return read_partition_table(index_dir, p)
 
     refs = {p: _read.remote(p) for p in range(num_partitions)}
     # materialize BEFORE the searcher pool claims the CPUs: actors

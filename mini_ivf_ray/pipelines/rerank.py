@@ -103,6 +103,17 @@ def mmr_rerank_results(
     with MMR; doc embeddings fetched once.  Output: (query_id, rank,
     doc_id)."""
     vid, V = fetch_vectors(embeddings_ds, results["doc_id"].unique())
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype=np.int64),
+            "rank": pd.Series(dtype=np.int64),
+            "doc_id": pd.Series(dtype=np.int64),
+        }
+    )
+    if vid.size == 0:
+        # no candidate has an embedding: vid[...] below would index an
+        # empty array (numpy evaluates both operands of & eagerly)
+        return empty
     out = {"query_id": [], "rank": [], "doc_id": []}
     for qid, g in results.groupby("query_id", sort=True):
         ids = g["doc_id"].to_numpy().astype(np.int64)

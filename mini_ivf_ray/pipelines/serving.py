@@ -63,22 +63,9 @@ class RangeSearcher:
         blocks = self.reader.term_blocks(
             term, self.stats.term_locations(term, self.cfg)
         )
-        out = None
-        if blocks is not None:
-            m = (blocks.lasts >= np.uint64(self.lo)) & (
-                blocks.firsts <= np.uint64(self.hi)
-            )
-            if m.any():
-                idx = np.flatnonzero(m)
-                out = PostingBlocks(
-                    term=term,
-                    df=blocks.df,
-                    firsts=blocks.firsts[idx],
-                    lasts=blocks.lasts[idx],
-                    counts=blocks.counts[idx],
-                    max_scores=blocks.max_scores[idx],
-                    payloads=[blocks.payloads[int(i)] for i in idx],
-                )
+        # handles every storage mode (payload / views / raw): raw blocks
+        # from multi-epoch partitions trim postings exactly to the range
+        out = blocks.subset_range(self.lo, self.hi) if blocks is not None else None
         self._range_cache[term] = out
         return out
 

@@ -428,9 +428,17 @@ def append_ivf_index(
         try:
             pm = mf.read_partition_manifest(index_dir, p)
             if increment in pm.get("lineage", {}).get("increments", []):
-                # resume: this partition already merged this increment
+                # resume: this partition already merged this increment —
+                # report the count recorded at merge time so the
+                # finalized increment lineage doesn't undercount new
+                # vectors after a crash-resume (ADVICE r3)
+                done_n = int(
+                    pm.get("lineage", {})
+                    .get("new_by_increment", {})
+                    .get(str(increment), 0)
+                )
                 return pa.table({"part": pa.array([p], type=pa.int64()),
-                                 "n_new": pa.array([0], type=pa.int64())})
+                                 "n_new": pa.array([done_n], type=pa.int64())})
             old_counters = pm["counters"]
             old_lineage = pm.get("lineage", {})
         except FileNotFoundError:
@@ -463,6 +471,12 @@ def append_ivf_index(
         lineage = dict(old_lineage)
         lineage.setdefault("kind", "ivf")
         lineage["increments"] = list(lineage.get("increments", [])) + [increment]
+        # per-partition new-row count, keyed by increment: the source of
+        # truth for the finalized lineage's new_vectors on resume
+        lineage["new_by_increment"] = {
+            **lineage.get("new_by_increment", {}),
+            str(increment): new.num_rows,
+        }
         mf.commit_partition(
             index_dir, p, writer, {"n_vectors": merged.num_rows}, lineage
         )

@@ -12,6 +12,16 @@ array views (``PostingBlocks.from_views``).
 Contributions are computed with the exact same float64 kernel and
 global df/avgdl as everywhere else, so rank-identity is unaffected.
 
+Statistics discipline: contributions and the per-block WAND maxima are
+derived at decode time from the CURRENT sidecar statistics (global df
+from the dictionary-backed stats, current n_docs/avgdl) — never from
+the per-row values a segment baked at encode time.  On a multi-epoch
+index (incremental append) the stored df/max_score columns are stale;
+here they are simply ignored: a term's postings are merged across its
+epoch files into one doc-sorted run, re-blocked, and the block maxima
+recomputed exactly — so block-max WAND bounds stay exact AND tight
+after every append, with zero extra query-time cost.
+
 Memory: decoded arrays ~= 16 bytes/posting, held once per NODE (plasma
 is node-local) — the standard hot-serving trade; the varint segments
 remain the at-rest/cold-path format.
@@ -19,33 +29,25 @@ remain the at-rest/cold-path format.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
-import pyarrow.parquet as pq
 
 from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.codec import decode_varints
-from mini_ivf_ray.sources.segments import PostingBlocks
-from mini_ivf_ray.state.manifest import partition_dir
+from mini_ivf_ray.sources.segments import PostingBlocks, partition_segment_files
 from mini_ivf_ray.state.stats import CorpusStats
 
+import pyarrow.parquet as pq
 
-def decode_partition(
-    index_dir: str, p: int, n_docs: int, avgdl: float, df_map: dict, k1: float, b: float
-):
-    """-> bundle dict of flat arrays for one partition, or None."""
-    path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
-    if not os.path.exists(path):
-        return None
+
+def _decode_file(path: str):
+    """One segment file -> (terms per block row, counts, docs_all,
+    tfs_all, dls_all, doc_off).  Payloads are stats-free; contributions
+    are NOT computed here (the caller merges epochs first)."""
     t = pq.read_table(path)
     terms = t["term"].to_pylist()
     firsts = t["first_doc_id"].to_numpy()
-    lasts = t["last_doc_id"].to_numpy()
     counts = t["count"].to_numpy()
-    max_scores = t["max_score"].to_numpy()
-    dfs = t["df"].to_numpy()
     payloads = t["payload"].to_pylist()
 
     nblocks = len(terms)
@@ -53,15 +55,13 @@ def decode_partition(
     np.cumsum(counts, out=doc_off[1:])
     total = int(doc_off[-1])
     docs_all = np.empty(total, dtype=np.uint64)
-    contribs_all = np.empty(total, dtype=np.float64)
+    tfs_all = np.empty(total, dtype=np.int64)
+    dls_all = np.empty(total, dtype=np.int64)
 
     vals = decode_varints(
         np.concatenate([np.frombuffer(pl, dtype=np.uint8) for pl in payloads])
     ) if payloads else np.empty(0, dtype=np.uint64)
     off = 0
-    # per-term idf cache (terms are sorted -> runs)
-    cur_term = None
-    cur_idf = 0.0
     for i in range(nblocks):
         n = int(counts[i])
         seg = vals[off : off + 3 * n - 1]
@@ -70,14 +70,139 @@ def decode_partition(
         docs_all[a] = firsts[i]
         if n > 1:
             docs_all[a + 1 : a + n] = np.uint64(firsts[i]) + np.cumsum(seg[: n - 1])
-        if terms[i] != cur_term:
-            cur_term = terms[i]
-            cur_idf = bm25.idf(int(dfs[i]), n_docs)
-        tfs = seg[n - 1 : 2 * n - 1].astype(np.int64)
-        dls = seg[2 * n - 1 :].astype(np.int64)
-        contribs_all[a : a + n] = cur_idf * bm25.tf_norm(tfs, dls, avgdl, k1, b)
+        tfs_all[a : a + n] = seg[n - 1 : 2 * n - 1].astype(np.int64)
+        dls_all[a : a + n] = seg[2 * n - 1 :].astype(np.int64)
+    return terms, counts, docs_all, tfs_all, dls_all, doc_off
 
-    # term -> block row range (terms are contiguous in file order).
+
+def decode_partition(
+    index_dir: str,
+    p: int,
+    n_docs: int,
+    avgdl: float,
+    df_map: dict | None,
+    k1: float,
+    b: float,
+    block_size: int = 128,
+):
+    """-> bundle dict of flat arrays for one partition, or None.
+
+    Reads EVERY segment file of the partition (base epoch +
+    ``postings_inc<k>`` increments), merges each term's postings across
+    epochs into one doc-sorted run, computes contributions with the
+    current statistics (``df_map`` — the dictionary-exact global df —
+    falling back to the stored per-row df for single-epoch indexes
+    where they coincide), and recomputes EXACT per-block maxima."""
+    files = partition_segment_files(index_dir, p)
+    if not files:
+        return None
+
+    parts = [_decode_file(f) for f in files]
+
+    if len(parts) == 1:
+        terms, counts, docs_all, tfs_all, dls_all, doc_off = parts[0]
+        nblocks = len(terms)
+        # stored block tiling is already (term, doc)-sorted and disjoint
+        firsts = docs_all[doc_off[:-1]] if nblocks else np.empty(0, np.uint64)
+        lasts = (
+            docs_all[doc_off[1:] - 1] if nblocks else np.empty(0, np.uint64)
+        )
+        block_terms = terms
+    else:
+        # merge epochs: global per-posting term index, lexsort, re-block
+        all_terms: list[str] = []
+        term_idx_parts = []
+        for terms, counts, docs_all, _, _, _ in parts:
+            # per-posting local term ids via per-block repeat
+            loc = np.repeat(np.arange(len(terms), dtype=np.int64), counts)
+            term_idx_parts.append((terms, loc))
+        uniq_all = sorted(
+            {t for terms, _ in term_idx_parts for t in terms}
+        )
+        tmap = {t: i for i, t in enumerate(uniq_all)}
+        gidx = np.concatenate(
+            [
+                np.asarray([tmap[t] for t in terms], dtype=np.int64)[loc]
+                for terms, loc in term_idx_parts
+            ]
+        ) if uniq_all else np.empty(0, dtype=np.int64)
+        docs_all = np.concatenate([pt[2] for pt in parts])
+        tfs_all = np.concatenate([pt[3] for pt in parts])
+        dls_all = np.concatenate([pt[4] for pt in parts])
+        order = np.lexsort((docs_all, gidx))
+        gidx = gidx[order]
+        docs_all = docs_all[order]
+        tfs_all = tfs_all[order]
+        dls_all = dls_all[order]
+        # duplicate (term, doc) across epochs would corrupt scoring —
+        # appends are deduped, so this is a loud invariant, not a path
+        if docs_all.size > 1:
+            dup = (gidx[1:] == gidx[:-1]) & (docs_all[1:] == docs_all[:-1])
+            if dup.any():
+                k = int(np.flatnonzero(dup)[0])
+                raise ValueError(
+                    f"partition {p}: doc {int(docs_all[k + 1])} appears in "
+                    f"two epochs for term {uniq_all[int(gidx[k + 1])]!r}"
+                )
+        # synthetic block tiling: block_size postings per block per term
+        run_starts_p = np.concatenate(
+            ([0], np.flatnonzero(gidx[1:] != gidx[:-1]) + 1)
+        ) if gidx.size else np.empty(0, dtype=np.int64)
+        run_ends_p = np.append(run_starts_p[1:], gidx.size)
+        run_lens = run_ends_p - run_starts_p
+        nblk_per_run = -(-run_lens // block_size)
+        block_run = np.repeat(
+            np.arange(run_starts_p.size, dtype=np.int64), nblk_per_run
+        )
+        within = (
+            np.arange(block_run.size, dtype=np.int64)
+            - np.repeat(
+                np.concatenate(([0], np.cumsum(nblk_per_run)[:-1])), nblk_per_run
+            )
+        )
+        block_start = run_starts_p[block_run] + within * block_size
+        block_end = np.minimum(block_start + block_size, run_ends_p[block_run])
+        counts = block_end - block_start
+        doc_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        firsts = docs_all[block_start] if block_start.size else np.empty(0, np.uint64)
+        lasts = docs_all[block_end - 1] if block_start.size else np.empty(0, np.uint64)
+        run_term_ids = gidx[run_starts_p] if run_starts_p.size else np.empty(0, np.int64)
+        block_terms = [uniq_all[int(run_term_ids[r])] for r in block_run]
+        nblocks = len(block_terms)
+
+    # contributions + EXACT per-block maxima under the CURRENT stats.
+    # idf per term run: dictionary-exact df via df_map (falls back to
+    # the stored per-row df on single-epoch indexes, where they agree).
+    contribs_all = np.empty(docs_all.size, dtype=np.float64)
+    stored_dfs = None
+    if df_map is None and len(parts) == 1:
+        stored_dfs = pq.read_table(files[0], columns=["df"])["df"].to_numpy()
+    cur_term = None
+    cur_idf = 0.0
+    dfs_out = np.empty(nblocks, dtype=np.int64)
+    for i in range(nblocks):
+        tname = block_terms[i]
+        if tname != cur_term:
+            cur_term = tname
+            if df_map is not None:
+                dfv = int(df_map.get(tname, 0))
+            else:
+                dfv = int(stored_dfs[i]) if stored_dfs is not None else 0
+            cur_idf = bm25.idf(dfv, n_docs)
+        else:
+            dfv = int(dfs_out[i - 1])
+        dfs_out[i] = dfv
+        a, z = int(doc_off[i]), int(doc_off[i + 1])
+        contribs_all[a:z] = cur_idf * bm25.tf_norm(
+            tfs_all[a:z], dls_all[a:z], avgdl, k1, b
+        )
+    max_scores = (
+        np.maximum.reduceat(contribs_all, doc_off[:-1])
+        if contribs_all.size
+        else np.empty(0, dtype=np.float64)
+    )
+
+    # term -> block row range (terms are contiguous in block order).
     # Stored as SORTED fixed-width numpy byte arrays + range arrays, NOT
     # a Python dict: every serving actor ray.gets every bundle, and a
     # vocab-sized str->tuple dict is cloudpickled per get (~8 s per
@@ -87,21 +212,21 @@ def decode_partition(
     run_starts = []
     start = 0
     for i in range(1, nblocks + 1):
-        if i == nblocks or terms[i] != terms[start]:
+        if i == nblocks or block_terms[i] != block_terms[start]:
             run_starts.append(start)
             start = i
     run_starts = np.asarray(run_starts, dtype=np.int64)
     run_ends = np.append(run_starts[1:], nblocks)
     run_terms = np.array(
-        [terms[int(s)].encode("utf-8") for s in run_starts], dtype=np.bytes_
+        [block_terms[int(s)].encode("utf-8") for s in run_starts], dtype=np.bytes_
     )
     order = np.argsort(run_terms, kind="stable")
     return {
         "firsts": firsts,
         "lasts": lasts,
-        "counts": counts,
+        "counts": np.asarray(counts),
         "max_scores": max_scores,
-        "dfs": dfs,
+        "dfs": dfs_out,
         "doc_off": doc_off,
         "docs_all": docs_all,
         "contribs_all": contribs_all,
@@ -138,7 +263,14 @@ def share_decoded_index(index_dir: str, cfg: PipelineConfig, wait: bool = False)
     def _decode_group(ps: list[int]):
         out = tuple(
             decode_partition(
-                index_dir, p, stats.n_docs, stats.avgdl, None, cfg.k1, cfg.b
+                index_dir,
+                p,
+                stats.n_docs,
+                stats.avgdl,
+                stats.df,
+                cfg.k1,
+                cfg.b,
+                block_size=cfg.block_size,
             )
             for p in ps
         )

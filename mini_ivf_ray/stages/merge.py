@@ -30,16 +30,22 @@ _DRIVER_MERGE_ROWS = 2_000_000
 
 
 def _partition_term_meta(row, index_dir: str) -> pa.Table:
-    """Per-partition task: read ONLY metadata columns and pre-aggregate
-    per term (df is global already — carried in every block row)."""
+    """Per-partition task: read ONLY metadata columns (over EVERY
+    segment file of the partition — base epoch + incremental-append
+    ``postings_inc<k>`` files) and pre-aggregate per term.  df is NOT
+    taken from the stored column (it bakes the encode epoch's global
+    value, stale after an incremental append): one posting == one
+    (term, doc), so the exact global df is the posting count summed
+    across partitions and epochs — which ``_merge_terms`` computes."""
+    from mini_ivf_ray.sources.segments import partition_segment_files
+
     p = int(row["pid"])
-    path = os.path.join(partition_dir(index_dir, p), "postings.parquet")
-    if not os.path.exists(path):
+    files = partition_segment_files(index_dir, p)
+    if not files:
         return pa.table(
             {
                 "term": pa.array([], type=pa.string()),
                 "pid": pa.array([], type=pa.int64()),
-                "df": pa.array([], type=pa.int64()),
                 "cf": pa.array([], type=pa.int64()),
                 "n_blocks": pa.array([], type=pa.int64()),
                 "n_postings": pa.array([], type=pa.int64()),
@@ -47,11 +53,15 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
                 "bucket": pa.array([], type=pa.int64()),
             }
         )
-    t = pq.read_table(path, columns=["term", "df", "cf", "count", "first_doc_id"])
+    t = pa.concat_tables(
+        [
+            pq.read_table(f, columns=["term", "cf", "count", "first_doc_id"])
+            for f in files
+        ]
+    )
     df = pd.DataFrame(
         {
             "term": t["term"].to_pylist(),
-            "df": t["df"].to_numpy(),
             "cf": t["cf"].to_numpy(),
             "count": t["count"].to_numpy(),
             "first": t["first_doc_id"].to_numpy(),
@@ -59,7 +69,7 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
     )
     g = (
         df.groupby("term", sort=False)
-        .agg(df=("df", "first"), cf=("cf", "sum"), n_blocks=("count", "size"),
+        .agg(cf=("cf", "sum"), n_blocks=("count", "size"),
              n_postings=("count", "sum"), min_first=("first", "min"))
         .reset_index()
     )
@@ -74,7 +84,6 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
         {
             "term": pa.array(g["term"], type=pa.string()),
             "pid": pa.array(np.full(len(g), p, dtype=np.int64)),
-            "df": pa.array(g["df"].to_numpy().astype(np.int64)),
             "cf": pa.array(g["cf"].to_numpy().astype(np.int64)),
             "n_blocks": pa.array(g["n_blocks"].to_numpy().astype(np.int64)),
             "n_postings": pa.array(g["n_postings"].to_numpy().astype(np.int64)),
@@ -87,7 +96,13 @@ def _partition_term_meta(row, index_dir: str) -> pa.Table:
 def _merge_terms(group: pd.DataFrame) -> pd.DataFrame:
     """Vectorized cross-partition term merge: one sort by
     (term, min_first), integer reduceat sums (exact), location lists via
-    np.split at the term boundaries — no per-term Python loop."""
+    np.split at the term boundaries — no per-term Python loop.
+
+    df == total posting count: one posting per (term, doc) across all
+    partitions/epochs (the encoder raises on duplicates), so the summed
+    n_postings IS the exact global document frequency — identical to
+    the per-row df a single-epoch encode bakes, and correct when an
+    incremental append makes those stale."""
     if not len(group):
         return pd.DataFrame(
             {"term": [], "df": [], "cf": [], "n_postings": [], "n_blocks": [],
@@ -100,18 +115,24 @@ def _merge_terms(group: pd.DataFrame) -> pd.DataFrame:
         np.concatenate([[True], codes_s[1:] != codes_s[:-1]])
     )
     pid = group["pid"].to_numpy().astype(np.int64)[order]
+    n_postings = np.add.reduceat(
+        group["n_postings"].to_numpy()[order], starts
+    ).astype(np.int64)
+    # one partition may appear several times (one row per epoch): the
+    # locations list keeps first occurrence in min_first order
+    locs = [
+        list(dict.fromkeys(a.tolist())) for a in np.split(pid, starts[1:])
+    ]
     return pd.DataFrame(
         {
             "term": np.asarray(uniques, dtype=object)[codes_s[starts]],
-            "df": group["df"].to_numpy()[order][starts].astype(np.int64),
+            "df": n_postings,
             "cf": np.add.reduceat(group["cf"].to_numpy()[order], starts).astype(np.int64),
-            "n_postings": np.add.reduceat(
-                group["n_postings"].to_numpy()[order], starts
-            ).astype(np.int64),
+            "n_postings": n_postings,
             "n_blocks": np.add.reduceat(
                 group["n_blocks"].to_numpy()[order], starts
             ).astype(np.int64),
-            "locations": [a.tolist() for a in np.split(pid, starts[1:])],
+            "locations": locs,
         }
     )
 

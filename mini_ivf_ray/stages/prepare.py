@@ -109,6 +109,97 @@ def assign_doc_ids(ds, cfg: PipelineConfig):
     return ds.map_batches(add_ids, batch_format="pyarrow")
 
 
+def dedup_written_files(prep_dir: str, driver_id_limit: int = 50_000_000) -> int:
+    """Optimistic exact dedup over ALREADY-WRITTEN prepared files — the
+    increment path (pipelines/append.py).  An increment is usually
+    pre-deduped upstream (a crawl frontier emits each url once), so the
+    common case pays ONE slim doc_id-column scan and no shuffle at all,
+    vs the build's bucketed groupby exchange whose flat latency floor
+    dominates a small increment (memory pitfalls #4/#12).
+
+    1. scan every file's doc_id column (slim; ids ≤ ``driver_id_limit``
+       stay driver-side, above it fall back to the exchange dedup)
+    2. no duplicated id -> done (zero extra IO)
+    3. else: filtered-read ONLY the duplicated ids' rows, pick winners
+       with the exact same rule as the build (``_keep_latest``:
+       last-write-wins by (warc_ts, text), docID-collision raise),
+       rewrite the affected files without the dup rows, and write the
+       winners as one extra file.  Cost ∝ duplicates.
+
+    Returns the number of duplicate rows removed.  Segment byte-identity
+    vs a fresh build is unaffected: the encoder consumes the sorted
+    (term, doc) stream, which does not depend on prepared-file layout.
+    """
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(os.path.join(prep_dir, "*.parquet")))
+    if not files:
+        return 0
+    id_cols = [
+        pq.read_table(f, columns=["doc_id"])["doc_id"]
+        .to_numpy()
+        .astype(np.uint64)
+        for f in files
+    ]
+    total = int(sum(a.size for a in id_cols))
+    if total > driver_id_limit:
+        # huge increment: the exchange dedup amortizes — rewrite via it
+        import ray.data
+
+        ds = dedup_by_url(ray.data.read_parquet(files))
+        tmp = prep_dir + "_dedup.tmp"
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        ds.write_parquet(tmp)
+        for f in files:
+            os.remove(f)
+        for i, f in enumerate(sorted(os.listdir(tmp))):
+            os.replace(
+                os.path.join(tmp, f),
+                os.path.join(prep_dir, f"dedup_{i:05d}.parquet"),
+            )
+        _sh.rmtree(tmp, ignore_errors=True)
+        new_total = sum(
+            pq.ParquetFile(os.path.join(prep_dir, f)).metadata.num_rows
+            for f in os.listdir(prep_dir)
+            if f.endswith(".parquet")
+        )
+        return total - int(new_total)
+
+    all_ids = np.concatenate(id_cols)
+    s = np.sort(all_ids)
+    dup_ids = np.unique(s[1:][s[1:] == s[:-1]])
+    if dup_ids.size == 0:
+        return 0
+
+    dup_tables = []
+    for f, ids in zip(files, id_cols):
+        pos = np.minimum(np.searchsorted(dup_ids, ids), dup_ids.size - 1)
+        hit = dup_ids[pos] == ids
+        if not hit.any():
+            continue
+        t = pq.read_table(f)
+        dup_tables.append((f, t, hit))
+    import pyarrow as _pa
+
+    winners = _keep_latest(
+        _pa.concat_tables([t.filter(_pa.array(h)) for _, t, h in dup_tables])
+    )
+    removed = sum(int(h.sum()) for _, _, h in dup_tables) - winners.num_rows
+    for f, t, hit in dup_tables:
+        pq.write_table(t.filter(_pa.array(~hit)), f + ".tmp")
+        os.replace(f + ".tmp", f)
+    wpath = os.path.join(prep_dir, "zzz_dedup_winners.parquet")
+    pq.write_table(winners, wpath + ".tmp")
+    os.replace(wpath + ".tmp", wpath)
+    return removed
+
+
 def prepare_documents(pages_ds, cfg: PipelineConfig, dedup: bool = True):
     """pages -> deduped (url, warc_ts, text, doc_id) Dataset.  docIDs are
     assigned BEFORE dedup so the dedup shuffle can bucket on them."""

@@ -624,6 +624,8 @@ def make_spill_encoder(
     lineage: dict,
     doc_id_space: int,
     merge_fanin: int = _MERGE_FANIN,
+    segment_filename: str = "postings.parquet",
+    incremental: bool = False,
 ):
     """Returns the map_batches fn encoding + atomically committing one
     partition segment per input pid row, summary rows out.
@@ -681,8 +683,13 @@ def make_spill_encoder(
 
     def encode_partition(pid: int, runs: list[tuple[pq.ParquetFile, list[int]]]) -> dict:
         counters = {"n_terms": 0, "n_postings": 0, "n_blocks": 0}
+        if incremental:
+            # resume: this increment's segment already committed here
+            done = mf.partition_segment_committed(index_dir, pid, segment_filename)
+            if done is not None:
+                return dict(done)
 
-        def writer(tmp_dir: str) -> None:
+        def writer(out_path: str) -> None:
             import shutil
             import tempfile
 
@@ -691,7 +698,7 @@ def make_spill_encoder(
             if len(runs) > merge_fanin:
                 scratch = tempfile.mkdtemp(prefix=f"graft_merge_p{pid}_")
                 runs = _reduce_runs(runs, scratch, fanin=merge_fanin)
-            out = _BlockWriter(os.path.join(tmp_dir, "postings.parquet"))
+            out = _BlockWriter(out_path)
 
             def consume(codes: np.ndarray, terms_sorted: pa.Array, sorted_tbl, lo: int, hi: int) -> None:
                 # codes sorted: iterate completed term runs of rows [lo, hi)
@@ -745,9 +752,22 @@ def make_spill_encoder(
             if scratch is not None:
                 shutil.rmtree(scratch, ignore_errors=True)
 
+        if incremental:
+
+            def file_writer(tmp_path: str) -> None:
+                writer(tmp_path)
+                counters["n_blocks"] = int(
+                    pq.ParquetFile(tmp_path).metadata.num_rows
+                )
+
+            mf.commit_partition_segment(
+                index_dir, pid, segment_filename, file_writer, counters, lineage
+            )
+            return counters
+
         def writer_with_block_count(tmp_dir: str) -> None:
-            writer(tmp_dir)
-            path = os.path.join(tmp_dir, "postings.parquet")
+            path = os.path.join(tmp_dir, segment_filename)
+            writer(path)
             counters["n_blocks"] = int(pq.ParquetFile(path).metadata.num_rows)
 
         mf.commit_partition(index_dir, pid, writer_with_block_count, counters, lineage)

@@ -89,6 +89,64 @@ def read_partition_manifest(index_dir: str, p: int) -> dict[str, Any]:
         return json.load(f)
 
 
+def commit_partition_segment(
+    index_dir: str,
+    p: int,
+    filename: str,
+    payload_writer,
+    counters: dict[str, Any],
+    lineage_update: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Atomically ADD one segment file to a (possibly already committed)
+    partition — the incremental-append commit (pipelines/append.py
+    mode="incremental"), vs ``commit_partition`` which replaces the
+    whole directory.
+
+    ``payload_writer(tmp_path)`` writes the file; it is then renamed to
+    ``filename`` and the partition manifest merges the new counters and
+    records the epoch under ``lineage.epochs[filename]`` — whose
+    presence is the resume marker (a crash between the file rename and
+    the manifest write re-encodes an identical file, so the replay is
+    idempotent)."""
+    final_dir = partition_dir(index_dir, p)
+    os.makedirs(final_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    tmp = os.path.join(final_dir, "_" + filename + ".tmp")
+    payload_writer(tmp)
+    os.replace(tmp, os.path.join(final_dir, filename))
+    try:
+        manifest = read_partition_manifest(index_dir, p)
+    except FileNotFoundError:
+        manifest = {"partition": p, "counters": {}, "lineage": {}}
+    merged = dict(manifest.get("counters", {}))
+    for k, v in counters.items():
+        merged[k] = merged.get(k, 0) + v if isinstance(v, (int, float)) else v
+    manifest["counters"] = merged
+    lineage = dict(manifest.get("lineage", {}))
+    epochs = dict(lineage.get("epochs", {}))
+    epochs[filename] = dict(counters)
+    lineage["epochs"] = epochs
+    lineage.update(lineage_update or {})
+    manifest["lineage"] = lineage
+    manifest["wall_sec"] = round(time.perf_counter() - t0, 4)
+    manifest["committed_at"] = time.time()
+    mtmp = os.path.join(final_dir, "_manifest.json.tmp")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, partition_manifest_path(index_dir, p))
+    return manifest
+
+
+def partition_segment_committed(index_dir: str, p: int, filename: str) -> dict | None:
+    """The epoch counters recorded for ``filename`` in partition ``p``'s
+    manifest, or None if that segment file was never committed."""
+    try:
+        manifest = read_partition_manifest(index_dir, p)
+    except FileNotFoundError:
+        return None
+    return manifest.get("lineage", {}).get("epochs", {}).get(filename)
+
+
 def commit_index(index_dir: str, meta: dict[str, Any]) -> None:
     tmp = os.path.join(index_dir, "_manifest.json.tmp")
     with open(tmp, "w") as f:

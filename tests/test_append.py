@@ -57,7 +57,9 @@ def test_append_equals_fresh_build(tmp_path):
 
     inc = str(tmp_path / "inc")
     build_index(lambda: ray.data.from_arrow(pages_a), inc, cfg)
-    meta = append_index(lambda: ray.data.from_arrow(pages_b), inc, cfg)
+    meta = append_index(
+        lambda: ray.data.from_arrow(pages_b), inc, cfg, mode="rewrite"
+    )
 
     # stats identical
     sf, si = CorpusStats.load(fresh), CorpusStats.load(inc)
@@ -102,6 +104,7 @@ def test_append_paths_byte_identical(tmp_path, force_resalt):
         lambda: ray.data.from_arrow(pages_b),
         inc,
         cfg,
+        mode="rewrite",
         _force_resalt=force_resalt,
     )
     path_taken = meta["counters"]["stage_walls"]["append_path"]
@@ -122,8 +125,14 @@ def test_append_twice(tmp_path):
 
     inc = str(tmp_path / "inc")
     build_index(lambda: ray.data.from_arrow(pages.slice(0, 150)), inc, cfg)
-    append_index(lambda: ray.data.from_arrow(pages.slice(150, 150)), inc, cfg)
-    meta = append_index(lambda: ray.data.from_arrow(pages.slice(300)), inc, cfg)
+    append_index(
+        lambda: ray.data.from_arrow(pages.slice(150, 150)), inc, cfg,
+        mode="rewrite",
+    )
+    meta = append_index(
+        lambda: ray.data.from_arrow(pages.slice(300)), inc, cfg,
+        mode="rewrite",
+    )
     assert [i["increment"] for i in meta["lineage"]["increments"]] == [1, 2]
     for p in range(cfg.num_partitions):
         assert _segment_bytes(fresh, p) == _segment_bytes(inc, p)
@@ -153,7 +162,9 @@ def test_append_resume_after_interrupt(tmp_path, monkeypatch):
 
     monkeypatch.setattr(app_mod, "make_spill_encoder", boom)
     with pytest.raises(RuntimeError, match="interrupted"):
-        append_index(lambda: ray.data.from_arrow(pages_b), inc, cfg)
+        append_index(
+            lambda: ray.data.from_arrow(pages_b), inc, cfg, mode="rewrite"
+        )
     assert os.path.exists(append_marker_path(inc))
 
     # plain build refuses to touch a mid-append index
@@ -165,7 +176,7 @@ def test_append_resume_after_interrupt(tmp_path, monkeypatch):
     def explode():
         raise AssertionError("resume must not re-prepare the increment")
 
-    append_index(explode, inc, cfg)
+    append_index(explode, inc, cfg)  # mode comes from the marker
     for p in range(cfg.num_partitions):
         assert _segment_bytes(fresh, p) == _segment_bytes(inc, p)
 
@@ -202,6 +213,7 @@ def test_append_skip_existing(tmp_path):
         inc,
         cfg,
         on_existing="skip",
+        mode="rewrite",
     )
     last = meta["lineage"]["increments"][-1]
     assert last["skipped_existing"] == 100
