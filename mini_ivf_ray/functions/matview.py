@@ -29,8 +29,12 @@ def list_to_matrix(col, dtype=None) -> np.ndarray:
     n = len(col)
     if n == 0:
         d = col.type.list_size if pa.types.is_fixed_size_list(col.type) else 0
-        out = np.empty((0, d), dtype=dtype if dtype is not None else np.float64)
-        return out
+        if dtype is None:
+            # keep the column's STORAGE dtype: a float64 default turned
+            # empty uint64 signature blocks into float matrices, which
+            # blew up integer kernels downstream (empty-block hardening)
+            dtype = np.dtype(col.type.value_type.to_pandas_dtype())
+        return np.empty((0, d), dtype=dtype)
     if col.null_count:
         raise ValueError("null rows in list column cannot form a matrix")
     if pa.types.is_fixed_size_list(col.type):

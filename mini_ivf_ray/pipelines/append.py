@@ -615,10 +615,14 @@ def append_index(
                     os.path.join(prev_root, f"part={p}")
                 ):
                     run_map.setdefault(p, []).append((seg, "segment"))
+        run_sizes: dict[int, int] = {}
         for d in (old_dir, new_dir):
             if os.path.isdir(d):
-                for p, rs in scan_spill_runs(d).items():
+                rm, sz = scan_spill_runs(d, with_sizes=True)
+                for p, rs in rm.items():
                     run_map.setdefault(p, []).extend(rs)
+                for p, n in sz.items():
+                    run_sizes[p] = run_sizes.get(p, 0) + n
         lineage = {
             "builder": "mini_ivf_ray.append_index",
             "increment": increment,
@@ -628,8 +632,15 @@ def append_index(
             spill_root, run_map, index_dir, n_docs, avgdl, hot_df, plan, cfg,
             lineage, doc_id_space=doc_id_space,
         )
+        from mini_ivf_ray.stages.spimi import order_pids_lpt
+
+        # segment runs carry no spill footer sizes; order_pids_lpt sizes
+        # them from their own file metadata (one open per partition)
+        enc_order = order_pids_lpt(
+            run_map, run_sizes if not segment_runs else None
+        ) + [p for p in pending if p not in run_map]
         ray.data.from_items(
-            [{"pid": p} for p in pending], override_num_blocks=len(pending)
+            [{"pid": p} for p in enc_order], override_num_blocks=len(enc_order)
         ).map_batches(encoder, batch_format="pyarrow", batch_size=1, num_cpus=1).count()
         shutil.rmtree(spill_root, ignore_errors=True)
         _mark("encode_wall_sec")
@@ -785,7 +796,7 @@ def _append_incremental(
     total_tokens = prior["total_tokens"] + spill_tokens
     avgdl = total_tokens / n_docs if n_docs else 0.0
     hot_df = {t: salted_df_prior.get(t, 0) + hot_counter.get(t, 0) for t in plan}
-    run_map = scan_spill_runs(new_dir) if os.path.isdir(new_dir) else {}
+    run_map = scan_spill_runs(new_dir) if os.path.isdir(new_dir) else {}  # inc-sized
     lineage = {
         "builder": "mini_ivf_ray.append_index",
         "increment": increment,

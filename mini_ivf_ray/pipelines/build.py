@@ -152,16 +152,34 @@ def _estimate_salt_plan(prep_dir: str, cfg: PipelineConfig, n_docs: int) -> dict
     import ray
 
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    # block count sized to the SAMPLE (bounded at _SAMPLE_TARGET docs),
+    # not the CPU count: 2*n_cpus blocks over 25k docs meant ~400-doc
+    # tasks whose dispatch overhead dominated — a pure Amdahl floor
+    # (~2 s at every CPU count) on the otherwise-parallel build
+    n_blocks = max(4, min(2 * n_cpus, -(-n_sampled // 1500)))
     ds = ray.data.read_parquet(
-        sample, columns=["text"], override_num_blocks=max(16, 2 * n_cpus)
+        sample, columns=["text"], override_num_blocks=n_blocks
     ).map_batches(partials, batch_format="pyarrow", batch_size=2048)
     # the sample is bounded (_SAMPLE_TARGET docs) regardless of corpus
     # size, so its vocab partials are driver-summable — no groupby
     # exchange (whose flat latency floor dominated the round-1 stats
-    # pass at this scale)
-    df_s: Counter = Counter()
+    # pass at this scale).  ONE vectorized merge (concat + factorize +
+    # bincount) instead of a per-batch python Counter.update walk.
+    term_parts, df_parts = [], []
     for b in ds.iter_batches(batch_format="pyarrow"):
-        df_s.update(dict(zip(b["term"].to_pylist(), b["df"].to_numpy())))
+        term_parts.append(np.asarray(b["term"].to_pylist(), dtype=object))
+        df_parts.append(b["df"].to_numpy())
+    df_s: Counter = Counter()
+    if term_parts:
+        import pandas as pd
+
+        all_terms = np.concatenate(term_parts)
+        all_dfs = np.concatenate(df_parts).astype(np.int64)
+        inv, uniq = pd.factorize(all_terms, sort=False)
+        sums = np.bincount(inv, weights=all_dfs, minlength=len(uniq)).astype(
+            np.int64
+        )
+        df_s = Counter(dict(zip(uniq, sums)))
     scale = n_docs / n_sampled
     th = cfg.hot_df_threshold
     return {
@@ -344,15 +362,23 @@ def build_index(
             total_tokens = spill_tokens
             hot_df = spill_hot_df
         avgdl = total_tokens / n_docs if n_docs else 0.0
-        run_map = scan_spill_runs(spill_dir)  # one driver footer pass
+        run_map, run_sizes = scan_spill_runs(spill_dir, with_sizes=True)
         encoder = make_spill_encoder(
             spill_dir, run_map, index_dir, n_docs, avgdl, hot_df, plan, cfg,
             lineage, doc_id_space=doc_id_space,
         )
-        # one block per pending partition: encode parallelism must be
-        # partition-wide, not bounded by from_items' default block count
+        # one block per pending partition (encode parallelism must be
+        # partition-wide, not bounded by from_items' default block
+        # count), dispatched longest-first: partition sizes are skewed,
+        # and LPT ordering cuts the last-wave straggler tail that capped
+        # encode scaling efficiency at 0.65 (4v16, 1.2M docs)
+        from mini_ivf_ray.stages.spimi import order_pids_lpt
+
+        enc_order = order_pids_lpt(run_map, run_sizes) + [
+            p for p in pending if p not in run_map
+        ]
         summary = ray.data.from_items(
-            [{"pid": p} for p in pending], override_num_blocks=len(pending)
+            [{"pid": p} for p in enc_order], override_num_blocks=len(enc_order)
         ).map_batches(
             encoder,
             batch_format="pyarrow",

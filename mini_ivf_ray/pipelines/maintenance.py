@@ -357,7 +357,9 @@ def compact_index(index_dir: str, cfg: PipelineConfig | None = None) -> dict:
             for t in plan
         }
         run_map: dict[int, list] = {}
-        for p, rs in scan_spill_runs(old_dir).items():
+        run_sizes: dict[int, int]
+        rm_scan, run_sizes = scan_spill_runs(old_dir, with_sizes=True)
+        for p, rs in rm_scan.items():
             run_map.setdefault(p, []).extend(rs)
         lineage = {
             "builder": "mini_ivf_ray.compact_index",
@@ -367,8 +369,13 @@ def compact_index(index_dir: str, cfg: PipelineConfig | None = None) -> dict:
             spill_root, run_map, index_dir, n_docs, avgdl, hot_df, plan, cfg,
             lineage, doc_id_space=doc_id_space,
         )
+        from mini_ivf_ray.stages.spimi import order_pids_lpt
+
+        enc_order = order_pids_lpt(run_map, run_sizes) + [
+            p for p in pending if p not in run_map
+        ]
         ray.data.from_items(
-            [{"pid": p} for p in pending], override_num_blocks=len(pending)
+            [{"pid": p} for p in enc_order], override_num_blocks=len(enc_order)
         ).map_batches(
             encoder, batch_format="pyarrow", batch_size=1, num_cpus=1
         ).count()

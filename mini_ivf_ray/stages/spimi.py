@@ -589,27 +589,65 @@ class SegmentRun:
                 )
 
 
-def scan_spill_runs(spill_dir: str) -> dict[int, list[tuple[str, list[int]]]]:
+def scan_spill_runs(
+    spill_dir: str, with_sizes: bool = False
+) -> dict[int, list[tuple[str, list[int]]]] | tuple[dict, dict[int, int]]:
     """ONE footer-metadata pass over the spill run files ->
     {pid: [(file, row-group indices)]}.  Done once on the driver (or one
     task) instead of every encode task re-scanning every footer's
     per-row-group statistics — at 300+ runs that python-level stats walk
-    was a visible per-task cost x n_partitions."""
+    was a visible per-task cost x n_partitions.
+
+    ``with_sizes=True`` additionally returns {pid: total rows} from the
+    same footer pass (feeds ``order_pids_lpt`` without re-opening every
+    file)."""
     out: dict[int, list[tuple[str, list[int]]]] = {}
+    sizes: dict[int, int] = {}
     for f in sorted(glob.glob(os.path.join(spill_dir, "run_*.parquet"))):
         pf = pq.ParquetFile(f)
         idx = pf.schema_arrow.get_field_index("pid")
         per_pid: dict[int, list[int]] = {}
         for g in range(pf.metadata.num_row_groups):
-            st = pf.metadata.row_group(g).column(idx).statistics
+            rg = pf.metadata.row_group(g)
+            st = rg.column(idx).statistics
             if st is None or st.min != st.max:
                 raise ValueError(
                     f"{f}: row group {g} is not a single-pid slice"
                 )
-            per_pid.setdefault(int(st.min), []).append(g)
+            p = int(st.min)
+            per_pid.setdefault(p, []).append(g)
+            sizes[p] = sizes.get(p, 0) + rg.num_rows
         for p, groups in per_pid.items():
             out.setdefault(p, []).append((f, groups))
-    return out
+    return (out, sizes) if with_sizes else out
+
+
+def order_pids_lpt(
+    run_map: dict[int, list], sizes: dict[int, int] | None = None
+) -> list[int]:
+    """Partition ids ordered by total spill rows DESC (longest-
+    processing-time-first): encode tasks are one per partition and
+    partition sizes are skewed (salted hot terms), so dispatching the
+    big ones first cuts the last-wave straggler tail that capped encode
+    scaling efficiency at 0.65 (4-vs-16 CPUs, 1.2M docs).  Pass the
+    ``sizes`` from ``scan_spill_runs(with_sizes=True)`` — a separate
+    footer pass here would cost driver seconds at high run counts.
+    Deterministic (ties by pid asc); commit order never affects output
+    bytes — partition commits are independent and atomic."""
+    if sizes is None:
+        sizes = {}
+        for p, runs in run_map.items():
+            tot = 0
+            for f, groups in runs:
+                pf = pq.ParquetFile(f)
+                if groups == "segment":
+                    tot += pf.metadata.num_rows
+                else:
+                    tot += sum(
+                        pf.metadata.row_group(g).num_rows for g in groups
+                    )
+            sizes[p] = tot
+    return sorted(run_map, key=lambda p: (-sizes.get(p, 0), p))
 
 
 def make_spill_encoder(

@@ -101,30 +101,72 @@ def test_empty_and_errors(tmp_path):
         h5lite.write_h5(str(tmp_path / "x.h5"), {"a/b": np.ones(2, "<f4")})
 
 
-def test_chunked_layout_escape_hatch(tmp_path):
-    """A layout message whose class byte says 'chunked' must raise the
-    use-h5py error, and sources.hdf5 must surface it as ImportError
-    when h5py is absent (never a silent wrong answer)."""
+def test_chunked_roundtrip_plain(tmp_path):
+    """Chunked layout (v1 chunk B-tree), no filters: full reads and row
+    ranges equal the source, including EDGE chunks (shape not divisible
+    by the chunk shape)."""
     p = str(tmp_path / "c.h5")
-    h5lite.write_h5(p, {"train": np.arange(12, dtype="<f4").reshape(3, 4)})
-    raw = bytearray(open(p, "rb").read())
-    # locate the layout message: version 3, class 1, followed by the
-    # data address — flip class to 2 (chunked)
+    a = np.arange(7 * 5, dtype="<f4").reshape(7, 5)
+    h5lite.write_h5(p, {"train": a}, chunks={"train": (3, 2)})
     info = h5lite.read_h5_meta(p)["train"]
-    needle = struct.pack("<BBQQ", 3, 1, info.offset, info.nbytes)
+    assert info.is_chunked and info.chunk_shape == (3, 2)
+    assert len(info.chunks) == 3 * 3  # ceil(7/3) x ceil(5/2)
+    np.testing.assert_array_equal(h5lite.read_h5(p, "train"), a)
+    for lo, hi in ((0, 3), (2, 5), (5, 7), (6, 6), (0, 7)):
+        np.testing.assert_array_equal(
+            h5lite.read_h5(p, "train", rows=(lo, hi)), a[lo:hi]
+        )
+
+
+def test_chunked_roundtrip_gzip_shuffle(tmp_path):
+    """gzip + byte-shuffle filters (the stock h5py compression combo):
+    bit-exact round trip for float and int, 1-D and 2-D, plus mixed
+    contiguous/chunked datasets in one file."""
+    p = str(tmp_path / "cz.h5")
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 17)).astype("<f8")
+    vec = rng.integers(0, 1000, size=201).astype("<i4")
+    plain = np.arange(6, dtype="<u2")
+    h5lite.write_h5(
+        p,
+        {"train": mat, "ids": vec, "plain": plain},
+        chunks={"train": (16, 17), "ids": (64,)},
+        gzip_level=6,
+        shuffle=True,
+    )
+    meta = h5lite.read_h5_meta(p)
+    assert [f[0] for f in meta["train"].filters] == [2, 1]  # shuffle, deflate
+    assert not meta["plain"].is_chunked
+    # compression actually happened (random floats still shrink a bit
+    # via shuffle+deflate framing; integers compress hard)
+    assert meta["ids"].nbytes < vec.nbytes
+    np.testing.assert_array_equal(h5lite.read_h5(p, "train"), mat)
+    np.testing.assert_array_equal(h5lite.read_h5(p, "ids"), vec)
+    np.testing.assert_array_equal(h5lite.read_h5(p, "plain"), plain)
+    np.testing.assert_array_equal(
+        h5lite.read_h5(p, "train", rows=(10, 40)), mat[10:40]
+    )
+    np.testing.assert_array_equal(
+        h5lite.read_h5(p, "ids", rows=(100, 201)), vec[100:201]
+    )
+
+
+def test_chunked_unknown_filter_escape_hatch(tmp_path):
+    """An unregistered filter id must raise the use-h5py error — never a
+    silent wrong answer."""
+    p = str(tmp_path / "cf.h5")
+    a = np.arange(12, dtype="<f4").reshape(3, 4)
+    h5lite.write_h5(p, {"train": a}, chunks={"train": (3, 4)}, gzip_level=1)
+    raw = bytearray(open(p, "rb").read())
+    # the filter pipeline message encodes deflate as id 1 with one
+    # client value: rewrite the id to an unregistered 0x00FF
+    needle = struct.pack("<HHHH", 1, 0, 1, 1)
     i = raw.find(needle)
     assert i > 0
-    raw[i + 1] = 2
+    raw[i : i + 2] = struct.pack("<H", 0x00FF)
     open(p, "wb").write(bytes(raw))
-    with pytest.raises(ValueError, match="chunked.*use h5py"):
-        h5lite.read_h5_meta(p)
-    try:
-        import h5py  # noqa: F401
-    except ImportError:
-        from mini_ivf_ray.sources.hdf5 import read_hdf5_matrix
-
-        with pytest.raises(ImportError, match="h5py"):
-            read_hdf5_matrix(p, "train")
+    with pytest.raises(ValueError, match="filter id 255 unsupported"):
+        h5lite.read_h5(p, "train")
 
 
 def test_big_endian_and_subgroup_rejected(tmp_path):
