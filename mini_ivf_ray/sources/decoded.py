@@ -97,20 +97,20 @@ def decode_partition(
     if not files:
         return None
 
+    if len(files) == 1:
+        # single-epoch fast path (the flagship serving case): decode
+        # straight from the varint stream with NO intermediate tf/dl
+        # buffers — the multi-file merge's extra allocations measurably
+        # slowed the spin-up decode burst (first-touch pages, memory
+        # pitfall #18)
+        return _decode_partition_single(
+            files[0], n_docs, avgdl, df_map, k1, b
+        )
+
     parts = [_decode_file(f) for f in files]
 
-    if len(parts) == 1:
-        terms, counts, docs_all, tfs_all, dls_all, doc_off = parts[0]
-        nblocks = len(terms)
-        # stored block tiling is already (term, doc)-sorted and disjoint
-        firsts = docs_all[doc_off[:-1]] if nblocks else np.empty(0, np.uint64)
-        lasts = (
-            docs_all[doc_off[1:] - 1] if nblocks else np.empty(0, np.uint64)
-        )
-        block_terms = terms
-    else:
+    if True:
         # merge epochs: global per-posting term index, lexsort, re-block
-        all_terms: list[str] = []
         term_idx_parts = []
         for terms, counts, docs_all, _, _, _ in parts:
             # per-posting local term ids via per-block repeat
@@ -170,13 +170,9 @@ def decode_partition(
         block_terms = [uniq_all[int(run_term_ids[r])] for r in block_run]
         nblocks = len(block_terms)
 
-    # contributions + EXACT per-block maxima under the CURRENT stats.
-    # idf per term run: dictionary-exact df via df_map (falls back to
-    # the stored per-row df on single-epoch indexes, where they agree).
+    # contributions + EXACT per-block maxima under the CURRENT stats,
+    # idf per term run from the dictionary-exact df_map
     contribs_all = np.empty(docs_all.size, dtype=np.float64)
-    stored_dfs = None
-    if df_map is None and len(parts) == 1:
-        stored_dfs = pq.read_table(files[0], columns=["df"])["df"].to_numpy()
     cur_term = None
     cur_idf = 0.0
     dfs_out = np.empty(nblocks, dtype=np.int64)
@@ -184,10 +180,7 @@ def decode_partition(
         tname = block_terms[i]
         if tname != cur_term:
             cur_term = tname
-            if df_map is not None:
-                dfv = int(df_map.get(tname, 0))
-            else:
-                dfv = int(stored_dfs[i]) if stored_dfs is not None else 0
+            dfv = int(df_map.get(tname, 0)) if df_map is not None else 0
             cur_idf = bm25.idf(dfv, n_docs)
         else:
             dfv = int(dfs_out[i - 1])
@@ -201,14 +194,24 @@ def decode_partition(
         if contribs_all.size
         else np.empty(0, dtype=np.float64)
     )
+    return _bundle_dict(
+        block_terms, firsts, lasts, np.asarray(counts), max_scores,
+        dfs_out, doc_off, docs_all, contribs_all,
+    )
 
-    # term -> block row range (terms are contiguous in block order).
-    # Stored as SORTED fixed-width numpy byte arrays + range arrays, NOT
-    # a Python dict: every serving actor ray.gets every bundle, and a
-    # vocab-sized str->tuple dict is cloudpickled per get (~8 s per
-    # actor at 64 partitions, the dominant spin-up cost in r2), while
-    # primitive numpy arrays map zero-copy from plasma.  Lookup is one
-    # np.searchsorted per (term, partition).
+
+def _bundle_dict(
+    block_terms, firsts, lasts, counts, max_scores, dfs_out, doc_off,
+    docs_all, contribs_all,
+):
+    """Assemble the shared bundle.  The term -> block-row index is
+    stored as SORTED fixed-width numpy byte arrays + range arrays, NOT
+    a Python dict: every serving actor ray.gets every bundle, and a
+    vocab-sized str->tuple dict is cloudpickled per get (~8 s per
+    actor at 64 partitions, the dominant spin-up cost in r2), while
+    primitive numpy arrays map zero-copy from plasma.  Lookup is one
+    np.searchsorted per (term, partition)."""
+    nblocks = len(block_terms)
     run_starts = []
     start = 0
     for i in range(1, nblocks + 1):
@@ -224,7 +227,7 @@ def decode_partition(
     return {
         "firsts": firsts,
         "lasts": lasts,
-        "counts": np.asarray(counts),
+        "counts": counts,
         "max_scores": max_scores,
         "dfs": dfs_out,
         "doc_off": doc_off,
@@ -234,6 +237,85 @@ def decode_partition(
         "run_starts": run_starts[order],
         "run_ends": run_ends[order],
     }
+
+
+def _decode_partition_single(
+    path: str, n_docs: int, avgdl: float, df_map, k1: float, b: float
+):
+    """Single-epoch partition decode — the flagship serving hot path,
+    FULLY vectorized (r4: the per-block python loop was ~60% of the
+    spin-up decode burst): one concatenated varint decode, one
+    carry-corrected cumsum recovering absolute doc_ids (the
+    decode_block_table gather pattern), ONE tf_norm over every posting
+    with per-posting idf via np.repeat.  Bit-identical to the per-block
+    form — tf_norm is elementwise and idf is constant within a block.
+    idf comes from the dictionary-exact ``df_map`` (falls back to the
+    stored df column, identical on single-epoch indexes); per-block
+    maxima are recomputed EXACTLY from the contributions (reduceat;
+    max is order-independent, so this is bit-safe)."""
+    t = pq.read_table(path)
+    terms = t["term"].to_pylist()
+    firsts = t["first_doc_id"].to_numpy()
+    lasts = t["last_doc_id"].to_numpy()
+    counts = t["count"].to_numpy().astype(np.int64)
+    stored_dfs = t["df"].to_numpy()
+    payloads = t["payload"].to_pylist()
+
+    nblocks = len(terms)
+    doc_off = np.zeros(nblocks + 1, dtype=np.int64)
+    np.cumsum(counts, out=doc_off[1:])
+    total = int(doc_off[-1])
+    if total == 0:
+        return _bundle_dict(
+            terms, firsts, lasts, counts,
+            np.empty(0, dtype=np.float64),
+            np.zeros(nblocks, dtype=np.int64), doc_off,
+            np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.float64),
+        )
+
+    vals = decode_varints(
+        np.concatenate([np.frombuffer(pl, dtype=np.uint8) for pl in payloads])
+    )
+    # each block's payload segment is [n-1 doc deltas, n tfs, n dls]
+    seg_off = np.concatenate(([0], np.cumsum(3 * counts - 1)[:-1]))
+    out_off = doc_off[:-1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(out_off, counts)
+    first_rep = np.repeat(firsts.astype(np.uint64), counts)
+    gather_delta = np.repeat(seg_off, counts) + pos - 1  # valid where pos > 0
+    delta = np.where(pos > 0, vals[np.maximum(gather_delta, 0)], np.uint64(0))
+    cs = np.cumsum(delta.astype(np.uint64), dtype=np.uint64)
+    carry = np.where(out_off > 0, cs[np.maximum(out_off - 1, 0)], np.uint64(0))
+    docs_all = first_rep + cs - np.repeat(carry, counts)
+    gtf = np.repeat(seg_off + counts - 1, counts) + pos
+    tfs = vals[gtf].astype(np.int64)
+    dls = vals[gtf + np.repeat(counts, counts)].astype(np.int64)
+
+    # per-block idf: df_map lookups once per TERM RUN (terms are
+    # contiguous in file order), broadcast to blocks then to postings
+    idf_blocks = np.empty(nblocks, dtype=np.float64)
+    dfs_out = np.empty(nblocks, dtype=np.int64)
+    cur_term = None
+    cur_idf = 0.0
+    cur_df = 0
+    for i in range(nblocks):
+        if terms[i] != cur_term:
+            cur_term = terms[i]
+            cur_df = (
+                int(df_map.get(cur_term, 0))
+                if df_map is not None
+                else int(stored_dfs[i])
+            )
+            cur_idf = bm25.idf(cur_df, n_docs)
+        idf_blocks[i] = cur_idf
+        dfs_out[i] = cur_df
+    contribs_all = np.repeat(idf_blocks, counts) * bm25.tf_norm(
+        tfs, dls, avgdl, k1, b
+    )
+    max_scores = np.maximum.reduceat(contribs_all, doc_off[:-1])
+    return _bundle_dict(
+        terms, firsts, lasts, counts, max_scores, dfs_out, doc_off,
+        docs_all, contribs_all,
+    )
 
 
 def share_decoded_index(index_dir: str, cfg: PipelineConfig, wait: bool = False) -> dict:
