@@ -131,6 +131,10 @@ def run_bench() -> dict:
     query_sec = time.perf_counter() - t0
     n_res = len(res)
     timings["query_topk"] = round(query_sec, 3)
+    # snapshot BEFORE the repeat: avg_searched_cnt is the cross-round
+    # determinism witness (bit-identical r2/r3), so its composition
+    # (warmup + exactly one measured pass) must not change
+    pool_metrics = pool.metrics()
     if not FAST:
         # bench-internal repeat: the same warmed pool serves the same
         # workload again — the spread between the passes separates
@@ -144,7 +148,6 @@ def run_bench() -> dict:
         timings["qps_steady"] = round(
             BENCH_QUERIES / min(query_sec, query_sec2), 1
         )
-    pool_metrics = pool.metrics()
     pool.shutdown()
 
     if FAST:

@@ -56,6 +56,15 @@ def main(argv=None) -> int:
     ap.add_argument("index_dir")
     ap.add_argument("--no-dedup", action="store_true")
     ap.add_argument(
+        "--mode",
+        choices=("auto", "incremental", "rewrite"),
+        default="auto",
+        help="incremental: encode only the increment into new segment "
+        "files (cost ~ increment size, the default via auto); rewrite: "
+        "re-encode every partition under union stats (byte-identical "
+        "to a fresh union build)",
+    )
+    ap.add_argument(
         "--skip-existing",
         action="store_true",
         help="drop increment docs whose url is already indexed "
@@ -143,6 +152,7 @@ def main(argv=None) -> int:
                 cfg,
                 dedup=not args.no_dedup,
                 on_existing="skip" if args.skip_existing else "error",
+                mode=args.mode,
             )
             print(json.dumps({"n_docs": meta["n_docs"], **meta["counters"]}))
         elif args.cmd == "delete":

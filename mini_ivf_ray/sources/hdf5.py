@@ -5,15 +5,17 @@ distances).
 Round 3: no longer import-gated.  `sources/h5lite.py` implements the
 needed subset of the public HDF5 file format directly (superblock v0 +
 contiguous numeric datasets — the stock h5py/ann-benchmarks layout), so
-read/write work with zero third-party dependencies.  ``h5py``, when
-present, remains the fallback for files h5lite cannot parse (chunked,
-compressed, v2+ superblocks, nested groups).
+read/write work with zero third-party dependencies.  Round 4 extends
+the subset to CHUNKED datasets with deflate(gzip)/shuffle/fletcher32
+filter pipelines (the stock h5py compression combo); ``h5py``, when
+present, remains the fallback for the rest (v2+ superblocks, compact
+layout, unregistered filters, nested groups).
 
-The distributed reader exploits the contiguous layout: dataset
-metadata (byte offset, dtype, row size) is parsed ONCE on the driver,
-then each task seeks to its own row range and reads raw bytes — the
-same fixed-record pattern as the fvecs reader (`sources/vectors.py`),
-no per-task library or metadata parse.
+The distributed reader exploits the layout: dataset metadata is parsed
+ONCE on the driver, then each task range-reads its own rows —
+contiguous datasets as one seek + one raw read (the fixed-record
+pattern of the fvecs reader, `sources/vectors.py`); chunked datasets
+touch only the chunks overlapping the task's row range.
 """
 
 from __future__ import annotations

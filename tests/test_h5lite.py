@@ -182,3 +182,20 @@ def test_big_endian_and_subgroup_rejected(tmp_path):
     np.testing.assert_array_equal(
         h5lite.read_h5(p, "train"), a.astype("<f4")
     )
+
+
+def test_distributed_reader_over_chunked_gzip(tmp_path, ray_session):
+    """sources.hdf5.read_hdf5_vectors streams a CHUNKED+gzip dataset:
+    per-task row ranges decompress only their overlapping chunks."""
+    from mini_ivf_ray.sources.hdf5 import read_hdf5_vectors
+
+    p = str(tmp_path / "dist.h5")
+    rng = np.random.default_rng(11)
+    mat = rng.standard_normal((300, 9)).astype("<f4")
+    h5lite.write_h5(
+        p, {"train": mat}, chunks={"train": (64, 9)}, gzip_level=4, shuffle=True
+    )
+    df = read_hdf5_vectors(p, "train").to_pandas().sort_values("vec_id")
+    assert len(df) == 300
+    got = np.stack(df["embedding"].to_numpy())
+    np.testing.assert_array_equal(got, mat)
