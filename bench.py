@@ -112,6 +112,16 @@ def run_bench() -> dict:
     timings["build_index"] = round(build_sec, 3)
     timings["build_stats_pass"] = meta["counters"]["stats_wall_sec"]
     timings["build_populate"] = meta["counters"]["populate_wall_sec"]
+    # per-stage walls: the paired stage-level scaling evidence
+    # (BASELINE.md round-4 protocol) drops out of every bench run
+    for k_src, k_out in (
+        ("prepare_wall_sec", "build_prepare"),
+        ("spill_wall_sec", "build_spill"),
+        ("encode_wall_sec", "build_encode"),
+        ("merge_wall_sec", "build_merge"),
+    ):
+        if k_src in meta["counters"]:
+            timings[k_out] = meta["counters"][k_src]
 
     # ---- query serving (reference: Timer around the query loop) ---------
     # steady-state QPS on a persistent warmed pool (the reference times
@@ -315,11 +325,15 @@ def run_scaling() -> dict:
         # per-stage walls (first run each): which stage stops scaling is
         # the actionable datum, not just the ratio
         "stages_lo": {k: los[0]["queries"][k] for k in
-                      ("build_index", "build_stats_pass", "build_populate",
-                       "query_topk") if k in los[0]["queries"]},
+                      ("build_index", "build_prepare", "build_stats_pass",
+                       "build_spill", "build_encode", "build_merge",
+                       "build_populate", "query_topk")
+                      if k in los[0]["queries"]},
         "stages_hi": {k: his[0]["queries"][k] for k in
-                      ("build_index", "build_stats_pass", "build_populate",
-                       "query_topk") if k in his[0]["queries"]},
+                      ("build_index", "build_prepare", "build_stats_pass",
+                       "build_spill", "build_encode", "build_merge",
+                       "build_populate", "query_topk")
+                      if k in his[0]["queries"]},
     }
     return result
 
