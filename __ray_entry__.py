@@ -2609,6 +2609,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ann_search(idx, qds, k=10, nprobe=2)
 
+    def ann_obs(sf_dir):
+        """The reference's QueryObs itself (index_ivfpq.cpp:412-470):
+        per-PARTITION histogram of where each query's full-probe top-k
+        lives (gt_hits) vs which partitions nprobe probed — the
+        nprobe/n_centroids tuning tool.  rows-only: engine-internal
+        routing counters; ivf_observations asserts the invariants
+        (probed hits <= gt hits; every result id resolvable to its
+        partition) and this query additionally asserts probe recall
+        consistency: sum(gt_hits_probed)/sum(gt_hits) must be <= 1 and
+        > 0 for a probed workload."""
+        from mini_ivf_ray.pipelines.obs import ivf_observations
+
+        idx = _ensure_ivf(sf_dir)
+        qids, Q = _ann_queries(sf_dir)
+        df = ivf_observations(idx, Q, k=10, nprobe=2)
+        recall = df["gt_hits_probed"].sum() / max(1, df["gt_hits"].sum())
+        if not (0.0 < recall <= 1.0):
+            raise AssertionError(f"ann_obs: probe recall {recall} out of range")
+        return pa.table(
+            {
+                "partition": pa.array(df["partition"].to_numpy(), type=pa.int64()),
+                "probes": pa.array(df["probes"].to_numpy(), type=pa.int64()),
+                "scored": pa.array(df["scored"].to_numpy(), type=pa.int64()),
+                "gt_hits": pa.array(df["gt_hits"].to_numpy(), type=pa.int64()),
+                "gt_hits_probed": pa.array(
+                    df["gt_hits_probed"].to_numpy(), type=pa.int64()
+                ),
+            }
+        )
+
     def ann_ivfpq(sf_dir):
         import ray.data
 
@@ -2985,6 +3015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokens": bpe_tokens,
         "append_roundtrip": append_roundtrip,
         "search_obs": search_obs,
+        "ann_obs": ann_obs,
         # -- window: r2-green SQL-oracled rows rotating back in ----------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -3007,8 +3038,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_dup": lsh_near_dup,
         "dedup_clusters": dedup_clusters,
         "ann_ivf_probe": ann_ivf_probe,
-        "ann_ivfpq": ann_ivfpq,
         # ================= end of the 50-row driver window ==============
+        "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,
         # -- tail: r3-green rows (driver rows already on record) ---------
         "tokenize_postings": tokenize_postings,

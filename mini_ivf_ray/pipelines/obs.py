@@ -29,6 +29,109 @@ from mini_ivf_ray.functions.tokenize import tokenize
 from mini_ivf_ray.pipelines.query import BM25Searcher, topk_from_blocks
 
 
+def ivf_observations(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    use_pq: bool = False,
+) -> pd.DataFrame:
+    """The reference's QueryObs itself (index_ivfpq.cpp:412-470): for an
+    IVF index and a query matrix, histogram per PARTITION how many of
+    each query's FULL-PROBE top-k (the ground truth the probe list is
+    trying to cover) live there, vs which partitions nprobe actually
+    probed — the tool for tuning nprobe / n_centroids.
+
+    -> (partition, probes, scored, gt_hits, gt_hits_probed), partition
+    asc.  sum(gt_hits_probed) / sum(gt_hits) is exactly the workload's
+    probe recall: skew in gt_hits against flat probes says the probe
+    list is too short (or the centroids too coarse) for this workload.
+
+    Driver-side by design (an observability sweep is a small diagnostic
+    workload, like the reference's); the id->partition map costs one
+    ids-column read per partition."""
+    from mini_ivf_ray.pipelines.similarity import _ID_COL, IVFSearcher
+    from mini_ivf_ray.state import manifest as mf
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    approx = IVFSearcher(index_dir, k=k, nprobe=nprobe, use_pq=use_pq)
+    n_cent = len(approx.cent)
+    exact = IVFSearcher(index_dir, k=k, nprobe=n_cent, use_pq=use_pq)
+
+    # vec_id -> partition (ids-column-only read per partition)
+    id_arrays, part_arrays = [], []
+    for p in range(n_cent):
+        path = os.path.join(mf.partition_dir(index_dir, p), "vectors.parquet")
+        if not os.path.exists(path):
+            continue
+        ids = pq.read_table(path, columns=[_ID_COL])[_ID_COL].to_numpy()
+        id_arrays.append(ids.astype(np.int64))
+        part_arrays.append(np.full(ids.size, p, dtype=np.int64))
+    all_ids = np.concatenate(id_arrays) if id_arrays else np.empty(0, np.int64)
+    all_parts = (
+        np.concatenate(part_arrays) if part_arrays else np.empty(0, np.int64)
+    )
+    order = np.argsort(all_ids, kind="stable")
+    all_ids, all_parts = all_ids[order], all_parts[order]
+
+    def part_of(ids: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(all_ids, ids.astype(np.int64))
+        pos = np.minimum(pos, max(0, all_ids.size - 1))
+        if all_ids.size and not (all_ids[pos] == ids.astype(np.int64)).all():
+            raise AssertionError("ivf_observations: result id not in index")
+        return all_parts[pos]
+
+    probes_c: dict[int, int] = {}
+    scored_c: dict[int, int] = {}
+    gt_c: dict[int, int] = {}
+    gt_probed_c: dict[int, int] = {}
+    for q in np.asarray(queries, dtype=np.float64):
+        if approx.metric == "cosine":
+            qn = q / (np.linalg.norm(q) or 1.0)
+        else:
+            qn = q
+        cd = ((approx.cent - qn) ** 2).sum(1)
+        W = min(nprobe, n_cent)
+        probed = set(
+            int(x) for x in np.argpartition(cd, W - 1)[:W]
+        )
+        for p in probed:
+            probes_c[p] = probes_c.get(p, 0) + 1
+            ids, _, _, _ = approx._load_part(p)
+            scored_c[p] = scored_c.get(p, 0) + int(len(ids))
+        gt_ids, _, _ = exact.query_one(q)
+        for p in part_of(gt_ids):
+            p = int(p)
+            gt_c[p] = gt_c.get(p, 0) + 1
+            if p in probed:
+                gt_probed_c[p] = gt_probed_c.get(p, 0) + 1
+    total_gt = sum(gt_c.values())
+    total_hit = sum(gt_probed_c.values())
+    if total_hit > total_gt:
+        raise AssertionError("ivf_observations: probed hits exceed gt hits")
+    parts = sorted(set(probes_c) | set(gt_c))
+    return pd.DataFrame(
+        {
+            "partition": pd.Series(parts, dtype=np.int64),
+            "probes": pd.Series(
+                [probes_c.get(p, 0) for p in parts], dtype=np.int64
+            ),
+            "scored": pd.Series(
+                [scored_c.get(p, 0) for p in parts], dtype=np.int64
+            ),
+            "gt_hits": pd.Series(
+                [gt_c.get(p, 0) for p in parts], dtype=np.int64
+            ),
+            "gt_hits_probed": pd.Series(
+                [gt_probed_c.get(p, 0) for p in parts], dtype=np.int64
+            ),
+        }
+    )
+
+
 def query_observations(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -54,3 +54,40 @@ def test_query_observations_hits_localise_results(tiny_index):
             ) if docs_set else 0
     obs = query_observations(idx, QUERIES, cfg)
     assert int(obs["hits"].sum()) == expected
+
+
+def test_ivf_observations_invariants(tmp_path):
+    """QueryObs over an IVF index: ground-truth hits per partition sum
+    to queries x k; probed hits never exceed them; full-probe recall is
+    exactly 1."""
+    import pandas as pd
+    import ray.data
+
+    from mini_ivf_ray.pipelines.obs import ivf_observations
+    from mini_ivf_ray.pipelines.similarity import build_ivf_index
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)) * 3
+    labels = rng.integers(0, 8, 300)
+    mat = centers[labels] + rng.normal(size=(300, 16))
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": [v.tolist() for v in mat]}
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ray.data.from_pandas(df), idx, n_centroids=8, seed=7)
+
+    Q = mat[:6]
+    k = 5
+    obs = ivf_observations(idx, Q, k=k, nprobe=2)
+    assert list(obs.columns) == [
+        "partition", "probes", "scored", "gt_hits", "gt_hits_probed",
+    ]
+    assert int(obs["gt_hits"].sum()) == len(Q) * k
+    assert (obs["gt_hits_probed"] <= obs["gt_hits"]).all()
+    assert int(obs["probes"].sum()) == len(Q) * 2  # nprobe per query
+    # clustered queries: probing their own cluster finds most gt
+    recall = obs["gt_hits_probed"].sum() / obs["gt_hits"].sum()
+    assert recall > 0.5
+
+    full = ivf_observations(idx, Q, k=k, nprobe=8)
+    assert int(full["gt_hits_probed"].sum()) == int(full["gt_hits"].sum())
