@@ -182,6 +182,13 @@ def taat_topk(
     in lexicographic term order, exactly the oracles' float64 pattern —
     and one lexsort top-k.  Bit-identical to WAND/brute-force.
 
+    A rank-safe MaxScore split (``_maxscore_accumulate``) is tried
+    first: head+tail query mixes then evaluate only the rare terms'
+    postings plus candidate-set gathers into the head lists, instead of
+    scoring every posting of every term — the classic TAAT quit/continue
+    optimization, vectorized.  When no split exists (all-head or
+    all-tail queries) full TAAT runs unchanged.
+
     This is the DAAT/TAAT cost-model switch the classic engines make:
     WAND's per-round Python bookkeeping costs more than scoring every
     posting until lists get long; below ``cfg.taat_threshold`` total
@@ -195,13 +202,89 @@ def taat_topk(
     # hash-based factorize map was tried and measured SLOWER than the
     # sort on u64 doc ids).  Accumulation stays one vectorized += per
     # term in lexicographic term order — scores bit-identical.
-    uniq, scores, scored = _taat_accumulate(blocks_list)
+    ms = _maxscore_accumulate(blocks_list, k)
+    if ms is not None:
+        uniq, scores, scored = ms
+        path_key = "maxscore_queries"
+    else:
+        uniq, scores, scored = _taat_accumulate(blocks_list)
+        path_key = "taat_queries"
     out = _topk_exact(uniq, scores, k) if uniq.size else []
     if counters is not None:
         counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
-        counters["taat_queries"] = counters.get("taat_queries", 0) + 1
+        counters[path_key] = counters.get(path_key, 0) + 1
         counters["n_queries"] = counters.get("n_queries", 0) + 1
     return out
+
+
+def _maxscore_accumulate(
+    blocks_list: list[PostingBlocks], k: int
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Rank-safe MaxScore evaluation (Turtle & Flood 1995, "Query
+    evaluation: strategies and optimizations"), vectorized.
+
+    Terms are ordered by descending global score upper bound (the max
+    over their per-block WAND maxima — valid upper bounds in every
+    storage mode).  The ESSENTIAL set is the smallest prefix whose
+    complement's summed upper bounds fall STRICTLY below a lower bound
+    on the final k-th score; ``theta_lb`` is the k-th best single-term
+    contribution of the top-ranked term, which k real documents'
+    full scores dominate, so the true final threshold can only be
+    higher.  A document matching only non-essential terms scores at
+    most that complement sum < theta_lb <= theta — strictly below the
+    k-th candidate, so it can neither enter the top-k nor tie at the
+    boundary.  Candidates are therefore exactly the union of the
+    essential terms' postings; each non-essential (head) term
+    contributes via ONE ``searchsorted`` gather of the candidate ids
+    into its posting array instead of a full-list accumulation —
+    O(|candidates| log df) probes replace df evaluations.
+
+    Bit-identity: candidate scores accumulate one vectorized ``+=`` per
+    term in lexicographic term order — the same float64 addition
+    sequence per document as full TAAT / WAND / the oracles, so
+    surviving scores are bit-identical, and ``_topk_exact``'s
+    (score desc, doc_id asc) selection is unchanged.
+
+    Returns (candidate docs asc, full scores, postings evaluated), or
+    None when no split exists (single term, all terms essential, top
+    term shorter than k, or bounds not yet computed) — callers then run
+    full TAAT, which is optimal for those shapes.
+    """
+    bl = sorted((b for b in blocks_list if b.n_blocks), key=lambda b: b.term)
+    m = len(bl)
+    if m < 2:
+        return None
+    if any(b.max_scores is None for b in bl):
+        return None  # raw-mode blocks before set_scoring: bounds unknown
+    ubs = np.array([float(b.max_scores.max()) for b in bl], dtype=np.float64)
+    order = np.argsort(-ubs, kind="stable")
+    d1, c1 = bl[int(order[0])].all_postings()
+    if d1.size < k:
+        return None  # top term can't witness k candidates: no valid bound
+    theta_lb = float(np.partition(c1, d1.size - k)[d1.size - k])
+    # tails[i] = sum of the i-th..last upper bounds in descending order
+    tails = np.concatenate([np.cumsum(ubs[order][::-1])[::-1], [0.0]])
+    e = next((i for i in range(1, m) if tails[i] < theta_lb), m)
+    if e >= m:
+        return None  # every term is essential: plain TAAT is optimal
+    essential = {int(i) for i in order[:e]}
+    e_docs = [bl[i].all_postings()[0] for i in sorted(essential)]
+    uniq = e_docs[0] if len(e_docs) == 1 else np.unique(np.concatenate(e_docs))
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    scored = 0
+    for i, b in enumerate(bl):  # lexicographic term order (canonical)
+        d, c = b.all_postings()
+        if i in essential:
+            scores[np.searchsorted(uniq, d)] += c
+            scored += int(d.size)
+        else:
+            idx = np.searchsorted(d, uniq)
+            np.minimum(idx, d.size - 1, out=idx)
+            hit = d[idx] == uniq
+            if hit.any():
+                scores[hit] += c[idx[hit]]
+                scored += int(hit.sum())
+    return uniq, scores, scored
 
 
 def _taat_accumulate(
@@ -375,6 +458,22 @@ def topk_from_blocks(
         )
     if total <= cfg.taat_threshold:
         return taat_topk(blocks_list, cfg.topk, counters=counters)
+    if cfg.taat_threshold > 0:
+        # above the TAAT threshold a MaxScore split still beats WAND's
+        # per-round bookkeeping whenever one exists (head-heavy queries
+        # on large corpora); taat_threshold=0 stays the documented
+        # force-WAND debug switch, so the attempt is skipped there
+        ms = _maxscore_accumulate(blocks_list, cfg.topk)
+        if ms is not None:
+            uniq, scores, scored = ms
+            out = _topk_exact(uniq, scores, cfg.topk) if uniq.size else []
+            if counters is not None:
+                counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
+                counters["maxscore_queries"] = (
+                    counters.get("maxscore_queries", 0) + 1
+                )
+                counters["n_queries"] = counters.get("n_queries", 0) + 1
+            return out
     iters = [
         TermIterator(
             b, bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg

@@ -156,11 +156,15 @@ def test_taat_and_wand_bit_identical(tiny_index):
         np.testing.assert_array_equal(
             res["score"].to_numpy(), oracle["score"].to_numpy()
         )
-        # the forced path actually ran
+        # the forced path actually ran (TAAT splits into full-TAAT +
+        # MaxScore sub-paths; both are term-at-a-time, neither is WAND)
+        taat_like = s.counters.get("taat_queries", 0) + s.counters.get(
+            "maxscore_queries", 0
+        )
         if thr == 0:
-            assert "taat_queries" not in s.counters
+            assert taat_like == 0
         else:
-            assert s.counters.get("taat_queries", 0) == len(queries)
+            assert taat_like == len(queries)
 
 
 def test_conjunctive_rank_identity(tiny_index):
