@@ -41,6 +41,35 @@ PAGES_DIR = f"/tmp/graft_bench_pages_{BENCH_DOCS}"
 FAST = os.environ.get("GRAFT_BENCH_FAST", "") == "1"
 
 
+def _host_probe() -> float:
+    """Fixed single-core work (numpy sort of 2M floats x5): an
+    engine-independent host-speed witness, ~0.25 s on a healthy core.
+    The sandbox VM shares a physical host with external tenants; when
+    the hypervisor steals cycles every wall-clock number inflates while
+    the engine's work (avg_searched_cnt) stays bit-identical.  Reporting
+    the probe alongside lets a reader attribute wall deltas to host
+    state instead of guessing."""
+    import numpy as np
+
+    a = np.random.default_rng(1).random(2_000_000)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.sort(a)
+    return round(time.perf_counter() - t0, 3)
+
+
+def _cpu_times() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:]))
+
+
+def _steal_pct(stat0: list[int], stat1: list[int]) -> float:
+    """% of all CPU time the hypervisor stole between two /proc/stat
+    snapshots (field 8).  >5% means an external tenant is active."""
+    d = [b - a for a, b in zip(stat0, stat1)]
+    return round(100.0 * d[7] / max(1, sum(d)), 2)
+
+
 def _bench_queries(n: int, seed: int = 9):
     """Deterministic query workload over the bench corpus vocabulary
     (head + tail mix, reference analog: nq=1000 query set)."""
@@ -64,6 +93,8 @@ def _bench_queries(n: int, seed: int = 9):
 def run_bench() -> dict:
     import ray
 
+    probe_pre = _host_probe()
+    stat0 = _cpu_times()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -176,6 +207,8 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / build_sec, 1),
             "qps": round(BENCH_QUERIES / query_sec, 1),
             "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
+            "host_probe_sec": [probe_pre, _host_probe()],
+            "host_steal_pct": _steal_pct(stat0, _cpu_times()),
         }
 
     # cold-burst Dataset path (one-shot map_batches pool), for reference
@@ -220,6 +253,18 @@ def run_bench() -> dict:
     timings["append_docs_per_sec"] = round(inc_docs / append_sec, 1)
     shutil.rmtree(idx_inc, ignore_errors=True)
 
+    # ---- build repeat: host-drift separation for the BUILD wall ------
+    # (the query side already has query_topk_repeat; round 3's headline
+    # was defined by one degraded sample — a second build bounds how
+    # much of the pass-1 wall was host state vs engine)
+    idx_rep = idx + "_rep"
+    shutil.rmtree(idx_rep, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(pages_factory, idx_rep, cfg)
+    build_sec2 = time.perf_counter() - t0
+    timings["build_index_repeat"] = round(build_sec2, 3)
+    shutil.rmtree(idx_rep, ignore_errors=True)
+
 
     # ---- operator benchmarks over the sf dir ----------------------------
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -249,8 +294,11 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "n_results": n_res,
         "docs_per_sec": round(n_docs / build_sec, 1),
+        "docs_per_sec_best": round(n_docs / min(build_sec, build_sec2), 1),
         "qps": round(BENCH_QUERIES / query_sec, 1),
         "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
+        "host_probe_sec": [probe_pre, _host_probe()],
+        "host_steal_pct": _steal_pct(stat0, _cpu_times()),
     }
 
 
@@ -313,13 +361,18 @@ def run_scaling() -> dict:
         "build_eff": round((lo_b / hi_b) / (hi_n / lo_n), 3),
         "query_eff": round((lo_q / hi_q) / (hi_n / lo_n), 3),
         "scaling_efficiency": round(eff, 3),
-        # raw per-run walls (honesty: medians above derive from these)
+        # raw per-run walls (honesty: medians above derive from these);
+        # steal = % CPU the hypervisor gave to external tenants during
+        # that subprocess, probe = fixed single-core work seconds —
+        # the host-state witnesses for each raw sample
         "runs_lo": [
-            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"]}
+            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"],
+             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec")}
             for r in los
         ],
         "runs_hi": [
-            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"]}
+            {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"],
+             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec")}
             for r in his
         ],
         # per-stage walls (first run each): which stage stops scaling is

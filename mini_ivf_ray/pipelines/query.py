@@ -218,7 +218,10 @@ def taat_topk(
 
 
 def _maxscore_accumulate(
-    blocks_list: list[PostingBlocks], k: int
+    blocks_list: list[PostingBlocks],
+    k: int,
+    allowed: np.ndarray | None = None,
+    denied: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, int] | None:
     """Rank-safe MaxScore evaluation (Turtle & Flood 1995, "Query
     evaluation: strategies and optimizations"), vectorized.
@@ -245,6 +248,14 @@ def _maxscore_accumulate(
     surviving scores are bit-identical, and ``_topk_exact``'s
     (score desc, doc_id asc) selection is unchanged.
 
+    Filtered retrieval (``allowed`` / ``denied`` sorted uint64 doc-id
+    sets, filtered_topk semantics): theta_lb is then the k-th best
+    top-term contribution among SURVIVING docs only — those k survivors'
+    full scores dominate the final (filtered) threshold, so a surviving
+    doc matching only non-essential terms is still strictly excluded.
+    Candidates stay the unfiltered essential union; the caller applies
+    the survival mask before the top-k cut exactly as in full TAAT.
+
     Returns (candidate docs asc, full scores, postings evaluated), or
     None when no split exists (single term, all terms essential, top
     term shorter than k, or bounds not yet computed) — callers then run
@@ -259,9 +270,18 @@ def _maxscore_accumulate(
     ubs = np.array([float(b.max_scores.max()) for b in bl], dtype=np.float64)
     order = np.argsort(-ubs, kind="stable")
     d1, c1 = bl[int(order[0])].all_postings()
-    if d1.size < k:
+    if allowed is not None or (denied is not None and denied.size):
+        live = (
+            _allowed_mask(d1, allowed)
+            if allowed is not None
+            else np.ones(d1.size, dtype=bool)
+        )
+        if denied is not None and denied.size:
+            live &= ~_allowed_mask(d1, denied)
+        c1 = c1[live]
+    if c1.size < k:
         return None  # top term can't witness k candidates: no valid bound
-    theta_lb = float(np.partition(c1, d1.size - k)[d1.size - k])
+    theta_lb = float(np.partition(c1, c1.size - k)[c1.size - k])
     # tails[i] = sum of the i-th..last upper bounds in descending order
     tails = np.concatenate([np.cumsum(ubs[order][::-1])[::-1], [0.0]])
     e = next((i for i in range(1, m) if tails[i] < theta_lb), m)
@@ -340,10 +360,15 @@ def filtered_topk(
     keep counting deleted documents until a compaction rewrites the
     segments).  The filter is applied to the full match set BEFORE the
     top-k cut (a post-filtered top-k would silently under-fill)."""
+    ms = None
     if mode == "and":
         docs, scores, scored = conjunctive_matches(blocks_list, n_query_terms)
     else:
-        docs, scores, scored = _taat_accumulate(blocks_list)
+        ms = _maxscore_accumulate(blocks_list, k, allowed=allowed, denied=denied)
+        if ms is not None:
+            docs, scores, scored = ms
+        else:
+            docs, scores, scored = _taat_accumulate(blocks_list)
     if allowed is not None:
         keep = _allowed_mask(docs, allowed)
     else:
@@ -354,6 +379,8 @@ def filtered_topk(
     if counters is not None:
         counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
         counters["filtered_queries"] = counters.get("filtered_queries", 0) + 1
+        if ms is not None:
+            counters["maxscore_queries"] = counters.get("maxscore_queries", 0) + 1
         counters["n_queries"] = counters.get("n_queries", 0) + 1
     return out
 
@@ -406,11 +433,17 @@ def conjunctive_matches(
         return empty
     parts = [b.all_postings() for b in blocks_list]
     by_size = sorted((d for d, _ in parts), key=lambda d: d.size)
+    # membership gather against the smallest list: O(|cand| log df) per
+    # term instead of intersect1d's sort of the concatenation — the
+    # classic conjunctive-DAAT cost order, vectorized (lists are sorted
+    # unique doc arrays, so the gather IS the exact intersection)
     docs = by_size[0]
     for d in by_size[1:]:
         if docs.size == 0:
             break
-        docs = np.intersect1d(docs, d, assume_unique=True)
+        idx = np.searchsorted(d, docs)
+        np.minimum(idx, d.size - 1, out=idx)
+        docs = docs[d[idx] == docs]
     scored = sum(d.size for d, _ in parts)
     if not docs.size:
         return empty[0], empty[1], scored

@@ -21,9 +21,12 @@ from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
 from mini_ivf_ray.pipelines.query import (
     BM25Searcher,
+    _allowed_mask,
     _maxscore_accumulate,
     _taat_accumulate,
+    _topk_exact,
     brute_force_topk,
+    filtered_topk,
     topk_from_blocks,
 )
 from mini_ivf_ray.state.stats import CorpusStats
@@ -175,6 +178,46 @@ def test_maxscore_above_taat_threshold_branch(tiny_index):
     np.testing.assert_array_equal(
         res["score"].to_numpy(), oracle["score"].to_numpy()
     )
+
+
+def test_maxscore_filtered_rank_identity(tiny_index):
+    """filtered_topk (allowed whitelist + denied tombstones) with the
+    MaxScore split enabled returns EXACTLY what full accumulation + mask
+    + top-k returns — the deleted-docs serving path stays bit-identical."""
+    idx, cfg, docs = tiny_index
+    rng = np.random.default_rng(53)
+    queries = _mixed_queries(docs, rng, nq=30)
+    all_ids = np.sort(docs["doc_id"].to_numpy().astype(np.uint64))
+    allowed = all_ids[::2]
+    denied = all_ids[::4]  # subset of allowed: both masks are exercised
+    s = BM25Searcher(idx, cfg)
+    stats = CorpusStats.load(idx)
+    counters: dict = {}
+    for qid, qt in queries:
+        terms = sorted(set(tokenize(qt)))
+        wanted = {
+            t: stats.term_locations(t, cfg)
+            for t in terms
+            if stats.df.get(t, 0) > 0
+        }
+        fetched = s.reader.fetch_terms(wanted)
+        blocks = [b for b in fetched.values() if b is not None]
+        for b in blocks:
+            b.set_scoring(
+                bm25.idf(stats.df[b.term], stats.n_docs),
+                stats.avgdl, cfg.k1, cfg.b,
+            )
+        res = filtered_topk(
+            blocks, cfg.topk, allowed, mode="or",
+            denied=denied, counters=counters,
+        )
+        # reference: the pre-split semantics — full accumulation, then
+        # the survival mask, then the exact top-k cut
+        d, sc, _ = _taat_accumulate(blocks)
+        keep = _allowed_mask(d, allowed) & ~_allowed_mask(d, denied)
+        ref = _topk_exact(d[keep], sc[keep], cfg.topk) if keep.any() else []
+        assert res == ref  # exact doc ids AND float64 scores
+    assert counters.get("maxscore_queries", 0) > 0
 
 
 def test_maxscore_empty_and_singleton_fall_through(tiny_index):
