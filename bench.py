@@ -330,11 +330,34 @@ def run_scaling() -> dict:
     # 0.98 on identical code).  Interleaving levels and taking the
     # median wall per level before forming the ratio measures the CODE,
     # not the drift.  Every raw run is still reported.
+    #
+    # Steal-aware sampling (declared protocol, not post-hoc pruning):
+    # this VM shares a physical host with external tenants; measured
+    # hypervisor steal reaches 40-55% for minutes at a time.  A sample
+    # whose run-wide steal exceeds GRAFT_SCALING_MAX_STEAL (default 5%)
+    # measures the tenant, not the code — it is set aside into
+    # rejected_runs (fully reported) and the slot is resampled, up to
+    # 2x the requested repeats in total attempts per level.
     reps = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
-    los, his = [], []
+    max_steal = float(os.environ.get("GRAFT_SCALING_MAX_STEAL", "5"))
+    los, his, rejected = [], [], []
+
+    def sample(n: int, acc: list) -> None:
+        for _ in range(2):  # at most one resample per slot
+            r = run(n)
+            if r.get("host_steal_pct", 0.0) <= max_steal:
+                acc.append(r)
+                return
+            rejected.append(
+                {"cpus": n, "steal_pct": r.get("host_steal_pct"),
+                 "build": r["queries"]["build_index"],
+                 "query": r["queries"]["query_topk"]}
+            )
+        acc.append(r)  # hand back the last sample rather than starve
+
     for _ in range(reps):
-        los.append(run(lo_n))
-        his.append(run(hi_n))
+        sample(lo_n, los)
+        sample(hi_n, his)
 
     def med(vals):
         s = sorted(vals)
@@ -375,6 +398,9 @@ def run_scaling() -> dict:
              "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec")}
             for r in his
         ],
+        # samples set aside by the declared steal threshold (resampled)
+        "rejected_runs": rejected,
+        "max_steal_pct": max_steal,
         # per-stage walls (first run each): which stage stops scaling is
         # the actionable datum, not just the ratio
         "stages_lo": {k: los[0]["queries"][k] for k in
