@@ -2953,6 +2953,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             floor_sum_as="sum_price_fl",
         )
 
+    def orders_cube(sf_dir):
+        """GROUP BY CUBE(priority, status): base cells distributed,
+        all three coarser levels re-aggregated from the cells
+        (read-once, integer-exact — pipelines/olap.cube_agg)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.olap import cube_agg
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+        return cube_agg(
+            orders,
+            ("o_orderpriority", "o_orderstatus"),
+            count_as="n_orders",
+            floor_sum_col="o_totalprice",
+            floor_sum_as="sum_price_fl",
+        )
+
     def doc_keywords(sf_dir):
         """Top-3 tf-idf keywords per document, ranked on the exact
         float64 score with (score desc, term asc) tie-break; the df/N
@@ -3008,6 +3028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": collocations_q,
         "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
+        "orders_cube": orders_cube,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         # -- window: never driver-checked, rows-only ----------------------
@@ -4290,6 +4311,11 @@ FROM events GROUP BY user_id
 SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
        CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
 FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+        "orders_cube": """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_price_fl
+FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
 """,
         "lm_score": f"""
 WITH toks AS (

@@ -163,6 +163,39 @@ def rollup_agg(
     return out
 
 
+def cube_agg(
+    ds,
+    dims: tuple[str, str],
+    count_as: str = "n_rows",
+    floor_sum_col: str | None = None,
+    floor_sum_as: str = "sum_floor",
+    num_buckets: int | None = None,
+):
+    """GROUP BY CUBE(d1, d2): rows for (d1, d2), (d1, NULL), (NULL, d2)
+    and (NULL, NULL).  Same shuffle discipline as ``rollup_agg``: the
+    base cells are produced distributed (per-batch combiners -> ONE
+    bucketed groupby keyed on d1, which also finishes the (d1, NULL)
+    level locally); the cross-bucket levels — (NULL, d2) and the grand
+    total — re-aggregate the BASE CELLS on the driver, which are
+    group-cardinality-sized, never corpus-sized.  Aggregates stay
+    integer-exact (COUNT + SUM(floor(col))), so every engine computes
+    bit-identical numbers regardless of accumulation order."""
+    d1, d2 = dims
+    roll = rollup_agg(
+        ds,
+        dims,
+        count_as=count_as,
+        floor_sum_col=floor_sum_col,
+        floor_sum_as=floor_sum_as,
+        num_buckets=num_buckets,
+    )
+    agg_cols = [count_as] + ([floor_sum_as] if floor_sum_col is not None else [])
+    base = roll[roll[d1].notna() & roll[d2].notna()]
+    lvl2 = base.groupby(d2, sort=False, as_index=False)[agg_cols].sum()
+    lvl2[d1] = None
+    return pd.concat([roll, lvl2[roll.columns]], ignore_index=True)
+
+
 def pricing_summary(lineitem_ds, cutoff: str = "2000-12-01"):
     """TPC-H Q1 (pricing summary report) — the canonical combiner-first
     aggregate: per-batch partial sums per (returnflag, linestatus),

@@ -5,7 +5,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data
-from mini_ivf_ray.pipelines.olap import pivot_counts, rollup_agg
+from mini_ivf_ray.pipelines.olap import cube_agg, pivot_counts, rollup_agg
 
 
 def test_pivot_counts_matches_crosstab():
@@ -67,6 +67,39 @@ def test_rollup_matches_pandas():
     assert len(total) == 1 and int(total["n"].iloc[0]) == n
     assert int(total["sv"].iloc[0]) == int(vf.sum())
     assert len(got) == len(base) + len(lvl1) + 1
+
+
+def test_cube_matches_pandas():
+    rng = np.random.default_rng(6)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "p": rng.choice(["hi", "lo", "med"], n),
+            "s": rng.choice(["X", "Y"], n),
+            "v": rng.normal(100, 30, n),
+        }
+    )
+    got = cube_agg(
+        ray.data.from_pandas(df),
+        ("p", "s"),
+        count_as="n",
+        floor_sum_col="v",
+        floor_sum_as="sv",
+    )
+    vf = np.floor(df["v"]).astype(np.int64)
+    base = df.assign(vf=vf).groupby(["p", "s"]).agg(n=("vf", "size"), sv=("vf", "sum"))
+    lvl_p = df.assign(vf=vf).groupby("p").agg(n=("vf", "size"), sv=("vf", "sum"))
+    lvl_s = df.assign(vf=vf).groupby("s").agg(n=("vf", "size"), sv=("vf", "sum"))
+    # the rollup levels are delegated to rollup_agg (tested above); here
+    # check the cube-only (NULL, s) level, the grand total, and the count
+    for s, row in lvl_s.iterrows():
+        cell = got[got["p"].isna() & (got["s"] == s)]
+        assert len(cell) == 1 and int(cell["n"].iloc[0]) == row["n"]
+        assert int(cell["sv"].iloc[0]) == row["sv"]
+    total = got[got["p"].isna() & got["s"].isna()]
+    assert len(total) == 1 and int(total["n"].iloc[0]) == n
+    assert int(total["sv"].iloc[0]) == int(vf.sum())
+    assert len(got) == len(base) + len(lvl_p) + len(lvl_s) + 1
 
 
 def test_collocations_match_counter():
