@@ -323,6 +323,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_facets(sf_dir):
+        """Faceted search panel (pipelines/facets.py): for each query,
+        exact match counts per documents.lang over the FULL disjunctive
+        match set (every doc containing >=1 query term — the set BM25
+        ranks over).  The doc_id->lang sidecar is broadcast ONCE
+        (ray.put); counting is integer-exact, so the result is
+        engine-order-independent.  Reference analogy: QueryObs'
+        per-cluster hit histogram (index_ivfpq.cpp:412-470) promoted to
+        a first-class per-query result."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import faceted_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = faceted_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            _CFG,
+        ).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"].tolist(), type=pa.string()),
+                "n_docs": pa.array(res["n_docs"].to_numpy(), type=pa.int64()),
+            }
+        )
+
     def _victim_ids(sf_dir):
         import pyarrow.parquet as pqmod
 
@@ -3029,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
         "orders_cube": orders_cube,
+        "bm25_facets": bm25_facets,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         # -- window: never driver-checked, rows-only ----------------------
@@ -3057,9 +3097,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_verified_pairs": jaccard_verified_pairs,
         # -- window: r2-green rows-only heavies (rotation fillers) -------
         "lsh_near_dup": lsh_near_dup,
+        # ================= end of the 50-row driver window ==============
         "dedup_clusters": dedup_clusters,
         "ann_ivf_probe": ann_ivf_probe,
-        # ================= end of the 50-row driver window ==============
         "ann_ivfpq": ann_ivfpq,
         "ann_uint8_l2": ann_uint8_l2,
         # -- tail: r3-green rows (driver rows already on record) ---------
@@ -3652,6 +3692,16 @@ FROM documents
 """,
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
+        "bm25_facets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+""",
         "bm25_filtered": _bm25_sql(lang="en"),
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),

@@ -1,0 +1,164 @@
+"""Faceted search: per-query facet-value counts over the FULL match
+set (the "n results per language / domain / year" panel every search
+UI renders next to the top-k list).
+
+Reference analogy: mini-ivf's QueryObs walks each query's candidate
+clusters and histograms ground-truth hits per cluster
+(index_ivfpq.cpp:412-470); a facet panel is the same shape — a
+per-query histogram over a doc attribute of the match set — promoted
+to a first-class query result.
+
+Scale shape (10^12 docs): the facet sidecar is (doc_id, code) sorted
+by doc id, partitioned on exactly the index's doc-sharding ranges, so
+in doc-sharded serving (serving.ShardedIndex) every shard counts its
+own range locally and the merge is (queries x facet-cardinality)
+rows — never doc-proportional.  In the single-index path below the
+sidecar is broadcast ONCE via ``ray.put`` (two numpy arrays, zero-copy
+to every actor), never re-shipped per batch.  Counting is exact and
+integer, so results are engine-order-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions import bm25
+from mini_ivf_ray.pipelines.query import BM25Searcher
+
+
+class FacetCounter(BM25Searcher):
+    """Actor-pool stage: (query_id, text) batches -> (query_id, facet,
+    n_docs) rows, counting every document that matches ANY query term
+    (disjunctive match semantics — the set BM25 ranks over).  Facet
+    values with zero matches are omitted, mirroring SQL GROUP BY."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig | None = None,
+        shared_tables: dict | None = None,
+        decoded_refs: dict | None = None,
+        facet_ref=None,
+        facet_labels: list[str] | None = None,
+    ):
+        super().__init__(index_dir, cfg, shared_tables, decoded_refs)
+        import ray
+
+        ids, codes = (
+            ray.get(facet_ref)
+            if isinstance(facet_ref, ray.ObjectRef)
+            else facet_ref
+        )
+        self.facet_ids = np.asarray(ids, dtype=np.uint64)
+        self.facet_codes = np.asarray(codes, dtype=np.int64)
+        self.facet_labels = list(facet_labels or [])
+        if not np.all(self.facet_ids[:-1] < self.facet_ids[1:]):
+            raise ValueError("facet sidecar must be sorted by unique doc_id")
+
+    def disjunctive_matches_for_text(self, qtext: str) -> np.ndarray:
+        """Sorted unique doc ids containing at least one query term."""
+        from mini_ivf_ray.functions.tokenize import tokenize
+
+        terms = sorted(set(tokenize(qtext)))
+        wanted = {
+            t: self.stats.term_locations(t, self.cfg)
+            for t in terms
+            if self.stats.df.get(t, 0) > 0
+        }
+        fetched = self.reader.fetch_terms(wanted)
+        blocks = [b for b in fetched.values() if b is not None and b.n_blocks]
+        if not blocks:
+            return np.empty(0, dtype=np.uint64)
+        for b in blocks:
+            b.set_scoring(
+                bm25.idf(self.stats.df[b.term], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+        parts = [b.all_postings()[0] for b in blocks]
+        self.counters["searched_cnt"] = self.counters.get(
+            "searched_cnt", 0
+        ) + sum(p.size for p in parts)
+        self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
+        return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+
+    def facet_counts_for_text(self, qtext: str) -> np.ndarray:
+        """len(facet_labels) exact match counts for one query."""
+        docs = self.disjunctive_matches_for_text(qtext)
+        n_labels = len(self.facet_labels)
+        if not docs.size:
+            return np.zeros(n_labels, dtype=np.int64)
+        idx = np.searchsorted(self.facet_ids, docs)
+        np.minimum(idx, self.facet_ids.size - 1, out=idx)
+        valid = self.facet_ids[idx] == docs
+        return np.bincount(self.facet_codes[idx[valid]], minlength=n_labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, facets, counts = [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = self.facet_counts_for_text(qtext)
+            for code in np.flatnonzero(c):
+                qids.append(qid)
+                facets.append(self.facet_labels[code])
+                counts.append(int(c[code]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "facet": pa.array(facets, type=pa.string()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def faceted_search(
+    index_dir: str,
+    queries_ds,
+    facet_ids,
+    facet_values,
+    cfg: PipelineConfig | None = None,
+    share: str | bool = "decoded",
+):
+    """queries (query_id, text) -> facet panel (query_id, facet,
+    n_docs): for each query, how many documents matching ANY query
+    term carry each facet value.
+
+    ``facet_ids`` / ``facet_values`` are the doc-id -> attribute
+    sidecar (e.g. documents.doc_id / documents.lang).  Values are
+    dictionary-encoded driver-side (facet cardinality is panel-sized
+    by definition) and the two arrays are broadcast once via
+    ``ray.put``."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(facet_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    enc = pa.compute.dictionary_encode(
+        pa.array(np.asarray(facet_values, dtype=object)[order], type=pa.string())
+    )
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    facet_ref = ray.put((ids, codes))
+    return queries_ds.map_batches(
+        FacetCounter,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, facet_ref, labels),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

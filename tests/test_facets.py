@@ -1,0 +1,79 @@
+"""Faceted search (pipelines/facets.py) vs driver-side ground truth."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.facets import faceted_search
+
+QUERIES = [(0, "the data web"), (1, "w00042 w00100"), (2, "zz_oov_zz"), (3, "the")]
+
+
+def _truth(docs: pd.DataFrame, facet_of) -> pd.DataFrame:
+    rows = []
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    for qid, qtext in QUERIES:
+        terms = set(tokenize(qtext))
+        counts: dict[str, int] = {}
+        for did, ts in zip(docs["doc_id"], toks):
+            if ts & terms:
+                f = facet_of(did)
+                counts[f] = counts.get(f, 0) + 1
+        for f, n in counts.items():
+            rows.append((qid, f, n))
+    return (
+        pd.DataFrame(rows, columns=["query_id", "facet", "n_docs"])
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+
+
+def test_faceted_search_matches_bruteforce(tiny_index):
+    idx, cfg, docs = tiny_index
+
+    def facet_of(doc_id):
+        return ["even", "odd", "prime?"][int(doc_id) % 3]
+
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+    got = (
+        faceted_search(
+            idx,
+            qds,
+            docs["doc_id"].to_numpy(),
+            [facet_of(d) for d in docs["doc_id"]],
+            cfg,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    expect = _truth(docs, facet_of)
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+    # the OOV query contributes no rows at all
+    assert not (got["query_id"] == 2).any()
+
+
+def test_faceted_search_cold_path_identical(tiny_index):
+    idx, cfg, docs = tiny_index
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+    vals = np.where(docs["doc_id"].to_numpy() % 2 == 0, "a", "b").tolist()
+    warm = (
+        faceted_search(idx, qds, docs["doc_id"].to_numpy(), vals, cfg)
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    cold = (
+        faceted_search(
+            idx, qds, docs["doc_id"].to_numpy(), vals, cfg, share=False
+        )
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(warm, cold)
