@@ -3012,6 +3012,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             floor_sum_as="sum_price_fl",
         )
 
+    def price_quantiles(sf_dir):
+        """Exact float-column quantiles (quantile_disc rule) by
+        multi-pass histogram-refinement selection
+        (pipelines/quantiles.py) — never a global sort; each pass
+        moves only nonzero (target, bin, n) rows.  The small
+        fetch_threshold/bins force the multi-pass path even at test
+        scale."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.quantiles import exact_quantiles
+
+        orders = ray.data.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+        )
+        return exact_quantiles(
+            orders,
+            "o_totalprice",
+            fractions=(0.25, 0.5, 0.75, 0.9, 0.99),
+            bins=64,
+            fetch_threshold=2048,
+        )
+
     def doc_keywords(sf_dir):
         """Top-3 tf-idf keywords per document, ranked on the exact
         float64 score with (score desc, term asc) tie-break; the df/N
@@ -3069,6 +3091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": orders_rollup,
         "orders_cube": orders_cube,
         "bm25_facets": bm25_facets,
+        "price_quantiles": price_quantiles,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         # -- window: never driver-checked, rows-only ----------------------
@@ -3095,9 +3118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_lang": top_terms_by_lang,
         "embedding_near_dup": embedding_near_dup,
         "jaccard_verified_pairs": jaccard_verified_pairs,
-        # -- window: r2-green rows-only heavies (rotation fillers) -------
-        "lsh_near_dup": lsh_near_dup,
         # ================= end of the 50-row driver window ==============
+        # -- r2-green rows-only heavies (rotation fillers) ---------------
+        "lsh_near_dup": lsh_near_dup,
         "dedup_clusters": dedup_clusters,
         "ann_ivf_probe": ann_ivf_probe,
         "ann_ivfpq": ann_ivfpq,
@@ -3702,6 +3725,15 @@ SELECT m.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
 FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """,
+        "price_quantiles": " UNION ALL ".join(
+            f"""
+SELECT CAST({f} AS DOUBLE) AS frac,
+       GREATEST(CAST(ceil({f} * (SELECT count(*) FROM orders)) AS BIGINT),
+                1) AS rank,
+       quantile_disc(o_totalprice, {f}) AS value
+FROM orders"""
+            for f in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
         "bm25_filtered": _bm25_sql(lang="en"),
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
