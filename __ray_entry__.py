@@ -60,6 +60,17 @@ SPELL_QUERIES: list[str] = [
     "bacth", "daat", "custmer", "streem", "jion", "fliter", "data", "qqqqqqq",
 ]
 
+# regex workload: 0/2 are index-prefiltered (required whole-token
+# literals exist), 1 has no guaranteed literal (full-scan fallback),
+# 3 requires an OOV term (zero candidates).  Python re and DuckDB RE2
+# agree on every construct used (ASCII classes, \b, ., quantifiers).
+REGEX_QUERIES: list[tuple[int, str]] = [
+    (0, "\\bkey value\\b.*\\btable\\b"),
+    (1, "fast [a-z]+ merge"),
+    (2, "\\bsort order\\b"),
+    (3, "\\bzz9999qq\\b"),
+]
+
 N_ANN_QUERIES = 8
 TOKEN_RE_SQL = "[a-z0-9]+"
 STOPWORDS_SQL = "('the','a','of','and','to','in')"
@@ -3012,6 +3023,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             floor_sum_as="sum_price_fl",
         )
 
+    def regex_grep(sf_dir):
+        """Index-accelerated regex search (Cox 2012 trigram trick on a
+        term index — pipelines/regex_search.py): required whole-token
+        literals are extracted conservatively from each pattern, their
+        posting lists give an exact candidate superset, and the regex
+        verifies candidates only; pattern 1 has no guaranteed literal
+        and exercises the documented full-scan fallback, pattern 3
+        requires an OOV term (zero candidates, zero matches)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.regex_search import regex_search
+
+        idx = _ensure_index(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        res = regex_search(idx, REGEX_QUERIES, docs, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def price_quantiles(sf_dir):
         """Exact float-column quantiles (quantile_disc rule) by
         multi-pass histogram-refinement selection
@@ -3092,6 +3130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": orders_cube,
         "bm25_facets": bm25_facets,
         "price_quantiles": price_quantiles,
+        "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         # -- window: never driver-checked, rows-only ----------------------
@@ -3117,8 +3156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "top_terms_by_lang": top_terms_by_lang,
         "embedding_near_dup": embedding_near_dup,
-        "jaccard_verified_pairs": jaccard_verified_pairs,
         # ================= end of the 50-row driver window ==============
+        "jaccard_verified_pairs": jaccard_verified_pairs,
         # -- r2-green rows-only heavies (rotation fillers) ---------------
         "lsh_near_dup": lsh_near_dup,
         "dedup_clusters": dedup_clusters,
@@ -3733,6 +3772,12 @@ SELECT CAST({f} AS DOUBLE) AS frac,
        quantile_disc(o_totalprice, {f}) AS value
 FROM orders"""
             for f in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ),
+        "regex_grep": (
+            "SELECT q.query_id, d.doc_id FROM documents d CROSS JOIN (VALUES "
+            + ", ".join(f"({qid}, '{pat}')" for qid, pat in REGEX_QUERIES)
+            + ") q(query_id, pattern) "
+            "WHERE regexp_matches(lower(d.text), q.pattern)"
         ),
         "bm25_filtered": _bm25_sql(lang="en"),
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
