@@ -49,7 +49,15 @@ def encode_varints(values: np.ndarray) -> np.ndarray:
 
 
 def decode_varints(buf: np.ndarray | bytes) -> np.ndarray:
-    """LEB128 byte stream -> uint64 array."""
+    """LEB128 byte stream -> uint64 array.
+
+    Per-byte-POSITION gathers instead of the old arange+repeat+reduceat
+    segmentation: k iterates over varint byte slots (<= 10, and the
+    loop body shrinks to the values that long), so the intermediates
+    are value-sized, not 8x-stream-sized — ~4x fewer allocated bytes,
+    which is what the spin-up decode burst's first-touch page faults
+    charge for.  Bit-identical (pure integer ops, same OR-composition
+    order)."""
     b = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, memoryview)) else buf
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -58,10 +66,19 @@ def decode_varints(buf: np.ndarray | bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    lengths = ends - starts + 1
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lengths)
-    per_byte = (b.astype(np.uint64) & np.uint64(0x7F)) << (np.uint64(7) * pos.astype(np.uint64))
-    return np.add.reduceat(per_byte, starts)
+    lengths = ends - starts
+    out = (b[ends] & np.uint8(0x7F)).astype(np.uint64) << (
+        np.uint64(7) * lengths.astype(np.uint64)
+    )
+    sel = np.flatnonzero(lengths)  # multi-byte values only
+    k = 0
+    while sel.size:
+        out[sel] |= (b[starts[sel] + k] & np.uint8(0x7F)).astype(
+            np.uint64
+        ) << np.uint64(7 * k)
+        k += 1
+        sel = sel[lengths[sel] > k]
+    return out
 
 
 def encode_block(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray) -> bytes:
