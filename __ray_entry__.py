@@ -60,6 +60,10 @@ SPELL_QUERIES: list[str] = [
     "bacth", "daat", "custmer", "streem", "jion", "fliter", "data", "qqqqqqq",
 ]
 
+# autocomplete workload: dense prefix, sparse prefix, single char, and
+# one with zero completions (zero-row group must not error)
+PREFIX_QUERIES: list[str] = ["s", "wi", "ba", "zz"]
+
 # regex workload: 0/2 are index-prefiltered (required whole-token
 # literals exist), 1 has no guaranteed literal (full-scan fallback),
 # 3 requires an OOV term (zero candidates).  Python re and DuckDB RE2
@@ -476,6 +480,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
                 "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def prefix_suggest_q(sf_dir):
+        """Search-as-you-type: for each typed prefix, the top-10
+        dictionary completions ranked (df desc, term asc).  ONE
+        streamed dictionary pass with a vectorized Arrow starts_with
+        kernel; each block emits only its partial top-10 per prefix,
+        so the driver merge is prefixes x topn rows regardless of
+        vocabulary size (pipelines/autocomplete.py)."""
+        from mini_ivf_ray.pipelines.autocomplete import (
+            prefix_suggest_for_index,
+        )
+
+        idx = _ensure_index(sf_dir)
+        out = prefix_suggest_for_index(idx, PREFIX_QUERIES, topn=10)
+        return pa.table(
+            {
+                "prefix": pa.array(out["prefix"], type=pa.string()),
+                "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+                "term": pa.array(out["term"], type=pa.string()),
+                "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
             }
         )
 
@@ -3133,6 +3159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
+        "prefix_suggest": prefix_suggest_q,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3155,8 +3182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
         "top_terms_by_lang": top_terms_by_lang,
-        "embedding_near_dup": embedding_near_dup,
         # ================= end of the 50-row driver window ==============
+        "embedding_near_dup": embedding_near_dup,
         "jaccard_verified_pairs": jaccard_verified_pairs,
         # -- r2-green rows-only heavies (rotation fillers) ---------------
         "lsh_near_dup": lsh_near_dup,
@@ -3783,6 +3810,17 @@ FROM orders"""
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "spell_suggest": _spell_sql(),
+        "prefix_suggest": f"""
+WITH {_TOK_CTE},
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+p(prefix) AS (VALUES {", ".join(f"('{p}')" for p in PREFIX_QUERIES)}),
+ranked AS (SELECT p.prefix, v.term, v.df,
+                  row_number() OVER (PARTITION BY p.prefix
+                                     ORDER BY v.df DESC, v.term ASC) - 1 AS rank
+           FROM p JOIN vocab v ON v.term LIKE p.prefix || '%')
+SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df
+FROM ranked WHERE rank < 10
+""",
         "bm25_snippets": _snippet_sql(),
         "bm25_prf": _prf_sql(),
         "tpch_q1": """

@@ -1,0 +1,65 @@
+"""Prefix autocomplete: brute-force identity + partial-top-n merge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from mini_ivf_ray.pipelines.autocomplete import prefix_suggest
+
+
+def _dict_table(n_terms: int, seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    alpha = list("abcdef")
+    terms = sorted(
+        {
+            "".join(rng.choice(alpha, size=rng.integers(1, 7)))
+            for _ in range(n_terms)
+        }
+    )
+    dfs = rng.integers(1, 500, size=len(terms)).astype(np.int64)
+    return pa.table({"term": pa.array(terms), "df": pa.array(dfs)})
+
+
+def _brute(tbl: pa.Table, prefixes, topn) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    rows = []
+    for p in sorted(set(prefixes)):
+        g = df[df["term"].str.startswith(p)].sort_values(
+            ["df", "term"], ascending=[False, True], kind="mergesort"
+        ).head(topn)
+        for r, (_, row) in enumerate(g.iterrows()):
+            rows.append((p, r, row["term"], int(row["df"])))
+    return pd.DataFrame(rows, columns=["prefix", "rank", "term", "df"])
+
+
+def test_prefix_suggest_matches_bruteforce():
+    tbl = _dict_table(600, seed=5)
+    prefixes = ["a", "ab", "abc", "zz", "f"]
+    # many small blocks force the partial-top-n merge path
+    ds = ray.data.from_arrow(tbl).repartition(13)
+    got = prefix_suggest(ds, prefixes, topn=7).reset_index(drop=True)
+    want = _brute(tbl, prefixes, topn=7)
+    if len(want):
+        want = want.astype({"rank": np.int64, "df": np.int64})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_prefix_suggest_ties_break_on_term():
+    # equal df everywhere -> order must be term-ascending
+    tbl = pa.table(
+        {
+            "term": pa.array(["ax", "aa", "ab", "b"]),
+            "df": pa.array([7, 7, 7, 7], type=pa.int64()),
+        }
+    )
+    got = prefix_suggest(ray.data.from_arrow(tbl), ["a"], topn=2)
+    assert list(got["term"]) == ["aa", "ab"]
+    assert list(got["rank"]) == [0, 1]
+
+
+def test_prefix_suggest_empty_and_no_match():
+    tbl = _dict_table(50, seed=9)
+    got = prefix_suggest(ray.data.from_arrow(tbl), ["zzzz"], topn=5)
+    assert len(got) == 0
+    assert list(got.columns) == ["prefix", "rank", "term", "df"]
