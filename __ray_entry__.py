@@ -483,6 +483,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bm25_page2(sf_dir):
+        """Keyset pagination (search_after): page 1 is the standard
+        top-10; each query's (score, doc_id) at rank 9 becomes the
+        cursor, and page 2 re-queries with per-row cursor columns —
+        exact continuation, no offset re-scoring drift (the cursor
+        predicate is evaluated on the same deterministic float64
+        sums).  Emits page 2 with ABSOLUTE ranks 10..19."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        p1 = search(idx, qds, _CFG).to_pandas()
+        cur = p1[p1["rank"] == 9].set_index("query_id")
+        items = []
+        for q, t in BM25_QUERIES:
+            if q not in cur.index:
+                continue  # fewer than 10 matches: no page 2
+            items.append(
+                {
+                    "query_id": q,
+                    "text": t,
+                    "after_score": float(cur.loc[q, "score"]),
+                    "after_doc": int(cur.loc[q, "doc_id"]),
+                }
+            )
+        if not items:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "score_r": pa.array([], type=pa.float64()),
+                }
+            )
+        res = search(idx, ray.data.from_items(items), _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64) + 10, type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def prefix_suggest_q(sf_dir):
         """Search-as-you-type: for each typed prefix, the top-10
         dictionary completions ranked (df desc, term asc).  ONE
@@ -3160,6 +3214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
+        "bm25_page2": bm25_page2,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3181,8 +3236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": events_window,
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
-        "top_terms_by_lang": top_terms_by_lang,
         # ================= end of the 50-row driver window ==============
+        "top_terms_by_lang": top_terms_by_lang,
         "embedding_near_dup": embedding_near_dup,
         "jaccard_verified_pairs": jaccard_verified_pairs,
         # -- r2-green rows-only heavies (rotation fillers) ---------------
@@ -3272,6 +3327,8 @@ def _bm25_sql(
     lang: str | None = None,
     exclude_pred: str | None = None,
     live_pred: str | None = None,
+    rank_lo: int = 0,
+    rank_hi: int = 10,
 ) -> str:
     # conjunctive: a doc ranks only if it matched EVERY distinct query
     # term (count of matched q rows == the query's term count; q.term
@@ -3340,7 +3397,7 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
                                               scores.doc_id ASC) - 1 AS rank
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
-FROM ranked WHERE rank < 10
+FROM ranked WHERE rank >= {rank_lo} AND rank < {rank_hi}
 """
 
 
@@ -3884,6 +3941,7 @@ SELECT doc_id, i AS chunk_id,
 FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
+        "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",

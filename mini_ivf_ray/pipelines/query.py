@@ -461,6 +461,7 @@ def topk_from_blocks(
     mode: str = "or",
     allowed: np.ndarray | None = None,
     denied: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Hybrid evaluation entry: TAAT below the posting-count threshold,
     block-max WAND above it.  Both are exact and bit-identical.
@@ -468,13 +469,41 @@ def topk_from_blocks(
     fetched term must match; callers must ensure ``fetched`` covers ALL
     query terms, including unresolved ones as ``None``).  ``allowed`` /
     ``denied`` (sorted uint64 doc ids) restrict the result set exactly
-    (filtered_topk; ``denied`` is the tombstone live-docs mask)."""
+    (filtered_topk; ``denied`` is the tombstone live-docs mask).
+
+    ``after=(score, doc_id)`` is the keyset-pagination cursor
+    (Elasticsearch ``search_after`` semantics): return the top-k of the
+    docs strictly AFTER the cursor in (score desc, doc_id asc) order.
+    Cursor queries evaluate through the FULL TAAT accumulation —
+    top-k-bound pruning (MaxScore/WAND) is rank-unsafe at arbitrary
+    cursor depth, and consecutive same-query pages are deterministic
+    float64 sums, so page boundaries are exact (score equality at the
+    cursor is well-defined, not fragile)."""
     blocks_list = [b for b in fetched.values() if b is not None]
     total = sum(b.n_postings for b in blocks_list)
     for b in blocks_list:
         b.set_scoring(
             bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg.k1, cfg.b
         )
+    if after is not None:
+        if mode != "or" or allowed is not None or (
+            denied is not None and denied.size
+        ):
+            raise NotImplementedError(
+                "search_after pagination is defined on the default "
+                "disjunctive unfiltered path"
+            )
+        s_aft = np.float64(after[0])
+        d_aft = np.uint64(after[1])
+        uniq, scores, scored = _taat_accumulate(blocks_list)
+        m = (scores < s_aft) | ((scores == s_aft) & (uniq > d_aft))
+        uniq, scores = uniq[m], scores[m]
+        out = _topk_exact(uniq, scores, cfg.topk) if uniq.size else []
+        if counters is not None:
+            counters["searched_cnt"] = counters.get("searched_cnt", 0) + scored
+            counters["after_queries"] = counters.get("after_queries", 0) + 1
+            counters["n_queries"] = counters.get("n_queries", 0) + 1
+        return out
     if allowed is not None or (denied is not None and denied.size):
         return filtered_topk(
             blocks_list,
@@ -701,7 +730,9 @@ class BM25Searcher:
             self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
         self.counters: dict = {}  # searched_cnt / rounds / n_queries (A3-A4)
 
-    def topk_for_text(self, qtext: str) -> list[tuple[int, float]]:
+    def topk_for_text(
+        self, qtext: str, after: tuple[float, int] | None = None
+    ) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(qtext)))
         wanted = {
             t: self.stats.term_locations(t, self.cfg)
@@ -733,6 +764,7 @@ class BM25Searcher:
             mode=self.mode,
             allowed=self.allowed,
             denied=self.denied,
+            after=after,
         )
 
     def conjunctive_matches_for_text(
@@ -768,8 +800,21 @@ class BM25Searcher:
         qids, ranks, docs, scores = [], [], [], []
         ids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        for qid, qtext in zip(ids, texts):
-            for r, (d, s) in enumerate(self.topk_for_text(qtext)):
+        # optional per-query keyset-pagination cursor columns: a row
+        # with non-null (after_score, after_doc) asks for the page
+        # strictly after that (score, doc_id) in ranking order
+        afters: list[tuple[float, int] | None]
+        if "after_score" in batch.column_names:
+            a_s = batch["after_score"].to_pylist()
+            a_d = batch["after_doc"].to_pylist()
+            afters = [
+                (float(s), int(d)) if s is not None else None
+                for s, d in zip(a_s, a_d)
+            ]
+        else:
+            afters = [None] * len(ids)
+        for qid, qtext, after in zip(ids, texts, afters):
+            for r, (d, s) in enumerate(self.topk_for_text(qtext, after=after)):
                 qids.append(qid)
                 ranks.append(r)
                 docs.append(d)
@@ -812,7 +857,12 @@ def search(
     persisted tombstones (pipelines/maintenance.delete_docs) are merged
     in automatically — live-docs masking à la Lucene deleted docs:
     statistics keep counting deleted documents until compact_index
-    rewrites the segments."""
+    rewrites the segments.
+
+    Keyset pagination: queries_ds may carry optional per-row
+    (after_score, after_doc) cursor columns — a non-null pair asks for
+    the top-k strictly AFTER that (score, doc_id) in ranking order
+    (search_after semantics; see topk_from_blocks)."""
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     shared = decoded = None
     if share == "decoded":
