@@ -483,6 +483,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def events_json_stats(sf_dir):
+        """Semi-structured payload extraction: pull the integer ``k``
+        field out of the flat-JSON ``props`` column with ONE vectorized
+        extract_regex (no per-row json.loads), then per-event_type
+        aggregates.  Column-pruned read: only (event_type, props) leave
+        storage (functions/jsonx.py)."""
+        import ray.data
+        from ray.data.aggregate import Count, Max, Mean, Sum
+
+        from mini_ivf_ray.functions.jsonx import json_extract_int
+
+        def add_k(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "k": json_extract_int(b["props"], "k"),
+                }
+            )
+
+        out = (
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_type", "props"],
+            )
+            .map_batches(add_k, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(
+                Count(alias_name="n_events"),
+                Sum("k", alias_name="sum_k"),
+                Max("k", alias_name="max_k"),
+                Mean("k", alias_name="avg_k"),
+            )
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(out["event_type"], type=pa.string()),
+                "n_events": pa.array(out["n_events"].astype(np.int64)),
+                "sum_k": pa.array(out["sum_k"].astype(np.int64)),
+                "max_k": pa.array(out["max_k"].astype(np.int64)),
+                "avg_k_r": pa.array(np.round(out["avg_k"].to_numpy(), 6)),
+            }
+        )
+
     def bm25_page2(sf_dir):
         """Keyset pagination (search_after): page 1 is the standard
         top-10; each query's (score, doc_id) at rank 9 becomes the
@@ -3215,6 +3259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
         "bm25_page2": bm25_page2,
+        "events_json_stats": events_json_stats,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3235,8 +3280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
-        "events_hopping": events_hopping,
         # ================= end of the 50-row driver window ==============
+        "events_hopping": events_hopping,
         "top_terms_by_lang": top_terms_by_lang,
         "embedding_near_dup": embedding_near_dup,
         "jaccard_verified_pairs": jaccard_verified_pairs,
@@ -3942,6 +3987,14 @@ FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
+        "events_json_stats": r"""
+SELECT event_type,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       max(CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1) AS BIGINT))::BIGINT AS max_k,
+       round(avg(CAST(regexp_extract(props, '"k"\s*:\s*(-?[0-9]+)', 1) AS DOUBLE)), 6) AS avg_k_r
+FROM events GROUP BY event_type
+""",
         "phrase_topk": _phrase_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
