@@ -64,6 +64,16 @@ SPELL_QUERIES: list[str] = [
 # one with zero completions (zero-row group must not error)
 PREFIX_QUERIES: list[str] = ["s", "wi", "ba", "zz"]
 
+# boolean retrieval workload: pure AND+NOT, pure OR, nested groups with
+# De Morgan folding, negated conjunction, and an OOV conjunct (empty)
+BOOL_QUERIES: list[tuple[int, str]] = [
+    (0, "table AND scan AND NOT window"),
+    (1, "sort OR merge"),
+    (2, "(key OR hash) AND join AND NOT (stream OR batch)"),
+    (3, "data AND NOT (sort AND merge)"),
+    (4, "table AND zz9999qq"),
+]
+
 # regex workload: 0/2 are index-prefiltered (required whole-token
 # literals exist), 1 has no guaranteed literal (full-scan fallback),
 # 3 requires an OOV term (zero candidates).  Python re and DuckDB RE2
@@ -480,6 +490,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
                 "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def bool_search(sf_dir):
+        """Boolean retrieval (AND/OR/NOT expression trees): lazy-
+        complement set algebra over sorted posting-id arrays (De
+        Morgan folding, so NOT never materializes the universe),
+        ranked by the BM25 sum over the POSITIVE clauses only —
+        Lucene's scoring rule (pipelines/boolquery.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.boolquery import boolean_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BOOL_QUERIES]
+        )
+        res = boolean_search(idx, qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
             }
         )
 
@@ -3260,6 +3300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_suggest": prefix_suggest_q,
         "bm25_page2": bm25_page2,
         "events_json_stats": events_json_stats,
+        "bool_search": bool_search,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3279,8 +3320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
         "events_window": events_window,
-        "sessionize": sessionize_q,
         # ================= end of the 50-row driver window ==============
+        "sessionize": sessionize_q,
         "events_hopping": events_hopping,
         "top_terms_by_lang": top_terms_by_lang,
         "embedding_near_dup": embedding_near_dup,
@@ -3987,6 +4028,72 @@ FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
+        # boolean retrieval: hand-written membership predicates (kept
+        # independent of the engine's parser on purpose); scoring =
+        # BM25 over the POSITIVE leaves only, same formula as _bm25_sql
+        "bool_search": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'scan'), (0, 'table'),
+  (1, 'merge'), (1, 'sort'),
+  (2, 'hash'), (2, 'join'), (2, 'key'),
+  (3, 'data'),
+  (4, 'table'), (4, 'zz9999qq')),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+m AS (SELECT DISTINCT term, doc_id FROM tok),
+match(query_id, doc_id) AS (
+  SELECT 0, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'table')
+    AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'scan')
+    AND d.doc_id NOT IN (SELECT doc_id FROM m WHERE term = 'window')
+  UNION ALL
+  SELECT 1, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'sort')
+     OR d.doc_id IN (SELECT doc_id FROM m WHERE term = 'merge')
+  UNION ALL
+  SELECT 2, d.doc_id FROM documents d
+  WHERE (d.doc_id IN (SELECT doc_id FROM m WHERE term = 'key')
+         OR d.doc_id IN (SELECT doc_id FROM m WHERE term = 'hash'))
+    AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'join')
+    AND NOT (d.doc_id IN (SELECT doc_id FROM m WHERE term = 'stream')
+             OR d.doc_id IN (SELECT doc_id FROM m WHERE term = 'batch'))
+  UNION ALL
+  SELECT 3, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'data')
+    AND NOT (d.doc_id IN (SELECT doc_id FROM m WHERE term = 'sort')
+             AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'merge'))
+  UNION ALL
+  SELECT 4, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'table')
+    AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'zz9999qq')),
+joined AS (SELECT match.query_id, match.doc_id,
+                  coalesce(scores.score, 0.0) AS score
+           FROM match
+           LEFT JOIN scores ON scores.query_id = match.query_id
+                           AND scores.doc_id = match.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM joined)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         "events_json_stats": r"""
 SELECT event_type,
        count(*)::BIGINT AS n_events,
