@@ -64,6 +64,15 @@ SPELL_QUERIES: list[str] = [
 # one with zero completions (zero-row group must not error)
 PREFIX_QUERIES: list[str] = ["s", "wi", "ba", "zz"]
 
+# proximity workload: (query_id, text, window) — 2- and 3-term windows,
+# a tight window, and an OOV conjunct (empty result)
+PROX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "key table", 3),
+    (1, "sort merge join", 8),
+    (2, "data stream", 2),
+    (3, "table zz9999qq", 4),
+]
+
 # boolean retrieval workload: pure AND+NOT, pure OR, nested groups with
 # De Morgan folding, negated conjunction, and an OOV conjunct (empty)
 BOOL_QUERIES: list[tuple[int, str]] = [
@@ -490,6 +499,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
                 "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def prox_search(sf_dir):
+        """Unordered proximity search: every distinct query term within
+        a window of <= w consecutive tokens, ranked by the conjunctive
+        BM25 score.  Index-side conjunctive candidates + ONE
+        distributed minimal-cover-window verify pass (the index is
+        positionless, like the reference's id/payload postings —
+        pipelines/phrase.py:proximity_topk)."""
+        from mini_ivf_ray.pipelines.phrase import proximity_topk
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+
+        idx = _ensure_index(sf_dir)
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        res = proximity_topk(idx, docs, PROX_QUERIES, _CFG)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
             }
         )
 
@@ -3301,6 +3340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_page2": bm25_page2,
         "events_json_stats": events_json_stats,
         "bool_search": bool_search,
+        "prox_search": prox_search,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3319,8 +3359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_nation_region": supplier_nation_region,
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
-        "events_window": events_window,
         # ================= end of the 50-row driver window ==============
+        "events_window": events_window,
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
         "top_terms_by_lang": top_terms_by_lang,
@@ -4028,6 +4068,76 @@ FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
+        # proximity: conjunctive BM25 scoring + a positions predicate —
+        # zipped unnest/generate_subscripts gives (doc_id, term, pos);
+        # 2-term window w <=> |pa - pb| <= w-1, 3-term <=> max-min <= w-1
+        "prox_search": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'key'), (0, 'table'),
+  (1, 'join'), (1, 'merge'), (1, 'sort'),
+  (2, 'data'), (2, 'stream'),
+  (3, 'table'), (3, 'zz9999qq')),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+tokpos AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term,
+                  generate_subscripts(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS pos
+           FROM documents),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+conj AS (SELECT scores.* FROM scores
+         JOIN qn ON qn.query_id = scores.query_id AND scores.nm = qn.n),
+verified AS (
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 0 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'key' AND b.term = 'table'
+      AND abs(a.pos - b.pos) <= 2)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 1 AND EXISTS (
+    SELECT 1 FROM tokpos a
+    JOIN tokpos b ON b.doc_id = a.doc_id
+    JOIN tokpos c ON c.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id
+      AND a.term = 'sort' AND b.term = 'merge' AND c.term = 'join'
+      AND greatest(a.pos, b.pos, c.pos) - least(a.pos, b.pos, c.pos) <= 7)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 2 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'data' AND b.term = 'stream'
+      AND abs(a.pos - b.pos) <= 1)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 3 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'table' AND b.term = 'zz9999qq'
+      AND abs(a.pos - b.pos) <= 3)),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM verified)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # boolean retrieval: hand-written membership predicates (kept
         # independent of the engine's parser on purpose); scoring =
         # BM25 over the POSITIVE leaves only, same formula as _bm25_sql

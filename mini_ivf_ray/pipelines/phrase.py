@@ -169,6 +169,156 @@ def phrase_topk(
     return df
 
 
+def within_window(tokens: list[str], terms: list[str], w: int) -> bool:
+    """True iff some window of <= ``w`` consecutive tokens contains at
+    least one occurrence of EVERY distinct term (unordered proximity —
+    the minimal-cover-window test, two-pointer sliding over the query
+    terms' positions only, O(occurrences))."""
+    need = dict.fromkeys(terms)
+    if not need or w <= 0:
+        return False
+    if len(need) == 1:
+        t0 = next(iter(need))
+        return t0 in tokens
+    pos = [(i, t) for i, t in enumerate(tokens) if t in need]
+    cnt: dict[str, int] = {}
+    covered, lo = 0, 0
+    for hi in range(len(pos)):
+        t = pos[hi][1]
+        cnt[t] = cnt.get(t, 0) + 1
+        if cnt[t] == 1:
+            covered += 1
+        while covered == len(need):
+            if pos[hi][0] - pos[lo][0] + 1 <= w:
+                return True
+            tl = pos[lo][1]
+            cnt[tl] -= 1
+            if cnt[tl] == 0:
+                covered -= 1
+            lo += 1
+    return False
+
+
+class _ProximityVerifier:
+    """Verify stage for proximity search: batch -> (query_id, doc_id)
+    rows for candidate docs whose token stream covers all the query's
+    distinct terms within the query's window.  Same broadcast shape as
+    _PhraseVerifier."""
+
+    def __init__(self, cand_ref, queries: list[tuple[int, list[str], int]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # {qid: sorted uint64 ids}
+        self.queries = queries  # (qid, distinct terms, window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        any_mask = np.zeros(len(doc_ids), dtype=bool)
+        per_q = {}
+        for qid, _terms, _w in self.queries:
+            ids = self.cand.get(qid)
+            if ids is None or not ids.size:
+                continue
+            m = np.isin(doc_ids, ids, assume_unique=False)
+            if m.any():
+                per_q[qid] = m
+                any_mask |= m
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if per_q:
+            rows = np.flatnonzero(any_mask)
+            texts = batch["text"].take(pa.array(rows)).to_pylist()
+            toks, _ = tokenize_batch(texts)
+            row_tokens = dict(zip(rows.tolist(), toks))
+            for qid, terms, w in self.queries:
+                m = per_q.get(qid)
+                if m is None:
+                    continue
+                for i in np.flatnonzero(m).tolist():
+                    if within_window(row_tokens[i], terms, w):
+                        out_q.append(qid)
+                        out_d.append(int(doc_ids[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def proximity_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, int]],
+    cfg: PipelineConfig | None = None,
+) -> pd.DataFrame:
+    """Unordered proximity search: (query_id, rank, doc_id, score) for
+    docs whose token stream contains every distinct query term inside
+    some window of <= w consecutive tokens, ranked by the conjunctive
+    BM25 score.  ``queries``: (query_id, text, window).
+
+    Same two-stage plan as phrase_topk — index-side conjunctive
+    candidates, then ONE distributed position-verify pass over the
+    candidate-filtered corpus (the index stores no positions) — only
+    the per-doc predicate differs (minimal cover window instead of
+    contiguous subsequence)."""
+    import ray
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized = [
+        (qid, sorted(set(tokenize(text))), w) for qid, text, w in queries
+    ]
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str], int]] = []
+    for qid, terms, w in tokenized:
+        docs, scores = searcher.conjunctive_matches_for_text(" ".join(terms))
+        cand[qid] = docs
+        cand_scores[qid] = dict(zip(docs.tolist(), scores.tolist()))
+        # single-term queries need no position check (any occurrence is
+        # inside every window of w >= 1)
+        if len(terms) > 1 and docs.size:
+            needs_verify.append((qid, terms, w))
+
+    verified: dict[int, np.ndarray] = {
+        qid: cand[qid] for qid, terms, _w in tokenized if len(terms) == 1
+    }
+    if needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
+        hits = docs_ds.map_batches(
+            _ProximityVerifier,
+            fn_constructor_args=(cand_ref, needs_verify),
+            batch_format="pyarrow",
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        ).to_pandas()
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, _terms, _w in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(d)
+            out["score"].append(s)
+    df = pd.DataFrame(out)
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df
+
+
 def brute_force_phrase_topk(
     docs: pd.DataFrame,
     phrases: list[tuple[int, str]],
