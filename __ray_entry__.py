@@ -153,6 +153,28 @@ def _ensure_index(sf_dir: str) -> str:
     return idx
 
 
+def _ensure_boosted_index(sf_dir: str) -> str:
+    """Index over the BM25F field-boosted corpus (title = first 8
+    tokens, w_title = 2): ordinary build over the replicated token
+    stream (functions/fields.py — the integer-weight BM25F
+    reduction)."""
+    key = f"{sf_dir}:bm25f"
+    if key in _index_cache:
+        return _index_cache[key]
+    from mini_ivf_ray.functions.fields import boost_title_texts
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.sources.pages import documents_as_pages
+
+    idx = tempfile.mkdtemp(prefix="graft_ftidx_bm25f_")
+    build_index(
+        lambda: documents_as_pages(sf_dir, text_transform=boost_title_texts),
+        idx, _CFG, dedup=False,
+        lineage_extra={"source": sf_dir, "fields": "title_x2"},
+    )
+    _index_cache[key] = idx
+    return idx
+
+
 def _ensure_ivf(sf_dir: str, pq: bool = False, sq: bool = False) -> str:
     key = f"{sf_dir}:{pq}:{sq}"
     if key in _ivf_cache:
@@ -499,6 +521,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
                 "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def bm25f_topk(sf_dir):
+        """Fielded retrieval (BM25F, integer weights): title = first 8
+        tokens at weight 2, body at weight 1 — reduced to ordinary BM25
+        over the title-replicated token stream (tf' and dl' coincide
+        exactly; df untouched), so the whole standard serving stack
+        (WAND/MaxScore, shared decode) applies unchanged
+        (functions/fields.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_boosted_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
             }
         )
 
@@ -3341,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json_stats": events_json_stats,
         "bool_search": bool_search,
         "prox_search": prox_search,
+        "bm25f_topk": bm25f_topk,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3358,8 +3412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_lineitems": order_lineitems,
         "supplier_nation_region": supplier_nation_region,
         "docs_lang_join": docs_lang_join,
-        "token_counts": token_counts,
         # ================= end of the 50-row driver window ==============
+        "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
         "events_hopping": events_hopping,
@@ -3440,6 +3494,15 @@ _TOK_CTE = (
 )
 
 
+# title = first 8 tokens at weight 2: one extra title copy prepended
+_BM25F_TOK_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all("
+    "array_to_string(list_slice(regexp_extract_all(lower(text), "
+    f"'{TOKEN_RE_SQL}'), 1, 8), ' ') || ' ' || lower(text), "
+    f"'{TOKEN_RE_SQL}')) AS term FROM documents)"
+)
+
+
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
@@ -3455,6 +3518,7 @@ def _bm25_sql(
     live_pred: str | None = None,
     rank_lo: int = 0,
     rank_hi: int = 10,
+    tok_cte: str | None = None,
 ) -> str:
     # conjunctive: a doc ranks only if it matched EVERY distinct query
     # term (count of matched q rows == the query's term count; q.term
@@ -3495,7 +3559,7 @@ def _bm25_sql(
         live_cte = ""
         tok_src, n_docs_src = "tok", "(SELECT count(*) FROM documents)"
     return f"""
-WITH {_TOK_CTE},
+WITH {tok_cte or _TOK_CTE},
 {live_cte}
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM {tok_src} GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM {tok_src} GROUP BY 1),
@@ -4068,6 +4132,10 @@ FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
+        # BM25F via the integer-weight replication identity: the oracle
+        # tokenizes the SAME title-duplicated stream (first 8 tokens
+        # prepended once more), so ordinary BM25 SQL scores fielded
+        "bm25f_topk": _bm25_sql(tok_cte=_BM25F_TOK_CTE),
         # proximity: conjunctive BM25 scoring + a positions predicate —
         # zipped unnest/generate_subscripts gives (doc_id, term, pos);
         # 2-term window w <=> |pa - pb| <= w-1, 3-term <=> max-min <= w-1

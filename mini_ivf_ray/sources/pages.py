@@ -130,14 +130,20 @@ def read_pages(path: str):
     return ray.data.read_parquet(path)
 
 
-def documents_as_pages(sf_dir: str):
+def documents_as_pages(sf_dir: str, text_transform=None):
     """Adapt the driver's ``documents`` table (doc_id, text, lang, source,
     n_chars) to the pages shape, deriving url from source/doc_id and
-    wrapping text in the canonical html (FIXTURES.md §5)."""
+    wrapping text in the canonical html (FIXTURES.md §5).
+
+    ``text_transform``: optional ``list[str] -> list[str]`` applied to
+    each batch's texts before wrapping (e.g. the BM25F field-boost
+    replication, functions/fields.py)."""
     import ray.data
 
     def to_pages(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
+        if text_transform is not None:
+            texts = text_transform(texts)
         ids = batch["doc_id"].to_numpy()
         srcs = batch["source"].to_pylist()
         urls = [f"https://{s}.example/{i}" for s, i in zip(srcs, ids)]
@@ -149,7 +155,11 @@ def documents_as_pages(sf_dir: str):
                 "url": pa.array(urls, type=pa.string()),
                 "warc_ts": ts,
                 "html": pa.array([wrap_html(t, u) for t, u in zip(texts, urls)], type=pa.binary()),
-                "text": batch["text"],
+                "text": (
+                    pa.array(texts, type=pa.string())
+                    if text_transform is not None
+                    else batch["text"]
+                ),
                 "lang": batch["lang"],
                 "doc_id": batch["doc_id"],  # kept: oracle-friendly stable id
             }
