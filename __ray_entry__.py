@@ -73,6 +73,9 @@ PROX_QUERIES: list[tuple[int, str, int]] = [
     (3, "table zz9999qq", 4),
 ]
 
+# more-like-this workload: seed documents for related-doc retrieval
+MLT_SEEDS: list[int] = [1, 5, 17, 42]
+
 # boolean retrieval workload: pure AND+NOT, pure OR, nested groups with
 # De Morgan folding, negated conjunction, and an OOV conjunct (empty)
 BOOL_QUERIES: list[tuple[int, str]] = [
@@ -521,6 +524,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
                 "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
                 "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def more_like_this_q(sf_dir):
+        """Related documents (Lucene MoreLikeThis): per seed doc, the
+        top-5 tf*idf terms are mined in ONE seed-filtered corpus pass,
+        then run as a standard BM25 query with the seed excluded
+        (pipelines/mlt.py)."""
+        from mini_ivf_ray.pipelines.mlt import more_like_this
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+
+        idx = _ensure_index(sf_dir)
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        res = more_like_this(idx, docs, MLT_SEEDS, _CFG, n_terms=5)
+        return pa.table(
+            {
+                "seed_id": pa.array(
+                    res["seed_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
             }
         )
 
@@ -3395,6 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": bool_search,
         "prox_search": prox_search,
         "bm25f_topk": bm25f_topk,
+        "more_like_this": more_like_this_q,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3411,8 +3443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "order_lineitems": order_lineitems,
         "supplier_nation_region": supplier_nation_region,
-        "docs_lang_join": docs_lang_join,
         # ================= end of the 50-row driver window ==============
+        "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
         "events_window": events_window,
         "sessionize": sessionize_q,
@@ -4136,6 +4168,46 @@ FROM ch
         # tokenizes the SAME title-duplicated stream (first 8 tokens
         # prepended once more), so ordinary BM25 SQL scores fielded
         "bm25f_topk": _bm25_sql(tok_cte=_BM25F_TOK_CTE),
+        # more-like-this: two-stage replay — deterministic tf*idf term
+        # mining (single-multiply float64 scores, term-asc tie-break),
+        # then the standard BM25 formula with the seed anti-joined out
+        "more_like_this": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+seeds(seed) AS (VALUES (1), (5), (17), (42)),
+mined AS (SELECT s.seed, p.term,
+                 row_number() OVER (PARTITION BY s.seed
+                    ORDER BY p.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                             p.term ASC) AS rn
+          FROM seeds s
+          JOIN postings p ON p.doc_id = s.seed
+          JOIN df d ON d.term = p.term
+          CROSS JOIN stats st),
+q AS (SELECT seed AS query_id, term FROM mined WHERE rn <= 5),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores WHERE doc_id != query_id)
+SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # proximity: conjunctive BM25 scoring + a positions predicate —
         # zipped unnest/generate_subscripts gives (doc_id, term, pos);
         # 2-term window w <=> |pa - pb| <= w-1, 3-term <=> max-min <= w-1
