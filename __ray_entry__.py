@@ -76,6 +76,15 @@ PROX_QUERIES: list[tuple[int, str, int]] = [
 # more-like-this workload: seed documents for related-doc retrieval
 MLT_SEEDS: list[int] = [1, 5, 17, 42]
 
+# wildcard workload: prefix, suffix, single-char, bounded, contains
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "s*"),
+    (1, "*er"),
+    (2, "b?g"),
+    (3, "qu*y"),
+    (4, "*a*"),
+]
+
 # boolean retrieval workload: pure AND+NOT, pure OR, nested groups with
 # De Morgan folding, negated conjunction, and an OOV conjunct (empty)
 BOOL_QUERIES: list[tuple[int, str]] = [
@@ -542,6 +551,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "seed_id": pa.array(
                     res["seed_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def wildcard_search_q(sf_dir):
+        """Wildcard retrieval (Lucene WildcardQuery): each */? pattern
+        expands against the streamed dictionary (match_like kernel,
+        per-block partial top-64 by df desc/term asc), then runs as a
+        standard disjunctive BM25 query (pipelines/wildcard.py)."""
+        from mini_ivf_ray.pipelines.wildcard import wildcard_search
+
+        idx = _ensure_index(sf_dir)
+        res = wildcard_search(idx, WILDCARD_QUERIES, _CFG, max_expansions=64)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
                 "rank": pa.array(
                     res["rank"].to_numpy().astype(np.int64), type=pa.int64()
@@ -3427,6 +3462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prox_search": prox_search,
         "bm25f_topk": bm25f_topk,
         "more_like_this": more_like_this_q,
+        "wildcard_search": wildcard_search_q,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3442,8 +3478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
         "order_lineitems": order_lineitems,
-        "supplier_nation_region": supplier_nation_region,
         # ================= end of the 50-row driver window ==============
+        "supplier_nation_region": supplier_nation_region,
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
         "events_window": events_window,
@@ -3541,6 +3577,14 @@ def _bm25_values() -> str:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
+
+
+def _wildcard_values() -> str:
+    from mini_ivf_ray.pipelines.wildcard import to_like
+
+    return ", ".join(
+        f"({qid}, '{to_like(p)}')" for qid, p in WILDCARD_QUERIES
+    )
 
 
 def _bm25_sql(
@@ -4206,6 +4250,41 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # wildcard: */? patterns translate to SQL LIKE; expansion picks
+        # at most 64 terms per pattern (df desc, term asc — the same
+        # deterministic cap as the engine), then standard BM25
+        "wildcard_search": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+pats(query_id, pat) AS (VALUES {_wildcard_values()}),
+expanded AS (SELECT p.query_id, d.term,
+                    row_number() OVER (PARTITION BY p.query_id
+                                       ORDER BY d.df DESC, d.term ASC) AS rn
+             FROM pats p JOIN df d ON d.term LIKE p.pat),
+q AS (SELECT query_id, term FROM expanded WHERE rn <= 64),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # proximity: conjunctive BM25 scoring + a positions predicate —
