@@ -76,6 +76,16 @@ PROX_QUERIES: list[tuple[int, str, int]] = [
 # more-like-this workload: seed documents for related-doc retrieval
 MLT_SEEDS: list[int] = [1, 5, 17, 42]
 
+# fuzzy workload: substitutions, transposition-as-2-edits, deletions,
+# an exact term, and an unmatchable garble
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "batsh tabel"),
+    (1, "streem windoe"),
+    (2, "custmer qery"),
+    (3, "hash join"),
+    (4, "zzzzzzzz merg"),
+]
+
 # wildcard workload: prefix, suffix, single-char, bounded, contains
 WILDCARD_QUERIES: list[tuple[int, str]] = [
     (0, "s*"),
@@ -551,6 +561,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "seed_id": pa.array(
                     res["seed_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def fuzzy_search_q(sf_dir):
+        """Typo-tolerant retrieval (Lucene FuzzyQuery): each query term
+        expands to vocab terms within Levenshtein distance 2 (SymSpell
+        delete-key candidates + exact DP verify, capped 8/term by lev
+        asc/df desc/term asc), union scored as standard disjunctive
+        BM25 (pipelines/fuzzy.py)."""
+        from mini_ivf_ray.pipelines.fuzzy import fuzzy_search
+
+        idx = _ensure_index(sf_dir)
+        res = fuzzy_search(idx, FUZZY_QUERIES, _CFG, max_edits=2, per_term=8)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
                 "rank": pa.array(
                     res["rank"].to_numpy().astype(np.int64), type=pa.int64()
@@ -3463,6 +3500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": bm25f_topk,
         "more_like_this": more_like_this_q,
         "wildcard_search": wildcard_search_q,
+        "fuzzy_search": fuzzy_search_q,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3477,8 +3515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": source_stats,
         "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
-        "order_lineitems": order_lineitems,
         # ================= end of the 50-row driver window ==============
+        "order_lineitems": order_lineitems,
         "supplier_nation_region": supplier_nation_region,
         "docs_lang_join": docs_lang_join,
         "token_counts": token_counts,
@@ -3574,6 +3612,14 @@ _BM25F_TOK_CTE = (
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _fuzzy_values() -> str:
+    rows = []
+    for qid, text in FUZZY_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -4250,6 +4296,42 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # fuzzy: per query TERM, vocab within levenshtein<=2 capped at 8
+        # (lev asc, df desc, term asc — the engine's deterministic cap),
+        # per-query union DISTINCT-deduped, then standard BM25
+        "fuzzy_search": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q0(query_id, qterm) AS (VALUES {_fuzzy_values()}),
+expanded AS (SELECT q0.query_id, d.term,
+                    row_number() OVER (PARTITION BY q0.query_id, q0.qterm
+                                       ORDER BY levenshtein(q0.qterm, d.term) ASC,
+                                                d.df DESC, d.term ASC) AS rn
+             FROM q0 JOIN df d ON levenshtein(q0.qterm, d.term) <= 2),
+q AS (SELECT DISTINCT query_id, term FROM expanded WHERE rn <= 8),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # wildcard: */? patterns translate to SQL LIKE; expansion picks
