@@ -122,8 +122,23 @@ def run_bench() -> dict:
     pages_factory = lambda: ray.data.read_parquet(  # noqa: E731
         PAGES_DIR, override_num_blocks=max(64, 4 * NUM_CPUS)
     )
-    # warm OS page cache so we measure compute+shuffle, not first disk read
-    pages_factory().count()
+    # warm pass: parquet count() is satisfied from file METADATA, so a
+    # bare count() neither reads the data nor spawns workers — round-3's
+    # pass-1 build paid first-disk-read + 32 worker spawns + per-worker
+    # imports inside the measured wall (observed 23.9 s pass 1 vs 9.9 s
+    # pass 2 at 0.2% steal).  Force a real read through a map_batches so
+    # the page cache, the worker pool, and the hot imports are warm
+    # BEFORE timing starts; the warm cost itself is reported.
+    def _warm(batch):
+        import pyarrow as _pa
+
+        from mini_ivf_ray.functions import tokenize as _tok  # noqa: F401
+
+        return _pa.table({"n": _pa.array([batch.num_rows])})
+
+    t0 = time.perf_counter()
+    pages_factory().map_batches(_warm, batch_format="pyarrow").count()
+    timings["warm_read"] = round(time.perf_counter() - t0, 3)
 
     cfg = PipelineConfig(
         num_partitions=64,           # smaller encode tasks -> lower straggler floor
