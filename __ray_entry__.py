@@ -86,6 +86,15 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (4, "zzzzzzzz merg"),
 ]
 
+# synonym workload: groups joined by '|', singletons are plain terms
+SYN_QUERIES: list[tuple[int, str]] = [
+    (0, "scan|filter data"),
+    (1, "fast|slow sort"),
+    (2, "join|merge|group"),
+    (3, "the|a"),
+    (4, "customer row|line"),
+]
+
 # wildcard workload: prefix, suffix, single-char, bounded, contains
 WILDCARD_QUERIES: list[tuple[int, str]] = [
     (0, "s*"),
@@ -561,6 +570,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "seed_id": pa.array(
                     res["seed_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def synonym_search_q(sf_dir):
+        """Synonym-group retrieval (Lucene SynonymQuery): a|b groups
+        score as ONE pseudo-term — member tfs summed BEFORE the BM25
+        saturation, idf from the union df — over raw payload-mode
+        postings (pipelines/synonyms.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.synonyms import synonym_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in SYN_QUERIES]
+        )
+        res = synonym_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
                 "rank": pa.array(
                     res["rank"].to_numpy().astype(np.int64), type=pa.int64()
@@ -3537,6 +3578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": wildcard_search_q,
         "fuzzy_search": fuzzy_search_q,
         "search_eval": search_eval_q,
+        "synonym_search": synonym_search_q,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3550,8 +3592,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
-        "orders_by_nation": orders_by_nation,
         # ================= end of the 50-row driver window ==============
+        "orders_by_nation": orders_by_nation,
         "bm25_exhaustive": bm25_exhaustive,
         "order_lineitems": order_lineitems,
         "supplier_nation_region": supplier_nation_region,
@@ -3651,6 +3693,17 @@ def _bm25_values() -> str:
     for qid, text in BM25_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _syn_values() -> str:
+    from mini_ivf_ray.pipelines.synonyms import parse_groups
+
+    rows = []
+    for qid, text in SYN_QUERIES:
+        for gid, group in enumerate(parse_groups(text)):
+            for t in group:
+                rows.append(f"({qid}, {gid}, '{t}')")
     return ", ".join(rows)
 
 
@@ -4333,6 +4386,36 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # synonym groups: member tfs SUM before the saturation, group
+        # idf from the union df (count of docs matching any member)
+        "synonym_search": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+syn(query_id, gid, term) AS (VALUES {_syn_values()}),
+gtf AS (SELECT s.query_id, s.gid, p.doc_id, sum(p.tf) AS tf
+        FROM syn s JOIN postings p ON p.term = s.term GROUP BY 1, 2, 3),
+gdf AS (SELECT query_id, gid, count(*)::DOUBLE AS df FROM gtf GROUP BY 1, 2),
+scores AS (
+  SELECT g.query_id, g.doc_id,
+         sum( ln(1 + (st.n - gd.df + 0.5) / (gd.df + 0.5))
+              * (g.tf * (1.2 + 1.0))
+              / (g.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) ) AS score
+  FROM gtf g
+  JOIN gdf gd ON gd.query_id = g.query_id AND gd.gid = g.gid
+  JOIN dl ON dl.doc_id = g.doc_id
+  CROSS JOIN stats st
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # search eval: BM25 run replay + term-overlap qrels
