@@ -583,6 +583,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def collapsed_topk(sf_dir):
+        """Field collapsing (Elasticsearch collapse): top-10 BM25 with
+        at most ONE result per lang — each group's best doc selected
+        over the FULL accumulated match set, (doc_id, lang) sidecar
+        broadcast once (pipelines/collapse.py)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.collapse import collapsed_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = collapsed_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "grp": pa.array(res["grp"].astype(str), type=pa.string()),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def synonym_search_q(sf_dir):
         """Synonym-group retrieval (Lucene SynonymQuery): a|b groups
         score as ONE pseudo-term — member tfs summed BEFORE the BM25
@@ -3579,6 +3623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": fuzzy_search_q,
         "search_eval": search_eval_q,
         "synonym_search": synonym_search_q,
+        "collapsed_topk": collapsed_topk,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3591,8 +3636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
         "source_stats": source_stats,
-        "limit_head": limit_head,
         # ================= end of the 50-row driver window ==============
+        "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
         "bm25_exhaustive": bm25_exhaustive,
         "order_lineitems": order_lineitems,
@@ -4385,6 +4430,40 @@ ranked AS (SELECT query_id, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # field collapsing: winner per (query, lang) over the FULL
+        # match set, then global top-10 of the winners (same tie rule)
+        "collapsed_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+grouped AS (SELECT s.query_id, s.doc_id, s.score, docs.lang,
+                   row_number() OVER (PARTITION BY s.query_id, docs.lang
+                                      ORDER BY s.score DESC, s.doc_id ASC) AS rg
+            FROM scores s JOIN documents docs ON docs.doc_id = s.doc_id),
+ranked AS (SELECT query_id, doc_id, score, lang,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM grouped WHERE rg = 1)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, lang AS grp,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
