@@ -583,6 +583,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def shuffle_export(sf_dir):
+        """Seeded global shuffle for training export: shard =
+        md5(id, shard-salt) % 8, pos = rank of md5(id, order-salt)
+        within the shard — one exchange + per-shard sort
+        (pipelines/sampling.py seeded_shuffle)."""
+        from mini_ivf_ray.pipelines.sampling import seeded_shuffle
+
+        res = seeded_shuffle(
+            _documents(sf_dir), seed=42, n_shards=8
+        ).to_pandas()
+        res = res.sort_values(["shard", "pos"])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "shard": pa.array(
+                    res["shard"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "pos": pa.array(
+                    res["pos"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def collapsed_topk(sf_dir):
         """Field collapsing (Elasticsearch collapse): top-10 BM25 with
         at most ONE result per lang — each group's best doc selected
@@ -3624,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_eval": search_eval_q,
         "synonym_search": synonym_search_q,
         "collapsed_topk": collapsed_topk,
+        "shuffle_export": shuffle_export,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3635,8 +3661,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
-        "source_stats": source_stats,
         # ================= end of the 50-row driver window ==============
+        "source_stats": source_stats,
         "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
         "bm25_exhaustive": bm25_exhaustive,
@@ -4432,6 +4458,21 @@ ranked AS (SELECT query_id, doc_id, score,
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # seeded shuffle: independent md5 salts for shard and order,
+        # the ('0x' || substr(md5, 1, 15))::UBIGINT form of stable_split
+        "shuffle_export": """
+WITH k AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(doc_id || ':shuf-shard:42'), 1, 15))
+                   AS UBIGINT) % 8 AS BIGINT) AS shard,
+         CAST(('0x' || substr(md5(doc_id || ':shuf-order:42'), 1, 15))
+              AS UBIGINT) AS okey
+  FROM documents)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY okey, doc_id) - 1 AS BIGINT) AS pos
+FROM k
 """,
         # field collapsing: winner per (query, lang) over the FULL
         # match set, then global top-10 of the winners (same tie rule)

@@ -537,3 +537,57 @@ def grouped_split(
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Seeded global shuffle for training export
+# ---------------------------------------------------------------------------
+
+
+def seeded_shuffle(docs_ds, seed: int = 0, n_shards: int = 8):
+    """(doc_id, shard, pos): a deterministic seeded global shuffle —
+    the operator that turns a cleaned corpus into training shards with
+    a reproducible random order (every framework's data loader wants
+    ``shard = f(id, seed)``, ``pos = rank of g(id, seed) within the
+    shard``, stable across reruns and resumable per shard).
+
+    shard and order use INDEPENDENT md5 salts (``shuf-shard:{seed}`` /
+    ``shuf-order:{seed}``), so shard membership and within-shard order
+    are uncorrelated; both replay in SQL via the ``('0x' ||
+    substr(md5(...), 1, 15))::UBIGINT`` form shared with stable_split.
+
+    Scale shape: ONE exchange (groupby shard) and a per-shard sort —
+    choose ``n_shards`` >= cluster cores so each shard fits one
+    worker (the shard is also the natural output-file/resume unit);
+    the stateless key map recomputes anywhere, so a failed shard
+    rebuilds alone.
+    """
+    order_salt = f"shuf-order:{seed}"
+    shard_salt = f"shuf-shard:{seed}"
+
+    def keyfn(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard": pa.array(
+                    salt_hash60(ids, shard_salt) % n_shards, type=pa.int64()
+                ),
+                "okey": pa.array(
+                    salt_hash60(ids, order_salt), type=pa.int64()
+                ),
+            }
+        )
+
+    def shard_sort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["okey", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(),
+                "shard": g["shard"].to_numpy(),
+                "pos": np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    keyed = docs_ds.map_batches(keyfn, batch_format="pyarrow")
+    return keyed.groupby("shard").map_groups(shard_sort, batch_format="pandas")

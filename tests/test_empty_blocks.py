@@ -87,6 +87,22 @@ CASES = [
     ("mg", lambda b: _mg_batch(b, 8), DOCS.select(["doc_id", "text"])),
     ("hll", _hll_term_batch, DOCS.select(["doc_id", "text"])),
     ("urlcanon", _canon_batch, DOCS.select(["doc_id", "url"])),
+    ("eval_grades", None, DOCS.select(["doc_id", "text"])),  # fn below
+]
+
+
+def _eval_grades_fn(batch):
+    from mini_ivf_ray.pipelines.evaluation import _grade_partials
+
+    return _grade_partials(
+        [(0, ["quick", "dog"]), (1, ["zz9999qq"])],
+        {0: np.array([1], dtype=np.uint64)},
+        10,
+    )(batch)
+
+
+CASES = [
+    (n, _eval_grades_fn if n == "eval_grades" else f, s) for n, f, s in CASES
 ]
 
 
