@@ -583,6 +583,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dirichlet_topk(sf_dir):
+        """Pluggable similarity (Lucene LMDirichletSimilarity): the
+        same index served under Dirichlet-smoothed query likelihood —
+        per-term max(0, ln(1+tf/(mu*p(t|C))) + ln(mu/(dl+mu))), mu=2000,
+        cf computed exactly from the scoring fetch
+        (pipelines/lm_dirichlet.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.lm_dirichlet import dirichlet_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = dirichlet_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def shuffle_export(sf_dir):
         """Seeded global shuffle for training export: shard =
         md5(id, shard-salt) % 8, pos = rank of md5(id, order-salt)
@@ -3650,6 +3683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": synonym_search_q,
         "collapsed_topk": collapsed_topk,
         "shuffle_export": shuffle_export,
+        "dirichlet_topk": dirichlet_topk,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3660,8 +3694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
-        "filter_project": filter_project,
         # ================= end of the 50-row driver window ==============
+        "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
         "orders_by_nation": orders_by_nation,
@@ -4457,6 +4491,32 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # LM Dirichlet: per-term clipped query likelihood, cf = summed
+        # term tf over the collection, total = collection token count
+        "dirichlet_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+total AS (SELECT count(*)::DOUBLE AS c FROM tok),
+cf AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum(GREATEST(ln(1 + p.tf / (2000.0 * c.cf / t.c))
+                      + ln(2000.0 / (dl.dl + 2000.0)), 0.0)) AS score
+  FROM q
+  JOIN postings p ON p.term = q.term
+  JOIN cf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN total t
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # seeded shuffle: independent md5 salts for shard and order,
