@@ -86,6 +86,15 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (4, "zzzzzzzz merg"),
 ]
 
+# percolation workload: stored conjunctive routing rules
+PERC_RULES: list[tuple[int, str]] = [
+    (0, "data table"),
+    (1, "customer order"),
+    (2, "hash join merge"),
+    (3, "window stream"),
+    (4, "vector zz9999qq"),
+]
+
 # synonym workload: groups joined by '|', singletons are plain terms
 SYN_QUERIES: list[tuple[int, str]] = [
     (0, "scan|filter data"),
@@ -579,6 +588,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "score_r": pa.array(
                     np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def percolate_docs(sf_dir):
+        """Percolation (reverse search): which stored conjunctive rules
+        does each document trigger — rule table broadcast once, one
+        streamed documents pass, vectorized CSR term-to-rule expansion
+        (pipelines/percolate.py)."""
+        from mini_ivf_ray.pipelines.percolate import percolate
+
+        res = percolate(_documents(sf_dir), PERC_RULES)
+        res = res.sort_values(["doc_id", "query_id"])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -3684,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapsed_topk": collapsed_topk,
         "shuffle_export": shuffle_export,
         "dirichlet_topk": dirichlet_topk,
+        "percolate_docs": percolate_docs,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3693,8 +3723,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window: r2-green SQL-oracled rows rotating back in ----------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
-        "ann_ivf_full": ann_ivf_full,
         # ================= end of the 50-row driver window ==============
+        "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
         "source_stats": source_stats,
         "limit_head": limit_head,
@@ -3796,6 +3826,14 @@ _BM25F_TOK_CTE = (
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _perc_values() -> str:
+    rows = []
+    for qid, text in PERC_RULES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -4492,6 +4530,19 @@ ranked AS (SELECT query_id, doc_id, score,
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # percolation: doc triggers rule iff it contains ALL the rule's
+        # distinct terms (conjunctive semi-join on deduped doc terms)
+        "percolate_docs": f"""
+WITH {_TOK_CTE},
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_perc_values()}),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+m AS (SELECT d.doc_id, q.query_id, count(*) AS c
+      FROM dterms d JOIN q ON q.term = d.term GROUP BY 1, 2)
+SELECT m.doc_id, m.query_id
+FROM m JOIN qn ON qn.query_id = m.query_id
+WHERE m.c = qn.n
 """,
         # LM Dirichlet: per-term clipped query likelihood, cf = summed
         # term tf over the collection, total = collection token count

@@ -58,6 +58,23 @@ def _host_probe() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _alloc_probe() -> float:
+    """Fresh-page first-touch throughput in GB/s (200 MB ones()).
+    The third host witness: this box's hypervisor intermittently
+    throttles page ACQUISITION ~100-250x (measured 0.02 GB/s vs ~5
+    healthy) while steal reads 0% and cache-resident compute is
+    unaffected — the signature that flattens high-parallelism levels
+    (more fresh worker heaps) and memory-heavy stages first."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.ones(25_000_000, dtype=np.float64)
+    dt = time.perf_counter() - t0
+    nbytes = a.nbytes
+    del a
+    return round(nbytes / dt / 1e9, 2)
+
+
 def _cpu_times() -> list[int]:
     with open("/proc/stat") as f:
         return list(map(int, f.readline().split()[1:]))
@@ -94,6 +111,7 @@ def run_bench() -> dict:
     import ray
 
     probe_pre = _host_probe()
+    alloc_pre = _alloc_probe()
     stat0 = _cpu_times()
     ray.init(
         address="local",
@@ -235,6 +253,7 @@ def run_bench() -> dict:
             "qps": round(BENCH_QUERIES / query_sec, 1),
             "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
             "host_probe_sec": [probe_pre, _host_probe()],
+            "host_alloc_gbps": [alloc_pre, _alloc_probe()],
             "host_steal_pct": _steal_pct(stat0, _cpu_times()),
         }
 
@@ -325,6 +344,7 @@ def run_bench() -> dict:
         "qps": round(BENCH_QUERIES / query_sec, 1),
         "avg_searched_cnt": pool_metrics.get("avg_searched_cnt", 0),
         "host_probe_sec": [probe_pre, _host_probe()],
+        "host_alloc_gbps": [alloc_pre, _alloc_probe()],
         "host_steal_pct": _steal_pct(stat0, _cpu_times()),
     }
 
@@ -430,13 +450,15 @@ def run_scaling() -> dict:
         "runs_lo": [
             {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"],
              "query_steady": steady_q(r),
-             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec")}
+             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec"),
+             "alloc_gbps": r.get("host_alloc_gbps")}
             for r in los
         ],
         "runs_hi": [
             {"build": r["queries"]["build_index"], "query": r["queries"]["query_topk"],
              "query_steady": steady_q(r),
-             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec")}
+             "steal_pct": r.get("host_steal_pct"), "probe": r.get("host_probe_sec"),
+             "alloc_gbps": r.get("host_alloc_gbps")}
             for r in his
         ],
         # samples set aside by the declared steal threshold (resampled)
