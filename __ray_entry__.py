@@ -592,6 +592,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_filtered(sf_dir):
+        """Metadata-filtered exact vector search: cosine top-10 over
+        only lang='en' vectors — the whitelist (documents join) is
+        broadcast once and masks each batch BEFORE the matmul, exact
+        at any selectivity (pipelines/similarity.py filtered_ann)."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.similarity import filtered_ann
+
+        allowed = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+            filters=[("lang", "=", "en")],
+        )["doc_id"].to_numpy()
+        qids, Q = _ann_queries(sf_dir)
+        res = filtered_ann(_embeddings(sf_dir), Q, qids, allowed, k=10)
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def percolate_docs(sf_dir):
         """Percolation (reverse search): which stored conjunctive rules
         does each document trigger — rule table broadcast once, one
@@ -3714,6 +3743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_export": shuffle_export,
         "dirichlet_topk": dirichlet_topk,
         "percolate_docs": percolate_docs,
+        "ann_filtered": ann_filtered,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3722,8 +3752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_obs": ann_obs,
         # -- window: r2-green SQL-oracled rows rotating back in ----------
         "fingerprint": fingerprint_q,
-        "ann_bruteforce": ann_bruteforce,
         # ================= end of the 50-row driver window ==============
+        "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
         "source_stats": source_stats,
@@ -4206,17 +4236,27 @@ FROM ranked WHERE rank < 10
 """
 
 
-def _ann_sql(exclude_pred: str | None = None) -> str:
+def _ann_sql(
+    exclude_pred: str | None = None, allowed_lang: str | None = None
+) -> str:
     # exclude_pred: tombstone masking (delete_vectors semantics) — the
-    # corpus side drops matching rows before ranking
+    # corpus side drops matching rows before ranking.  allowed_lang:
+    # metadata-filtered search — only vectors whose document passes the
+    # predicate are ranked (filtered_ann semantics)
     where = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
+    corpus = f"(SELECT * FROM embeddings {where})"
+    if allowed_lang is not None:
+        corpus = (
+            "(SELECT e.* FROM embeddings e JOIN documents d "
+            f"ON d.doc_id = e.vec_id WHERE d.lang = '{allowed_lang}')"
+        )
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id < {N_ANN_QUERIES}),
 sims AS (SELECT q.query_id, e.vec_id,
                 list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                        CAST(e.embedding AS DOUBLE[])) AS cos
-         FROM q CROSS JOIN (SELECT * FROM embeddings {where}) e),
+         FROM q CROSS JOIN {corpus} e),
 ranked AS (SELECT query_id, vec_id, cos,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY cos DESC, vec_id ASC) - 1 AS rank
@@ -5135,6 +5175,7 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_bruteforce": _ann_sql(),
+        "ann_filtered": _ann_sql(allowed_lang="en"),
         "ann_ivf_full": _ann_sql(),
         "ann_append": _ann_sql(),
         "ann_sq8_refined": _ann_sql(),

@@ -1070,6 +1070,10 @@ def brute_force_ann(
     ).to_pandas()
     score_col = "cosine" if metric == "cosine" else "dist2"
     out = {"query_id": [], "rank": [], "vec_id": [], score_col: []}
+    if not len(cands):  # e.g. a filter removed every vector
+        df = pd.DataFrame(out)
+        df["rank"] = df["rank"].astype(np.int32)
+        return df
     for qid, g in cands.groupby("query_id", sort=True):
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
         vals = g["cosine"].to_numpy() if metric == "cosine" else -g["cosine"].to_numpy()
@@ -1081,3 +1085,47 @@ def brute_force_ann(
     if len(df):
         df["rank"] = df["rank"].astype(np.int32)
     return df
+
+
+def filtered_ann(
+    embeddings_ds,
+    query_mat: np.ndarray,
+    query_ids: np.ndarray,
+    allowed_ids,
+    k: int = 10,
+    metric: str = "cosine",
+):
+    """Exact metadata-FILTERED vector search: top-k over only the
+    vectors whose id is in ``allowed_ids`` (e.g. doc ids passing a
+    lang/license predicate) — the filtered-ANN primitive every vector
+    store exposes.
+
+    The filter is pushed INTO the scan: the (broadcast-once, sorted)
+    whitelist masks each batch BEFORE the matmul, so excluded vectors
+    never cost a FLOP and never enter the per-batch top-k — unlike
+    post-filtering a k'-deep unfiltered result, this is exact for any
+    filter selectivity.  Downstream is brute_force_ann unchanged."""
+    import pyarrow as pa
+    import ray
+
+    allow = np.sort(np.asarray(allowed_ids, dtype=np.int64))
+    allowed_ref = ray.put(allow)
+
+    def mask(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        a = _ray.get(allowed_ref)
+        ids = batch["vec_id"].to_numpy()
+        if not a.size:
+            return batch.slice(0, 0)
+        pos = np.searchsorted(a, ids)
+        np.minimum(pos, a.size - 1, out=pos)
+        return batch.filter(pa.array(a[pos] == ids))
+
+    return brute_force_ann(
+        embeddings_ds.map_batches(mask, batch_format="pyarrow"),
+        query_mat,
+        query_ids,
+        k=k,
+        metric=metric,
+    )

@@ -1,0 +1,48 @@
+"""Filtered ANN: exactness at any selectivity vs a filtered brute force."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+from mini_ivf_ray.pipelines.similarity import brute_force_ann, filtered_ann
+
+
+def _embeddings(n=300, d=16, seed=11):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, d))
+    return (
+        pd.DataFrame(
+            {"vec_id": np.arange(n), "embedding": [v.tolist() for v in mat]}
+        ),
+        mat,
+    )
+
+
+def test_filtered_equals_bruteforce_over_subset():
+    df, mat = _embeddings()
+    allowed = np.arange(0, 300, 3)  # every third vector
+    ds = ray.data.from_pandas(df).repartition(5)
+    sub = df[df["vec_id"].isin(allowed)].reset_index(drop=True)
+    sub_ds = ray.data.from_pandas(sub)
+    Q = mat[:4]
+    qids = np.arange(4)
+    got = filtered_ann(ds, Q, qids, allowed, k=7)
+    want = brute_force_ann(sub_ds, Q, qids, k=7)
+    assert got.equals(want)
+    assert set(got["vec_id"]) <= set(int(a) for a in allowed)
+
+
+def test_empty_whitelist_is_empty():
+    df, mat = _embeddings(n=50)
+    ds = ray.data.from_pandas(df)
+    res = filtered_ann(ds, mat[:2], np.arange(2), np.array([], dtype=np.int64), k=5)
+    assert len(res) == 0
+
+
+def test_singleton_whitelist():
+    df, mat = _embeddings(n=50)
+    ds = ray.data.from_pandas(df)
+    res = filtered_ann(ds, mat[:3], np.arange(3), np.array([17]), k=5)
+    assert len(res) == 3
+    assert set(res["vec_id"]) == {17}
+    assert (res["rank"] == 0).all()
