@@ -86,6 +86,15 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (4, "zzzzzzzz merg"),
 ]
 
+# boosted workload: query-time term weights (Lucene term^w syntax)
+BOOST_QUERIES: list[tuple[int, str]] = [
+    (0, "data^2 web the^0.5"),
+    (1, "customer^3 order"),
+    (2, "hash^0.1 join merge^4"),
+    (3, "table^2 table"),
+    (4, "scan filter^2.5 zz9999qq^9"),
+]
+
 # percolation workload: stored conjunctive routing rules
 PERC_RULES: list[tuple[int, str]] = [
     (0, "data table"),
@@ -579,6 +588,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "seed_id": pa.array(
                     res["seed_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def boosted_topk(sf_dir):
+        """Query-time term boosting (Lucene term^w): per-term BM25
+        contributions scaled by summed boosts before accumulation,
+        served from the baked shared-decode views
+        (pipelines/boost.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.boost import boosted_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BOOST_QUERIES]
+        )
+        res = boosted_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
                 "rank": pa.array(
                     res["rank"].to_numpy().astype(np.int64), type=pa.int64()
@@ -3744,6 +3785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dirichlet_topk": dirichlet_topk,
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
+        "boosted_topk": boosted_topk,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
@@ -3751,8 +3793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_obs": search_obs,
         "ann_obs": ann_obs,
         # -- window: r2-green SQL-oracled rows rotating back in ----------
-        "fingerprint": fingerprint_q,
         # ================= end of the 50-row driver window ==============
+        "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
         "filter_project": filter_project,
@@ -3858,6 +3900,16 @@ def _bm25_values() -> str:
     for qid, text in BM25_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _boost_values() -> str:
+    from mini_ivf_ray.pipelines.boost import parse_boosts
+
+    rows = []
+    for qid, text in BOOST_QUERIES:
+        for t, w in sorted(parse_boosts(text).items()):
+            rows.append(f"({qid}, '{t}', {w!r})")
     return ", ".join(rows)
 
 
@@ -4569,6 +4621,36 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # boosted retrieval: per-term BM25 contribution scaled by the
+        # SUMMED boost of that term in the query (a^2 a == a^3)
+        "boosted_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+qb(query_id, term, boost) AS (VALUES {_boost_values()}),
+scores AS (
+  SELECT qb.query_id, p.doc_id,
+         sum( qb.boost
+              * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM qb
+  JOIN df d ON d.term = qb.term
+  JOIN postings p ON p.term = qb.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # percolation: doc triggers rule iff it contains ALL the rule's
