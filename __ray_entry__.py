@@ -662,6 +662,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def jm_topk(sf_dir):
+        """Pluggable similarity #2 (Lucene LMJelinekMercerSimilarity):
+        linear-interpolation smoothing, lambda=0.1 — per matched term
+        ln(1 + ((1-l)/l)*(tf/dl)/(cf/total)) (pipelines/lm_dirichlet.py
+        JelinekMercerSearcher)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.lm_dirichlet import jelinek_mercer_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = jelinek_mercer_search(idx, qds, _CFG, lam=0.1).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def percolate_docs(sf_dir):
         """Percolation (reverse search): which stored conjunctive rules
         does each document trigger — rule table broadcast once, one
@@ -3786,14 +3818,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
         "boosted_topk": boosted_topk,
+        "jm_topk": jm_topk,
         # -- window: never driver-checked, rows-only ----------------------
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
         "append_roundtrip": append_roundtrip,
         "search_obs": search_obs,
-        "ann_obs": ann_obs,
-        # -- window: r2-green SQL-oracled rows rotating back in ----------
         # ================= end of the 50-row driver window ==============
+        "ann_obs": ann_obs,
+        # -- r2-green SQL-oracled rows rotated below the marker ----------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
         "ann_ivf_full": ann_ivf_full,
@@ -4621,6 +4654,30 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
        round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # Jelinek-Mercer: linear interpolation smoothing, lambda=0.1
+        "jm_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+total AS (SELECT count(*)::DOUBLE AS c FROM tok),
+cf AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum(ln(1 + (0.9 / 0.1) * (p.tf / dl.dl) / (c.cf / t.c))) AS score
+  FROM q
+  JOIN postings p ON p.term = q.term
+  JOIN cf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN total t
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # boosted retrieval: per-term BM25 contribution scaled by the

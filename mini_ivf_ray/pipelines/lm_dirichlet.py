@@ -45,6 +45,14 @@ class DirichletSearcher(BM25Searcher):
         super().__init__(*args, **kwargs)
         self.mu = float(mu)
 
+    def _term_contribs(self, tfs, dls, cf: float, total: float):
+        """Per-posting clipped Dirichlet contributions (overridden by
+        other smoothing models sharing this searcher)."""
+        mu = self.mu
+        c = np.log1p(tfs / (mu * cf / total)) + np.log(mu / (dls + mu))
+        np.maximum(c, 0.0, out=c)
+        return c
+
     def dirichlet_topk_for_text(self, qtext: str) -> list[tuple[int, float]]:
         terms = sorted(set(tokenize(qtext)))
         wanted = {
@@ -54,7 +62,6 @@ class DirichletSearcher(BM25Searcher):
         }
         fetched = self.reader.fetch_terms(wanted)
         total = float(self.stats.total_tokens)
-        mu = self.mu
         per_term: list[tuple[np.ndarray, np.ndarray]] = []
         scored = 0
         for t in sorted(wanted):
@@ -66,11 +73,7 @@ class DirichletSearcher(BM25Searcher):
                 continue
             scored += docs.size
             cf = float(tfs.sum())  # exact collection frequency
-            contribs = np.log1p(tfs / (mu * cf / total)) + np.log(
-                mu / (dls + mu)
-            )
-            np.maximum(contribs, 0.0, out=contribs)
-            per_term.append((docs, contribs))
+            per_term.append((docs, self._term_contribs(tfs, dls, cf, total)))
         self.counters["searched_cnt"] = (
             self.counters.get("searched_cnt", 0) + scored
         )
@@ -121,6 +124,44 @@ def dirichlet_search(
         DirichletSearcher,
         fn_constructor_args=(index_dir, cfg, shared, None),
         fn_constructor_kwargs={"mu": mu},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
+class JelinekMercerSearcher(DirichletSearcher):
+    """Lucene LMJelinekMercerSimilarity: per matched term
+    ``ln(1 + ((1-lambda)/lambda) * (tf/dl) / (cf/total))`` — always
+    positive, no clip.  ``lam`` in (0, 1); 0.1 suits short queries."""
+
+    def __init__(self, *args, lam: float = 0.1, **kwargs):
+        kwargs.pop("mu", None)
+        super().__init__(*args, **kwargs)
+        self.lam = float(lam)
+
+    def _term_contribs(self, tfs, dls, cf: float, total: float):
+        lam = self.lam
+        return np.log1p(((1.0 - lam) / lam) * (tfs / dls) / (cf / total))
+
+
+def jelinek_mercer_search(
+    index_dir: str, queries_ds, cfg=None, lam: float = 0.1, share: bool = True
+):
+    """queries (query_id, text) -> (query_id, rank, doc_id, score)
+    under Jelinek-Mercer smoothing — same deployment as
+    dirichlet_search."""
+    from mini_ivf_ray.config import PipelineConfig
+    from mini_ivf_ray.pipelines.query import share_segments
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    shared = share_segments(index_dir, cfg.num_partitions) if share else None
+
+    return queries_ds.map_batches(
+        JelinekMercerSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, None),
+        fn_constructor_kwargs={"lam": lam},
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),

@@ -70,3 +70,45 @@ def test_oov_is_empty(tiny_index):
     idx, cfg, docs = tiny_index
     qds = ray.data.from_items([{"query_id": 0, "text": "zz9999qq"}])
     assert len(dirichlet_search(idx, qds, cfg).to_pandas()) == 0
+
+
+def test_jelinek_mercer_matches_local_replay(tiny_index):
+    from mini_ivf_ray.pipelines.lm_dirichlet import jelinek_mercer_search
+
+    idx, cfg, docs = tiny_index
+    stats = CorpusStats.load(idx)
+    total = float(stats.total_tokens)
+    lam = 0.1
+    text = "the data web"
+    qds = ray.data.from_items([{"query_id": 0, "text": text}])
+    res = jelinek_mercer_search(idx, qds, cfg, lam=lam).to_pandas()
+    toks = [tokenize(t) for t in docs["text"]]
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    order = np.argsort(ids)
+    per_term = []
+    for t in sorted(set(tokenize(text))):
+        if stats.df.get(t, 0) <= 0:
+            continue
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        dl = np.array([len(tk) for tk in toks], dtype=np.float64)
+        m = tf > 0
+        cf = float(tf.sum())
+        c = np.log1p(
+            ((1.0 - lam) / lam)
+            * (tf[order][m[order]] / dl[order][m[order]])
+            / (cf / total)
+        )
+        per_term.append((ids[order][m[order]], c))
+    dc = np.concatenate([d for d, _ in per_term])
+    cc = np.concatenate([c for _, c in per_term])
+    uniq, inv = np.unique(dc, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, cc)
+    want = sorted(zip(scores, uniq), key=lambda t: (-t[0], t[1]))[: cfg.topk]
+    g = res.sort_values("rank")
+    got = list(
+        zip(g["score"], g["doc_id"].to_numpy().astype(np.uint64))
+    )
+    assert [(float(s), int(d)) for s, d in got] == [
+        (float(s), int(d)) for s, d in want
+    ]
