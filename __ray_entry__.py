@@ -86,6 +86,15 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (4, "zzzzzzzz merg"),
 ]
 
+# significant-terms workload: topical, structural, and stopword sets
+SIG_QUERIES: list[tuple[int, str]] = [
+    (0, "customer order"),
+    (1, "hash join"),
+    (2, "window stream"),
+    (3, "vector"),
+    (4, "the"),
+]
+
 # boosted workload: query-time term weights (Lucene term^w syntax)
 BOOST_QUERIES: list[tuple[int, str]] = [
     (0, "data^2 web the^0.5"),
@@ -658,6 +667,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
                 "cosine_r": pa.array(
                     np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def sig_terms(sf_dir):
+        """Significant-terms aggregation (Elasticsearch
+        significant_terms): per query, vocabulary terms lift-ranked
+        against the corpus background — one streamed documents pass
+        emitting per-block (query, term, fg) partials, match membership
+        by term overlap so no match set ever materializes
+        (pipelines/sigterms.py)."""
+        from mini_ivf_ray.pipelines.sigterms import significant_terms
+
+        idx = _ensure_index(sf_dir)
+        res = significant_terms(
+            idx, _documents(sf_dir), SIG_QUERIES, topn=10
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].astype(str), type=pa.string()),
+                "fg": pa.array(
+                    res["fg"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "m": pa.array(
+                    res["m"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -3819,12 +3862,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_filtered": ann_filtered,
         "boosted_topk": boosted_topk,
         "jm_topk": jm_topk,
+        "sig_terms": sig_terms,
         # -- window: never driver-checked, rows-only ----------------------
-        "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
         "append_roundtrip": append_roundtrip,
         "search_obs": search_obs,
         # ================= end of the 50-row driver window ==============
+        "ann_sq8": ann_sq8,
         "ann_obs": ann_obs,
         # -- r2-green SQL-oracled rows rotated below the marker ----------
         "fingerprint": fingerprint_q,
@@ -3931,6 +3975,14 @@ _BM25F_TOK_CTE = (
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _sig_values() -> str:
+    rows = []
+    for qid, text in SIG_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -4653,6 +4705,34 @@ ranked AS (SELECT query_id, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM scores WHERE doc_id != query_id)
 SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # significant terms: lift = (fg_df/|match|)/(df/N), doc
+        # frequencies both sides, match = docs containing ANY query term
+        "sig_terms": f"""
+WITH {_TOK_CTE},
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+df AS (SELECT term, count(*) AS df FROM dterms GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+q(query_id, term) AS (VALUES {_sig_values()}),
+match AS (SELECT DISTINCT q.query_id, d.doc_id
+          FROM q JOIN dterms d ON d.term = q.term),
+msize AS (SELECT query_id, count(*) AS m FROM match GROUP BY 1),
+fg AS (SELECT mt.query_id, d.term, count(*) AS fg
+       FROM match mt JOIN dterms d ON d.doc_id = mt.doc_id GROUP BY 1, 2),
+scored AS (SELECT fg.query_id, fg.term, fg.fg, ms.m,
+                  (fg.fg::DOUBLE / ms.m) / (df.df::DOUBLE / n.n) AS score
+           FROM fg
+           JOIN msize ms ON ms.query_id = fg.query_id
+           JOIN df ON df.term = fg.term
+           CROSS JOIN n),
+ranked AS (SELECT query_id, term, fg, m, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, term ASC) - 1 AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(fg AS BIGINT) AS fg, CAST(m AS BIGINT) AS m,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,

@@ -1,0 +1,106 @@
+"""Significant-terms aggregation: what is a result set ABOUT?
+
+Elasticsearch's ``significant_terms``: for each query, rank vocabulary
+terms by how over-represented they are in the query's (disjunctive)
+match set relative to the corpus background — the "uncommonly common"
+terms that characterize a result set, the engine-side topic-discovery
+primitive.  Score here is the lift ratio
+
+    score(t) = (fg_df / |match|) / (df / N)
+
+with fg_df = docs in the match set containing t (doc frequencies on
+both sides, ES-style).  All inputs are exact integers and the score is
+three IEEE divisions in fixed order, so numpy and the SQL oracle
+produce identical doubles; ranking ties break term-asc.
+
+Ray-Data-first shape (the evaluation.py pattern): the (tiny) query
+term sets are broadcast in the UDF closure; ONE ``map_batches`` pass
+streams the documents, determines match membership by term overlap
+(no index fetch, no match-set broadcast — a stopword query's match
+set never materializes anywhere), and emits per-block PARTIALS:
+(query, term, fg_count) over deduplicated doc terms plus a per-block
+match count.  The driver merges (blocks x block-vocab rows) and ranks.
+At 100-TB scale the same partials feed a ``groupby(term)`` combiner
+instead of the driver — the pass itself is already shaped for it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mini_ivf_ray.functions.tokenize import tokenize, tokenize_batch
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def significant_terms(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str]],
+    topn: int = 10,
+) -> pd.DataFrame:
+    """(query_id, rank, term, fg, m, score) — per query the ``topn``
+    vocabulary terms by lift over the corpus background; ``fg`` = match
+    docs containing the term, ``m`` = match-set size.  Stats (df, N)
+    come from the committed index sidecar."""
+    stats = CorpusStats.load(index_dir)
+    qterms = [
+        (qid, frozenset(tokenize(text))) for qid, text in queries
+    ]
+
+    def partials(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        toks, _ = tokenize_batch(texts)
+        sets = [set(tk) for tk in toks]
+        out_q, out_t, out_c = [], [], []
+        for qid, qt in qterms:
+            if not qt:
+                continue
+            hit = [s for s in sets if not qt.isdisjoint(s)]
+            # match-count partial rides as the reserved term ""
+            out_q.append(qid)
+            out_t.append("")
+            out_c.append(len(hit))
+            if hit:
+                cnt: dict[str, int] = {}
+                for s in hit:
+                    for t in s:
+                        cnt[t] = cnt.get(t, 0) + 1
+                out_q.extend([qid] * len(cnt))
+                out_t.extend(cnt.keys())
+                out_c.extend(cnt.values())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "c": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    parts = docs_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    rows = []
+    n_docs = float(stats.n_docs)
+    for qid, _ in queries:
+        g = parts[parts["query_id"] == qid]
+        m = int(g.loc[g["term"] == "", "c"].sum())
+        if not m:
+            continue
+        fg = g[g["term"] != ""].groupby("term")["c"].sum()
+        terms = fg.index.to_numpy()
+        fgv = fg.to_numpy().astype(np.float64)
+        dfv = np.array(
+            [stats.df.get(t, 0) for t in terms], dtype=np.float64
+        )
+        keep = dfv > 0  # vocabulary terms only (index-known)
+        terms, fgv, dfv = terms[keep], fgv[keep], dfv[keep]
+        score = (fgv / m) / (dfv / n_docs)
+        order = np.argsort(terms, kind="stable")
+        order = order[np.argsort(-score[order], kind="stable")][:topn]
+        for r, i in enumerate(order):
+            rows.append(
+                (qid, r, str(terms[i]), int(fgv[i]), m, float(score[i]))
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "term", "fg", "m", "score"]
+    )

@@ -1,0 +1,59 @@
+"""Significant terms: local replay identity + degenerate cases."""
+
+import numpy as np
+
+import ray.data
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.sigterms import significant_terms
+from mini_ivf_ray.state.stats import CorpusStats
+
+
+def _local(docs, idx, qtext, topn):
+    stats = CorpusStats.load(idx)
+    qt = set(tokenize(qtext))
+    sets = [set(tokenize(t)) for t in docs["text"]]
+    hit = [s for s in sets if not qt.isdisjoint(s)]
+    m = len(hit)
+    if not m:
+        return []
+    cnt = {}
+    for s in hit:
+        for t in s:
+            cnt[t] = cnt.get(t, 0) + 1
+    terms = np.array(sorted(t for t in cnt if stats.df.get(t, 0) > 0))
+    fgv = np.array([cnt[t] for t in terms], dtype=np.float64)
+    dfv = np.array([stats.df[t] for t in terms], dtype=np.float64)
+    score = (fgv / m) / (dfv / float(stats.n_docs))
+    order = np.argsort(terms, kind="stable")
+    order = order[np.argsort(-score[order], kind="stable")][:topn]
+    return [
+        (r, str(terms[i]), int(fgv[i]), m, float(score[i]))
+        for r, i in enumerate(order)
+    ]
+
+
+def test_matches_local_replay(tiny_index):
+    idx, cfg, docs = tiny_index
+    queries = [(0, "w00042 w00100"), (1, "the")]
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6)
+    res = significant_terms(idx, ds, queries, topn=8)
+    for qid, text in queries:
+        want = _local(docs, idx, text, 8)
+        g = res[res["query_id"] == qid].sort_values("rank")
+        got = [
+            (int(r), str(t), int(f), int(m), float(s))
+            for r, t, f, m, s in zip(
+                g["rank"], g["term"], g["fg"], g["m"], g["score"]
+            )
+        ]
+        assert got == want, qid
+
+
+def test_query_terms_rank_high_and_oov_empty(tiny_index):
+    idx, cfg, docs = tiny_index
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    res = significant_terms(idx, ds, [(0, "w00042"), (1, "zz9999qq")], topn=5)
+    assert 1 not in set(res["query_id"])
+    g = res[res["query_id"] == 0].sort_values("rank")
+    assert g.iloc[0]["term"] == "w00042"  # lift of own rare term is max
+    assert (g["score"].to_numpy() >= 1.0).all() or len(g)
