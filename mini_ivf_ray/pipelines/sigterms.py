@@ -34,20 +34,9 @@ from mini_ivf_ray.functions.tokenize import tokenize, tokenize_batch
 from mini_ivf_ray.state.stats import CorpusStats
 
 
-def significant_terms(
-    index_dir: str,
-    docs_ds,
-    queries: list[tuple[int, str]],
-    topn: int = 10,
-) -> pd.DataFrame:
-    """(query_id, rank, term, fg, m, score) — per query the ``topn``
-    vocabulary terms by lift over the corpus background; ``fg`` = match
-    docs containing the term, ``m`` = match-set size.  Stats (df, N)
-    come from the committed index sidecar."""
-    stats = CorpusStats.load(index_dir)
-    qterms = [
-        (qid, frozenset(tokenize(text))) for qid, text in queries
-    ]
+def _sig_partials(qterms: list[tuple[int, frozenset]]):
+    """Batch-UDF factory: per-block (query_id, term, c) partials — the
+    match-count partial rides as the reserved term \"\"."""
 
     def partials(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
@@ -58,7 +47,6 @@ def significant_terms(
             if not qt:
                 continue
             hit = [s for s in sets if not qt.isdisjoint(s)]
-            # match-count partial rides as the reserved term ""
             out_q.append(qid)
             out_t.append("")
             out_c.append(len(hit))
@@ -78,7 +66,26 @@ def significant_terms(
             }
         )
 
-    parts = docs_ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    return partials
+
+
+def significant_terms(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str]],
+    topn: int = 10,
+) -> pd.DataFrame:
+    """(query_id, rank, term, fg, m, score) — per query the ``topn``
+    vocabulary terms by lift over the corpus background; ``fg`` = match
+    docs containing the term, ``m`` = match-set size.  Stats (df, N)
+    come from the committed index sidecar."""
+    stats = CorpusStats.load(index_dir)
+    qterms = [
+        (qid, frozenset(tokenize(text))) for qid, text in queries
+    ]
+    parts = docs_ds.map_batches(
+        _sig_partials(qterms), batch_format="pyarrow"
+    ).to_pandas()
     rows = []
     n_docs = float(stats.n_docs)
     for qid, _ in queries:

@@ -88,7 +88,16 @@ CASES = [
     ("hll", _hll_term_batch, DOCS.select(["doc_id", "text"])),
     ("urlcanon", _canon_batch, DOCS.select(["doc_id", "url"])),
     ("eval_grades", None, DOCS.select(["doc_id", "text"])),  # fn below
+    ("sig_partials", None, DOCS.select(["doc_id", "text"])),  # fn below
 ]
+
+
+def _sig_partials_fn(batch):
+    from mini_ivf_ray.pipelines.sigterms import _sig_partials
+
+    return _sig_partials(
+        [(0, frozenset({"quick", "dog"})), (1, frozenset())]
+    )(batch)
 
 
 def _eval_grades_fn(batch):
@@ -101,9 +110,8 @@ def _eval_grades_fn(batch):
     )(batch)
 
 
-CASES = [
-    (n, _eval_grades_fn if n == "eval_grades" else f, s) for n, f, s in CASES
-]
+_LATE_FNS = {"eval_grades": _eval_grades_fn, "sig_partials": _sig_partials_fn}
+CASES = [(n, _LATE_FNS.get(n, f), s) for n, f, s in CASES]
 
 
 @pytest.mark.parametrize("name,fn,sample", CASES, ids=[c[0] for c in CASES])
