@@ -671,6 +671,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def match_histogram(sf_dir):
+        """Numeric range aggregation (Elasticsearch histogram agg):
+        per query, exact match counts per n_chars bucket (width 100)
+        over the FULL disjunctive match set — the facet machinery with
+        binned numeric labels (pipelines/facets.py)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import faceted_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        bins = [f"b{int(v) // 100}" for v in side["n_chars"].to_pylist()]
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = faceted_search(
+            idx, qds, side["doc_id"].to_numpy(), bins, _CFG
+        ).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "bin": pa.array(res["facet"].astype(str), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def sig_terms(sf_dir):
         """Significant-terms aggregation (Elasticsearch
         significant_terms): per query, vocabulary terms lift-ranked
@@ -3863,11 +3897,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": boosted_topk,
         "jm_topk": jm_topk,
         "sig_terms": sig_terms,
+        "match_histogram": match_histogram,
         # -- window: never driver-checked, rows-only ----------------------
-        "bpe_tokens": bpe_tokens,
         "append_roundtrip": append_roundtrip,
         "search_obs": search_obs,
         # ================= end of the 50-row driver window ==============
+        "bpe_tokens": bpe_tokens,
         "ann_sq8": ann_sq8,
         "ann_obs": ann_obs,
         # -- r2-green SQL-oracled rows rotated below the marker ----------
@@ -4567,6 +4602,18 @@ q(query_id, term) AS (VALUES {_bm25_values()}),
 matches AS (SELECT DISTINCT q.query_id, p.doc_id
             FROM q JOIN postings p ON p.term = q.term)
 SELECT m.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+""",
+        # histogram agg: same match set, numeric width-100 binning
+        "match_histogram": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id, 'b' || CAST(d.n_chars // 100 AS VARCHAR) AS bin,
+       count(*)::BIGINT AS n_docs
 FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1, 2
 """,
