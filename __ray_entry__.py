@@ -4418,9 +4418,11 @@ def _ann_sql(
     where = f"WHERE NOT ({exclude_pred})" if exclude_pred else ""
     corpus = f"(SELECT * FROM embeddings {where})"
     if allowed_lang is not None:
+        # compose with the tombstone predicate rather than dropping it
+        tomb = f"AND NOT ({exclude_pred})" if exclude_pred else ""
         corpus = (
             "(SELECT e.* FROM embeddings e JOIN documents d "
-            f"ON d.doc_id = e.vec_id WHERE d.lang = '{allowed_lang}')"
+            f"ON d.doc_id = e.vec_id WHERE d.lang = '{allowed_lang}' {tomb})"
         )
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
@@ -4997,17 +4999,20 @@ ideal AS (SELECT query_id, rel,
                                     ORDER BY rel DESC) - 1 AS rn
           FROM rel),
 idcg AS (SELECT query_id, sum((pow(2, rel) - 1) / log2(rn + 2)) AS idcg
-         FROM ideal WHERE rn < 10 GROUP BY 1)
-SELECT p.query_id,
+         FROM ideal WHERE rn < 10 GROUP BY 1),
+qids AS (SELECT DISTINCT query_id FROM q)
+SELECT qi.query_id,
        CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
-       CAST(p.hits AS BIGINT) AS hits,
-       round(CASE WHEN coalesce(i.idcg, 0) > 0 THEN p.dcg / i.idcg ELSE 0 END, 4) AS ndcg_r,
+       CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+       round(CASE WHEN coalesce(i.idcg, 0) > 0
+                  THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END, 4) AS ndcg_r,
        round(coalesce(1.0 / (p.first_rel + 1), 0.0), 4) AS mrr_r,
        round(CASE WHEN coalesce(n.n_rel, 0) > 0
-                  THEN p.hits::DOUBLE / n.n_rel ELSE 0 END, 4) AS recall_r
-FROM perq p
-LEFT JOIN nrel n ON n.query_id = p.query_id
-LEFT JOIN idcg i ON i.query_id = p.query_id
+                  THEN coalesce(p.hits, 0)::DOUBLE / n.n_rel ELSE 0 END, 4) AS recall_r
+FROM qids qi
+LEFT JOIN perq p ON p.query_id = qi.query_id
+LEFT JOIN nrel n ON n.query_id = qi.query_id
+LEFT JOIN idcg i ON i.query_id = qi.query_id
 """,
         # fuzzy: per query TERM, vocab within levenshtein<=2 capped at 8
         # (lev asc, df desc, term asc — the engine's deterministic cap),

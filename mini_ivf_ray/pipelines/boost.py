@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
-from mini_ivf_ray.pipelines.query import BM25Searcher, _topk_exact
+from mini_ivf_ray.pipelines.query import BM25Searcher, accumulate_topk
 
 
 def parse_boosts(qtext: str) -> dict[str, float]:
@@ -43,7 +43,12 @@ def parse_boosts(qtext: str) -> dict[str, float]:
                 raise ValueError(f"malformed boost: {part!r}") from None
         else:
             body, boost = part, 1.0
-        for t in tokenize(body):
+        toks = tokenize(body)
+        if "^" in part and not toks:
+            # '^2' or '!!^3': a boost with nothing to attach to must
+            # not vanish silently — same error surface as 'term^oops'
+            raise ValueError(f"boost with empty term: {part!r}")
+        for t in toks:
             out[t] = out.get(t, 0.0) + boost
     return out
 
@@ -80,14 +85,7 @@ class BoostSearcher(BM25Searcher):
             self.counters.get("searched_cnt", 0) + scored
         )
         self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
-        if not per_term:
-            return []
-        docs_cat = np.concatenate([d for d, _ in per_term])
-        con_cat = np.concatenate([c for _, c in per_term])
-        uniq, inv = np.unique(docs_cat, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, con_cat)
-        return _topk_exact(uniq, scores, self.cfg.topk)
+        return accumulate_topk(per_term, self.cfg.topk)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

@@ -107,12 +107,19 @@ def eval_search_quality(
 
     from mini_ivf_ray.pipelines.query import search
 
+    import dataclasses
+
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    # metrics@k need a run that is at least k deep — a cfg.topk=10 run
+    # under k=20 would silently truncate DCG and cap recall's numerator
+    run_cfg = (
+        dataclasses.replace(cfg, topk=k) if k > cfg.topk else cfg
+    )
     qterms = [(qid, sorted(set(tokenize(text)))) for qid, text in queries]
     qds = ray.data.from_items(
         [{"query_id": q, "text": t} for q, t in queries]
     )
-    run = search(index_dir, qds, cfg).to_pandas()
+    run = search(index_dir, qds, run_cfg).to_pandas()
     run_docs: dict[int, np.ndarray] = {}
     if len(run):
         run = run[run["rank"] < k]

@@ -33,7 +33,7 @@ import numpy as np
 import pyarrow as pa
 
 from mini_ivf_ray.functions.tokenize import tokenize
-from mini_ivf_ray.pipelines.query import BM25Searcher, _topk_exact
+from mini_ivf_ray.pipelines.query import BM25Searcher, accumulate_topk
 from mini_ivf_ray.pipelines.synonyms import _raw_postings
 
 
@@ -78,14 +78,7 @@ class DirichletSearcher(BM25Searcher):
             self.counters.get("searched_cnt", 0) + scored
         )
         self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
-        if not per_term:
-            return []
-        docs_cat = np.concatenate([d for d, _ in per_term])
-        con_cat = np.concatenate([c for _, c in per_term])
-        uniq, inv = np.unique(docs_cat, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        np.add.at(scores, inv, con_cat)
-        return _topk_exact(uniq, scores, self.cfg.topk)
+        return accumulate_topk(per_term, self.cfg.topk)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

@@ -101,13 +101,15 @@ def percolate(docs_ds, stored_queries: list[tuple[int, str]]) -> "pd.DataFrame":
                 gather = np.repeat(starts, counts) + inc
                 rep_doc = np.repeat(i_arr, counts)
                 rep_q = flatq_b[gather]
-                # matched-term count per (doc, query); conjunctive test
+                # matched-term count per OCCUPIED (doc, query) pair —
+                # sparse unique/counts, never a dense docs x rules
+                # matrix (rule tables are thousands-sized by design)
                 key = rep_doc * need_b.size + rep_q
-                cnt = np.bincount(key, minlength=len(toks) * need_b.size)
-                cnt = cnt.reshape(len(toks), need_b.size)
-                dd, qq = np.nonzero(cnt == need_b[None, :])
-                out_d = np.asarray(ids, dtype=np.uint64)[dd]
-                out_q = qids_b[qq]
+                uk, cnts = np.unique(key, return_counts=True)
+                full = cnts == need_b[uk % need_b.size]
+                sel = uk[full]
+                out_d = np.asarray(ids, dtype=np.uint64)[sel // need_b.size]
+                out_q = qids_b[sel % need_b.size]
         return pa.table(
             {
                 "doc_id": pa.array(

@@ -173,6 +173,24 @@ def _topk_exact(
     return [(int(docs[i]), float(scores[i])) for i in order]
 
 
+def accumulate_topk(
+    per_term: list[tuple[np.ndarray, np.ndarray]], topk: int
+) -> list[tuple[int, float]]:
+    """Sum per-term (sorted doc_ids, float64 contributions) pairs into
+    per-doc scores and return the exact (score desc, doc asc) top-k.
+    Accumulation is one ``np.add.at`` over pairs concatenated in the
+    caller's (deterministic) term order — the shared tail of the
+    boost / synonym / LM-similarity searchers."""
+    if not per_term:
+        return []
+    docs_cat = np.concatenate([d for d, _ in per_term])
+    con_cat = np.concatenate([c for _, c in per_term])
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    scores = np.zeros(uniq.size, dtype=np.float64)
+    np.add.at(scores, inv, con_cat)
+    return _topk_exact(uniq, scores, topk)
+
+
 def taat_topk(
     blocks_list: list[PostingBlocks], k: int, counters: dict | None = None
 ) -> list[tuple[int, float]]:

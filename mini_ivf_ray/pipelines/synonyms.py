@@ -41,7 +41,7 @@ import pyarrow as pa
 
 from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
-from mini_ivf_ray.pipelines.query import BM25Searcher, _topk_exact
+from mini_ivf_ray.pipelines.query import BM25Searcher, accumulate_topk
 from mini_ivf_ray.sources.segments import decode_block
 
 
@@ -125,14 +125,7 @@ class SynonymSearcher(BM25Searcher):
             self.counters.get("searched_cnt", 0) + scored
         )
         self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
-        if not per_group:
-            return []
-        docs_cat = np.concatenate([d for d, _ in per_group])
-        con_cat = np.concatenate([c for _, c in per_group])
-        final_docs, inv = np.unique(docs_cat, return_inverse=True)
-        scores = np.zeros(final_docs.size, dtype=np.float64)
-        np.add.at(scores, inv, con_cat)
-        return _topk_exact(final_docs, scores, self.cfg.topk)
+        return accumulate_topk(per_group, self.cfg.topk)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids, ranks, docs, scores = [], [], [], []

@@ -57,3 +57,20 @@ def test_eval_oov_query_is_zero(tiny_index):
     row = res.iloc[0]
     assert int(row["n_rel"]) == 0 and int(row["hits"]) == 0
     assert row["ndcg"] == 0.0 and row["mrr"] == 0.0 and row["recall"] == 0.0
+
+
+def test_k_beyond_cfg_topk_widens_the_run(tiny_index):
+    """metrics@k with k > cfg.topk must evaluate a k-deep run, not a
+    silently truncated cfg.topk-deep one."""
+    idx, cfg, docs = tiny_index
+    queries = [(0, "the data")]
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    res20 = eval_search_quality(idx, ds, queries, cfg, k=20)
+    run = brute_force_topk(docs, queries, cfg)  # only for qrels below
+    n_rel, hits10, *_ = _local_metrics(docs, 0, "the data", run, 10)
+    row = res20.iloc[0]
+    # 'the data' matches far more than 20 docs here, so a 20-deep run
+    # must report exactly 20 hits (every retrieved doc is relevant)
+    assert int(row["hits"]) == 20
+    assert int(row["n_rel"]) == n_rel
+    assert row["recall"] == 20 / n_rel

@@ -56,4 +56,14 @@ def test_query_terms_rank_high_and_oov_empty(tiny_index):
     assert 1 not in set(res["query_id"])
     g = res[res["query_id"] == 0].sort_values("rank")
     assert g.iloc[0]["term"] == "w00042"  # lift of own rare term is max
-    assert (g["score"].to_numpy() >= 1.0).all() or len(g)
+    # the query term matches every doc of its own match set (fg == m),
+    # so its lift is (fg/m)/(df/N) with fg/m == 1 — pin the exact value
+    # with the engine's own operation order
+    stats = CorpusStats.load(idx)
+    row = g.iloc[0]
+    want = (float(row["fg"]) / float(row["m"])) / (
+        float(stats.df["w00042"]) / float(stats.n_docs)
+    )
+    assert int(row["fg"]) == int(row["m"]) == stats.df["w00042"]
+    assert row["score"] == want
+    assert (g["score"].to_numpy() > 0).all()
