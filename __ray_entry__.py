@@ -4015,6 +4015,13 @@ def _bm25_values() -> str:
     return ", ".join(rows)
 
 
+def _bm25_qids() -> str:
+    # the FULL query-id list, independent of tokenization: a query whose
+    # text yields zero terms still gets an (all-zero) eval row, matching
+    # eval_search_quality's engine-side behaviour
+    return ", ".join(f"({qid})" for qid, _ in BM25_QUERIES)
+
+
 def _sig_values() -> str:
     rows = []
     for qid, text in SIG_QUERIES:
@@ -5000,7 +5007,7 @@ ideal AS (SELECT query_id, rel,
           FROM rel),
 idcg AS (SELECT query_id, sum((pow(2, rel) - 1) / log2(rn + 2)) AS idcg
          FROM ideal WHERE rn < 10 GROUP BY 1),
-qids AS (SELECT DISTINCT query_id FROM q)
+qids(query_id) AS (VALUES {_bm25_qids()})
 SELECT qi.query_id,
        CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
        CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,

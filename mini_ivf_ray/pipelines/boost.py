@@ -41,6 +41,10 @@ def parse_boosts(qtext: str) -> dict[str, float]:
                 boost = float(w)
             except ValueError:
                 raise ValueError(f"malformed boost: {part!r}") from None
+            if boost <= 0:
+                # Lucene's contract: negative boosts are rejected; zero
+                # would silently erase the term — both are caller bugs
+                raise ValueError(f"boost must be positive: {part!r}")
         else:
             body, boost = part, 1.0
         toks = tokenize(body)

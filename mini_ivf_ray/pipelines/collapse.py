@@ -161,9 +161,16 @@ def collapsed_search(
     ids = np.asarray(group_ids, dtype=np.uint64)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    enc = pa.compute.dictionary_encode(
-        pa.array(np.asarray(group_values, dtype=object)[order], type=pa.string())
-    )
+    vals = pa.array(np.asarray(group_values, dtype=object)[order], type=pa.string())
+    if vals.null_count:
+        # a null group dictionary-encodes to a null index whose .astype
+        # would produce a garbage code — refuse loudly; callers decide
+        # the null policy (drop or substitute a sentinel) upstream
+        raise ValueError(
+            f"group_values contains {vals.null_count} null(s); "
+            "map nulls to a sentinel label before collapsing"
+        )
+    enc = pa.compute.dictionary_encode(vals)
     labels = enc.dictionary.to_pylist()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 

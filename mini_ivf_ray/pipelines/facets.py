@@ -136,9 +136,15 @@ def faceted_search(
     ids = np.asarray(facet_ids, dtype=np.uint64)
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    enc = pa.compute.dictionary_encode(
-        pa.array(np.asarray(facet_values, dtype=object)[order], type=pa.string())
-    )
+    vals = pa.array(np.asarray(facet_values, dtype=object)[order], type=pa.string())
+    if vals.null_count:
+        # same null hazard as collapse.py: a null dictionary-encodes to
+        # a null index -> garbage int64 code; refuse loudly
+        raise ValueError(
+            f"facet_values contains {vals.null_count} null(s); "
+            "map nulls to a sentinel label before faceting"
+        )
+    enc = pa.compute.dictionary_encode(vals)
     labels = enc.dictionary.to_pylist()
     codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
 

@@ -37,7 +37,7 @@ def fuzzy_search(
     index_dir: str,
     queries: list[tuple[int, str]],
     cfg: PipelineConfig | None = None,
-    max_edits: int = 1,
+    max_edits: int = 2,
     per_term: int = 8,
 ) -> pd.DataFrame:
     """(query_id, rank, doc_id, score) — top cfg.topk BM25 results per

@@ -27,6 +27,11 @@ def test_parse_boosts():
     assert parse_boosts("a^2 a") == {"a": 3.0}
     with pytest.raises(ValueError):
         parse_boosts("x^oops")
+    # Lucene contract: non-positive boosts are rejected, not anti-scored
+    with pytest.raises(ValueError):
+        parse_boosts("x^-2")
+    with pytest.raises(ValueError):
+        parse_boosts("x^0")
 
 
 def test_unit_boosts_equal_plain_bm25(tiny_index):

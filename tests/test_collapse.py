@@ -67,3 +67,15 @@ def test_each_group_appears_once(tiny_index):
     g = res[res["query_id"] == 0]
     assert len(g) == g["grp"].nunique()
     assert (g.sort_values("rank")["score"].diff().dropna() <= 1e-12).all()
+
+
+def test_null_group_values_rejected(tiny_index):
+    import pytest
+
+    idx, cfg, docs = tiny_index
+    gids, gvals = _groups(docs)
+    gvals = list(gvals)
+    gvals[3] = None
+    qds = ray.data.from_items([{"query_id": 0, "text": "the"}])
+    with pytest.raises(ValueError, match="null"):
+        collapsed_search(idx, qds, gids, gvals, cfg)

@@ -77,3 +77,18 @@ def test_faceted_search_cold_path_identical(tiny_index):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(warm, cold)
+
+
+def test_null_facet_values_rejected(tiny_index):
+    import pytest
+
+    import ray.data
+    from mini_ivf_ray.pipelines.facets import faceted_search
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy()
+    vals = [f"v{int(d) % 3}" for d in ids]
+    vals[0] = None
+    qds = ray.data.from_items([{"query_id": 0, "text": "the"}])
+    with pytest.raises(ValueError, match="null"):
+        faceted_search(idx, qds, ids, vals, cfg)
