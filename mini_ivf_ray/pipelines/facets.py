@@ -168,3 +168,29 @@ def faceted_search(
         concurrency=(1, cfg.query_concurrency),
         num_cpus=1,
     )
+
+
+def faceted_search_sharded(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    facet_ids,
+    facet_values,
+    cfg: PipelineConfig | None = None,
+    num_shards: int = 4,
+):
+    """Doc-sharded faceted search: the scale path promised in the module
+    docstring, now real.  The sidecar is partitioned on the index's
+    doc-sharding ranges (serving.ShardedIndex.attach_sidecar) — each
+    shard actor holds ONLY its range's (doc_id, code) slice and counts
+    locally; the merge sums (query x facet-cardinality) rows.  Results
+    are identical to ``faceted_search`` (pytest-pinned); at 10^12 docs
+    per-node sidecar memory is corpus/R instead of corpus."""
+    from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    sharded = ShardedIndex(index_dir, cfg, num_shards=num_shards)
+    try:
+        sharded.attach_sidecar(facet_ids, facet_values)
+        return sharded.facet_search(queries)
+    finally:
+        sharded.shutdown()

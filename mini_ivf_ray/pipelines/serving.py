@@ -33,8 +33,13 @@ import numpy as np
 import pandas as pd
 
 from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions import bm25
 from mini_ivf_ray.functions.tokenize import tokenize
-from mini_ivf_ray.pipelines.query import share_segments, topk_from_blocks
+from mini_ivf_ray.pipelines.query import (
+    _taat_accumulate,
+    share_segments,
+    topk_from_blocks,
+)
 from mini_ivf_ray.sources.segments import PostingBlocks, SegmentReader
 from mini_ivf_ray.state.stats import CorpusStats
 
@@ -55,6 +60,120 @@ class RangeSearcher:
         self.stats = CorpusStats.load(index_dir)
         self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
         self._range_cache: dict[str, PostingBlocks | None] = {}
+        # shard-local attribute sidecar: (doc ids sorted asc, int64
+        # codes) covering ONLY [lo, hi] — set via set_sidecar; this is
+        # what keeps facet/collapse serving O(corpus / num_shards) per
+        # node instead of an O(corpus) broadcast (facets.py:11-18)
+        self.side_ids = np.empty(0, dtype=np.uint64)
+        self.side_codes = np.empty(0, dtype=np.int64)
+
+    def set_sidecar(self, ref) -> int:
+        """Install this shard's (ids, codes) sidecar SLICE (already
+        restricted to [lo, hi] by the driver).  Returns the slice length
+        so the driver can assert full coverage."""
+        import ray
+
+        ids, codes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size and (int(ids[0]) < self.lo or int(ids[-1]) > self.hi):
+            raise ValueError(
+                f"sidecar slice [{ids[0]}, {ids[-1]}] escapes shard "
+                f"range [{self.lo}, {self.hi}]"
+            )
+        if ids.size > 1 and not np.all(ids[:-1] < ids[1:]):
+            raise ValueError("sidecar slice must be sorted by unique doc_id")
+        self.side_ids = ids
+        self.side_codes = np.asarray(codes, dtype=np.int64)
+        return int(ids.size)
+
+    def _in_range_scored(self, qtext: str, full: bool):
+        """(docs, scores) of the query's match set restricted to THIS
+        shard's [lo, hi].  Boundary payload blocks may carry docs outside
+        the range with partial scores (module docstring) — those are
+        masked off, so each doc appears in exactly one shard, at its
+        FULL canonical score.  ``full=False`` skips accumulation and
+        returns (docs, None) — the disjunctive match set only."""
+        terms = sorted(set(tokenize(qtext)))
+        blocks = []
+        for t in terms:
+            if self.stats.df.get(t, 0) <= 0:
+                continue
+            b = self._term_blocks_in_range(t)
+            if b is None or not b.n_blocks:
+                continue
+            b.set_scoring(
+                bm25.idf(self.stats.df[t], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+            blocks.append(b)
+        if not blocks:
+            return np.empty(0, dtype=np.uint64), None
+        if full:
+            docs, scores, _ = _taat_accumulate(blocks)
+        else:
+            parts = [b.all_postings()[0] for b in blocks]
+            docs = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            scores = None
+        m = (docs >= np.uint64(self.lo)) & (docs <= np.uint64(self.hi))
+        return docs[m], (scores[m] if scores is not None else None)
+
+    def facet_counts_batch(
+        self, queries: list[tuple[int, str]], n_labels: int
+    ) -> pd.DataFrame:
+        """Per query, this shard's exact facet counts over its slice of
+        the disjunctive match set -> sparse (query_id, code, n_docs)
+        rows.  The driver SUM-merges across shards: counts are additive
+        because each doc lives in exactly one shard's range."""
+        out = {"query_id": [], "code": [], "n_docs": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not self.side_ids.size:
+                continue
+            idx = np.searchsorted(self.side_ids, docs)
+            np.minimum(idx, self.side_ids.size - 1, out=idx)
+            valid = self.side_ids[idx] == docs
+            counts = np.bincount(
+                self.side_codes[idx[valid]], minlength=n_labels
+            )
+            for code in np.flatnonzero(counts):
+                out["query_id"].append(qid)
+                out["code"].append(int(code))
+                out["n_docs"].append(int(counts[code]))
+        return pd.DataFrame(out)
+
+    def collapse_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        """Per query, this shard's per-group winner (score desc, doc
+        asc) over its slice of the full accumulated match set ->
+        (query_id, code, doc_id, score) rows, <= one row per (query,
+        group).  The driver re-collapses winners across shards — a
+        (queries x groups) merge, never doc-proportional."""
+        out = {"query_id": [], "code": [], "doc_id": [], "score": []}
+        for qid, qtext in queries:
+            docs, scores = self._in_range_scored(qtext, full=True)
+            if docs is None or not docs.size or not self.side_ids.size:
+                continue
+            idx = np.searchsorted(self.side_ids, docs)
+            np.minimum(idx, self.side_ids.size - 1, out=idx)
+            valid = self.side_ids[idx] == docs
+            docs, scores = docs[valid], scores[valid]
+            codes = self.side_codes[idx[valid]]
+            if not docs.size:
+                continue
+            order = np.lexsort((docs, -scores, codes))
+            codes_s = codes[order]
+            first = np.ones(codes_s.size, dtype=bool)
+            first[1:] = codes_s[1:] != codes_s[:-1]
+            w = order[first]
+            out["query_id"].extend([qid] * w.size)
+            out["code"].extend(codes[w].tolist())
+            out["doc_id"].extend(docs[w].tolist())
+            out["score"].extend(scores[w].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+        return df
 
     def _term_blocks_in_range(self, term: str) -> PostingBlocks | None:
         hit = self._range_cache.get(term, False)
@@ -229,12 +348,129 @@ class ShardedIndex:
         stats = CorpusStats.load(index_dir)
         space = 2**64 if self.cfg.doc_id_from_url else stats.max_doc_id + 1
         bounds = [(s * space) // num_shards for s in range(num_shards + 1)]
+        self.bounds = bounds
         shared = share_segments(index_dir, self.cfg.num_partitions) if share else None
         cls = ray.remote(num_cpus=1)(RangeSearcher)
         self.actors = [
             cls.remote(index_dir, self.cfg, bounds[s], bounds[s + 1] - 1, shared)
             for s in range(num_shards)
         ]
+        self.side_labels: list[str] = []
+
+    def attach_sidecar(self, doc_ids, values) -> None:
+        """Partition a doc->attribute sidecar on THIS index's doc-shard
+        ranges and install each slice on its shard actor.  Labels are
+        dictionary-encoded driver-side (facet/group cardinality is
+        panel-sized by definition); each actor receives ONLY its range's
+        (ids, codes) slice — at scale every node holds 1/R of the
+        sidecar, never the whole corpus (the r4 scale fix over
+        facets.py:156 / collapse.py:181's full broadcast)."""
+        import pyarrow as pa
+        import ray
+
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vals = pa.array(
+            np.asarray(values, dtype=object)[order], type=pa.string()
+        )
+        if vals.null_count:
+            raise ValueError(
+                f"sidecar values contain {vals.null_count} null(s); "
+                "map nulls to a sentinel label first"
+            )
+        enc = pa.compute.dictionary_encode(vals)
+        self.side_labels = enc.dictionary.to_pylist()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        futs, total = [], 0
+        for s, a in enumerate(self.actors):
+            lo, hi = self.bounds[s], self.bounds[s + 1] - 1
+            i = int(np.searchsorted(ids, np.uint64(lo), side="left"))
+            j = int(np.searchsorted(ids, np.uint64(min(hi, 2**64 - 1)), side="right"))
+            futs.append(a.set_sidecar.remote(ray.put((ids[i:j], codes[i:j]))))
+            total += j - i
+        if total != ids.size:
+            raise AssertionError(
+                f"sidecar slices cover {total} of {ids.size} docs"
+            )
+        ray.get(futs)
+
+    def facet_search(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local faceted search -> (query_id, facet, n_docs),
+        identical to pipelines.facets.faceted_search.  Each shard counts
+        its own doc range; the merge SUMS (query x label) rows — the
+        shuffle volume is queries x facet-cardinality, independent of
+        corpus size."""
+        import ray
+
+        if not self.side_labels:
+            raise ValueError("attach_sidecar first")
+        n_labels = len(self.side_labels)
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.facet_counts_batch.remote(part, n_labels)
+                for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        if not frames:
+            return pd.DataFrame({"query_id": [], "facet": [], "n_docs": []})
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["query_id", "code"], sort=True, as_index=False)["n_docs"]
+            .sum()
+        )
+        merged["facet"] = [self.side_labels[int(c)] for c in merged["code"]]
+        out = merged[["query_id", "facet", "n_docs"]].reset_index(drop=True)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def collapsed_search(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local field collapsing -> (query_id, rank, doc_id, grp,
+        score), identical to pipelines.collapse.collapsed_search.  Each
+        shard emits its per-group winner; the merge re-collapses
+        (query x group) rows under the same (score desc, doc asc) rule,
+        then takes the global top-k of group winners."""
+        import ray
+
+        if not self.side_labels:
+            raise ValueError("attach_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(a.collapse_batch.remote(part) for a in self.actors)
+        frames = [f for f in ray.get(futs) if len(f)]
+        cols = ["query_id", "rank", "doc_id", "grp", "score"]
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        cand = pd.concat(frames, ignore_index=True)
+        # re-collapse across shards: winner per (query, group) under
+        # (score desc, doc asc) — mergesort keeps the doc-asc tiebreak
+        cand = cand.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).drop_duplicates(["query_id", "code"])
+        out = {c: [] for c in cols}
+        k = self.cfg.topk
+        for qid, g in cand.groupby("query_id", sort=True):
+            g = g.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+            out["query_id"].extend([int(qid)] * len(g))
+            out["rank"].extend(range(len(g)))
+            out["doc_id"].extend(g["doc_id"].tolist())
+            out["grp"].extend(self.side_labels[int(c)] for c in g["code"])
+            out["score"].extend(g["score"].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["rank"] = df["rank"].astype(np.int32)
+        return df
 
     def search(
         self, queries: list[tuple[int, str]], chunk: int = 512
