@@ -19,9 +19,13 @@ streams the documents, determines match membership by term overlap
 (no index fetch, no match-set broadcast — a stopword query's match
 set never materializes anywhere), and emits per-block PARTIALS:
 (query, term, fg_count) over deduplicated doc terms plus a per-block
-match count.  The driver merges (blocks x block-vocab rows) and ranks.
-At 100-TB scale the same partials feed a ``groupby(term)`` combiner
-instead of the driver — the pass itself is already shaped for it.
+match count.  The partials are merged either on the driver (small runs:
+blocks x block-vocab rows) or by a distributed
+``groupby(query_id, term).sum`` combiner — ``combine="auto"`` picks the
+combiner when the estimated partial volume exceeds ``combine_threshold``
+rows, so at 100-TB scale the driver only ever sees the already-combined
+(queries x vocab) aggregate.  Both paths are exact integer sums and
+produce identical results (pytest-pinned).
 """
 
 from __future__ import annotations
@@ -74,18 +78,42 @@ def significant_terms(
     docs_ds,
     queries: list[tuple[int, str]],
     topn: int = 10,
+    combine: str = "auto",
+    combine_threshold: int = 2_000_000,
 ) -> pd.DataFrame:
     """(query_id, rank, term, fg, m, score) — per query the ``topn``
     vocabulary terms by lift over the corpus background; ``fg`` = match
     docs containing the term, ``m`` = match-set size.  Stats (df, N)
-    come from the committed index sidecar."""
+    come from the committed index sidecar.
+
+    ``combine``: "driver" pulls raw per-block partials to the driver
+    (blocks x block-vocab rows — fine at bench scale); "distributed"
+    pre-merges them with ``groupby(query_id, term).sum`` so the driver
+    receives at most (queries x vocab) combined rows regardless of
+    block count; "auto" picks "distributed" when the estimated partial
+    volume (input blocks x queries x vocab upper bound) exceeds
+    ``combine_threshold``.  Integer sums either way — identical output."""
     stats = CorpusStats.load(index_dir)
     qterms = [
         (qid, frozenset(tokenize(text))) for qid, text in queries
     ]
-    parts = docs_ds.map_batches(
+    parts_ds = docs_ds.map_batches(
         _sig_partials(qterms), batch_format="pyarrow"
-    ).to_pandas()
+    )
+    if combine == "auto":
+        try:
+            n_blocks = max(1, len(docs_ds.input_files()))
+        except Exception:
+            n_blocks = 8
+        est = n_blocks * max(1, len(queries)) * max(1, len(stats.df))
+        combine = "distributed" if est > combine_threshold else "driver"
+    if combine == "distributed":
+        merged = parts_ds.groupby(["query_id", "term"]).sum("c").to_pandas()
+        parts = merged.rename(columns={"sum(c)": "c"})
+    elif combine == "driver":
+        parts = parts_ds.to_pandas()
+    else:
+        raise ValueError(f"unknown combine mode: {combine!r}")
     rows = []
     n_docs = float(stats.n_docs)
     for qid, _ in queries:

@@ -67,3 +67,24 @@ def test_query_terms_rank_high_and_oov_empty(tiny_index):
     assert int(row["fg"]) == int(row["m"]) == stats.df["w00042"]
     assert row["score"] == want
     assert (g["score"].to_numpy() > 0).all()
+
+
+def test_distributed_combiner_identical(tiny_index):
+    """Forced-distributed groupby(query_id, term).sum combiner equals
+    the driver-merge path exactly (integer sums both ways), and the
+    auto threshold routes a low bound to the distributed path."""
+    import pandas as pd
+
+    idx, cfg, docs = tiny_index
+    queries = [(0, "w00042 w00100"), (1, "the"), (2, "zz_oov_zz")]
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(6)
+    drv = significant_terms(idx, ds, queries, topn=8, combine="driver")
+    dist = significant_terms(idx, ds, queries, topn=8, combine="distributed")
+    pd.testing.assert_frame_equal(
+        drv.reset_index(drop=True), dist.reset_index(drop=True)
+    )
+    assert list(drv["score"]) == list(dist["score"])  # bit-identical
+    auto = significant_terms(
+        idx, ds, queries, topn=8, combine="auto", combine_threshold=1
+    )
+    pd.testing.assert_frame_equal(drv.reset_index(drop=True), auto)
