@@ -211,6 +211,22 @@ def _ensure_index(sf_dir: str) -> str:
     return idx
 
 
+_positions_built: set[str] = set()
+
+
+def _ensure_positions(sf_dir: str) -> str:
+    """Index + its positions store (pipelines/positions.py), built once
+    per process per sf_dir — phrase/proximity then serve INDEX-ONLY."""
+    idx = _ensure_index(sf_dir)
+    if idx not in _positions_built:
+        from mini_ivf_ray.pipelines.positions import build_positions
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+
+        build_positions(idx, assign_doc_ids(_documents(sf_dir), _CFG), _CFG)
+        _positions_built.add(idx)
+    return idx
+
+
 def _ensure_boosted_index(sf_dir: str) -> str:
     """Index over the BM25F field-boosted corpus (title = first 8
     tokens, w_title = 2): ordinary build over the replicated token
@@ -1124,16 +1140,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def prox_search(sf_dir):
         """Unordered proximity search: every distinct query term within
         a window of <= w consecutive tokens, ranked by the conjunctive
-        BM25 score.  Index-side conjunctive candidates + ONE
-        distributed minimal-cover-window verify pass (the index is
-        positionless, like the reference's id/payload postings —
-        pipelines/phrase.py:proximity_topk)."""
+        BM25 score.  Served INDEX-ONLY: conjunctive candidates + the
+        positional-payload cover-window check from the positions store
+        (pipelines/positions.py; reference analog: the packed per-list
+        payloads of index_ivfpq.hpp:157) — no document text is read at
+        query time (docs_ds=None)."""
         from mini_ivf_ray.pipelines.phrase import proximity_topk
-        from mini_ivf_ray.stages.prepare import assign_doc_ids
 
-        idx = _ensure_index(sf_dir)
-        docs = assign_doc_ids(_documents(sf_dir), _CFG)
-        res = proximity_topk(idx, docs, PROX_QUERIES, _CFG)
+        idx = _ensure_positions(sf_dir)
+        res = proximity_topk(idx, None, PROX_QUERIES, _CFG, positions="index")
         return pa.table(
             {
                 "query_id": pa.array(
@@ -1650,16 +1665,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def phrase_topk_q(sf_dir):
-        """Exact phrase (contiguous token sequence) search: conjunctive
-        candidates from the positionless index, distributed re-tokenize
-        + window verify over the corpus, ranked by the conjunctive BM25
-        score (pipelines/phrase.py)."""
+        """Exact phrase (contiguous token sequence) search, served
+        INDEX-ONLY: conjunctive candidates + positional-intersection
+        verify from the positions store (pipelines/positions.py) — no
+        document text is read at query time (docs_ds=None), ranked by
+        the conjunctive BM25 score (pipelines/phrase.py)."""
         from mini_ivf_ray.pipelines.phrase import phrase_topk
-        from mini_ivf_ray.stages.prepare import assign_doc_ids
 
-        idx = _ensure_index(sf_dir)
-        docs = assign_doc_ids(_documents(sf_dir), _CFG)
-        res = phrase_topk(idx, docs, PHRASE_QUERIES, _CFG)
+        idx = _ensure_positions(sf_dir)
+        res = phrase_topk(idx, None, PHRASE_QUERIES, _CFG, positions="index")
         return pa.table(
             {
                 "query_id": pa.array(
@@ -3939,7 +3953,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_append": ann_append,
         "ann_sq8_refined": ann_sq8_refined,
         "ann_deleted": ann_deleted,
-        "events_asof": events_asof,
+        # phrase_topk re-enters the window: its verify backend changed
+        # this round (index-only positional payload)
+        "phrase_topk": phrase_topk_q,
         "events_session_range": events_session_range,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "stable_split": stable_split_q,
@@ -4028,7 +4044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": tpch_q1,
         "tpch_q3": tpch_q3,
         "bm25_conjunctive": bm25_conjunctive,
-        "phrase_topk": phrase_topk_q,
+        "events_asof": events_asof,
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
         "quality": quality_q,

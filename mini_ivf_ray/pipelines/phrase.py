@@ -1,9 +1,21 @@
 """Phrase (exact token-sequence) search.
 
-The index stores no positions (like the reference's postings,
+Two verify backends share one plan (conjunctive candidates first,
+positional check second):
+
+* **positions store** (``positions="index"`` / ``"auto"`` when fresh) —
+  the optional positional payload (pipelines/positions.py; reference
+  analog: the packed per-list payloads of index_ivfpq.hpp:157) lets the
+  check run INDEX-ONLY: candidate docs' per-term position arrays are
+  read from the doc-hash-partitioned store and intersected — no
+  document text is touched at query time.
+* **corpus verify** (``positions="corpus"``, and the fallback when no
+  fresh store exists) — the classic positionless-engine plan below.
+
+The base index stores no positions (like the reference's postings,
 index_ivfpq.cpp:83-120, which keep only per-cluster id/payload), so
-phrase matching is the classic two-stage plan every positional-less
-engine uses:
+corpus-verify phrase matching is the classic two-stage plan every
+positional-less engine uses:
 
 1. **Candidate generation from the index** — the phrase's distinct
    terms are intersected conjunctively (``conjunctive_matches``): a doc
@@ -102,22 +114,47 @@ class _PhraseVerifier:
         )
 
 
+def _resolve_positions_mode(index_dir: str, positions: str) -> bool:
+    """-> use the index positions store?  ``"index"`` demands a FRESH
+    store (raises otherwise — a stale store is never silently trusted),
+    ``"auto"`` uses it iff fresh, ``"corpus"`` never."""
+    if positions == "corpus":
+        return False
+    from mini_ivf_ray.pipelines.positions import positions_fresh
+
+    fresh = positions_fresh(index_dir)
+    if positions == "index":
+        if not fresh:
+            raise FileNotFoundError(
+                f"positions='index' but no FRESH positions store under "
+                f"{index_dir} (build_positions after every corpus change)"
+            )
+        return True
+    if positions == "auto":
+        return fresh
+    raise ValueError(f"unknown positions mode: {positions!r}")
+
+
 def phrase_topk(
     index_dir: str,
     docs_ds,
     phrases: list[tuple[int, str]],
     cfg: PipelineConfig | None = None,
+    positions: str = "auto",
 ) -> pd.DataFrame:
     """Top-k phrase search: (query_id, rank, doc_id, score) for docs
     containing each phrase as a contiguous token sequence, ranked by
     the conjunctive BM25 score (score desc, doc_id asc).
 
-    ``docs_ds``: the prepared documents dataset (doc_id, text) the
-    index was built from — needed because the index is positionless.
+    ``positions``: "index" verifies from the positions store only
+    (``docs_ds`` may be None), "corpus" re-tokenizes candidate docs
+    from ``docs_ds``, "auto" (default) prefers a fresh store.  Both
+    backends are exact and pytest-pinned identical.
     """
     import ray
 
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
     searcher = BM25Searcher(index_dir, cfg)
 
     tokenized = [(qid, tokenize(text)) for qid, text in phrases]
@@ -136,7 +173,15 @@ def phrase_topk(
     verified: dict[int, np.ndarray] = {
         qid: cand[qid] for qid, toks in tokenized if len(toks) == 1
     }
-    if needs_verify:
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(index_dir, cand, needs_verify, "phrase", cfg)
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
         cand_ref = ray.put({q: cand[q] for q, _ in needs_verify})
         hits = (
             docs_ds.map_batches(
@@ -253,20 +298,20 @@ def proximity_topk(
     docs_ds,
     queries: list[tuple[int, str, int]],
     cfg: PipelineConfig | None = None,
+    positions: str = "auto",
 ) -> pd.DataFrame:
     """Unordered proximity search: (query_id, rank, doc_id, score) for
     docs whose token stream contains every distinct query term inside
     some window of <= w consecutive tokens, ranked by the conjunctive
     BM25 score.  ``queries``: (query_id, text, window).
 
-    Same two-stage plan as phrase_topk — index-side conjunctive
-    candidates, then ONE distributed position-verify pass over the
-    candidate-filtered corpus (the index stores no positions) — only
-    the per-doc predicate differs (minimal cover window instead of
+    Same two-stage plan and ``positions`` backends as phrase_topk —
+    only the per-doc predicate differs (minimal cover window instead of
     contiguous subsequence)."""
     import ray
 
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
     searcher = BM25Searcher(index_dir, cfg)
 
     tokenized = [
@@ -287,7 +332,15 @@ def proximity_topk(
     verified: dict[int, np.ndarray] = {
         qid: cand[qid] for qid, terms, _w in tokenized if len(terms) == 1
     }
-    if needs_verify:
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(index_dir, cand, needs_verify, "prox", cfg)
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
         cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
         hits = docs_ds.map_batches(
             _ProximityVerifier,

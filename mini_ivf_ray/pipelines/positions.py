@@ -1,0 +1,358 @@
+"""Positional postings payload: an optional per-index positions store
+so phrase and proximity queries verify from the INDEX instead of
+re-reading the corpus.
+
+Reference analog: mini-ivf packs a per-list payload next to each
+cluster's ids (``db_codes_``, index_ivfpq.hpp:157; gathered by the scan
+loop index_ivfpq.cpp:111-117).  Here the payload is token positions —
+the Lucene ``.pos`` layout re-expressed as Arrow: a doc-hash-partitioned
+parquet store under ``<index_dir>/positions/part=K/`` with rows
+
+    (doc_id uint64, term string, positions list<int32>)
+
+sorted by (term, doc_id) inside each partition file.
+
+Why THIS shape at 100 TB:
+
+* **Doc-hash partitioning** puts ALL of a document's term rows in one
+  file, so the per-candidate phrase/window check is file-local — no
+  shuffle joins positions back together at query time.
+* **(term, doc_id) sort within a partition** gives parquet row-group
+  min/max pruning on ``term``: a phrase query reads only the row groups
+  covering its terms (~sum df(term)/P rows per partition), never the
+  whole store.
+* **Query-time verify is candidate-only**: the conjunctive AND set is
+  broadcast once (sorted uint64 ids, the phrase.py pattern) and each
+  partition task reads its term-pruned rows, filters to candidates, and
+  checks positions locally — work proportional to candidates, not
+  corpus.
+
+The build is ONE ``map_batches`` tokenize pass + ONE exchange
+(``groupby(part).map_groups`` sort) — the same single-exchange bucketed
+shape as the spill stage.  The store records the corpus size it was
+built from; a store that is stale relative to the index's current
+CorpusStats (e.g. after an incremental append without a positions
+rebuild) is never silently trusted — ``positions="auto"`` falls back to
+the corpus-verify path and ``positions="index"`` raises.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions.tokenize import tokenize_batch
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier
+
+
+def _doc_part(doc_ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic doc -> partition assignment (multiplicative hash so
+    sequential ids spread uniformly)."""
+    with np.errstate(over="ignore"):
+        mixed = doc_ids.astype(np.uint64) * _MIX
+    return (mixed % np.uint64(num_partitions)).astype(np.int64)
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "positions", "meta.json")
+
+
+def positions_meta(index_dir: str) -> dict | None:
+    """The positions store's metadata, or None if no store exists."""
+    p = _meta_path(index_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _explode_positions(num_partitions: int):
+    """Batch UDF: (doc_id, text) -> (part, doc_id, term, positions)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        toks, _ = tokenize_batch(batch["text"].to_pylist())
+        parts = _doc_part(doc_ids, num_partitions)
+        out_p: list[int] = []
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_pos: list[list[int]] = []
+        for i, tk in enumerate(toks):
+            pos_by_term: dict[str, list[int]] = {}
+            for p, t in enumerate(tk):
+                pos_by_term.setdefault(t, []).append(p)
+            out_p.extend([int(parts[i])] * len(pos_by_term))
+            out_d.extend([int(doc_ids[i])] * len(pos_by_term))
+            out_t.extend(pos_by_term.keys())
+            out_pos.extend(pos_by_term.values())
+        return pa.table(
+            {
+                "part": pa.array(out_p, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+                "term": pa.array(out_t, type=pa.string()),
+                "positions": pa.array(out_pos, type=pa.list_(pa.int32())),
+            }
+        )
+
+    return explode
+
+
+def build_positions(
+    index_dir: str,
+    docs_ds,
+    cfg: PipelineConfig | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """Build the positions store for ``index_dir`` from the SAME
+    prepared documents dataset the index was built from.  One tokenize
+    pass, one exchange, atomic commit (tmp dir + rename).  Returns the
+    committed metadata."""
+    import pyarrow.parquet as pq
+
+    from mini_ivf_ray.state.stats import CorpusStats
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    P = num_partitions if num_partitions is not None else cfg.num_partitions
+    stats = CorpusStats.load(index_dir)
+
+    final_dir = os.path.join(index_dir, "positions")
+    tmp_dir = final_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+
+    exploded = docs_ds.map_batches(
+        _explode_positions(P), batch_format="pyarrow"
+    )
+
+    def write_part(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        tbl = tbl.drop_columns(["part"])
+        d = os.path.join(tmp_dir, f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        # row groups sized so term min/max pruning has granularity
+        pq.write_table(
+            tbl, os.path.join(d, "positions.parquet"), row_group_size=16384
+        )
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int64()),
+                "n_rows": pa.array([tbl.num_rows], type=pa.int64()),
+            }
+        )
+
+    written = (
+        exploded.groupby("part")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    meta = {
+        "num_partitions": P,
+        "parts_written": sorted(int(p) for p in written["part"]),
+        "n_rows": int(written["n_rows"].sum()),
+        "built_from_n_docs": int(stats.n_docs),
+    }
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.replace(tmp_dir, final_dir)
+    return meta
+
+
+def positions_fresh(index_dir: str) -> bool:
+    """True iff a positions store exists AND was built from the index's
+    current corpus size (stale stores are never silently trusted)."""
+    from mini_ivf_ray.state.stats import CorpusStats
+
+    meta = positions_meta(index_dir)
+    if meta is None:
+        return False
+    return int(meta["built_from_n_docs"]) == int(
+        CorpusStats.load(index_dir).n_docs
+    )
+
+
+def phrase_match_positions(pos_lists: list[np.ndarray]) -> bool:
+    """Contiguity check over per-token position arrays (in phrase
+    order): positions of token i+1 must contain some p+1 for a
+    surviving p of token i — the classic positional-intersection
+    phrase algorithm."""
+    cur = pos_lists[0]
+    for nxt in pos_lists[1:]:
+        if not cur.size:
+            return False
+        step = cur + np.int32(1)
+        # advance the anchor to the CURRENT token's matched positions
+        # (keeping the first token's positions would test token i at a
+        # fixed +1 offset instead of +i)
+        cur = step[np.isin(step, nxt)]
+    return bool(cur.size)
+
+
+def cover_window_positions(pos_lists: list[np.ndarray], w: int) -> bool:
+    """Minimal-cover-window test over per-distinct-term position
+    arrays: True iff some window of <= w consecutive token positions
+    contains >= 1 occurrence of EVERY term (identical semantics to
+    phrase.within_window, evaluated on stored positions)."""
+    k = len(pos_lists)
+    if k == 0 or w <= 0:
+        return False
+    if k == 1:
+        return pos_lists[0].size > 0
+    if any(not p.size for p in pos_lists):
+        return False
+    pos = np.concatenate(pos_lists)
+    lab = np.concatenate(
+        [np.full(p.size, i, dtype=np.int32) for i, p in enumerate(pos_lists)]
+    )
+    order = np.argsort(pos, kind="stable")
+    pos, lab = pos[order], lab[order]
+    cnt = np.zeros(k, dtype=np.int64)
+    covered, lo = 0, 0
+    for hi in range(pos.size):
+        t = lab[hi]
+        cnt[t] += 1
+        if cnt[t] == 1:
+            covered += 1
+        while covered == k:
+            if int(pos[hi]) - int(pos[lo]) + 1 <= w:
+                return True
+            tl = lab[lo]
+            cnt[tl] -= 1
+            if cnt[tl] == 0:
+                covered -= 1
+            lo += 1
+    return False
+
+
+class _IndexPosVerifier:
+    """Partition-task verify stage: each input row is one positions
+    partition file; the task reads its term-pruned rows, filters to the
+    broadcast candidate sets, and runs the per-doc positional check —
+    emitting (query_id, doc_id) hit rows.  Work per task is
+    candidate-proportional; doc-hash partitioning guarantees every
+    doc's term rows are file-local."""
+
+    def __init__(self, cand_ref, items, mode: str):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # {qid: sorted uint64 ids}
+        self.items = items  # phrase: (qid, tokens); prox: (qid, terms, w)
+        self.mode = mode
+        terms: set[str] = set()
+        for it in items:
+            terms.update(it[1])
+        self.all_terms = sorted(terms)
+        union = [v for v in self.cand.values() if v.size]
+        self.union_cand = (
+            np.unique(np.concatenate(union))
+            if union
+            else np.empty(0, dtype=np.uint64)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_q: list[int] = []
+        out_d: list[int] = []
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(
+                path,
+                columns=["doc_id", "term", "positions"],
+                filters=[("term", "in", self.all_terms)],
+            )
+            if tbl.num_rows == 0 or not self.union_cand.size:
+                continue
+            doc_ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+            keep = np.isin(doc_ids, self.union_cand)
+            if not keep.any():
+                continue
+            rows = np.flatnonzero(keep)
+            terms = tbl["term"].take(pa.array(rows)).to_pylist()
+            la = tbl["positions"].combine_chunks()
+            offs = la.offsets.to_numpy()
+            vals = la.values.to_numpy()
+            lut: dict[tuple[int, str], np.ndarray] = {}
+            docs_here: set[int] = set()
+            for j, i in enumerate(rows.tolist()):
+                d = int(doc_ids[i])
+                lut[(d, terms[j])] = vals[offs[i] : offs[i + 1]]
+                docs_here.add(d)
+            here = np.fromiter(
+                docs_here, dtype=np.uint64, count=len(docs_here)
+            )
+            for it in self.items:
+                qid = it[0]
+                ids = self.cand.get(qid)
+                if ids is None or not ids.size:
+                    continue
+                cand_local = ids[np.isin(ids, here)]
+                for d in cand_local.tolist():
+                    pls = [lut.get((int(d), t)) for t in it[1]]
+                    if any(p is None for p in pls):
+                        continue
+                    ok = (
+                        phrase_match_positions(pls)
+                        if self.mode == "phrase"
+                        else cover_window_positions(pls, it[2])
+                    )
+                    if ok:
+                        out_q.append(qid)
+                        out_d.append(int(d))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def positional_hits(
+    index_dir: str,
+    cand: dict[int, np.ndarray],
+    items: list,
+    mode: str,
+    cfg: PipelineConfig,
+) -> pd.DataFrame:
+    """(query_id, doc_id) rows verified from the positions store only.
+    ``items``: (qid, token-list) for ``mode="phrase"``, (qid,
+    distinct-term-list, window) for ``mode="prox"``."""
+    import ray
+    import ray.data
+
+    meta = positions_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no positions store under {index_dir}")
+    pos_dir = os.path.join(index_dir, "positions")
+    files = sorted(
+        os.path.join(pos_dir, d, "positions.parquet")
+        for d in os.listdir(pos_dir)
+        if d.startswith("part=")
+    )
+    if not files:
+        return pd.DataFrame({"query_id": [], "doc_id": []})
+    cand_ref = ray.put({q: cand[q] for q, *_ in items})
+    hits = (
+        ray.data.from_items([{"path": f} for f in files])
+        .map_batches(
+            _IndexPosVerifier,
+            fn_constructor_args=(cand_ref, items, mode),
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    return hits

@@ -1,0 +1,161 @@
+"""Positional postings payload (pipelines/positions.py): index-only
+phrase/proximity verify must equal the corpus-verify path and the
+brute-force oracle; stale stores are never silently trusted."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.phrase import (
+    brute_force_phrase_topk,
+    contains_phrase,
+    phrase_topk,
+    proximity_topk,
+    within_window,
+)
+from mini_ivf_ray.pipelines.positions import (
+    _doc_part,
+    build_positions,
+    cover_window_positions,
+    phrase_match_positions,
+    positions_fresh,
+    positions_meta,
+)
+
+PHRASES = [
+    (0, "the data"),
+    (1, "data web"),
+    (2, "the"),  # single token: no verify needed
+    (3, "zz_oov_zz data"),  # OOV conjunct: empty
+    (4, "the the"),  # duplicate-token phrase
+    (5, "the data web"),  # 3-token phrase (exercises anchor advance)
+]
+PROX = [
+    (0, "the data", 3),
+    (1, "data web index", 8),
+    (2, "the", 1),
+    (3, "the data", 1),  # window 1 can never cover 2 distinct terms
+]
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory):
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.sources.pages import generate_pages
+    from mini_ivf_ray.stages.prepare import prepare_documents
+
+    cfg = PipelineConfig(num_partitions=3, topk=10)
+    tbl = generate_pages(400, seed=23, vocab_size=300)
+    idx = str(tmp_path_factory.mktemp("posidx") / "idx")
+    build_index(lambda: ray.data.from_arrow(tbl), idx, cfg)
+    docs = prepare_documents(ray.data.from_arrow(tbl), cfg).to_pandas()
+    meta = build_positions(
+        idx, ray.data.from_pandas(docs[["doc_id", "text"]]), cfg
+    )
+    return idx, cfg, docs, meta
+
+
+def test_store_layout_and_meta(pos_index):
+    idx, cfg, docs, meta = pos_index
+    assert meta["num_partitions"] == cfg.num_partitions
+    assert meta["built_from_n_docs"] == len(docs)
+    assert positions_fresh(idx)
+    pos_dir = os.path.join(idx, "positions")
+    parts = [d for d in os.listdir(pos_dir) if d.startswith("part=")]
+    assert len(parts) == len(meta["parts_written"])
+    # doc-hash partitioning: every doc's rows live in its assigned part
+    import pyarrow.parquet as pq
+
+    for d in parts:
+        k = int(d.split("=")[1])
+        t = pq.read_table(os.path.join(pos_dir, d, "positions.parquet"))
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        assert (_doc_part(ids, meta["num_partitions"]) == k).all()
+        # sorted by (term, doc_id) for row-group pruning
+        terms = t["term"].to_pylist()
+        assert terms == sorted(terms)
+
+
+def _canon(df):
+    df = df.copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def test_phrase_index_only_equals_corpus_and_oracle(pos_index):
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = phrase_topk(idx, dds, PHRASES, cfg, positions="corpus")
+    # docs_ds=None proves the index path never touches document text
+    via_index = phrase_topk(idx, None, PHRASES, cfg, positions="index")
+    oracle = brute_force_phrase_topk(docs, PHRASES, cfg)
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    pd.testing.assert_frame_equal(_canon(via_index), _canon(oracle))
+    assert list(_canon(via_index)["score"]) == list(_canon(oracle)["score"])
+    assert len(via_index)  # non-vacuous
+
+
+def test_prox_index_only_equals_corpus(pos_index):
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = proximity_topk(idx, dds, PROX, cfg, positions="corpus")
+    via_index = proximity_topk(idx, None, PROX, cfg, positions="index")
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    assert len(via_index)
+    # window 1 over 2 distinct terms is impossible
+    assert not (via_index["query_id"] == 3).any()
+
+
+def test_auto_prefers_fresh_store_and_rejects_stale(pos_index):
+    idx, cfg, docs, _ = pos_index
+    auto = phrase_topk(idx, None, PHRASES, cfg, positions="auto")
+    via_index = phrase_topk(idx, None, PHRASES, cfg, positions="index")
+    pd.testing.assert_frame_equal(_canon(auto), _canon(via_index))
+    # corrupt freshness -> auto falls back to corpus, index raises
+    mp = os.path.join(idx, "positions", "meta.json")
+    meta = positions_meta(idx)
+    stale = dict(meta, built_from_n_docs=meta["built_from_n_docs"] + 1)
+    with open(mp, "w") as f:
+        json.dump(stale, f)
+    try:
+        assert not positions_fresh(idx)
+        with pytest.raises(FileNotFoundError):
+            phrase_topk(idx, None, PHRASES, cfg, positions="index")
+        dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+        fb = phrase_topk(idx, dds, PHRASES, cfg, positions="auto")
+        pd.testing.assert_frame_equal(_canon(fb), _canon(via_index))
+    finally:
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+
+
+def test_positional_kernels_match_token_kernels():
+    """phrase_match_positions / cover_window_positions agree with the
+    token-stream kernels on deterministic random docs."""
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(6)]
+    for trial in range(200):
+        n = int(rng.integers(1, 30))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        plen = int(rng.integers(2, 4))
+        phrase = [vocab[int(i)] for i in rng.integers(0, len(vocab), plen)]
+        pos = {
+            t: np.array(
+                [i for i, x in enumerate(toks) if x == t], dtype=np.int32
+            )
+            for t in set(toks) | set(phrase)
+        }
+        want = contains_phrase(toks, phrase)
+        got = phrase_match_positions([pos[t] for t in phrase])
+        assert got == want, (toks, phrase)
+        terms = sorted(set(phrase))
+        w = int(rng.integers(1, 8))
+        want_w = within_window(toks, terms, w)
+        got_w = cover_window_positions([pos[t] for t in terms], w)
+        assert got_w == want_w, (toks, terms, w)
