@@ -299,6 +299,67 @@ def run_bench() -> dict:
     timings["append_docs_per_sec"] = round(inc_docs / append_sec, 1)
     shutil.rmtree(idx_inc, ignore_errors=True)
 
+    # ---- multi-epoch query-cost bound + auto-compaction ------------------
+    # incremental append defers work to decode-time bound recomputation;
+    # this measures what that costs a 5-epoch index (base + 4 increments)
+    # vs the same corpus compacted, and exercises the maybe_compact policy
+    # (maintenance.py) that bounds the overhead in recurring-crawl use
+    from mini_ivf_ray.pipelines.maintenance import index_epochs, maybe_compact
+
+    epoch_docs = max(500, BENCH_DOCS // 20)
+    idx5 = idx + "_5ep"
+    shutil.rmtree(idx5, ignore_errors=True)
+    shutil.copytree(idx, idx5)
+    t0 = time.perf_counter()
+    for ep in range(4):
+        ep_dir = f"/tmp/graft_bench_pages_ep{ep}_{epoch_docs}"
+        write_pages_corpus(ep_dir, epoch_docs, seed=100 + ep, num_files=8)
+
+        def ep_factory(ep_dir=ep_dir, ep=ep):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def resuffix(batch: pa.Table) -> pa.Table:
+                urls = pc.binary_join_element_wise(
+                    batch["url"], pa.scalar(f"?ep={ep}"), pa.scalar("")
+                )
+                return batch.set_column(
+                    batch.column_names.index("url"), "url", urls
+                )
+
+            return ray.data.read_parquet(
+                ep_dir, override_num_blocks=max(16, NUM_CPUS)
+            ).map_batches(resuffix, batch_format="pyarrow")
+
+        append_index(ep_factory, idx5, cfg)
+    timings["append_4x5pct"] = round(time.perf_counter() - t0, 3)
+    timings["index_epochs_after"] = index_epochs(idx5, cfg)
+
+    def _pool_measure(path, tag):
+        t0 = time.perf_counter()
+        p = ServingPool(path, cfg, num_actors=NUM_CPUS)
+        p.warmup(queries[:300])
+        timings[f"spinup_{tag}"] = round(time.perf_counter() - t0, 3)
+        sub = queries[:2000]
+        t0 = time.perf_counter()
+        p.search(sub)
+        w1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        p.search(sub)
+        w2 = time.perf_counter() - t0
+        p.shutdown()
+        timings[f"query_topk_{tag}"] = round(min(w1, w2), 3)
+        return min(w1, w2)
+
+    w5 = _pool_measure(idx5, "5epoch")
+    t0 = time.perf_counter()
+    res5 = maybe_compact(idx5, cfg, max_epochs=4)  # 5 epochs > 4: triggers
+    timings["auto_compact"] = round(time.perf_counter() - t0, 3)
+    assert res5["compacted"] and timings["index_epochs_after"] == 5
+    wc = _pool_measure(idx5, "compacted_after_5")
+    timings["epoch_overhead_x"] = round(w5 / wc, 2) if wc > 0 else 0.0
+    shutil.rmtree(idx5, ignore_errors=True)
+
     # ---- build repeat: host-drift separation for the BUILD wall ------
     # (the query side already has query_topk_repeat; round 3's headline
     # was defined by one degraded sample — a second build bounds how

@@ -304,9 +304,17 @@ def append_index(
     on_existing: str = "error",
     reuse_plan: bool | None = None,
     mode: str = "auto",
+    auto_compact_epochs: int | None = None,
     _force_resalt: bool = False,
 ) -> dict:
     """Append ``docs_ds_factory()``'s pages to a committed index.
+
+    ``auto_compact_epochs``: when set, run the
+    ``maintenance.maybe_compact`` policy after a successful append —
+    if the index now exceeds that many segment epochs it is compacted
+    back to a single segment per partition (and the compacted manifest
+    is returned).  Bounds the multi-epoch query-cost overhead for
+    recurring-crawl pipelines that append on a schedule.
 
     ``mode``: ``"incremental"`` encodes ONLY the increment's postings
     into new per-partition segment files — cost ∝ increment size, the
@@ -508,10 +516,17 @@ def append_index(
         os.remove(man_path)
 
     if state.get("mode", "rewrite") == "incremental":
-        return _append_incremental(
+        meta = _append_incremental(
             index_dir, cfg, state, prior, marker, spill_root,
             lineage_extra, stage_walls, _mark, t0,
         )
+        if auto_compact_epochs is not None:
+            from mini_ivf_ray.pipelines.maintenance import maybe_compact
+
+            res = maybe_compact(index_dir, cfg, max_epochs=auto_compact_epochs)
+            if res["compacted"]:
+                return res["manifest"]
+        return meta
 
     # snapshot (idempotent: also completes a crash between marker and
     # snapshot on resume)

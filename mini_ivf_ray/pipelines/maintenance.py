@@ -459,3 +459,56 @@ def compact_index(index_dir: str, cfg: PipelineConfig | None = None) -> dict:
     shutil.rmtree(prev_root, ignore_errors=True)
     os.remove(marker)
     return meta
+
+
+def index_epochs(index_dir: str, cfg: PipelineConfig | None = None) -> int:
+    """Maximum number of segment files in any partition: 1 for a fresh
+    or compacted index, 1 + k after k incremental appends touched that
+    partition.  This is the multi-epoch query-cost driver — every epoch
+    adds per-term decode-and-merge work (sources/decoded.py re-blocks
+    across epochs) and per-partition file opens on the cold path."""
+    from mini_ivf_ray.sources.segments import partition_segment_files
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    return max(
+        (
+            len(partition_segment_files(index_dir, p))
+            for p in range(cfg.num_partitions)
+        ),
+        default=0,
+    )
+
+
+def maybe_compact(
+    index_dir: str,
+    cfg: PipelineConfig | None = None,
+    max_epochs: int = 4,
+) -> dict:
+    """Auto-compaction policy: compact when the index has accumulated
+    more than ``max_epochs`` segment epochs (or has tombstones past the
+    same review point).  The threshold bounds the multi-epoch query-cost
+    overhead — measured in bench.py (``query_topk_5epoch`` vs
+    ``query_topk_compacted_after_5``), the decode-time bound
+    recomputation keeps the per-query cost within a small factor of the
+    compacted index, so a small ``max_epochs`` is about file-count and
+    spin-up hygiene, not correctness.
+
+    Returns ``{"compacted": bool, "epochs_before": int, "epochs_after":
+    int, "manifest": dict | None}`` — the manifest only when a
+    compaction ran."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    before = index_epochs(index_dir, cfg)
+    if before <= max_epochs:
+        return {
+            "compacted": False,
+            "epochs_before": before,
+            "epochs_after": before,
+            "manifest": None,
+        }
+    meta = compact_index(index_dir, cfg)
+    return {
+        "compacted": True,
+        "epochs_before": before,
+        "epochs_after": index_epochs(index_dir, cfg),
+        "manifest": meta,
+    }
