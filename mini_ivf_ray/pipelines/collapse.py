@@ -44,8 +44,11 @@ class CollapseSearcher(BM25Searcher):
         decoded_refs: dict | None = None,
         group_ref=None,
         group_labels: list[str] | None = None,
+        denied_ref=None,
     ):
-        super().__init__(index_dir, cfg, shared_tables, decoded_refs)
+        super().__init__(
+            index_dir, cfg, shared_tables, decoded_refs, denied_ref=denied_ref
+        )
         import ray
 
         ids, codes = (
@@ -88,6 +91,13 @@ class CollapseSearcher(BM25Searcher):
         self.counters["searched_cnt"] = self.counters.get(
             "searched_cnt", 0
         ) + sum(b.n_postings for b in blocks)
+        if self.denied is not None and self.denied.size:
+            # tombstoned docs never surface from ranked retrieval, so
+            # they must not win (or occupy) a collapse group either
+            from mini_ivf_ray.pipelines.query import _allowed_mask
+
+            live = ~_allowed_mask(uniq, self.denied)
+            uniq, acc = uniq[live], acc[live]
         if not uniq.size:
             return []
         # map docs -> group codes via the broadcast sidecar
@@ -152,11 +162,14 @@ def collapsed_search(
     group_values,
     cfg: PipelineConfig | None = None,
     share: str | bool = "decoded",
+    respect_deletes: bool = True,
 ):
     """queries (query_id, text) -> (query_id, rank, doc_id, grp,
     score): top-k BM25 results collapsed to each group's single best
     document.  ``group_ids`` / ``group_values`` are the doc-id ->
-    attribute sidecar (e.g. documents.doc_id / documents.lang)."""
+    attribute sidecar (e.g. documents.doc_id / documents.lang).
+    ``respect_deletes`` (default) excludes persisted tombstones, same
+    as query.search."""
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     ids = np.asarray(group_ids, dtype=np.uint64)
     order = np.argsort(ids, kind="stable")
@@ -185,10 +198,15 @@ def collapsed_search(
         shared = share_segments(index_dir, cfg.num_partitions)
     import ray
 
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
     group_ref = ray.put((ids, codes))
     return queries_ds.map_batches(
         CollapseSearcher,
-        fn_constructor_args=(index_dir, cfg, shared, decoded, group_ref, labels),
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, group_ref, labels, denied_ref,
+        ),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),

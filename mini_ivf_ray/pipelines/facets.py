@@ -42,8 +42,11 @@ class FacetCounter(BM25Searcher):
         decoded_refs: dict | None = None,
         facet_ref=None,
         facet_labels: list[str] | None = None,
+        denied_ref=None,
     ):
-        super().__init__(index_dir, cfg, shared_tables, decoded_refs)
+        super().__init__(
+            index_dir, cfg, shared_tables, decoded_refs, denied_ref=denied_ref
+        )
         import ray
 
         ids, codes = (
@@ -83,7 +86,16 @@ class FacetCounter(BM25Searcher):
             "searched_cnt", 0
         ) + sum(p.size for p in parts)
         self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
-        return parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        docs = (
+            parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+        )
+        if self.denied is not None and self.denied.size:
+            # tombstoned docs are unreachable by search, so the facet
+            # panel must not count them either (live-docs consistency)
+            from mini_ivf_ray.pipelines.query import _allowed_mask
+
+            docs = docs[~_allowed_mask(docs, self.denied)]
+        return docs
 
     def facet_counts_for_text(self, qtext: str) -> np.ndarray:
         """len(facet_labels) exact match counts for one query."""
@@ -122,6 +134,7 @@ def faceted_search(
     facet_values,
     cfg: PipelineConfig | None = None,
     share: str | bool = "decoded",
+    respect_deletes: bool = True,
 ):
     """queries (query_id, text) -> facet panel (query_id, facet,
     n_docs): for each query, how many documents matching ANY query
@@ -131,7 +144,9 @@ def faceted_search(
     sidecar (e.g. documents.doc_id / documents.lang).  Values are
     dictionary-encoded driver-side (facet cardinality is panel-sized
     by definition) and the two arrays are broadcast once via
-    ``ray.put``."""
+    ``ray.put``.  ``respect_deletes`` (default) excludes the index's
+    persisted tombstones from the counts — the panel agrees with what
+    search can return."""
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     ids = np.asarray(facet_ids, dtype=np.uint64)
     order = np.argsort(ids, kind="stable")
@@ -159,10 +174,15 @@ def faceted_search(
         shared = share_segments(index_dir, cfg.num_partitions)
     import ray
 
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
     facet_ref = ray.put((ids, codes))
     return queries_ds.map_batches(
         FacetCounter,
-        fn_constructor_args=(index_dir, cfg, shared, decoded, facet_ref, labels),
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, facet_ref, labels, denied_ref,
+        ),
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),

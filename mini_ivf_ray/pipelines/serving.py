@@ -44,6 +44,22 @@ from mini_ivf_ray.sources.segments import PostingBlocks, SegmentReader
 from mini_ivf_ray.state.stats import CorpusStats
 
 
+def _tombstone_ref(index_dir: str):
+    """ray.put of the index's persisted tombstone set (None when
+    empty): the same live-docs mask ``query.search`` merges in by
+    default, broadcast ONCE for the pool/shard actors.  Tombstone sets
+    are increment-sized (Lucene deleted-docs: compaction physically
+    removes them), never corpus-sized."""
+    from mini_ivf_ray.pipelines.maintenance import deleted_ids
+
+    tomb = deleted_ids(index_dir)
+    if not tomb.size:
+        return None
+    import ray
+
+    return ray.put(tomb)
+
+
 class RangeSearcher:
     """One shard: all terms, posting blocks overlapping [lo, hi]."""
 
@@ -54,12 +70,28 @@ class RangeSearcher:
         lo: int,
         hi: int,
         shared_tables: dict | None = None,
+        denied_ref=None,
     ):
         self.cfg = cfg
         self.lo, self.hi = lo, hi
         self.stats = CorpusStats.load(index_dir)
         self.reader = SegmentReader(index_dir, shared_tables=shared_tables)
         self._range_cache: dict[str, PostingBlocks | None] = {}
+        # persisted tombstones (Lucene deleted-docs semantics): the FULL
+        # set, not a range slice — a foreign boundary doc's partial-score
+        # row must also be masked, or it would become the deleted doc's
+        # only (and surviving) row at the merge
+        if denied_ref is not None:
+            import ray
+
+            arr = (
+                ray.get(denied_ref)
+                if isinstance(denied_ref, ray.ObjectRef)
+                else denied_ref
+            )
+            self.denied = np.asarray(arr, dtype=np.uint64)
+        else:
+            self.denied = None
         # shard-local attribute sidecar: (doc ids sorted asc, int64
         # codes) covering ONLY [lo, hi] — set via set_sidecar; this is
         # what keeps facet/collapse serving O(corpus / num_shards) per
@@ -117,6 +149,10 @@ class RangeSearcher:
             docs = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
             scores = None
         m = (docs >= np.uint64(self.lo)) & (docs <= np.uint64(self.hi))
+        if self.denied is not None and self.denied.size:
+            from mini_ivf_ray.pipelines.query import _allowed_mask
+
+            m &= ~_allowed_mask(docs, self.denied)
         return docs[m], (scores[m] if scores is not None else None)
 
     def facet_counts_batch(
@@ -197,7 +233,9 @@ class RangeSearcher:
                 for t in terms
                 if self.stats.df.get(t, 0) > 0
             }
-            for d, s in topk_from_blocks(fetched, self.stats, self.cfg):
+            for d, s in topk_from_blocks(
+                fetched, self.stats, self.cfg, denied=self.denied
+            ):
                 out["query_id"].append(qid)
                 out["doc_id"].append(d)
                 out["score"].append(s)
@@ -211,10 +249,18 @@ class _ServingWorker:
     """One persistent data-parallel serving actor: a full BM25Searcher
     (whole index view) fed whole queries."""
 
-    def __init__(self, index_dir: str, cfg: PipelineConfig, decoded_refs: dict | None):
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig,
+        decoded_refs: dict | None,
+        denied_ref=None,
+    ):
         from mini_ivf_ray.pipelines.query import BM25Searcher
 
-        self.searcher = BM25Searcher(index_dir, cfg, decoded_refs=decoded_refs)
+        self.searcher = BM25Searcher(
+            index_dir, cfg, decoded_refs=decoded_refs, denied_ref=denied_ref
+        )
 
     def search_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
         out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
@@ -248,6 +294,7 @@ class ServingPool:
         cfg: PipelineConfig | None = None,
         num_actors: int = 8,
         share: bool = True,
+        respect_deletes: bool = True,
     ):
         import ray
 
@@ -257,9 +304,11 @@ class ServingPool:
             from mini_ivf_ray.sources.decoded import share_decoded_index
 
             decoded = share_decoded_index(index_dir, self.cfg)
+        denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
         cls = ray.remote(num_cpus=1)(_ServingWorker)
         self.actors = [
-            cls.remote(index_dir, self.cfg, decoded) for _ in range(num_actors)
+            cls.remote(index_dir, self.cfg, decoded, denied_ref)
+            for _ in range(num_actors)
         ]
 
     def warmup(self, queries: list[tuple[int, str]]) -> None:
@@ -340,6 +389,7 @@ class ShardedIndex:
         cfg: PipelineConfig | None = None,
         num_shards: int = 8,
         share: bool = True,
+        respect_deletes: bool = True,
     ):
         import ray
 
@@ -350,9 +400,13 @@ class ShardedIndex:
         bounds = [(s * space) // num_shards for s in range(num_shards + 1)]
         self.bounds = bounds
         shared = share_segments(index_dir, self.cfg.num_partitions) if share else None
+        denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
         cls = ray.remote(num_cpus=1)(RangeSearcher)
         self.actors = [
-            cls.remote(index_dir, self.cfg, bounds[s], bounds[s + 1] - 1, shared)
+            cls.remote(
+                index_dir, self.cfg, bounds[s], bounds[s + 1] - 1, shared,
+                denied_ref,
+            )
             for s in range(num_shards)
         ]
         self.side_labels: list[str] = []
