@@ -73,6 +73,16 @@ PROX_QUERIES: list[tuple[int, str, int]] = [
     (3, "table zz9999qq", 4),
 ]
 
+# ordered-proximity workload (token ORDER significant): qid 2 reverses
+# a common bigram so the ordered result set visibly differs from the
+# unordered one; qid 3 has an OOV conjunct (empty result)
+ORDERED_PROX_QUERIES: list[tuple[int, str, int]] = [
+    (0, "key table", 3),
+    (1, "sort merge join", 8),
+    (2, "stream data", 2),
+    (3, "table zz9999qq", 4),
+]
+
 # more-like-this workload: seed documents for related-doc retrieval
 MLT_SEEDS: list[int] = [1, 5, 17, 42]
 
@@ -1149,6 +1159,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         idx = _ensure_positions(sf_dir)
         res = proximity_topk(idx, None, PROX_QUERIES, _CFG, positions="index")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def ordered_prox(sf_dir):
+        """ORDERED proximity search (Lucene SpanNearQuery
+        inOrder=true): query tokens must appear in order within the
+        window — positions p1 < ... < pk, pk - p1 + 1 <= w — ranked by
+        the conjunctive BM25 score.  Served INDEX-ONLY from the
+        positions store via the greedy ordered-chain kernel
+        (pipelines/positions.ordered_window_positions; exact — for each
+        start the greedy smallest-successor chain minimizes the span).
+        Workload qid 2 reverses prox_search's 'data stream' bigram, so
+        order sensitivity is visible in the checked rows."""
+        from mini_ivf_ray.pipelines.phrase import ordered_proximity_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = ordered_proximity_topk(
+            idx, None, ORDERED_PROX_QUERIES, _CFG, positions="index"
+        )
         return pa.table(
             {
                 "query_id": pa.array(
@@ -3956,7 +3999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase_topk re-enters the window: its verify backend changed
         # this round (index-only positional payload)
         "phrase_topk": phrase_topk_q,
-        "events_session_range": events_session_range,
+        "ordered_prox": ordered_prox,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "stable_split": stable_split_q,
         "decontaminate": decontaminate_q,
@@ -4045,6 +4088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": tpch_q3,
         "bm25_conjunctive": bm25_conjunctive,
         "events_asof": events_asof,
+        "events_session_range": events_session_range,
         "extract_roundtrip": extract_roundtrip,
         "exact_dedup": exact_dedup_q,
         "quality": quality_q,
@@ -5253,6 +5297,75 @@ verified AS (
     SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
     WHERE a.doc_id = conj.doc_id AND a.term = 'table' AND b.term = 'zz9999qq'
       AND abs(a.pos - b.pos) <= 3)),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM verified)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # ordered proximity: same conjunctive-BM25 scaffold, EXISTS
+        # chains require ascending positions (token order significant)
+        "ordered_prox": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'key'), (0, 'table'),
+  (1, 'join'), (1, 'merge'), (1, 'sort'),
+  (2, 'data'), (2, 'stream'),
+  (3, 'table'), (3, 'zz9999qq')),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+tokpos AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term,
+                  generate_subscripts(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS pos
+           FROM documents),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+conj AS (SELECT scores.* FROM scores
+         JOIN qn ON qn.query_id = scores.query_id AND scores.nm = qn.n),
+verified AS (
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 0 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'key' AND b.term = 'table'
+      AND b.pos > a.pos AND b.pos - a.pos + 1 <= 3)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 1 AND EXISTS (
+    SELECT 1 FROM tokpos a
+    JOIN tokpos b ON b.doc_id = a.doc_id
+    JOIN tokpos c ON c.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id
+      AND a.term = 'sort' AND b.term = 'merge' AND c.term = 'join'
+      AND a.pos < b.pos AND b.pos < c.pos AND c.pos - a.pos + 1 <= 8)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 2 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'stream' AND b.term = 'data'
+      AND b.pos > a.pos AND b.pos - a.pos + 1 <= 2)
+  UNION ALL
+  SELECT conj.query_id, conj.doc_id, conj.score FROM conj
+  WHERE conj.query_id = 3 AND EXISTS (
+    SELECT 1 FROM tokpos a JOIN tokpos b ON b.doc_id = a.doc_id
+    WHERE a.doc_id = conj.doc_id AND a.term = 'table' AND b.term = 'zz9999qq'
+      AND b.pos > a.pos AND b.pos - a.pos + 1 <= 4)),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank

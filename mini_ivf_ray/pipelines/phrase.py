@@ -372,6 +372,144 @@ def proximity_topk(
     return df
 
 
+class _OrderedVerifier:
+    """Corpus-verify stage for ordered proximity: same broadcast shape
+    as _ProximityVerifier, per-doc predicate = ordered_window_positions
+    over positions derived from the token stream (identical kernel to
+    the index-side path, so both backends agree by construction)."""
+
+    def __init__(self, cand_ref, queries: list[tuple[int, list[str], int]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # {qid: sorted uint64 ids}
+        self.queries = queries  # (qid, tokens in query order, window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from mini_ivf_ray.pipelines.positions import ordered_window_positions
+
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        any_mask = np.zeros(len(doc_ids), dtype=bool)
+        per_q = {}
+        for qid, _toks, _w in self.queries:
+            ids = self.cand.get(qid)
+            if ids is None or not ids.size:
+                continue
+            m = np.isin(doc_ids, ids, assume_unique=False)
+            if m.any():
+                per_q[qid] = m
+                any_mask |= m
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if per_q:
+            rows = np.flatnonzero(any_mask)
+            texts = batch["text"].take(pa.array(rows)).to_pylist()
+            toks, _ = tokenize_batch(texts)
+            row_tokens = dict(zip(rows.tolist(), toks))
+            for qid, qtoks, w in self.queries:
+                m = per_q.get(qid)
+                if m is None:
+                    continue
+                for i in np.flatnonzero(m).tolist():
+                    tk = row_tokens[i]
+                    pos_by_term: dict[str, list[int]] = {}
+                    for p, t in enumerate(tk):
+                        if t in qtoks:
+                            pos_by_term.setdefault(t, []).append(p)
+                    pls = [
+                        np.array(pos_by_term.get(t, ()), dtype=np.int32)
+                        for t in qtoks
+                    ]
+                    if ordered_window_positions(pls, w):
+                        out_q.append(qid)
+                        out_d.append(int(doc_ids[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def ordered_proximity_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, int]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+) -> pd.DataFrame:
+    """ORDERED proximity search (Lucene SpanNearQuery inOrder=true):
+    docs containing the query tokens IN ORDER — positions p1 < p2 <
+    ... < pk with pk - p1 + 1 <= w — ranked by the conjunctive BM25
+    score over the distinct terms.  ``queries``: (query_id, text,
+    window); token order is significant ("stream data" != "data
+    stream"), duplicates allowed (strictly increasing positions).
+
+    Same two-stage plan and ``positions`` backends as phrase_topk /
+    proximity_topk — only the per-doc predicate differs (greedy ordered
+    chain, positions.ordered_window_positions)."""
+    import ray
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized = [(qid, tokenize(text), w) for qid, text, w in queries]
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str], int]] = []
+    for qid, toks, w in tokenized:
+        docs, scores = searcher.conjunctive_matches_for_text(" ".join(toks))
+        cand[qid] = docs
+        cand_scores[qid] = dict(zip(docs.tolist(), scores.tolist()))
+        # a single-token query is trivially "in order"
+        if len(toks) > 1 and docs.size:
+            needs_verify.append((qid, toks, w))
+
+    verified: dict[int, np.ndarray] = {
+        qid: cand[qid] for qid, toks, _w in tokenized if len(toks) == 1
+    }
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(index_dir, cand, needs_verify, "ordered", cfg)
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
+        hits = docs_ds.map_batches(
+            _OrderedVerifier,
+            fn_constructor_args=(cand_ref, needs_verify),
+            batch_format="pyarrow",
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        ).to_pandas()
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+
+    out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+    for qid, _toks, _w in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out["query_id"].append(qid)
+            out["rank"].append(r)
+            out["doc_id"].append(d)
+            out["score"].append(s)
+    df = pd.DataFrame(out)
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df
+
+
 def brute_force_phrase_topk(
     docs: pd.DataFrame,
     phrases: list[tuple[int, str]],

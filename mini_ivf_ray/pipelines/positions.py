@@ -234,6 +234,38 @@ def cover_window_positions(pos_lists: list[np.ndarray], w: int) -> bool:
     return False
 
 
+def ordered_window_positions(pos_lists: list[np.ndarray], w: int) -> bool:
+    """Ordered-window test (Lucene SpanNearQuery inOrder=true): True
+    iff there exist positions p1 < p2 < ... < pk, pi drawn from the
+    i-th list (query-token order, duplicates allowed), with
+    pk - p1 + 1 <= w.  For each start p1 the greedy chain — smallest
+    pi+1 strictly greater than pi — minimizes pk, so checking the
+    greedy chain per start is exact."""
+    k = len(pos_lists)
+    if k == 0 or w <= 0:
+        return False
+    if any(not p.size for p in pos_lists):
+        return False
+    if k == 1:
+        return True
+    for p1 in pos_lists[0].tolist():
+        p = p1
+        dead = False
+        for nxt in pos_lists[1:]:
+            j = int(np.searchsorted(nxt, p, side="right"))
+            if j >= nxt.size:
+                dead = True
+                break
+            p = int(nxt[j])
+        if dead:
+            # no successor exists for this p — none exists for any
+            # LARGER start either (lists are sorted): stop
+            return False
+        if p - p1 + 1 <= w:
+            return True
+    return False
+
+
 class _IndexPosVerifier:
     """Partition-task verify stage: each input row is one positions
     partition file; the task reads its term-pruned rows, filters to the
@@ -300,11 +332,12 @@ class _IndexPosVerifier:
                     pls = [lut.get((int(d), t)) for t in it[1]]
                     if any(p is None for p in pls):
                         continue
-                    ok = (
-                        phrase_match_positions(pls)
-                        if self.mode == "phrase"
-                        else cover_window_positions(pls, it[2])
-                    )
+                    if self.mode == "phrase":
+                        ok = phrase_match_positions(pls)
+                    elif self.mode == "ordered":
+                        ok = ordered_window_positions(pls, it[2])
+                    else:
+                        ok = cover_window_positions(pls, it[2])
                     if ok:
                         out_q.append(qid)
                         out_d.append(int(d))

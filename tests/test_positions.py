@@ -159,3 +159,100 @@ def test_positional_kernels_match_token_kernels():
         want_w = within_window(toks, terms, w)
         got_w = cover_window_positions([pos[t] for t in terms], w)
         assert got_w == want_w, (toks, terms, w)
+
+
+ORDERED = [
+    (0, "the data", 3),
+    (1, "data web index", 9),
+    (2, "data the", 2),  # order matters: reverse of a common bigram
+    (3, "the", 5),
+    (4, "the zz_oov_zz", 4),
+]
+
+
+def _brute_ordered(tokens, qtoks, w):
+    """Exhaustive ordered-window reference: try every position tuple."""
+    import itertools
+
+    pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(qtoks)}
+    lists = [pos.get(t, []) for t in qtoks]
+    if any(not l for l in lists):
+        return False
+    if len(lists) == 1:
+        return True
+    for combo in itertools.product(*lists):
+        if all(a < b for a, b in zip(combo, combo[1:])) and (
+            combo[-1] - combo[0] + 1 <= w
+        ):
+            return True
+    return False
+
+
+def test_ordered_kernel_matches_bruteforce():
+    from mini_ivf_ray.pipelines.positions import ordered_window_positions
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(5)]
+    for trial in range(300):
+        n = int(rng.integers(1, 25))
+        toks = [vocab[int(i)] for i in rng.integers(0, len(vocab), n)]
+        k = int(rng.integers(2, 4))
+        qtoks = [vocab[int(i)] for i in rng.integers(0, len(vocab), k)]
+        w = int(rng.integers(1, 10))
+        pos = {
+            t: np.array(
+                [i for i, x in enumerate(toks) if x == t], dtype=np.int32
+            )
+            for t in set(qtoks)
+        }
+        got = ordered_window_positions([pos[t] for t in qtoks], w)
+        want = _brute_ordered(toks, qtoks, w)
+        assert got == want, (toks, qtoks, w)
+
+
+def test_ordered_prox_index_equals_corpus_and_replay(pos_index):
+    from mini_ivf_ray.pipelines.phrase import ordered_proximity_topk
+
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = ordered_proximity_topk(idx, dds, ORDERED, cfg, positions="corpus")
+    via_index = ordered_proximity_topk(idx, None, ORDERED, cfg, positions="index")
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    assert list(_canon(via_corpus)["score"]) == list(_canon(via_index)["score"])
+    # local replay: conjunctive BM25 widened, filtered by brute ordered
+    import dataclasses
+
+    from mini_ivf_ray.functions.tokenize import tokenize as tok
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    toks_per_doc = {
+        int(d): tok(t) for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    rows = []
+    for qid, text, w in ORDERED:
+        qtoks = tok(text)
+        scored = brute_force_topk(
+            docs, [(qid, " ".join(sorted(set(qtoks))))], wide, mode="and"
+        )
+        keep = [
+            (int(d), float(s))
+            for d, s in zip(scored["doc_id"], scored["score"])
+            if _brute_ordered(toks_per_doc[int(d)], qtoks, w)
+        ]
+        keep.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(keep[: cfg.topk]):
+            rows.append((qid, r, d, s))
+    want = pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+    got = _canon(via_index)
+    assert got["doc_id"].tolist() == want["doc_id"].astype("int64").tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    # order sensitivity: 'data the' (qid 2) differs from unordered
+    from mini_ivf_ray.pipelines.phrase import proximity_topk
+
+    unord = proximity_topk(
+        idx, None, [(2, "data the", 2)], cfg, positions="index"
+    )
+    assert len(unord) >= len(got[got["query_id"] == 2])
