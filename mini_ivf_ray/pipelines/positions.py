@@ -168,6 +168,77 @@ def build_positions(
     return meta
 
 
+def append_positions(
+    index_dir: str,
+    docs_ds,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    """Incrementally extend the positions store with an increment's
+    documents — the positions-side mirror of ``append_index``'s
+    incremental mode: the increment is exploded and each doc-hash
+    partition gains a new ``positions_inc<k>.parquet`` file (existing
+    files untouched; cost ∝ increment).  The verifier reads every file
+    of a partition, so per-file (term, doc_id) sort — and therefore
+    row-group term pruning — is preserved.  Call AFTER the matching
+    ``append_index`` commit: freshness is re-derived from the index's
+    CURRENT CorpusStats, so a positions append that doesn't bring the
+    store up to the committed corpus size leaves it (correctly) stale."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from mini_ivf_ray.state.stats import CorpusStats
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    meta = positions_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"append_positions: no positions store under {index_dir} "
+            "(build_positions first)"
+        )
+    P = int(meta["num_partitions"])
+    pos_dir = os.path.join(index_dir, "positions")
+    exploded = docs_ds.map_batches(
+        _explode_positions(P), batch_format="pyarrow"
+    )
+
+    def write_inc(group: pa.Table) -> pa.Table:
+        part = int(group["part"][0].as_py())
+        tbl = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        tbl = tbl.drop_columns(["part"])
+        d = os.path.join(pos_dir, f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        k = len(globmod.glob(os.path.join(d, "positions_inc*.parquet")))
+        final = os.path.join(d, f"positions_inc{k:05d}.parquet")
+        tmp = final + ".tmp"
+        pq.write_table(tbl, tmp, row_group_size=16384)
+        os.replace(tmp, final)  # atomic per-file commit
+        return pa.table(
+            {
+                "part": pa.array([part], type=pa.int64()),
+                "n_rows": pa.array([tbl.num_rows], type=pa.int64()),
+            }
+        )
+
+    written = (
+        exploded.groupby("part")
+        .map_groups(write_inc, batch_format="pyarrow")
+        .to_pandas()
+    )
+    stats = CorpusStats.load(index_dir)
+    new_meta = dict(
+        meta,
+        n_rows=int(meta["n_rows"]) + int(written["n_rows"].sum()),
+        built_from_n_docs=int(stats.n_docs),
+        increments=int(meta.get("increments", 0)) + 1,
+    )
+    tmp = _meta_path(index_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_meta, f)
+    os.replace(tmp, _meta_path(index_dir))
+    return new_meta
+
+
 def positions_fresh(index_dir: str) -> bool:
     """True iff a positions store exists AND was built from the index's
     current corpus size (stale stores are never silently trusted)."""
@@ -367,11 +438,17 @@ def positional_hits(
     meta = positions_meta(index_dir)
     if meta is None:
         raise FileNotFoundError(f"no positions store under {index_dir}")
+    import glob as globmod
+
     pos_dir = os.path.join(index_dir, "positions")
+    # base file + any positions_inc<k>.parquet epochs (append_positions);
+    # a doc's rows live entirely within its epoch's file, so per-FILE
+    # processing still sees every term of every doc it covers
     files = sorted(
-        os.path.join(pos_dir, d, "positions.parquet")
+        f
         for d in os.listdir(pos_dir)
         if d.startswith("part=")
+        for f in globmod.glob(os.path.join(pos_dir, d, "positions*.parquet"))
     )
     if not files:
         return pd.DataFrame({"query_id": [], "doc_id": []})

@@ -256,3 +256,53 @@ def test_ordered_prox_index_equals_corpus_and_replay(pos_index):
         idx, None, [(2, "data the", 2)], cfg, positions="index"
     )
     assert len(unord) >= len(got[got["query_id"] == 2])
+
+
+def test_append_positions_incremental(tmp_path):
+    """Positions-store incremental append mirrors append_index: the
+    increment lands in new per-partition positions_inc files, the store
+    is fresh again, and index-only phrase/ordered results equal the
+    corpus-verify path over the UNION corpus."""
+    from mini_ivf_ray.pipelines.append import append_index
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.phrase import ordered_proximity_topk
+    from mini_ivf_ray.pipelines.positions import append_positions
+    from mini_ivf_ray.sources.pages import generate_pages
+    from mini_ivf_ray.stages.prepare import prepare_documents
+
+    cfg = PipelineConfig(num_partitions=3, topk=10)
+    pages = generate_pages(500, seed=41, vocab_size=300, dup_frac=0.0)
+    a, b = pages.slice(0, 350), pages.slice(350)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(a), idx, cfg)
+    docs_a = prepare_documents(ray.data.from_arrow(a), cfg).to_pandas()
+    build_positions(idx, ray.data.from_pandas(docs_a[["doc_id", "text"]]), cfg)
+    assert positions_fresh(idx)
+    # index append makes the store stale; positions append refreshes it
+    append_index(lambda: ray.data.from_arrow(b), idx, cfg)
+    assert not positions_fresh(idx)
+    with pytest.raises(FileNotFoundError):
+        phrase_topk(idx, None, PHRASES, cfg, positions="index")
+    docs_b = prepare_documents(ray.data.from_arrow(b), cfg).to_pandas()
+    meta2 = append_positions(
+        idx, ray.data.from_pandas(docs_b[["doc_id", "text"]]), cfg
+    )
+    assert positions_fresh(idx) and meta2["increments"] == 1
+    # inc files exist, base files untouched
+    import glob as globmod
+
+    incs = globmod.glob(
+        os.path.join(idx, "positions", "part=*", "positions_inc*.parquet")
+    )
+    assert incs
+    docs = prepare_documents(
+        ray.data.from_arrow(pages), cfg
+    ).to_pandas()
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    vi = phrase_topk(idx, None, PHRASES, cfg, positions="index")
+    vc = phrase_topk(idx, dds, PHRASES, cfg, positions="corpus")
+    pd.testing.assert_frame_equal(_canon(vi), _canon(vc))
+    oi = ordered_proximity_topk(idx, None, ORDERED, cfg, positions="index")
+    oc = ordered_proximity_topk(idx, dds, ORDERED, cfg, positions="corpus")
+    pd.testing.assert_frame_equal(_canon(oi), _canon(oc))
+    assert len(vi) and len(oi)
