@@ -919,6 +919,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def top_hits(sf_dir):
+        """Terms aggregation with top_hits (Elasticsearch terms +
+        top_hits): per query the 3 langs with the most matching docs
+        (count desc, label asc) and each lang's 2 best hits (score
+        desc, doc asc), exact over the FULL match set
+        (pipelines/collapse.py TopHitsSearcher)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.collapse import grouped_top_hits
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = grouped_top_hits(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            _CFG,
+            n_per_group=2,
+            max_groups=3,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "grp", "hit_rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "grp": pa.array(res["grp"].astype(str), type=pa.string()),
+                "grp_count": pa.array(
+                    res["grp_count"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "hit_rank": pa.array(
+                    res["hit_rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_facets_sharded(sf_dir):
         """Doc-sharded facet panel: identical semantics (and SQL oracle)
         to bm25_facets, but served by serving.ShardedIndex with the
@@ -4012,10 +4062,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": collocations_q,
         "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
-        "orders_cube": orders_cube,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
+        "top_hits": top_hits,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
@@ -4041,6 +4091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        "orders_cube": orders_cube,
         "bm25_facets": bm25_facets,
         "collapsed_topk": collapsed_topk,
         "docs_diff": docs_diff,
@@ -5075,6 +5126,45 @@ ranked AS (SELECT query_id, doc_id, score, lang,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, lang AS grp,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # terms agg + top_hits: top-3 langs by match count (count desc,
+        # label asc), 2 best hits each (score desc, doc asc), over the
+        # FULL match set
+        "top_hits": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+grouped AS (SELECT s.query_id, s.doc_id, s.score, docs.lang
+            FROM scores s JOIN documents docs ON docs.doc_id = s.doc_id),
+gsel AS (SELECT query_id, lang, count(*) AS grp_count,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY count(*) DESC, lang ASC) AS gr
+         FROM grouped GROUP BY 1, 2),
+hits AS (SELECT query_id, lang, doc_id, score,
+                row_number() OVER (PARTITION BY query_id, lang
+                                   ORDER BY score DESC, doc_id ASC) AS hr
+         FROM grouped)
+SELECT g.query_id, g.lang AS grp, CAST(g.grp_count AS BIGINT) AS grp_count,
+       CAST(h.hr - 1 AS BIGINT) AS hit_rank, h.doc_id,
+       round(h.score, 4) AS score_r
+FROM gsel g JOIN hits h ON h.query_id = g.query_id AND h.lang = g.lang
+WHERE g.gr <= 3 AND h.hr <= 2
 """,
         # synonym groups: member tfs SUM before the saturation, group
         # idf from the union df (count of docs matching any member)
