@@ -1226,6 +1226,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def term_vectors_q(sf_dir):
+        """Per-document term vectors (Lucene/ES termvectors API):
+        (doc_id, term, tf, first_pos) for every term of the requested
+        docs (doc_id % 10 == 3), served from the positions store ONLY —
+        partition-selective reads with doc-id row filters, no document
+        text (pipelines/positions.term_vectors)."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.positions import term_vectors
+
+        idx = _ensure_positions(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        ids = side["doc_id"].to_numpy()
+        res = term_vectors(idx, ids[ids % 10 == 3], _CFG).to_pandas()
+        res = res.sort_values(["doc_id", "term"])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].astype(str), type=pa.string()),
+                "tf": pa.array(
+                    res["tf"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "first_pos": pa.array(
+                    res["first_pos"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def ordered_prox(sf_dir):
         """ORDERED proximity search (Lucene SpanNearQuery
         inOrder=true): query tokens must appear in order within the
@@ -4061,11 +4094,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": lm_score,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
-        "orders_rollup": orders_rollup,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
         "top_hits": top_hits,
+        "term_vectors": term_vectors_q,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
@@ -4091,6 +4124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        "orders_rollup": orders_rollup,
         "orders_cube": orders_cube,
         "bm25_facets": bm25_facets,
         "collapsed_topk": collapsed_topk,
@@ -5462,6 +5496,18 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM verified)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # per-doc term vectors: tf + first position per (doc, term);
+        # generate_subscripts is 1-based, the engine's positions 0-based
+        "term_vectors": f"""
+WITH tokpos AS (SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE_SQL}')) AS term,
+                       generate_subscripts(
+                         regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), 1) AS pos
+                FROM documents WHERE doc_id % 10 = 3)
+SELECT doc_id, term, count(*)::BIGINT AS tf,
+       CAST(min(pos) - 1 AS BIGINT) AS first_pos
+FROM tokpos GROUP BY 1, 2
 """,
         # boolean retrieval: hand-written membership predicates (kept
         # independent of the engine's parser on purpose); scoring =

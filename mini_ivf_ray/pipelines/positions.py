@@ -252,6 +252,128 @@ def positions_fresh(index_dir: str) -> bool:
     )
 
 
+class _TermVectorReader:
+    """Partition-task stage: each input row is one positions partition
+    file; the task reads its doc-filtered rows and emits the per-doc
+    term vector (doc_id, term, tf, first_pos).  Doc-hash partitioning
+    guarantees every doc's term rows are file-local, and a doc's rows
+    live entirely within one epoch's file — so per-file emission is
+    complete and no cross-file merge is needed."""
+
+    def __init__(self, wanted_ref):
+        import ray
+
+        self.wanted = (
+            ray.get(wanted_ref)
+            if isinstance(wanted_ref, ray.ObjectRef)
+            else wanted_ref
+        )  # sorted uint64 doc ids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        # typed expression: doc ids are uint64 and may exceed int64 —
+        # a plain python-list filter would overflow arrow's inference
+        flt = pc.field("doc_id").isin(pa.array(self.wanted, type=pa.uint64()))
+        out_d: list[int] = []
+        out_t: list[str] = []
+        out_tf: list[int] = []
+        out_fp: list[int] = []
+        for path in batch["path"].to_pylist():
+            tbl = pq.read_table(
+                path,
+                columns=["doc_id", "term", "positions"],
+                filters=flt,
+            )
+            if tbl.num_rows == 0:
+                continue
+            doc_ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+            la = tbl["positions"].combine_chunks()
+            offs = la.offsets.to_numpy()
+            vals = la.values.to_numpy()
+            # positions are recorded in token-stream order, so the
+            # first element of each list is the minimum
+            out_d.extend(doc_ids.tolist())
+            out_t.extend(tbl["term"].to_pylist())
+            out_tf.extend((offs[1:] - offs[:-1]).tolist())
+            out_fp.extend(vals[offs[:-1]].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+                "term": pa.array(out_t, type=pa.string()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+                "first_pos": pa.array(out_fp, type=pa.int64()),
+            }
+        )
+
+
+def term_vectors(
+    index_dir: str,
+    doc_ids,
+    cfg: PipelineConfig | None = None,
+    strict: bool = True,
+):
+    """Per-document term vectors (the Lucene/Elasticsearch
+    ``termvectors`` API): (doc_id, term, tf, first_pos) for every term
+    of every requested document, served from the positions store ONLY —
+    no document text is read.
+
+    Partition-selective: requested docs are hashed to their home
+    partitions and only those partitions' files are read (epoch files
+    included), each with a doc-id row filter — work proportional to
+    the request, never the corpus.  ``strict`` (default) raises on a
+    stale store, mirroring the ``positions="index"`` freshness rule;
+    docs absent from the store yield no rows.  Returns a
+    ``ray.data.Dataset``."""
+    import glob as globmod
+
+    import ray
+    import ray.data
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    meta = positions_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(f"no positions store under {index_dir}")
+    if strict and not positions_fresh(index_dir):
+        raise RuntimeError(
+            f"positions store under {index_dir} is stale relative to the "
+            "index's current corpus; rebuild or append_positions first"
+        )
+    wanted = np.unique(np.asarray(doc_ids, dtype=np.uint64))
+    parts = np.unique(_doc_part(wanted, int(meta["num_partitions"])))
+    pos_dir = os.path.join(index_dir, "positions")
+    files = sorted(
+        f
+        for p in parts.tolist()
+        for f in globmod.glob(
+            os.path.join(pos_dir, f"part={p}", "positions*.parquet")
+        )
+    )
+    if not files:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.uint64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "first_pos": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    wanted_ref = ray.put(wanted)
+    return ray.data.from_items([{"path": f} for f in files]).map_batches(
+        _TermVectorReader,
+        fn_constructor_args=(wanted_ref,),
+        batch_format="pyarrow",
+        batch_size=1,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
 def phrase_match_positions(pos_lists: list[np.ndarray]) -> bool:
     """Contiguity check over per-token position arrays (in phrase
     order): positions of token i+1 must contain some p+1 for a

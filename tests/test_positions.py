@@ -306,3 +306,66 @@ def test_append_positions_incremental(tmp_path):
     oc = ordered_proximity_topk(idx, dds, ORDERED, cfg, positions="corpus")
     pd.testing.assert_frame_equal(_canon(oi), _canon(oc))
     assert len(vi) and len(oi)
+
+
+def test_term_vectors_match_local_tokenize(pos_index):
+    """Index-only term vectors == per-doc tokenize replay: exact tf and
+    first position for every term of every requested doc."""
+    from mini_ivf_ray.pipelines.positions import term_vectors
+
+    idx, cfg, docs, _ = pos_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    wanted = ids[::7]
+    got = (
+        term_vectors(idx, wanted, cfg)
+        .to_pandas()
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    rows = []
+    by_id = dict(zip(ids.tolist(), docs["text"].tolist()))
+    for d in sorted(int(x) for x in wanted):
+        tf: dict[str, int] = {}
+        fp: dict[str, int] = {}
+        for p, t in enumerate(tokenize(by_id[d])):
+            tf[t] = tf.get(t, 0) + 1
+            fp.setdefault(t, p)
+        for t in sorted(tf):
+            rows.append((d, t, tf[t], fp[t]))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "tf", "first_pos"])
+    # ids are md5-u64 and may exceed int64 — compare in uint64
+    want["doc_id"] = want["doc_id"].astype("uint64")
+    got["doc_id"] = got["doc_id"].astype("uint64")
+    got["tf"] = got["tf"].astype("int64")
+    got["first_pos"] = got["first_pos"].astype("int64")
+    want["tf"] = want["tf"].astype("int64")
+    want["first_pos"] = want["first_pos"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_term_vectors_stale_store_raises(pos_index):
+    from mini_ivf_ray.pipelines.positions import _meta_path, term_vectors
+
+    idx, cfg, docs, _ = pos_index
+    mp = _meta_path(idx)
+    with open(mp) as f:
+        saved = f.read()
+    meta = json.loads(saved)
+    meta["built_from_n_docs"] = int(meta["built_from_n_docs"]) + 1
+    try:
+        with open(mp, "w") as f:
+            json.dump(meta, f)
+        with pytest.raises(RuntimeError, match="stale"):
+            term_vectors(idx, docs["doc_id"].to_numpy()[:3], cfg)
+    finally:
+        with open(mp, "w") as f:
+            f.write(saved)
+
+
+def test_term_vectors_unknown_docs_yield_no_rows(pos_index):
+    from mini_ivf_ray.pipelines.positions import term_vectors
+
+    idx, cfg, docs, _ = pos_index
+    missing = np.array([2**63 + 5, 2**63 + 9], dtype=np.uint64)
+    got = term_vectors(idx, missing, cfg).to_pandas()
+    assert len(got) == 0
