@@ -1259,6 +1259,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def pagerank_q(sf_dir):
+        """Distributed fixed-point PageRank over the deterministic
+        synthetic link graph (pipelines/graph.py): 3 damped rounds
+        (d=85/100) at scale 10^12, each round ONE bucketed hash join +
+        ONE combiner-first groupby-sum; integer arithmetic makes the
+        ranks bit-identical across partitionings and hash-identical to
+        the unrolled SQL replay."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import pagerank, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = pagerank(edges, docs, iters=3, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def ordered_prox(sf_dir):
         """ORDERED proximity search (Lucene SpanNearQuery
         inOrder=true): query tokens must appear in order within the
@@ -4093,12 +4121,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,
         "collocations": collocations_q,
-        "events_pivot": events_pivot,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
         "top_hits": top_hits,
         "term_vectors": term_vectors_q,
+        "pagerank": pagerank_q,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
@@ -4124,6 +4152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
         "orders_cube": orders_cube,
         "bm25_facets": bm25_facets,
@@ -5496,6 +5525,57 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM verified)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # fixed-point PageRank, 3 unrolled damped rounds over the
+        # md5-derived synthetic link graph (integer arithmetic end to
+        # end, so the replay is hash-exact; // is DuckDB int division)
+        "pagerank": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id,
+              CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+       FROM documents),
+r1 AS (SELECT d.doc_id,
+              CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r0 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id),
+r2 AS (SELECT d.doc_id,
+              CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r1 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id),
+r3 AS (SELECT d.doc_id,
+              CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r2 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id)
+SELECT doc_id, rank FROM r3
 """,
         # per-doc term vectors: tf + first position per (doc, term);
         # generate_subscripts is 1-based, the engine's positions 0-based

@@ -1,0 +1,220 @@
+"""Web link-graph operators: deterministic graph synthesis + distributed
+PageRank over an edge Dataset.
+
+A web-scale corpus carries a link graph (href edges between pages), and
+the canonical whole-graph computation over it is PageRank.  The
+operator here is the scale-shaped piece: ``pagerank(edges_ds,
+nodes_ds)`` — bulk-synchronous iterations where each round is ONE
+bucketed hash join (ranks -> edges on src, reusing
+relational.bucketed_hash_join) plus ONE groupby-sum exchange
+(contributions -> dst).  Nothing corpus-sized ever lands on the driver
+and no O(N) array is broadcast: ranks travel as a slim (doc_id, rank)
+dataset, edges stay put as the join's large side, and nodes with no
+in-links fall out of a zero-row union instead of an outer join.
+
+**Exact replay.**  Ranks are FIXED-POINT integers (``scale`` =
+10^12): r0 = scale // N, share(u) = rank(u) // outdeg(u), and
+r_{t+1}(v) = (15 * (scale // N)) // 100 + (85 * sum(shares into v)) // 100.
+Integer sums are order-independent, so the result is bit-identical
+across partitionings AND hash-identical to an unrolled SQL replay —
+the float formulation would drift by summation order.  This is the
+damped PageRank of Brin & Page 1998 with the "lost mass" convention
+for rank leaked through zero-outdegree nodes (their share is dropped,
+not redistributed — both sides of the oracle agree by construction).
+
+**Synthetic graph.**  The testdata tables carry no hrefs, so
+``synth_edges`` derives a deterministic multigraph from doc ids alone,
+in the engine and in ANY SQL engine (the md5-substr form shared with
+sampling.py): out-degree 1 + h60(id, "pr-deg") % max_deg, j-th target =
+the (h60(id, "pr-dst:j") % N)-th doc in doc-id order, self-loops
+dropped.  The id-order lookup table is a synthesis-only scaffold
+(broadcast once; at real scale edges come from href extraction and
+this helper is unused) — ``pagerank`` itself never sees it.
+
+Reference analog: the iterative refinement loop of KMeans training
+(mini-ivf index_ivfpq.cpp train/update passes) — same
+"recompute-global-state-per-round" shape, re-expressed as Dataset
+exchanges instead of shared-memory passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mini_ivf_ray.pipelines.sampling import salt_hash60
+
+PR_SCALE = 10**12
+
+
+def synth_edges(docs_ds, max_deg: int = 3, concurrency: int | None = None):
+    """Deterministic synthetic link multigraph over a (doc_id) dataset:
+    returns an edge Dataset (src, dst int64), self-loops removed.
+    Replayable in SQL via the md5-substr UBIGINT form (see the
+    ``pagerank`` oracle in __ray_entry__.py)."""
+    import ray
+
+    ids = np.sort(
+        docs_ds.select_columns(["doc_id"])
+        .to_pandas()["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    n = ids.size
+    ids_ref = ray.put(ids)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ids_ref)
+        src = batch["doc_id"].to_numpy().astype(np.int64)
+        deg = 1 + (salt_hash60(src, "pr-deg") % max_deg)
+        out_s: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for j in range(max_deg):
+            has = deg > j
+            s = src[has]
+            if not s.size:
+                break
+            pos = salt_hash60(s, f"pr-dst:{j}") % n
+            d = lut[pos]
+            keep = d != s  # drop self-loops
+            out_s.append(s[keep])
+            out_d.append(d[keep])
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate(out_s) if out_s else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        gen, batch_format="pyarrow"
+    )
+
+
+def _share_partials(batch: pa.Table) -> pa.Table:
+    """Combiner: per-batch (dst, share-sum) partials before the global
+    groupby — the exchange carries at most (batches x distinct-dst)
+    rows instead of one row per edge."""
+    dst = batch["dst"].to_numpy().astype(np.int64)
+    share = batch["rank"].to_numpy().astype(np.int64) // batch[
+        "deg"
+    ].to_numpy().astype(np.int64)
+    uniq, inv = np.unique(dst, return_inverse=True)
+    sums = np.zeros(uniq.size, dtype=np.int64)
+    np.add.at(sums, inv, share)
+    return pa.table(
+        {
+            "doc_id": pa.array(uniq, type=pa.int64()),
+            "m": pa.array(sums, type=pa.int64()),
+        }
+    )
+
+
+def pagerank(
+    edges_ds,
+    nodes_ds,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    num_buckets: int | None = None,
+):
+    """Distributed fixed-point PageRank: (doc_id, rank int64) after
+    ``iters`` damped rounds (d = 85/100).  Each round is one bucketed
+    hash join (ranks onto edges by src) + one groupby-sum (shares by
+    dst, combiner-first); zero-in-link nodes get the base rank via a
+    zero-row union, never an outer join.  Bit-identical across
+    partitionings and to the unrolled integer SQL replay."""
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    nodes = nodes_ds.select_columns(["doc_id"])
+    n = nodes.count()
+    if n:
+        # the bucketed join pads missing-side columns through float64,
+        # so endpoint ids must be exactly float64-representable — raise
+        # loudly rather than corrupt silently (testdata ids are far below)
+        agg = nodes.aggregate(ray.data.aggregate.Max("doc_id"))
+        if int(agg["max(doc_id)"]) >= 2**53:
+            raise ValueError(
+                "pagerank requires doc ids < 2**53 (join padding is exact "
+                "only in the float64-representable range); remap ids first"
+            )
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    base = (15 * (scale // n)) // 100
+    r0 = scale // n
+
+    # per-edge out-degree, attached to edges ONCE and reused every
+    # round (the static side of the iteration)
+    deg = edges_ds.groupby("src").count()
+
+    def _deg_col(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.compute.cast(batch["src"], pa.int64()),
+                "deg": pa.compute.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    deg = deg.map_batches(_deg_col, batch_format="pyarrow")
+    edges_deg = bucketed_hash_join(
+        edges_ds, deg, on="src", num_buckets=num_buckets
+    ).materialize()
+
+    def _init(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "rank": pa.array(np.full(k, r0, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def _zero(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "m": pa.array(np.zeros(k, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        m = batch["sum(m)"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "rank": pa.array(
+                    base + (85 * m) // 100, type=pa.int64()
+                ),
+            }
+        )
+
+    ranks = nodes.map_batches(_init, batch_format="pyarrow")
+    zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
+
+    def _rename_src(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src", "rank"])
+
+    for _ in range(iters):
+        rsrc = ranks.map_batches(_rename_src, batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            edges_deg, rsrc, on="src", num_buckets=num_buckets
+        )
+        partials = joined.map_batches(_share_partials, batch_format="pyarrow")
+        summed = partials.union(zeros).groupby("doc_id").sum("m")
+        ranks = summed.map_batches(_finish, batch_format="pyarrow").materialize()
+    return ranks

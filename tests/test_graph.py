@@ -1,0 +1,113 @@
+"""Link-graph PageRank: fixed-point integer iteration must be
+bit-identical to a local replay, invariant to partitioning, and loud
+about ids the join padding cannot represent exactly."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+from mini_ivf_ray.pipelines.graph import PR_SCALE, pagerank, synth_edges
+
+ITERS = 4
+
+
+def _nodes(ids):
+    return ray.data.from_arrow(
+        __import__("pyarrow").table({"doc_id": np.asarray(ids, dtype=np.int64)})
+    )
+
+
+def _local_pagerank(ids, src, dst, iters=ITERS, scale=PR_SCALE):
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    n = ids.size
+    ix = {int(v): i for i, v in enumerate(ids)}
+    deg = np.zeros(n, dtype=np.int64)
+    for s in src:
+        deg[ix[int(s)]] += 1
+    base = (15 * (scale // n)) // 100
+    r = np.full(n, scale // n, dtype=np.int64)
+    for _ in range(iters):
+        m = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            m[ix[int(d)]] += r[ix[int(s)]] // deg[ix[int(s)]]
+        r = base + (85 * m) // 100
+    return pd.DataFrame({"doc_id": ids, "rank": r})
+
+
+def _canon(df):
+    df = df.copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[["doc_id", "rank"]]
+
+
+def test_pagerank_matches_local_integer_replay():
+    rng = np.random.default_rng(11)
+    ids = np.unique(rng.integers(0, 10_000, size=300)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    assert len(e) and (e["src"] != e["dst"]).all()
+    got = pagerank(edges, nodes, iters=ITERS).to_pandas()
+    want = _local_pagerank(ids, e["src"].to_numpy(), e["dst"].to_numpy())
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_pagerank_partitioning_invariant():
+    """Bit-identical ranks whatever the block layout — the fixed-point
+    formulation has no summation-order dependence."""
+    rng = np.random.default_rng(5)
+    ids = np.unique(rng.integers(0, 5_000, size=120)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    a = pagerank(edges, nodes, iters=3).to_pandas()
+    b = pagerank(
+        edges.repartition(7), nodes.repartition(3), iters=3, num_buckets=5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_pagerank_base_rank_for_sources_and_mass_bound():
+    """A node with no in-links holds exactly the base rank; total mass
+    never exceeds the injected total (lost-mass convention)."""
+    import pyarrow as pa
+
+    ids = np.arange(6, dtype=np.int64)
+    # star: everyone points at 0; nobody points back
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+                "dst": np.zeros(5, dtype=np.int64),
+            }
+        )
+    )
+    r = _canon(pagerank(edges, _nodes(ids), iters=ITERS).to_pandas())
+    n = ids.size
+    base = (15 * (PR_SCALE // n)) // 100
+    assert (r.loc[r["doc_id"] != 0, "rank"] == base).all()
+    assert r.loc[r["doc_id"] == 0, "rank"].iloc[0] > base
+    assert r["rank"].sum() <= PR_SCALE
+
+
+def test_pagerank_rejects_unrepresentable_ids():
+    import pyarrow as pa
+
+    big = np.array([1, 2**53 + 10], dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"src": big[:1], "dst": big[1:]})
+    )
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        pagerank(edges, _nodes(big), iters=1)
+
+
+def test_synth_edges_deterministic():
+    ids = np.arange(50, dtype=np.int64)
+    a = synth_edges(_nodes(ids)).to_pandas().sort_values(["src", "dst"])
+    b = synth_edges(_nodes(ids)).to_pandas().sort_values(["src", "dst"])
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # out-degree 1..3 before self-loop removal => 0..3 after
+    assert a.groupby("src").size().max() <= 3
