@@ -64,6 +64,15 @@ SPELL_QUERIES: list[str] = [
 # one with zero completions (zero-row group must not error)
 PREFIX_QUERIES: list[str] = ["s", "wi", "ba", "zz"]
 
+# minimum-should-match workload: (query_id, text, m) — m spans the
+# disjunctive-to-conjunctive middle ground; qid 3 includes an OOV term
+MSM_QUERIES: list[tuple[int, str, int]] = [
+    (0, "data web index", 2),
+    (1, "sort merge join stream", 3),
+    (2, "table key data", 2),
+    (3, "zz9999qq data web", 2),
+]
+
 # proximity workload: (query_id, text, window) — 2- and 3-term windows,
 # a tight window, and an OOV conjunct (empty result)
 PROX_QUERIES: list[tuple[int, str, int]] = [
@@ -1255,6 +1264,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "first_pos": pa.array(
                     res["first_pos"].to_numpy().astype(np.int64),
                     type=pa.int64(),
+                ),
+            }
+        )
+
+    def msm_topk(sf_dir):
+        """Minimum-should-match retrieval (Lucene/ES
+        minimum_should_match): top-10 BM25 over docs matching at least
+        m of the query's distinct terms (pipelines/msm.py) — the
+        match-count filter rides the same TAAT unique-inverse as the
+        score accumulation."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.msm import msm_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {"query_id": q, "text": t, "min_match": m}
+                for q, t, m in MSM_QUERIES
+            ]
+        )
+        res = msm_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_matched": pa.array(
+                    res["n_matched"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -4120,13 +4169,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget": token_budget,
         "pack_sequences": pack_sequences,
         "lm_score": lm_score,
-        "collocations": collocations_q,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
         "top_hits": top_hits,
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
+        "msm_topk": msm_topk,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
@@ -4152,6 +4201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        "collocations": collocations_q,
         "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
         "orders_cube": orders_cube,
@@ -4269,6 +4319,18 @@ def _bm25_values() -> str:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
+
+
+def _msm_values() -> str:
+    rows = []
+    for qid, text, _ in MSM_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _msm_m_values() -> str:
+    return ", ".join(f"({qid}, {m})" for qid, _, m in MSM_QUERIES)
 
 
 def _bm25_qids() -> str:
@@ -5524,6 +5586,40 @@ ranked AS (SELECT query_id, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM verified)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # minimum-should-match: BM25 over matched terms, HAVING the
+        # distinct-term match count >= the per-query m
+        "msm_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_msm_values()}),
+qm(query_id, m) AS (VALUES {_msm_m_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+kept AS (SELECT s.* FROM scores s
+         JOIN qm ON qm.query_id = s.query_id AND s.nm >= qm.m),
+ranked AS (SELECT query_id, doc_id, score, nm,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM kept)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       CAST(nm AS BIGINT) AS n_matched, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # fixed-point PageRank, 3 unrolled damped rounds over the
