@@ -1336,6 +1336,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ppr_q(sf_dir):
+        """PERSONALIZED PageRank (topic-sensitive PR, Haveliwala 2002)
+        over the same deterministic link graph: teleport mass lands
+        only on the seed set (doc_id % 100 == 3), 2 damped rounds,
+        fixed-point integers — hash-exact vs the unrolled CASE-WHEN
+        SQL replay (pipelines/graph.py pagerank(seeds=...))."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import pagerank, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        ids = docs.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        seeds = ids[ids % 100 == 3]
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = pagerank(
+            edges, docs, iters=2, num_buckets=16, seeds=seeds
+        ).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def ordered_prox(sf_dir):
         """ORDERED proximity search (Lucene SpanNearQuery
         inOrder=true): query tokens must appear in order within the
@@ -4167,7 +4198,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": stratified_sample_q,
         "source_mix": source_mix,
         "token_budget": token_budget,
-        "pack_sequences": pack_sequences,
         "lm_score": lm_score,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
@@ -4175,6 +4205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits": top_hits,
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
+        "ppr": ppr_q,
         "msm_topk": msm_topk,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -4201,6 +4232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
         "orders_rollup": orders_rollup,
@@ -5672,6 +5704,57 @@ r3 AS (SELECT d.doc_id,
                       JOIN outdeg g ON g.src = e.src
          GROUP BY 1) s ON s.doc_id = d.doc_id)
 SELECT doc_id, rank FROM r3
+""",
+        # personalized PageRank: teleport only to seeds (doc_id%100=3),
+        # 2 unrolled rounds, same integer fixed-point form as pagerank
+        "ppr": """
+WITH seeds AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 3),
+ns AS (SELECT count(*)::BIGINT AS n FROM seeds),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT d.doc_id,
+              CAST(CASE WHEN s.doc_id IS NULL THEN 0
+                        ELSE 1000000000000 // (SELECT n FROM ns) END
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN seeds s ON s.doc_id = d.doc_id),
+r1 AS (SELECT d.doc_id,
+              CAST(CASE WHEN sd.doc_id IS NULL THEN 0
+                        ELSE (15 * (1000000000000 // (SELECT n FROM ns))) // 100 END
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d
+       LEFT JOIN seeds sd ON sd.doc_id = d.doc_id
+       LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r0 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id),
+r2 AS (SELECT d.doc_id,
+              CAST(CASE WHEN sd.doc_id IS NULL THEN 0
+                        ELSE (15 * (1000000000000 // (SELECT n FROM ns))) // 100 END
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d
+       LEFT JOIN seeds sd ON sd.doc_id = d.doc_id
+       LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r1 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id)
+SELECT doc_id, rank FROM r2
 """,
         # per-doc term vectors: tf + first position per (doc, term);
         # generate_subscripts is 1-based, the engine's positions 0-based

@@ -122,13 +122,24 @@ def pagerank(
     iters: int = 5,
     scale: int = PR_SCALE,
     num_buckets: int | None = None,
+    seeds=None,
 ):
     """Distributed fixed-point PageRank: (doc_id, rank int64) after
     ``iters`` damped rounds (d = 85/100).  Each round is one bucketed
     hash join (ranks onto edges by src) + one groupby-sum (shares by
     dst, combiner-first); zero-in-link nodes get the base rank via a
     zero-row union, never an outer join.  Bit-identical across
-    partitionings and to the unrolled integer SQL replay."""
+    partitionings and to the unrolled integer SQL replay.
+
+    ``seeds`` (optional iterable of doc ids): PERSONALIZED PageRank
+    (topic-sensitive PR, Haveliwala 2002) — the teleport mass lands
+    only on the seed set: r0 and the per-round base term are
+    scale // |seeds| on seeds and 0 elsewhere.  The seed set is
+    broadcast once (``ray.put``, sorted int64) and must be small —
+    it is the personalization vector, not a corpus-sized sidecar.
+    Seeds absent from ``nodes_ds`` contribute no mass (total teleport
+    mass is then < scale) — callers own seed validity."""
+    import ray
     import ray.data
 
     from mini_ivf_ray.pipelines.relational import bucketed_hash_join
@@ -154,8 +165,29 @@ def pagerank(
                 }
             )
         )
-    base = (15 * (scale // n)) // 100
-    r0 = scale // n
+    seeds_ref = None
+    if seeds is not None:
+        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if not seed_arr.size:
+            raise ValueError("seeds must be non-empty when given")
+        base = (15 * (scale // int(seed_arr.size))) // 100
+        r0 = scale // int(seed_arr.size)
+        seeds_ref = ray.put(seed_arr)
+    else:
+        base = (15 * (scale // n)) // 100
+        r0 = scale // n
+
+    def _base_mask(doc_ids: np.ndarray) -> np.ndarray:
+        """Per-doc teleport base: uniform, or seed-only when
+        personalized."""
+        if seeds_ref is None:
+            return np.full(doc_ids.size, base, dtype=np.int64)
+        sd = ray.get(seeds_ref)
+        out = np.zeros(doc_ids.size, dtype=np.int64)
+        idx = np.searchsorted(sd, doc_ids)
+        np.minimum(idx, sd.size - 1, out=idx)
+        out[sd[idx] == doc_ids] = base
+        return out
 
     # per-edge out-degree, attached to edges ONCE and reused every
     # round (the static side of the iteration)
@@ -175,11 +207,19 @@ def pagerank(
     ).materialize()
 
     def _init(batch: pa.Table) -> pa.Table:
-        k = batch.num_rows
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        if seeds_ref is None:
+            init = np.full(ids.size, r0, dtype=np.int64)
+        else:
+            sd = ray.get(seeds_ref)
+            init = np.zeros(ids.size, dtype=np.int64)
+            idx = np.searchsorted(sd, ids)
+            np.minimum(idx, sd.size - 1, out=idx)
+            init[sd[idx] == ids] = r0
         return pa.table(
             {
-                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
-                "rank": pa.array(np.full(k, r0, dtype=np.int64), type=pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "rank": pa.array(init, type=pa.int64()),
             }
         )
 
@@ -193,12 +233,13 @@ def pagerank(
         )
 
     def _finish(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
         m = batch["sum(m)"].to_numpy().astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "doc_id": pa.array(ids, type=pa.int64()),
                 "rank": pa.array(
-                    base + (85 * m) // 100, type=pa.int64()
+                    _base_mask(ids) + (85 * m) // 100, type=pa.int64()
                 ),
             }
         )

@@ -111,3 +111,46 @@ def test_synth_edges_deterministic():
     )
     # out-degree 1..3 before self-loop removal => 0..3 after
     assert a.groupby("src").size().max() <= 3
+
+
+def test_personalized_pagerank_matches_local_replay():
+    """Seed-restricted teleport (topic-sensitive PR): base mass lands
+    only on seeds; bit-identical to the local integer replay."""
+    rng = np.random.default_rng(3)
+    ids = np.unique(rng.integers(0, 4_000, size=150)).astype(np.int64)
+    seeds = ids[::10]
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    got = pagerank(edges, nodes, iters=3, seeds=seeds).to_pandas()
+
+    # local replay
+    sids = np.sort(ids)
+    n = sids.size
+    ix = {int(v): i for i, v in enumerate(sids)}
+    src, dst = e["src"].to_numpy(), e["dst"].to_numpy()
+    deg = np.zeros(n, dtype=np.int64)
+    for s in src:
+        deg[ix[int(s)]] += 1
+    in_seed = np.isin(sids, seeds)
+    base = (15 * (PR_SCALE // int(seeds.size))) // 100
+    r = np.where(in_seed, PR_SCALE // int(seeds.size), 0).astype(np.int64)
+    for _ in range(3):
+        m = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            m[ix[int(d)]] += r[ix[int(s)]] // deg[ix[int(s)]]
+        r = np.where(in_seed, base, 0) + (85 * m) // 100
+    want = pd.DataFrame({"doc_id": sids, "rank": r})
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # non-seed nodes with no in-links hold exactly zero
+    no_in = ~np.isin(sids, np.unique(dst)) & ~in_seed
+    got_c = _canon(got)
+    assert (got_c.loc[no_in, "rank"] == 0).all()
+
+
+def test_personalized_empty_seeds_rejected():
+    ids = np.arange(5, dtype=np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes).materialize()
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank(edges, nodes, iters=1, seeds=[])
