@@ -1367,6 +1367,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def hits_q(sf_dir):
+        """Distributed fixed-point HITS (Kleinberg 1999 hubs &
+        authorities) over the deterministic synthetic link graph
+        (pipelines/graph.py hits): 2 mutual-reinforcement rounds, each
+        half-round ONE bucketed hash join + ONE combiner-first
+        groupby-sum, integer max-normalization (v // max(1, max//scale))
+        — bit-identical across partitionings and hash-exact vs the
+        unrolled SQL replay."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import hits, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = hits(edges, docs, iters=2, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "auth": pa.array(
+                    res["auth"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "hub": pa.array(
+                    res["hub"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def ordered_prox(sf_dir):
         """ORDERED proximity search (Lucene SpanNearQuery
         inOrder=true): query tokens must appear in order within the
@@ -4206,6 +4238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
         "ppr": ppr_q,
+        "hits": hits_q,
         "msm_topk": msm_topk,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -4229,9 +4262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_topk": boosted_topk,
         "jm_topk": jm_topk,
         "sig_terms": sig_terms,
-        "match_histogram": match_histogram,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
+        # (match_histogram r4-green hash row + facet-machinery pytests)
+        "match_histogram": match_histogram,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -5755,6 +5789,65 @@ r2 AS (SELECT d.doc_id,
                       JOIN outdeg g ON g.src = e.src
          GROUP BY 1) s ON s.doc_id = d.doc_id)
 SELECT doc_id, rank FROM r2
+""",
+        # HITS hubs & authorities: 2 unrolled mutual-reinforcement
+        # rounds over the same synthetic multigraph as pagerank;
+        # integer max-normalization each half-round (v // greatest(1,
+        # max(v) // scale)) replays the engine's fixed-point form
+        "hits": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+h0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS v FROM documents),
+a1r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, sum(h.v) AS m
+          FROM edges e JOIN h0 h ON h.doc_id = e.src GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+a1 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM a1r)
+                   AS BIGINT) AS v
+       FROM a1r),
+h1r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.src AS doc_id, sum(a.v) AS m
+          FROM edges e JOIN a1 a ON a.doc_id = e.dst GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+h1 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM h1r)
+                   AS BIGINT) AS v
+       FROM h1r),
+a2r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, sum(h.v) AS m
+          FROM edges e JOIN h1 h ON h.doc_id = e.src GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+a2 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM a2r)
+                   AS BIGINT) AS v
+       FROM a2r),
+h2r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.src AS doc_id, sum(a.v) AS m
+          FROM edges e JOIN a2 a ON a.doc_id = e.dst GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+h2 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM h2r)
+                   AS BIGINT) AS v
+       FROM h2r)
+SELECT a2.doc_id, a2.v AS auth, h2.v AS hub
+FROM a2 JOIN h2 ON h2.doc_id = a2.doc_id
 """,
         # per-doc term vectors: tf + first position per (doc, term);
         # generate_subscripts is 1-based, the engine's positions 0-based

@@ -45,6 +45,7 @@ import pyarrow as pa
 from mini_ivf_ray.pipelines.sampling import salt_hash60
 
 PR_SCALE = 10**12
+HITS_SCALE = 10**9
 
 
 def synth_edges(docs_ds, max_deg: int = 3, concurrency: int | None = None):
@@ -259,3 +260,164 @@ def pagerank(
         summed = partials.union(zeros).groupby("doc_id").sum("m")
         ranks = summed.map_batches(_finish, batch_format="pyarrow").materialize()
     return ranks
+
+
+def _value_partials(key: str):
+    """Combiner for HITS half-rounds: per-batch (endpoint, value-sum)
+    partials before the global groupby — the exchange carries at most
+    (batches x distinct-endpoint) rows instead of one row per edge."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy().astype(np.int64)
+        v = batch["v"].to_numpy().astype(np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, v)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "m": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return f
+
+
+def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
+         num_buckets: int | None = None):
+    """Distributed fixed-point HITS (Kleinberg 1999, "Authoritative
+    sources in a hyperlinked environment"): returns (doc_id, auth, hub)
+    after ``iters`` mutual-reinforcement rounds over a (src, dst) edge
+    Dataset.  Each round is two half-rounds, each ONE bucketed hash
+    join (scores onto edges by the propagating endpoint, reusing
+    relational.bucketed_hash_join) + ONE combiner-first groupby-sum:
+
+        auth_raw(v) = sum over edges u->v of hub(u)
+        hub_raw(u)  = sum over edges u->v of auth(v)
+
+    **Exact replay.**  Scores are fixed-point int64.  Power iteration
+    converges to the principal eigenvectors under ANY positive
+    rescaling, so instead of the float L2 norm each half-round
+    MAX-normalizes with an integer divisor:
+
+        D = max(1, max_raw // scale);   score = raw // D
+
+    which keeps every score < 2 * scale (mx // max(1, mx // scale) is
+    maximal just below an exact multiple; magnitudes stay bounded, no
+    int64 overflow: a node's raw value is <= degree * 2 * scale) and
+    — because
+    integer sums and divisions are order-independent — makes the result
+    bit-identical across partitionings and hash-identical to an
+    unrolled SQL replay.  h_0 = scale on every node; a node with no
+    in-links has auth 0, no out-links hub 0 (zero-row union, never an
+    outer join).  Multigraph semantics: parallel edges each contribute
+    (both sides of the oracle agree by construction).
+
+    Reference analog: the same recompute-global-state-per-round shape
+    as KMeans training (mini-ivf index_ivfpq.cpp train/update passes),
+    like ``pagerank`` above."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    nodes = nodes_ds.select_columns(["doc_id"])
+    n = nodes.count()
+    if n == 0:
+        empty = pa.array([], type=pa.int64())
+        return ray.data.from_arrow(
+            pa.table({"doc_id": empty, "auth": empty, "hub": empty})
+        )
+    agg = nodes.aggregate(ray.data.aggregate.Max("doc_id"))
+    if int(agg["max(doc_id)"]) >= 2**53:
+        raise ValueError(
+            "hits requires doc ids < 2**53 (join padding is exact "
+            "only in the float64-representable range); remap ids first"
+        )
+
+    def _zero(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "m": pa.array(np.zeros(k, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def _init(batch: pa.Table) -> pa.Table:
+        k = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "v": pa.array(np.full(k, scale, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    def _raw(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "v": pa.compute.cast(batch["sum(m)"], pa.int64()),
+            }
+        )
+
+    def _rename(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([col, "v"])
+
+        return f
+
+    def _div(d: int):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch["v"].to_numpy().astype(np.int64) // d
+            return pa.table(
+                {
+                    "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                    "v": pa.array(v, type=pa.int64()),
+                }
+            )
+
+        return f
+
+    zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
+    edges = edges_ds.select_columns(["src", "dst"]).materialize()
+
+    def _half(scores, prop_key: str, sum_key: str):
+        """One half-round: propagate ``scores`` along edges keyed by
+        ``prop_key``, sum at ``sum_key``, max-normalize."""
+        keyed = scores.map_batches(_rename(prop_key), batch_format="pyarrow")
+        joined = bucketed_hash_join(
+            edges, keyed, on=prop_key, num_buckets=num_buckets
+        )
+        partials = joined.map_batches(
+            _value_partials(sum_key), batch_format="pyarrow"
+        )
+        raw = (
+            partials.union(zeros)
+            .groupby("doc_id")
+            .sum("m")
+            .map_batches(_raw, batch_format="pyarrow")
+            .materialize()
+        )
+        mx = int(raw.aggregate(ray.data.aggregate.Max("v"))["max(v)"])
+        d = max(1, mx // scale)
+        return raw.map_batches(_div(d), batch_format="pyarrow").materialize()
+
+    hub = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+    auth = None
+    for _ in range(iters):
+        auth = _half(hub, "src", "dst")
+        hub = _half(auth, "dst", "src")
+
+    def _auth_col(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "auth"])
+
+    def _hub_col(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "hub"])
+
+    return bucketed_hash_join(
+        auth.map_batches(_auth_col, batch_format="pyarrow"),
+        hub.map_batches(_hub_col, batch_format="pyarrow"),
+        on="doc_id",
+        num_buckets=num_buckets,
+    )

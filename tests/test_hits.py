@@ -1,0 +1,96 @@
+"""HITS hubs & authorities: the fixed-point max-normalized iteration
+must be bit-identical to a local integer replay, invariant to
+partitioning, and pin the zero-degree conventions (no in-links ->
+auth 0, no out-links -> hub 0)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+from mini_ivf_ray.pipelines.graph import HITS_SCALE, hits, synth_edges
+
+
+def _nodes(ids):
+    return ray.data.from_arrow(
+        pa.table({"doc_id": np.asarray(ids, dtype=np.int64)})
+    )
+
+
+def _local_hits(ids, src, dst, iters, scale=HITS_SCALE):
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    n = ids.size
+    ix = {int(v): i for i, v in enumerate(ids)}
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            a[ix[int(d)]] += h[ix[int(s)]]
+        a //= max(1, int(a.max()) // scale)
+        hh = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            hh[ix[int(s)]] += a[ix[int(d)]]
+        h = hh // max(1, int(hh.max()) // scale)
+    return pd.DataFrame({"doc_id": ids, "auth": a, "hub": h})
+
+
+def _canon(df):
+    df = df.copy()
+    for c in ("doc_id", "auth", "hub"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "auth", "hub"]
+    ]
+
+
+def test_hits_matches_local_integer_replay():
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 8_000, size=250)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    got = hits(edges, nodes, iters=3).to_pandas()
+    want = _local_hits(ids, e["src"].to_numpy(), e["dst"].to_numpy(), 3)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_hits_partitioning_invariant():
+    rng = np.random.default_rng(13)
+    ids = np.unique(rng.integers(0, 4_000, size=100)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    a = hits(edges, nodes, iters=2).to_pandas()
+    b = hits(
+        edges.repartition(7), nodes.repartition(3), iters=2, num_buckets=5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_hits_zero_degree_conventions():
+    """Star graph 1..5 -> 0: the center is the sole authority (hub 0,
+    it links nowhere); the spokes are pure hubs (auth 0, nothing links
+    to them); scores land at exactly ``scale`` after normalization."""
+    ids = np.arange(6, dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+                "dst": np.zeros(5, dtype=np.int64),
+            }
+        )
+    )
+    r = _canon(hits(edges, _nodes(ids), iters=2).to_pandas())
+    center = r[r["doc_id"] == 0].iloc[0]
+    spokes = r[r["doc_id"] != 0]
+    assert center["auth"] == HITS_SCALE and center["hub"] == 0
+    assert (spokes["auth"] == 0).all()
+    assert (spokes["hub"] == HITS_SCALE).all()
+
+
+def test_hits_rejects_unrepresentable_ids():
+    big = np.array([1, 2**53 + 10], dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": big[:1], "dst": big[1:]}))
+    with pytest.raises(ValueError, match="2\\*\\*53"):
+        hits(edges, _nodes(big), iters=1)
