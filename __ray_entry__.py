@@ -268,6 +268,33 @@ def _ensure_boosted_index(sf_dir: str) -> str:
     return idx
 
 
+def _ensure_anchor_index(sf_dir: str) -> str:
+    """Index over the ANCHOR corpus (pipelines/anchors.py): each page's
+    searchable text is the concatenation of its in-links' anchor
+    slivers (first 4 tokens of each linking page), built by the
+    unchanged SPIMI stack — anchor retrieval is a derived corpus, not a
+    new engine."""
+    key = f"{sf_dir}:anchors"
+    if key in _index_cache:
+        return _index_cache[key]
+    from mini_ivf_ray.pipelines.anchors import anchor_pages
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.graph import synth_edges
+
+    def factory():
+        docs = _documents(sf_dir)
+        edges = synth_edges(docs.select_columns(["doc_id"]), max_deg=3)
+        return anchor_pages(docs, edges, k_tokens=4)
+
+    idx = tempfile.mkdtemp(prefix="graft_ftidx_anchor_")
+    build_index(
+        factory, idx, _CFG, dedup=False,
+        lineage_extra={"source": sf_dir, "corpus": "anchors_k4"},
+    )
+    _index_cache[key] = idx
+    return idx
+
+
 def _ensure_ivf(sf_dir: str, pq: bool = False, sq: bool = False) -> str:
     key = f"{sf_dir}:{pq}:{sq}"
     if key in _ivf_cache:
@@ -1395,6 +1422,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "hub": pa.array(
                     res["hub"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def anchor_topk(sf_dir):
+        """Anchor-text retrieval (Craswell 2001): BM25 top-10 where a
+        page's searchable text is the anchor slivers of its in-links
+        (pipelines/anchors.py) — the derived corpus feeds the UNCHANGED
+        build/serve stack, so statistics (N, avgdl, df) are computed
+        over the anchor corpus itself."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_anchor_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -4239,8 +4296,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank_q,
         "ppr": ppr_q,
         "hits": hits_q,
+        "anchor_topk": anchor_topk,
         "msm_topk": msm_topk,
-        "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
@@ -4264,8 +4321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
-        # (match_histogram r4-green hash row + facet-machinery pytests)
+        # (match_histogram r4-green hash row + facet-machinery pytests;
+        # price_quantiles r4-green + exact multi-pass-histogram pytests)
         "match_histogram": match_histogram,
+        "price_quantiles": price_quantiles,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -5790,6 +5849,63 @@ r2 AS (SELECT d.doc_id,
          GROUP BY 1) s ON s.doc_id = d.doc_id)
 SELECT doc_id, rank FROM r2
 """,
+        # anchor-text retrieval: BM25 over the anchor corpus — each
+        # page's text is the concatenated first-4-token slivers of its
+        # in-linking pages (same synthetic multigraph as pagerank);
+        # statistics (N, avgdl, df) over the ANCHOR corpus itself
+        "anchor_topk": f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+anchors AS (SELECT doc_id AS src,
+                   list_slice(regexp_extract_all(lower(text),
+                                                 '{TOKEN_RE_SQL}'), 1, 4) AS toks
+            FROM documents),
+atok AS (SELECT e.dst AS doc_id, unnest(a.toks) AS term
+         FROM edges e JOIN anchors a ON a.src = e.src),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM atok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM atok GROUP BY 1),
+stats AS (SELECT (SELECT count(DISTINCT doc_id) FROM atok)::DOUBLE AS n,
+                 (SELECT count(*) FROM atok)::DOUBLE
+                   / (SELECT count(DISTINCT doc_id) FROM atok)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {{_bm25_values}}),
+scores AS (
+  -- term-ORDERED summation: the anchor corpus is sliver-duplicated, so
+  -- mathematically-tied docs are common; summing each group's per-term
+  -- contributions in a fixed order makes equal multisets produce
+  -- bit-equal floats (exact tie -> doc asc), matching the engine's
+  -- fixed per-term accumulation order
+  SELECT q.query_id, p.doc_id,
+         list_sum(list(
+           ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+           ORDER BY q.term)) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""".replace("{_bm25_values}", _bm25_values()),
         # HITS hubs & authorities: 2 unrolled mutual-reinforcement
         # rounds over the same synthetic multigraph as pagerank;
         # integer max-normalization each half-round (v // greatest(1,
