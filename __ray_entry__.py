@@ -1005,6 +1005,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def top_hits_sharded(sf_dir):
+        """Doc-sharded grouped top-hits: identical semantics (and SQL
+        oracle) to top_hits, served by serving.ShardedIndex — per-shard
+        additive group counts + per-shard per-group top-n hits merged
+        driver-side; per-node sidecar memory is corpus/R (the same r4
+        scale fix as bm25_facets_sharded, applied to the terms+top_hits
+        aggregation)."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.collapse import grouped_top_hits_sharded
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        res = grouped_top_hits_sharded(
+            idx,
+            BM25_QUERIES,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            _CFG,
+            n_per_group=2,
+            max_groups=3,
+            num_shards=4,
+        )
+        res = res.sort_values(["query_id", "grp", "hit_rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "grp": pa.array(res["grp"].astype(str), type=pa.string()),
+                "grp_count": pa.array(
+                    res["grp_count"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "hit_rank": pa.array(
+                    res["hit_rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_facets_sharded(sf_dir):
         """Doc-sharded facet panel: identical semantics (and SQL oracle)
         to bm25_facets, but served by serving.ShardedIndex with the
@@ -4292,13 +4340,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
         "top_hits": top_hits,
+        "top_hits_sharded": top_hits_sharded,
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
         "ppr": ppr_q,
         "hits": hits_q,
         "anchor_topk": anchor_topk,
         "msm_topk": msm_topk,
-        "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
@@ -4322,9 +4370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
         # (match_histogram r4-green hash row + facet-machinery pytests;
-        # price_quantiles r4-green + exact multi-pass-histogram pytests)
+        # price_quantiles r4-green + exact multi-pass-histogram pytests;
+        # regex_grep r4-green + trigram-prefilter pytests)
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
+        "regex_grep": regex_grep,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -6742,4 +6792,5 @@ SELECT doc_id, cls AS pred FROM (
     # the single-index paths — same oracle, different distribution
     sql["bm25_facets_sharded"] = sql["bm25_facets"]
     sql["collapsed_sharded"] = sql["collapsed_topk"]
+    sql["top_hits_sharded"] = sql["top_hits"]
     return sql

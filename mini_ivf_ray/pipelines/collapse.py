@@ -378,3 +378,31 @@ def collapsed_search_sharded(
         return sharded.collapsed_search(queries)
     finally:
         sharded.shutdown()
+
+
+def grouped_top_hits_sharded(
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    group_ids,
+    group_values,
+    cfg: PipelineConfig | None = None,
+    n_per_group: int = 5,
+    max_groups: int = 3,
+    num_shards: int = 4,
+):
+    """Doc-sharded grouped top-hits: per-shard additive group counts +
+    per-shard per-group top-n hits, merged driver-side under the same
+    (count desc, label asc) / (score desc, doc asc) rules — identical
+    to ``grouped_top_hits`` (pytest-pinned) with per-node sidecar
+    memory corpus/R instead of the O(corpus) broadcast."""
+    from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    sharded = ShardedIndex(index_dir, cfg, num_shards=num_shards)
+    try:
+        sharded.attach_sidecar(group_ids, group_values)
+        return sharded.grouped_top_hits(
+            queries, n_per_group=n_per_group, max_groups=max_groups
+        )
+    finally:
+        sharded.shutdown()

@@ -211,6 +211,52 @@ class RangeSearcher:
             df["doc_id"] = df["doc_id"].astype(np.uint64)
         return df
 
+    def top_hits_batch(
+        self, queries: list[tuple[int, str]], n_per_group: int
+    ):
+        """Per query, this shard's per-group match COUNTS plus its
+        per-group top ``n_per_group`` hits (score desc, doc asc) over
+        its slice of the full accumulated match set.  Returns
+        (counts_df, hits_df); counts are additive across shards and
+        hits merge under the same order rule, so the driver's
+        group-selection and per-group top-n are exact over the full
+        corpus while the exchange stays (queries x groups x n) rows —
+        never doc-proportional."""
+        counts = {"query_id": [], "code": [], "n_docs": []}
+        hits = {"query_id": [], "code": [], "doc_id": [], "score": []}
+        for qid, qtext in queries:
+            docs, scores = self._in_range_scored(qtext, full=True)
+            if docs is None or not docs.size or not self.side_ids.size:
+                continue
+            idx = np.searchsorted(self.side_ids, docs)
+            np.minimum(idx, self.side_ids.size - 1, out=idx)
+            valid = self.side_ids[idx] == docs
+            docs, scores = docs[valid], scores[valid]
+            codes = self.side_codes[idx[valid]]
+            if not docs.size:
+                continue
+            cnt = np.bincount(codes)
+            for code in np.flatnonzero(cnt):
+                counts["query_id"].append(qid)
+                counts["code"].append(int(code))
+                counts["n_docs"].append(int(cnt[code]))
+            order = np.lexsort((docs, -scores, codes))
+            codes_s = codes[order]
+            first = np.ones(codes_s.size, dtype=bool)
+            first[1:] = codes_s[1:] != codes_s[:-1]
+            run = np.cumsum(first) - 1
+            starts = np.nonzero(first)[0]
+            rank_in_group = np.arange(codes_s.size) - starts[run]
+            keep = order[rank_in_group < n_per_group]
+            hits["query_id"].extend([qid] * keep.size)
+            hits["code"].extend(codes[keep].tolist())
+            hits["doc_id"].extend(docs[keep].tolist())
+            hits["score"].extend(scores[keep].tolist())
+        cdf, hdf = pd.DataFrame(counts), pd.DataFrame(hits)
+        if len(hdf):
+            hdf["doc_id"] = hdf["doc_id"].astype(np.uint64)
+        return cdf, hdf
+
     def _term_blocks_in_range(self, term: str) -> PostingBlocks | None:
         hit = self._range_cache.get(term, False)
         if hit is not False:
@@ -524,6 +570,69 @@ class ShardedIndex:
         if len(df):
             df["doc_id"] = df["doc_id"].astype(np.uint64)
             df["rank"] = df["rank"].astype(np.int32)
+        return df
+
+    def grouped_top_hits(
+        self,
+        queries: list[tuple[int, str]],
+        n_per_group: int = 5,
+        max_groups: int = 3,
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local grouped top-hits -> (query_id, grp, grp_count,
+        hit_rank, doc_id, score), identical to
+        pipelines.collapse.grouped_top_hits.  Each shard reports its
+        per-group counts (additive — each doc lives in exactly one
+        shard) and per-group top-n hits; the driver sums counts, picks
+        the ``max_groups`` groups per (count desc, label asc), and
+        re-merges each selected group's hits under (score desc, doc
+        asc).  Exchange volume: (queries x groups x n) rows."""
+        import ray
+
+        if not self.side_labels:
+            raise ValueError("attach_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.top_hits_batch.remote(part, n_per_group)
+                for a in self.actors
+            )
+        pairs = ray.get(futs)
+        cframes = [c for c, _ in pairs if len(c)]
+        hframes = [h for _, h in pairs if len(h)]
+        cols = ["query_id", "grp", "grp_count", "hit_rank", "doc_id", "score"]
+        if not cframes:
+            return pd.DataFrame({c: [] for c in cols})
+        counts = (
+            pd.concat(cframes, ignore_index=True)
+            .groupby(["query_id", "code"], sort=True, as_index=False)["n_docs"]
+            .sum()
+        )
+        counts["label"] = [self.side_labels[int(c)] for c in counts["code"]]
+        hits = pd.concat(hframes, ignore_index=True)
+        out = {c: [] for c in cols}
+        for qid, g in counts.groupby("query_id", sort=True):
+            sel = g.sort_values(
+                ["n_docs", "label"], ascending=[False, True], kind="mergesort"
+            ).head(max_groups)
+            hq = hits[hits["query_id"] == qid]
+            for _, row in sel.iterrows():
+                hg = hq[hq["code"] == row["code"]].sort_values(
+                    ["score", "doc_id"], ascending=[False, True],
+                    kind="mergesort",
+                ).head(n_per_group)
+                out["query_id"].extend([int(qid)] * len(hg))
+                out["grp"].extend([row["label"]] * len(hg))
+                out["grp_count"].extend([int(row["n_docs"])] * len(hg))
+                out["hit_rank"].extend(range(len(hg)))
+                out["doc_id"].extend(hg["doc_id"].tolist())
+                out["score"].extend(hg["score"].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["hit_rank"] = df["hit_rank"].astype(np.int32)
+            df["grp_count"] = df["grp_count"].astype(np.int64)
         return df
 
     def search(

@@ -129,3 +129,30 @@ def test_slice_sizes_partition_corpus(tiny_index):
         assert max(sizes) < len(ids_s)  # genuinely partitioned
     finally:
         sharded.shutdown()
+
+
+def test_sharded_top_hits_identical(tiny_index):
+    """Grouped top-hits served shard-locally (additive per-shard counts
+    + per-shard per-group top-n, driver re-merge) must equal the
+    single-index broadcast path bit-for-bit, including group selection
+    ties and hit order."""
+    from mini_ivf_ray.pipelines.collapse import (
+        grouped_top_hits,
+        grouped_top_hits_sharded,
+    )
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _sidecar(docs)
+    single = grouped_top_hits(
+        idx, _qds(), ids, vals, cfg, n_per_group=3, max_groups=4
+    ).to_pandas()
+    sharded = grouped_top_hits_sharded(
+        idx, QUERIES, ids, vals, cfg, n_per_group=3, max_groups=4,
+        num_shards=4,
+    )
+    keys = ["query_id", "grp", "hit_rank"]
+    s = _canon(single, keys)
+    h = _canon(sharded, keys)
+    pd.testing.assert_frame_equal(s, h, check_dtype=False)
+    assert list(s["score"]) == list(h["score"])  # bit-identical scores
+    assert len(s)
