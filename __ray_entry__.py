@@ -1474,6 +1474,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def redirects_q(sf_dir):
+        """Redirect-chain resolution (URL canonicalization) via
+        POINTER DOUBLING (pipelines/redirects.py): 3 doubling rounds —
+        each ONE bucketed LEFT self-join of the slim (src, cur) state —
+        resolve every chain of length <= 2^3 exactly; cycles and longer
+        chains come back resolved=0.  Hash-exact vs the unrolled
+        doubling SQL replay."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.redirects import (
+            resolve_redirects,
+            synth_redirects,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        red = synth_redirects(docs, mod=7, residue=1).materialize()
+        res = resolve_redirects(red, rounds=3, num_buckets=16).to_pandas()
+        res = res.sort_values("src")
+        return pa.table(
+            {
+                "src": pa.array(
+                    res["src"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "canonical": pa.array(
+                    res["canonical"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "resolved": pa.array(
+                    res["resolved"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def anchor_topk(sf_dir):
         """Anchor-text retrieval (Craswell 2001): BM25 top-10 where a
         page's searchable text is the anchor slivers of its in-links
@@ -4346,8 +4382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": ppr_q,
         "hits": hits_q,
         "anchor_topk": anchor_topk,
+        "redirects": redirects_q,
         "msm_topk": msm_topk,
-        "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
         "bm25_page2": bm25_page2,
@@ -4371,10 +4407,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rotated out with green rows + pytest gates on record:
         # (match_histogram r4-green hash row + facet-machinery pytests;
         # price_quantiles r4-green + exact multi-pass-histogram pytests;
-        # regex_grep r4-green + trigram-prefilter pytests)
+        # regex_grep r4-green + trigram-prefilter pytests;
+        # doc_keywords r4-green + tf-idf pytests)
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
+        "doc_keywords": doc_keywords,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -5956,6 +5994,31 @@ ranked AS (SELECT query_id, doc_id, score,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """.replace("{_bm25_values}", _bm25_values()),
+        # redirect-chain resolution: 3 unrolled POINTER-DOUBLING
+        # self-joins (s_{i+1}(x) = s_i(s_i(x)), LEFT so terminated
+        # pointers stand still) resolve chains of length <= 8 exactly;
+        # resolved = the pointer's final node is not itself a redirect
+        "redirects": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+red AS (SELECT s.src, o.doc_id AS dst
+        FROM (SELECT doc_id AS src,
+                     CAST(CAST(('0x' || substr(md5(doc_id || ':rd-dst'), 1, 15))
+                               AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+              FROM documents WHERE doc_id % 7 = 1) s
+        JOIN ord o ON o.pos = s.pos WHERE o.doc_id <> s.src),
+s0 AS (SELECT src, dst AS cur FROM red),
+s1 AS (SELECT a.src, COALESCE(b.cur, a.cur) AS cur
+       FROM s0 a LEFT JOIN s0 b ON b.src = a.cur),
+s2 AS (SELECT a.src, COALESCE(b.cur, a.cur) AS cur
+       FROM s1 a LEFT JOIN s1 b ON b.src = a.cur),
+s3 AS (SELECT a.src, COALESCE(b.cur, a.cur) AS cur
+       FROM s2 a LEFT JOIN s2 b ON b.src = a.cur)
+SELECT a.src, a.cur AS canonical,
+       CAST(CASE WHEN r.src IS NULL THEN 1 ELSE 0 END AS BIGINT) AS resolved
+FROM s3 a LEFT JOIN red r ON r.src = a.cur
+""",
         # HITS hubs & authorities: 2 unrolled mutual-reinforcement
         # rounds over the same synthetic multigraph as pagerank;
         # integer max-normalization each half-round (v // greatest(1,
