@@ -1474,6 +1474,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def cocitation_q(sf_dir):
+        """Co-citation related pages (Dean & Henzinger 1999): top-50
+        page pairs by the number of pages linking to BOTH, over the
+        deterministic synthetic multigraph — one bucketed self-join on
+        src + one combiner-first groupby-sum + per-block top-n partials
+        (pipelines/graph.py cocitation_topn)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import cocitation_topn, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        return cocitation_topn(edges, n=50, num_buckets=16)
+
     def redirects_q(sf_dir):
         """Redirect-chain resolution (URL canonicalization) via
         POINTER DOUBLING (pipelines/redirects.py): 3 doubling rounds —
@@ -4383,8 +4399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": hits_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
+        "cocitation": cocitation_q,
         "msm_topk": msm_topk,
-        "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
         "bm25_page2": bm25_page2,
         "events_json_stats": events_json_stats,
@@ -4408,11 +4424,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (match_histogram r4-green hash row + facet-machinery pytests;
         # price_quantiles r4-green + exact multi-pass-histogram pytests;
         # regex_grep r4-green + trigram-prefilter pytests;
-        # doc_keywords r4-green + tf-idf pytests)
+        # doc_keywords r4-green + tf-idf pytests;
+        # nb_classify r4-green + NB replay pytests)
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
+        "nb_classify": nb_classify_q,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -5994,6 +6012,31 @@ ranked AS (SELECT query_id, doc_id, score,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """.replace("{_bm25_values}", _bm25_values()),
+        # co-citation related pages: self-join the synthetic edge
+        # multiset on src (every (edge_u, edge_v) combination with
+        # u < v counts once), top-50 by (count desc, u asc, v asc)
+        "cocitation": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+pairs AS (SELECT e1.dst AS u, e2.dst AS v
+          FROM edges e1 JOIN edges e2
+            ON e2.src = e1.src AND e1.dst < e2.dst)
+SELECT u, v, count(*)::BIGINT AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, u ASC, v ASC LIMIT 50
+""",
         # redirect-chain resolution: 3 unrolled POINTER-DOUBLING
         # self-joins (s_{i+1}(x) = s_i(s_i(x)), LEFT so terminated
         # pointers stand still) resolve chains of length <= 8 exactly;

@@ -262,6 +262,87 @@ def pagerank(
     return ranks
 
 
+def cocitation_topn(edges_ds, n: int = 50, num_buckets: int | None = None):
+    """Co-citation related-pages counts (Dean & Henzinger 1999, "Finding
+    related pages in the World Wide Web"): two pages u < v are co-cited
+    once for every page that links to both; the top-``n`` pairs by
+    (count desc, u asc, v asc) are the corpus's strongest relatedness
+    signals.  Returns (u, v, cnt int64).
+
+    Shape: ONE bucketed hash self-join of the edge list on src (the
+    fan-out is outdeg^2 per source — bounded by the per-page link cap,
+    the standard co-citation practice) -> per-batch (u, v) count
+    partials -> ONE groupby-sum -> per-block top-n partials merged
+    driver-side ((blocks x n) rows, never pair-proportional).
+    Multigraph semantics: parallel edges multiply pair counts (each
+    (edge_u, edge_v) combination counts — both oracle sides agree by
+    construction)."""
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    edges = edges_ds.select_columns(["src", "dst"])
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["src", "dst2"])
+
+    other = edges.map_batches(_rename, batch_format="pyarrow")
+    joined = bucketed_hash_join(edges, other, on="src", num_buckets=num_buckets)
+
+    def _pair_partials(batch: pa.Table) -> pa.Table:
+        u = batch["dst"].to_numpy().astype(np.int64)
+        v = batch["dst2"].to_numpy().astype(np.int64)
+        keep = u < v
+        u, v = u[keep], v[keep]
+        if not u.size:
+            e = pa.array([], type=pa.int64())
+            return pa.table({"u": e, "v": e, "c": e})
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.ones(u.size, dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, u.size))
+        return pa.table(
+            {
+                "u": pa.array(u[starts], type=pa.int64()),
+                "v": pa.array(v[starts], type=pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    summed = (
+        joined.map_batches(_pair_partials, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .sum("c")
+    )
+
+    def _block_topn(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy().astype(np.int64)
+        v = batch["v"].to_numpy().astype(np.int64)
+        c = batch["sum(c)"].to_numpy().astype(np.int64)
+        order = np.lexsort((v, u, -c))[:n]
+        return pa.table(
+            {
+                "u": pa.array(u[order], type=pa.int64()),
+                "v": pa.array(v[order], type=pa.int64()),
+                "cnt": pa.array(c[order], type=pa.int64()),
+            }
+        )
+
+    parts = summed.map_batches(_block_topn, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(
+        ["cnt", "u", "v"], ascending=[False, True, True], kind="mergesort"
+    ).head(n)
+    return pa.table(
+        {
+            "u": pa.array(parts["u"].to_numpy(), type=pa.int64()),
+            "v": pa.array(parts["v"].to_numpy(), type=pa.int64()),
+            "cnt": pa.array(parts["cnt"].to_numpy(), type=pa.int64()),
+        }
+    )
+
+
 def _value_partials(key: str):
     """Combiner for HITS half-rounds: per-batch (endpoint, value-sum)
     partials before the global groupby — the exchange carries at most

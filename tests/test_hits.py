@@ -94,3 +94,39 @@ def test_hits_rejects_unrepresentable_ids():
     edges = ray.data.from_arrow(pa.table({"src": big[:1], "dst": big[1:]}))
     with pytest.raises(ValueError, match="2\\*\\*53"):
         hits(edges, _nodes(big), iters=1)
+
+
+def test_cocitation_matches_local_replay():
+    from collections import Counter
+
+    from mini_ivf_ray.pipelines.graph import cocitation_topn
+
+    rng = np.random.default_rng(29)
+    ids = np.unique(rng.integers(0, 6_000, size=200)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    # local replay: every (edge_u, edge_v) combination per src, u < v
+    cnt = Counter()
+    for _, g in e.groupby("src"):
+        ds = g["dst"].to_numpy()
+        for i in range(ds.size):
+            for j in range(ds.size):
+                if ds[i] < ds[j]:
+                    cnt[(int(ds[i]), int(ds[j]))] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = cocitation_topn(edges, n=20).to_pandas()
+    assert len(got) == min(20, len(cnt))
+    for row, ((u, v), c) in zip(got.itertuples(index=False), want):
+        assert (row.u, row.v, row.cnt) == (u, v, c)
+
+
+def test_cocitation_partitioning_invariant():
+    from mini_ivf_ray.pipelines.graph import cocitation_topn
+
+    rng = np.random.default_rng(31)
+    ids = np.unique(rng.integers(0, 3_000, size=120)).astype(np.int64)
+    edges = synth_edges(_nodes(ids), max_deg=3).materialize()
+    a = cocitation_topn(edges, n=15).to_pandas()
+    b = cocitation_topn(edges.repartition(9), n=15, num_buckets=5).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
