@@ -1490,6 +1490,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = synth_edges(docs, max_deg=3).materialize()
         return cocitation_topn(edges, n=50, num_buckets=16)
 
+    def coupling_q(sf_dir):
+        """Bibliographic coupling (Kessler 1963): top-50 page pairs by
+        shared OUT-links — co-citation of the reversed edge list
+        (pipelines/graph.py coupling_topn), same join/groupby/top-n
+        machinery."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import coupling_topn, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        return coupling_topn(edges, n=50, num_buckets=16)
+
     def redirects_q(sf_dir):
         """Redirect-chain resolution (URL canonicalization) via
         POINTER DOUBLING (pipelines/redirects.py): 3 doubling rounds —
@@ -4400,8 +4415,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
+        "coupling": coupling_q,
         "msm_topk": msm_topk,
-        "prefix_suggest": prefix_suggest_q,
         "bm25_page2": bm25_page2,
         "events_json_stats": events_json_stats,
         "bool_search": bool_search,
@@ -4425,12 +4440,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # price_quantiles r4-green + exact multi-pass-histogram pytests;
         # regex_grep r4-green + trigram-prefilter pytests;
         # doc_keywords r4-green + tf-idf pytests;
-        # nb_classify r4-green + NB replay pytests)
+        # nb_classify r4-green + NB replay pytests;
+        # prefix_suggest r4-green + trie pytests)
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
+        "prefix_suggest": prefix_suggest_q,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -6033,6 +6050,30 @@ edges AS (SELECT l.src, o.doc_id AS dst
 pairs AS (SELECT e1.dst AS u, e2.dst AS v
           FROM edges e1 JOIN edges e2
             ON e2.src = e1.src AND e1.dst < e2.dst)
+SELECT u, v, count(*)::BIGINT AS cnt
+FROM pairs GROUP BY 1, 2
+ORDER BY cnt DESC, u ASC, v ASC LIMIT 50
+""",
+        # bibliographic coupling: pairs sharing an OUT-link — the
+        # reversed-graph dual of cocitation
+        "coupling": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+pairs AS (SELECT e1.src AS u, e2.src AS v
+          FROM edges e1 JOIN edges e2
+            ON e2.dst = e1.dst AND e1.src < e2.src)
 SELECT u, v, count(*)::BIGINT AS cnt
 FROM pairs GROUP BY 1, 2
 ORDER BY cnt DESC, u ASC, v ASC LIMIT 50

@@ -343,6 +343,26 @@ def cocitation_topn(edges_ds, n: int = 50, num_buckets: int | None = None):
     )
 
 
+def coupling_topn(edges_ds, n: int = 50, num_buckets: int | None = None):
+    """Bibliographic coupling (Kessler 1963, the dual of co-citation):
+    two pages u < v are coupled once for every page BOTH link to.
+    Exactly co-citation over the reversed edge list — one column swap,
+    the same join/groupby/top-n machinery."""
+
+    def _swap(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.compute.cast(batch["dst"], pa.int64()),
+                "dst": pa.compute.cast(batch["src"], pa.int64()),
+            }
+        )
+
+    rev = edges_ds.select_columns(["src", "dst"]).map_batches(
+        _swap, batch_format="pyarrow"
+    )
+    return cocitation_topn(rev, n=n, num_buckets=num_buckets)
+
+
 def _value_partials(key: str):
     """Combiner for HITS half-rounds: per-batch (endpoint, value-sum)
     partials before the global groupby — the exchange carries at most

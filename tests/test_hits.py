@@ -130,3 +130,28 @@ def test_cocitation_partitioning_invariant():
     a = cocitation_topn(edges, n=15).to_pandas()
     b = cocitation_topn(edges.repartition(9), n=15, num_buckets=5).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_coupling_matches_local_replay():
+    """Bibliographic coupling == co-citation of the reversed graph;
+    verify against a direct local replay over shared out-targets."""
+    from collections import Counter
+
+    from mini_ivf_ray.pipelines.graph import coupling_topn
+
+    rng = np.random.default_rng(37)
+    ids = np.unique(rng.integers(0, 6_000, size=200)).astype(np.int64)
+    edges = synth_edges(_nodes(ids), max_deg=3).materialize()
+    e = edges.to_pandas()
+    cnt = Counter()
+    for _, g in e.groupby("dst"):
+        ss = g["src"].to_numpy()
+        for i in range(ss.size):
+            for j in range(ss.size):
+                if ss[i] < ss[j]:
+                    cnt[(int(ss[i]), int(ss[j]))] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = coupling_topn(edges, n=20).to_pandas()
+    assert len(got) == min(20, len(cnt))
+    for row, ((u, v), c) in zip(got.itertuples(index=False), want):
+        assert (row.u, row.v, row.cnt) == (u, v, c)
