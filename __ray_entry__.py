@@ -1490,6 +1490,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = synth_edges(docs, max_deg=3).materialize()
         return cocitation_topn(edges, n=50, num_buckets=16)
 
+    def link_components_q(sf_dir):
+        """Weakly-connected components of the link graph: the synthetic
+        href multigraph treated undirected, labeled by MINIMUM member id
+        via the alternating large-star/small-star rounds of
+        dedup.connected_components_ds (Kiveris 2014) — the same
+        machinery that clusters near-duplicates, applied to link
+        topology (site/community discovery)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.dedup import connected_components_ds
+        from mini_ivf_ray.pipelines.graph import synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+
+        def _pairs(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_a": pa.compute.cast(batch["src"], pa.int64()),
+                    "id_b": pa.compute.cast(batch["dst"], pa.int64()),
+                }
+            )
+
+        pairs = edges.map_batches(_pairs, batch_format="pyarrow")
+        res = connected_components_ds(pairs).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "cluster_id": pa.array(
+                    res["cluster_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def coupling_q(sf_dir):
         """Bibliographic coupling (Kessler 1963): top-50 page pairs by
         shared OUT-links — co-citation of the reversed edge list
@@ -4416,8 +4456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": redirects_q,
         "cocitation": cocitation_q,
         "coupling": coupling_q,
+        "link_components": link_components_q,
         "msm_topk": msm_topk,
-        "bm25_page2": bm25_page2,
         "events_json_stats": events_json_stats,
         "bool_search": bool_search,
         "prox_search": prox_search,
@@ -4441,13 +4481,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # regex_grep r4-green + trigram-prefilter pytests;
         # doc_keywords r4-green + tf-idf pytests;
         # nb_classify r4-green + NB replay pytests;
-        # prefix_suggest r4-green + trie pytests)
+        # prefix_suggest r4-green + trie pytests;
+        # bm25_page2 r4-green, shares the pinned _bm25_sql family)
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
         "doc_keywords": doc_keywords,
         "nb_classify": nb_classify_q,
         "prefix_suggest": prefix_suggest_q,
+        "bm25_page2": bm25_page2,
         "pack_sequences": pack_sequences,
         "collocations": collocations_q,
         "events_pivot": events_pivot,
@@ -6053,6 +6095,33 @@ pairs AS (SELECT e1.dst AS u, e2.dst AS v
 SELECT u, v, count(*)::BIGINT AS cnt
 FROM pairs GROUP BY 1, 2
 ORDER BY cnt DESC, u ASC, v ASC LIMIT 50
+""",
+        # link-graph weakly-connected components: recursive
+        # min-reachable-label over the undirected synthetic edges (the
+        # same reach-CTE pattern as jaccard_dup_clusters)
+        "link_components": """
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+dedges AS (SELECT l.src, o.doc_id AS dst
+           FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+edges AS (SELECT src AS a, dst AS b FROM dedges
+          UNION SELECT dst, src FROM dedges),
+reach(v, u) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.u
+)
+SELECT v AS doc_id, min(u)::BIGINT AS cluster_id FROM reach GROUP BY v
 """,
         # bibliographic coupling: pairs sharing an OUT-link — the
         # reversed-graph dual of cocitation
