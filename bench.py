@@ -380,7 +380,10 @@ def run_bench() -> dict:
     qs = entry_mod.queries()
     for name in ["term_df", "tokenize_postings", "quality", "lsh_near_dup",
                  "ann_bruteforce", "docs_lang_join", "clean_corpus", "dl_quantiles",
-                 "events_hopping", "dedup_clusters", "tpch_q1"]:
+                 "events_hopping", "dedup_clusters", "tpch_q1",
+                 # round-5 web-graph family (fixed-point BSP rounds /
+                 # doubling joins over the synthetic multigraph)
+                 "pagerank", "redirects", "cocitation"]:
         t0 = time.perf_counter()
         res = qs[name](SF_DIR)
         if hasattr(res, "count"):
