@@ -588,3 +588,89 @@ def positional_hits(
         .to_pandas()
     )
     return hits
+
+
+def positions_epochs(index_dir: str) -> int:
+    """Maximum number of positions files in any partition: 1 for a
+    fresh or compacted store, 1 + k after k ``append_positions``
+    increments touched that partition — the positional-query cost
+    driver (every epoch file is opened and scanned per verify pass)."""
+    import glob as globmod
+
+    pos_dir = os.path.join(index_dir, "positions")
+    if not os.path.isdir(pos_dir):
+        return 0
+    return max(
+        (
+            len(globmod.glob(os.path.join(pos_dir, d, "positions*.parquet")))
+            for d in os.listdir(pos_dir)
+            if d.startswith("part=")
+        ),
+        default=0,
+    )
+
+
+def compact_positions(index_dir: str) -> dict:
+    """Merge every partition's epoch files (base + ``positions_inc*``)
+    back into ONE (term, doc_id)-sorted ``positions.parquet`` — the
+    positions-side mirror of ``maintenance.compact_index``'s file
+    hygiene.  Partitions merge in parallel (one Ray task each — raw
+    tasks are the right tool for per-partition file rewrites); the
+    commit is the same whole-store atomic protocol as
+    ``build_positions`` (full ``.ctmp`` directory + replace), so a
+    crash mid-compaction leaves either the old multi-epoch store or the
+    new single-epoch one, never a half-merged hybrid that a glob-based
+    reader would double-count.  Row content is unchanged (each doc's
+    rows live in exactly one epoch file), so freshness carries over
+    verbatim.  No-op when no partition has more than one file."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+    import ray
+
+    meta = positions_meta(index_dir)
+    if meta is None:
+        raise FileNotFoundError(
+            f"compact_positions: no positions store under {index_dir}"
+        )
+    pos_dir = os.path.join(index_dir, "positions")
+    parts = {
+        int(d.split("=", 1)[1]): sorted(
+            globmod.glob(os.path.join(pos_dir, d, "positions*.parquet"))
+        )
+        for d in os.listdir(pos_dir)
+        if d.startswith("part=")
+    }
+    epochs = max((len(v) for v in parts.values()), default=0)
+    if epochs <= 1:
+        return {"compacted": False, "epochs_before": epochs, "meta": meta}
+
+    tmp_dir = pos_dir + ".ctmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir)
+
+    @ray.remote(num_cpus=1)
+    def merge_part(part: int, files: list[str]) -> int:
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        d = os.path.join(tmp_dir, f"part={part}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tbl, os.path.join(d, "positions.parquet"), row_group_size=16384
+        )
+        return tbl.num_rows
+
+    n_rows = ray.get(
+        [merge_part.remote(p, fs) for p, fs in sorted(parts.items()) if fs]
+    )
+    new_meta = dict(
+        meta,
+        n_rows=int(sum(n_rows)),
+        parts_written=sorted(p for p, fs in parts.items() if fs),
+        compactions=int(meta.get("compactions", 0)) + 1,
+    )
+    with open(os.path.join(tmp_dir, "meta.json"), "w") as f:
+        json.dump(new_meta, f)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    os.replace(tmp_dir, pos_dir)
+    return {"compacted": True, "epochs_before": epochs, "meta": new_meta}

@@ -369,3 +369,59 @@ def test_term_vectors_unknown_docs_yield_no_rows(pos_index):
     missing = np.array([2**63 + 5, 2**63 + 9], dtype=np.uint64)
     got = term_vectors(idx, missing, cfg).to_pandas()
     assert len(got) == 0
+
+
+def test_compact_positions_restores_single_epoch(tmp_path):
+    """After two positions appends the store is multi-epoch;
+    compact_positions merges every partition back to one file with
+    BIT-IDENTICAL positional results, preserved freshness, and the
+    whole-store atomic commit (no .ctmp left behind)."""
+    from mini_ivf_ray.pipelines.append import append_index
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.phrase import ordered_proximity_topk
+    from mini_ivf_ray.pipelines.positions import (
+        append_positions,
+        compact_positions,
+        positions_epochs,
+    )
+    from mini_ivf_ray.sources.pages import generate_pages
+    from mini_ivf_ray.stages.prepare import prepare_documents
+
+    cfg = PipelineConfig(num_partitions=3, topk=10)
+    pages = generate_pages(600, seed=43, vocab_size=300, dup_frac=0.0)
+    a, b, c = pages.slice(0, 400), pages.slice(400, 100), pages.slice(500)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(a), idx, cfg)
+    docs_a = prepare_documents(ray.data.from_arrow(a), cfg).to_pandas()
+    build_positions(idx, ray.data.from_pandas(docs_a[["doc_id", "text"]]), cfg)
+    for part in (b, c):
+        append_index(lambda part=part: ray.data.from_arrow(part), idx, cfg)
+        docs_p = prepare_documents(ray.data.from_arrow(part), cfg).to_pandas()
+        append_positions(
+            idx, ray.data.from_pandas(docs_p[["doc_id", "text"]]), cfg
+        )
+    assert positions_epochs(idx) == 3 and positions_fresh(idx)
+    before_p = _canon(phrase_topk(idx, None, PHRASES, cfg, positions="index"))
+    before_o = _canon(
+        ordered_proximity_topk(idx, None, ORDERED, cfg, positions="index")
+    )
+
+    out = compact_positions(idx)
+    assert out["compacted"] and out["epochs_before"] == 3
+    assert positions_epochs(idx) == 1 and positions_fresh(idx)
+    assert not os.path.exists(os.path.join(idx, "positions.ctmp"))
+    import glob as globmod
+
+    assert not globmod.glob(
+        os.path.join(idx, "positions", "part=*", "positions_inc*.parquet")
+    )
+    after_p = _canon(phrase_topk(idx, None, PHRASES, cfg, positions="index"))
+    after_o = _canon(
+        ordered_proximity_topk(idx, None, ORDERED, cfg, positions="index")
+    )
+    pd.testing.assert_frame_equal(before_p, after_p)
+    pd.testing.assert_frame_equal(before_o, after_o)
+    assert len(after_p)
+    # idempotent: a second call is a no-op
+    again = compact_positions(idx)
+    assert not again["compacted"] and again["epochs_before"] == 1
