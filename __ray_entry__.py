@@ -1772,6 +1772,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def page2_filtered(sf_dir):
+        """Keyset pagination COMPOSED with metadata filtering
+        (search_after over a filtered search): page 1 is the lang='en'
+        filtered top-10; each query's rank-9 (score, doc_id) becomes
+        the cursor and page 2 re-queries with the SAME allowed mask —
+        the masks apply before the cursor cut (pipelines/query.py
+        topk_from_blocks), so the filtered page 2 continues the
+        filtered page 1's ranking exactly.  Emits ABSOLUTE ranks
+        10..19 of the filtered ranking."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        allowed = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+            filters=[("lang", "=", "en")],
+        )["doc_id"].to_numpy()
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        p1 = search(idx, qds, _CFG, allowed_docs=allowed).to_pandas()
+        cur = p1[p1["rank"] == 9].set_index("query_id")
+        items = [
+            {
+                "query_id": q,
+                "text": t,
+                "after_score": float(cur.loc[q, "score"]),
+                "after_doc": int(cur.loc[q, "doc_id"]),
+            }
+            for q, t in BM25_QUERIES
+            if q in cur.index  # fewer than 10 filtered matches: no page 2
+        ]
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "rank": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score_r": pa.array([], type=pa.float64()),
+            }
+        )
+        if not items:
+            return empty
+        res = search(
+            idx, ray.data.from_items(items), _CFG, allowed_docs=allowed
+        ).to_pandas()
+        if not len(res):
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64) + 10, type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def prefix_suggest_q(sf_dir):
         """Search-as-you-type: for each typed prefix, the top-10
         dictionary completions ranked (df desc, term asc).  ONE
@@ -4436,7 +4501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_topk": phrase_topk_q,
         "ordered_prox": ordered_prox,
         "jaccard_dup_clusters": jaccard_dup_clusters,
-        "stable_split": stable_split_q,
+        # page2_filtered: search_after composed with the allowed mask
+        # (round-5 boundary closure — the path used to raise)
+        "page2_filtered": page2_filtered,
         "decontaminate": decontaminate_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -4482,7 +4549,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # doc_keywords r4-green + tf-idf pytests;
         # nb_classify r4-green + NB replay pytests;
         # prefix_suggest r4-green + trie pytests;
-        # bm25_page2 r4-green, shares the pinned _bm25_sql family)
+        # bm25_page2 r4-green, shares the pinned _bm25_sql family;
+        # stable_split r4-green, exact md5 SQL replay + pytest gates)
+        "stable_split": stable_split_q,
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -5328,6 +5397,9 @@ FROM ch
 """,
         "bm25_conjunctive": _bm25_sql(conjunctive=True),
         "bm25_page2": _bm25_sql(rank_lo=10, rank_hi=20),
+        # filtered keyset page 2: ranks 10..19 of the lang-filtered
+        # ranking (masks before the cursor cut)
+        "page2_filtered": _bm25_sql(lang="en", rank_lo=10, rank_hi=20),
         # BM25F via the integer-weight replication identity: the oracle
         # tokenizes the SAME title-duplicated stream (first 8 tokens
         # prepended once more), so ordinary BM25 SQL scores fielded

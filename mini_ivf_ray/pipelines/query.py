@@ -492,11 +492,15 @@ def topk_from_blocks(
     ``after=(score, doc_id)`` is the keyset-pagination cursor
     (Elasticsearch ``search_after`` semantics): return the top-k of the
     docs strictly AFTER the cursor in (score desc, doc_id asc) order.
-    Cursor queries evaluate through the FULL TAAT accumulation —
-    top-k-bound pruning (MaxScore/WAND) is rank-unsafe at arbitrary
-    cursor depth, and consecutive same-query pages are deterministic
-    float64 sums, so page boundaries are exact (score equality at the
-    cursor is well-defined, not fragile)."""
+    Cursor queries evaluate through the FULL accumulation (TAAT, or the
+    conjunctive intersection for ``mode="and"``) — top-k-bound pruning
+    (MaxScore/WAND) is rank-unsafe at arbitrary cursor depth, and
+    consecutive same-query pages are deterministic float64 sums, so
+    page boundaries are exact (score equality at the cursor is
+    well-defined, not fragile).  Cursors compose with ``mode="and"``,
+    ``allowed`` and ``denied``: the masks restrict the match set BEFORE
+    the cursor cut (same pre-top-k semantics as filtered_topk), so a
+    filtered page 2 continues the filtered page 1's ranking exactly."""
     blocks_list = [b for b in fetched.values() if b is not None]
     total = sum(b.n_postings for b in blocks_list)
     for b in blocks_list:
@@ -504,16 +508,20 @@ def topk_from_blocks(
             bm25.idf(stats.df[b.term], stats.n_docs), stats.avgdl, cfg.k1, cfg.b
         )
     if after is not None:
-        if mode != "or" or allowed is not None or (
-            denied is not None and denied.size
-        ):
-            raise NotImplementedError(
-                "search_after pagination is defined on the default "
-                "disjunctive unfiltered path"
-            )
         s_aft = np.float64(after[0])
         d_aft = np.uint64(after[1])
-        uniq, scores, scored = _taat_accumulate(blocks_list)
+        if mode == "and":
+            uniq, scores, scored = conjunctive_matches(
+                blocks_list, len(fetched)
+            )
+        else:
+            uniq, scores, scored = _taat_accumulate(blocks_list)
+        if allowed is not None:
+            keep = _allowed_mask(uniq, allowed)
+            uniq, scores = uniq[keep], scores[keep]
+        if denied is not None and denied.size:
+            keep = ~_allowed_mask(uniq, denied)
+            uniq, scores = uniq[keep], scores[keep]
         m = (scores < s_aft) | ((scores == s_aft) & (uniq > d_aft))
         uniq, scores = uniq[m], scores[m]
         out = _topk_exact(uniq, scores, cfg.topk) if uniq.size else []
