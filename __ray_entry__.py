@@ -955,6 +955,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dup_collapsed_topk(sf_dir):
+        """Search with DUPLICATES collapsed (the web-search serving
+        composition: near-dup clustering x field collapsing): documents
+        are grouped by their duplicate-cluster label — connected
+        components over the exact-verified jaccard>=0.6 pairs, min
+        member id per cluster, own doc_id for singletons — and each
+        query returns at most ONE result per cluster (best by score
+        desc, doc asc), top-10 of the winners.  The label sidecar is
+        the same column-slim O(corpus) shape as collapsed_topk's lang
+        sidecar; the doc-sharded serving variant
+        (collapse.collapsed_search_sharded) applies unchanged since
+        labels are just another attribute column."""
+        import pandas as pd
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.collapse import collapsed_search
+        from mini_ivf_ray.pipelines.dedup import (
+            connected_components_ds,
+            lsh_candidate_pairs,
+            verify_pairs_exact,
+        )
+
+        idx = _ensure_index(sf_dir)
+        cand = lsh_candidate_pairs(
+            _documents(sf_dir), k=64, bands=16, threshold=0.5
+        ).to_pandas()
+        pairs = verify_pairs_exact(_documents(sf_dir), cand, w=3, threshold=0.6)
+        comp = connected_components_ds(
+            ray.data.from_pandas(pairs[["id_a", "id_b"]])
+        ).to_pandas()
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        s = pd.Series(ids, dtype=np.int64)
+        lab = (
+            s.map(
+                pd.Series(
+                    comp["cluster_id"].to_numpy(np.int64),
+                    index=comp["doc_id"].to_numpy(np.int64),
+                )
+            )
+            .fillna(s)
+            .astype(np.int64)
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = collapsed_search(
+            idx, qds, ids, lab.astype(str).tolist(), _CFG
+        ).to_pandas().sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "grp": pa.array(res["grp"].astype(np.int64), type=pa.int64()),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def top_hits(sf_dir):
         """Terms aggregation with top_hits (Elasticsearch terms +
         top_hits): per query the 3 langs with the most matching docs
@@ -4505,7 +4574,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round-5 boundary closure — the path used to raise)
         "page2_filtered": page2_filtered,
         "decontaminate": decontaminate_q,
-        "per_source_cap": per_source_cap,
+        # dup_collapsed_topk: near-dup clustering composed into collapse
+        # serving (one result per duplicate cluster)
+        "dup_collapsed_topk": dup_collapsed_topk,
         "stratified_sample": stratified_sample_q,
         "source_mix": source_mix,
         "token_budget": token_budget,
@@ -4550,8 +4621,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # nb_classify r4-green + NB replay pytests;
         # prefix_suggest r4-green + trie pytests;
         # bm25_page2 r4-green, shares the pinned _bm25_sql family;
-        # stable_split r4-green, exact md5 SQL replay + pytest gates)
+        # stable_split r4-green, exact md5 SQL replay + pytest gates;
+        # per_source_cap r4-green, shares the salted-hash row-function
+        # family with stratified_sample/source_mix which stay in-window)
         "stable_split": stable_split_q,
+        "per_source_cap": per_source_cap,
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -5611,6 +5685,56 @@ ranked AS (SELECT query_id, doc_id, score, lang,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM grouped WHERE rg = 1)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, lang AS grp,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # duplicate-collapsed retrieval: group labels are the CC
+        # min-member ids over the exact jaccard>=0.6 pair set
+        # (singletons label themselves), then the same collapse window
+        # as collapsed_topk
+        "dup_collapsed_topk": f"""
+WITH RECURSIVE jp AS ({_JACCARD_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM jp
+  UNION
+  SELECT id_b, id_a FROM jp
+),
+reach(v, u) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT reach.v, e.b FROM reach JOIN edges e ON e.a = reach.u
+),
+labels AS (SELECT v AS doc_id, min(u) AS grp FROM reach GROUP BY v),
+side AS (SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS grp
+         FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id),
+{_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+grouped AS (SELECT s.query_id, s.doc_id, s.score, side.grp,
+                   row_number() OVER (PARTITION BY s.query_id, side.grp
+                                      ORDER BY s.score DESC, s.doc_id ASC) AS rg
+            FROM scores s JOIN side ON side.doc_id = s.doc_id),
+ranked AS (SELECT query_id, doc_id, score, grp,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM grouped WHERE rg = 1)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, CAST(grp AS BIGINT) AS grp,
        round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
