@@ -1511,6 +1511,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def bfs_hops_q(sf_dir):
+        """Multi-source BFS hop distance from the seed set
+        (doc_id % 100 == 3) over the deterministic link graph, 3
+        directed hops (pipelines/graph.py bfs_hops): level-synchronous
+        frontier rounds — one bucketed join + one dedup groupby + one
+        LEFT anti-join each — over slim reached-nodes state.  The SQL
+        oracle unions exact-i-hop walk levels and takes min(dist):
+        min-over-walks == min-over-paths, so both sides agree."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import bfs_hops, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        ids = docs.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        seeds = ids[ids % 100 == 3]
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = bfs_hops(edges, seeds, max_hops=3, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "dist": pa.array(
+                    res["dist"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def hits_q(sf_dir):
         """Distributed fixed-point HITS (Kleinberg 1999 hubs &
         authorities) over the deterministic synthetic link graph
@@ -4578,7 +4609,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
         "stratified_sample": stratified_sample_q,
-        "source_mix": source_mix,
         "token_budget": token_budget,
         "lm_score": lm_score,
         # -- window: new round-5 doc-sharded scale paths -------------------
@@ -4590,6 +4620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank_q,
         "ppr": ppr_q,
         "hits": hits_q,
+        "bfs_hops": bfs_hops_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
@@ -4626,6 +4657,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family with stratified_sample/source_mix which stay in-window)
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
+        # source_mix r4-green, shares the salted-hash sampling family
+        "source_mix": source_mix,
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -6111,6 +6144,34 @@ FROM ranked WHERE rank < 10
         # fixed-point PageRank, 3 unrolled damped rounds over the
         # md5-derived synthetic link graph (integer arithmetic end to
         # end, so the replay is hash-exact; // is DuckDB int division)
+        # multi-source BFS: union exact-i-hop walk levels, min(dist) —
+        # min-over-walks == min-over-paths, so this replays the
+        # engine's revisit-suppressed frontier exactly
+        "bfs_hops": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+l0 AS (SELECT doc_id FROM documents WHERE doc_id % 100 = 3),
+l1 AS (SELECT DISTINCT e.dst AS doc_id FROM edges e JOIN l0 s ON e.src = s.doc_id),
+l2 AS (SELECT DISTINCT e.dst AS doc_id FROM edges e JOIN l1 s ON e.src = s.doc_id),
+l3 AS (SELECT DISTINCT e.dst AS doc_id FROM edges e JOIN l2 s ON e.src = s.doc_id),
+lv AS (SELECT doc_id, 0 AS dist FROM l0
+       UNION ALL SELECT doc_id, 1 FROM l1
+       UNION ALL SELECT doc_id, 2 FROM l2
+       UNION ALL SELECT doc_id, 3 FROM l3)
+SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist FROM lv GROUP BY 1
+""",
         "pagerank": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos

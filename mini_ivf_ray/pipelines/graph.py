@@ -522,3 +522,107 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
         on="doc_id",
         num_buckets=num_buckets,
     )
+
+
+def bfs_hops(edges_ds, seeds, max_hops: int = 3,
+             num_buckets: int | None = None):
+    """Multi-source BFS hop distance over the link graph: (doc_id,
+    dist int64) for every node reachable from ``seeds`` within
+    ``max_hops`` directed hops — dist is the MINIMAL hop count, seeds
+    are dist 0.  The crawl-scheduling / seed-neighborhood primitive
+    (how far is every page from the trusted seed set).
+
+    Level-synchronous frontier expansion: round t is ONE bucketed hash
+    join (frontier ids onto edges by src), ONE groupby dedup of the
+    targets, and ONE bucketed LEFT anti-join against the visited set
+    (unmatched rows are the newly reached nodes — frontier t+1).
+    State is two slim int64 columns over REACHED nodes only; nothing
+    corpus-sized lands on the driver and the loop exits early when a
+    frontier is empty.  No 2**53 id guard is needed here: the LEFT
+    join's missing side contributes only the ``dist`` column, whose
+    float64 NaN-ness is all the anti-join reads — the ids themselves
+    ride the join KEY, which pandas keeps int64.
+
+    Correctness frame shared with the SQL oracle: min-over-walks ==
+    min-over-paths, so an oracle that unions "reachable in exactly i
+    hops along some walk" levels and takes min(dist) agrees exactly
+    with the engine's revisit-suppressed frontier (the anti-join only
+    keeps frontiers from re-inflating; it never changes min dist).
+    """
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if not seed_arr.size:
+        raise ValueError("seeds must be non-empty")
+
+    def _tbl(ids: np.ndarray, dist: int) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "dist": pa.array(
+                    np.full(ids.size, dist, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    visited = ray.data.from_arrow(_tbl(seed_arr, 0)).materialize()
+    frontier = ray.data.from_arrow(
+        pa.table({"src": pa.array(seed_arr, type=pa.int64())})
+    )
+    edges = edges_ds.select_columns(["src", "dst"])
+
+    def _dst_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.compute.cast(batch["dst"], pa.int64())}
+        )
+
+    def _ids_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pa.compute.cast(batch["doc_id"], pa.int64())}
+        )
+
+    def _keep_unseen(dist: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy().astype(np.int64)
+            # arrow-cast first: int64-with-nulls reaches numpy as object
+            # dtype, float64 nulls become NaN uniformly (redirects.py)
+            seen = pa.compute.cast(batch["dist"], pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+            new = ids[np.isnan(seen)]
+            return _tbl(new, dist)
+
+        return f
+
+    def _as_src(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": pa.compute.cast(batch["doc_id"], pa.int64())}
+        )
+
+    for t in range(1, max_hops + 1):
+        joined = bucketed_hash_join(
+            edges, frontier, on="src", num_buckets=num_buckets
+        )
+        dsts = (
+            joined.map_batches(_dst_only, batch_format="pyarrow")
+            .groupby("doc_id")
+            .count()
+            .map_batches(_ids_only, batch_format="pyarrow")
+        ).materialize()
+        if dsts.count() == 0:
+            # dead frontier (no out-edges at all): nothing left to reach
+            break
+        anti = bucketed_hash_join(
+            dsts, visited, on="doc_id", num_buckets=num_buckets, how="left"
+        )
+        new = anti.map_batches(
+            _keep_unseen(t), batch_format="pyarrow"
+        ).materialize()
+        if new.count() == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new.map_batches(_as_src, batch_format="pyarrow")
+    return visited

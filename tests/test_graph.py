@@ -154,3 +154,101 @@ def test_personalized_empty_seeds_rejected():
     edges = synth_edges(nodes).materialize()
     with pytest.raises(ValueError, match="non-empty"):
         pagerank(edges, nodes, iters=1, seeds=[])
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops
+# ---------------------------------------------------------------------------
+
+
+def _local_bfs(src, dst, seeds, max_hops):
+    """Plain queue BFS over the directed edge list."""
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    dist = {int(s): 0 for s in seeds}
+    frontier = sorted(dist)
+    for t in range(1, max_hops + 1):
+        nxt = set()
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    nxt.add(v)
+        for v in nxt:
+            dist[v] = t
+        frontier = sorted(nxt)
+        if not frontier:
+            break
+    return dist
+
+
+def _bfs_canon(df):
+    df = df.copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["dist"] = df["dist"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[["doc_id", "dist"]]
+
+
+def test_bfs_matches_local_replay():
+    from mini_ivf_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(17)
+    ids = np.unique(rng.integers(0, 10_000, size=250)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    seeds = ids[ids % 10 == 3]
+    assert seeds.size
+    got = bfs_hops(edges, seeds, max_hops=3).to_pandas()
+    want = _local_bfs(e["src"], e["dst"], seeds, 3)
+    want_df = pd.DataFrame(
+        {"doc_id": sorted(want), "dist": [want[k] for k in sorted(want)]}
+    )
+    pd.testing.assert_frame_equal(_bfs_canon(got), _bfs_canon(want_df))
+    # min-dist property: some node must be reached at dist >= 2 or the
+    # fixture is vacuous
+    assert (want_df["dist"] >= 2).any()
+
+
+def test_bfs_partitioning_invariant():
+    from mini_ivf_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(23)
+    ids = np.unique(rng.integers(0, 5_000, size=120)).astype(np.int64)
+    edges = synth_edges(_nodes(ids), max_deg=3).materialize()
+    seeds = ids[:5]
+    a = _bfs_canon(bfs_hops(edges, seeds, max_hops=3).to_pandas())
+    b = _bfs_canon(
+        bfs_hops(edges.repartition(13), seeds, max_hops=3).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_bfs_zero_hops_and_empty_seeds():
+    from mini_ivf_ray.pipelines.graph import bfs_hops
+
+    ids = np.arange(10, dtype=np.int64)
+    edges = synth_edges(_nodes(ids), max_deg=2).materialize()
+    out = _bfs_canon(bfs_hops(edges, [3, 7], max_hops=0).to_pandas())
+    assert list(out["doc_id"]) == [3, 7] and list(out["dist"]) == [0, 0]
+    with pytest.raises(ValueError, match="non-empty"):
+        bfs_hops(edges, [], max_hops=2)
+
+
+def test_bfs_unreachable_absent():
+    """A node with no in-path from the seeds never appears."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import bfs_hops
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([1, 2], type=pa.int64()),
+                "dst": pa.array([2, 3], type=pa.int64()),
+            }
+        )
+    )
+    out = _bfs_canon(bfs_hops(edges, [1], max_hops=5).to_pandas())
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["dist"]) == [0, 1, 2]
