@@ -1511,6 +1511,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def salsa_q(sf_dir):
+        """SALSA hubs & authorities (Lempel & Moran 2000) over the
+        deterministic link graph: HITS with the random-walk degree
+        normalization — every propagated score is floor-divided by the
+        propagating endpoint's degree (damps the tightly-knit-community
+        effect).  Same fixed-point integer replay convention as hits:
+        2 rounds, per-half-round integer MAX-normalization, degrees
+        attached to edges once (pipelines/graph.py salsa)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import salsa, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = salsa(edges, docs, iters=2, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "auth": pa.array(
+                    res["auth"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "hub": pa.array(
+                    res["hub"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def bfs_hops_q(sf_dir):
         """Multi-source BFS hop distance from the seed set
         (doc_id % 100 == 3) over the deterministic link graph, 3
@@ -4609,7 +4641,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
         "stratified_sample": stratified_sample_q,
-        "token_budget": token_budget,
         "lm_score": lm_score,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
@@ -4620,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank_q,
         "ppr": ppr_q,
         "hits": hits_q,
+        "salsa": salsa_q,
         "bfs_hops": bfs_hops_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
@@ -4657,8 +4689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family with stratified_sample/source_mix which stay in-window)
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
-        # source_mix r4-green, shares the salted-hash sampling family
+        # source_mix r4-green, shares the salted-hash sampling family;
+        # token_budget r4-green, histogram-budget pytest gates
         "source_mix": source_mix,
+        "token_budget": token_budget,
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -6433,6 +6467,69 @@ FROM s3 a LEFT JOIN red r ON r.src = a.cur
         # rounds over the same synthetic multigraph as pagerank;
         # integer max-normalization each half-round (v // greatest(1,
         # max(v) // scale)) replays the engine's fixed-point form
+        # SALSA: the hits replay with every propagated score
+        # floor-divided by the propagating endpoint's degree first
+        "salsa": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+odeg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+ideg AS (SELECT dst, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+h0 AS (SELECT doc_id, CAST(1000000000 AS BIGINT) AS v FROM documents),
+a1r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, sum(h.v // od.d) AS m
+          FROM edges e JOIN h0 h ON h.doc_id = e.src
+                       JOIN odeg od ON od.src = e.src GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+a1 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM a1r)
+                   AS BIGINT) AS v
+       FROM a1r),
+h1r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.src AS doc_id, sum(a.v // idg.d) AS m
+          FROM edges e JOIN a1 a ON a.doc_id = e.dst
+                       JOIN ideg idg ON idg.dst = e.dst GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+h1 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM h1r)
+                   AS BIGINT) AS v
+       FROM h1r),
+a2r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.dst AS doc_id, sum(h.v // od.d) AS m
+          FROM edges e JOIN h1 h ON h.doc_id = e.src
+                       JOIN odeg od ON od.src = e.src GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+a2 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM a2r)
+                   AS BIGINT) AS v
+       FROM a2r),
+h2r AS (SELECT d.doc_id, CAST(COALESCE(s.m, 0) AS BIGINT) AS v
+        FROM documents d LEFT JOIN (
+          SELECT e.src AS doc_id, sum(a.v // idg.d) AS m
+          FROM edges e JOIN a2 a ON a.doc_id = e.dst
+                       JOIN ideg idg ON idg.dst = e.dst GROUP BY 1) s
+        ON s.doc_id = d.doc_id),
+h2 AS (SELECT doc_id,
+              CAST(v // (SELECT greatest(1, max(v) // 1000000000) FROM h2r)
+                   AS BIGINT) AS v
+       FROM h2r)
+SELECT a2.doc_id, a2.v AS auth, h2.v AS hub
+FROM a2 JOIN h2 ON h2.doc_id = a2.doc_id
+""",
         "hits": """
 WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
 ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos

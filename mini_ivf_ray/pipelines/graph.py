@@ -363,14 +363,19 @@ def coupling_topn(edges_ds, n: int = 50, num_buckets: int | None = None):
     return cocitation_topn(rev, n=n, num_buckets=num_buckets)
 
 
-def _value_partials(key: str):
-    """Combiner for HITS half-rounds: per-batch (endpoint, value-sum)
-    partials before the global groupby — the exchange carries at most
-    (batches x distinct-endpoint) rows instead of one row per edge."""
+def _value_partials(key: str, deg_key: str | None = None):
+    """Combiner for HITS/SALSA half-rounds: per-batch (endpoint,
+    value-sum) partials before the global groupby — the exchange
+    carries at most (batches x distinct-endpoint) rows instead of one
+    row per edge.  ``deg_key``: divide each edge's contribution by the
+    propagating endpoint's degree first (the SALSA random-walk step,
+    integer floor division — exactly replayable)."""
 
     def f(batch: pa.Table) -> pa.Table:
         k = batch[key].to_numpy().astype(np.int64)
         v = batch["v"].to_numpy().astype(np.int64)
+        if deg_key is not None:
+            v = v // batch[deg_key].to_numpy().astype(np.int64)
         uniq, inv = np.unique(k, return_inverse=True)
         sums = np.zeros(uniq.size, dtype=np.int64)
         np.add.at(sums, inv, v)
@@ -385,7 +390,7 @@ def _value_partials(key: str):
 
 
 def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
-         num_buckets: int | None = None):
+         num_buckets: int | None = None, stochastic: bool = False):
     """Distributed fixed-point HITS (Kleinberg 1999, "Authoritative
     sources in a hyperlinked environment"): returns (doc_id, auth, hub)
     after ``iters`` mutual-reinforcement rounds over a (src, dst) edge
@@ -413,6 +418,17 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
     in-links has auth 0, no out-links hub 0 (zero-row union, never an
     outer join).  Multigraph semantics: parallel edges each contribute
     (both sides of the oracle agree by construction).
+
+    ``stochastic=True`` is SALSA (Lempel & Moran 2000, "The stochastic
+    approach for link-structure analysis"): each half-round divides the
+    propagating endpoint's score by its degree first —
+    auth_raw(v) = sum over u->v of hub(u) // outdeg(u),
+    hub_raw(u) = sum over u->v of auth(v) // indeg(v) — the
+    random-walk normalization that makes SALSA robust to the
+    tightly-knit-community effect HITS suffers from.  Degrees are
+    attached to the edge Dataset ONCE (two bucketed joins before the
+    loop) and reused every round; the floor division is part of the
+    exact fixed-point convention, replayed verbatim by the SQL oracle.
 
     Reference analog: the same recompute-global-state-per-round shape
     as KMeans training (mini-ivf index_ivfpq.cpp train/update passes),
@@ -482,6 +498,32 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
 
     zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
     edges = edges_ds.select_columns(["src", "dst"]).materialize()
+    if stochastic:
+        # SALSA: per-edge degrees of BOTH endpoints, attached once and
+        # reused every round (the static side of the iteration)
+        def _deg(key: str, out: str):
+            def f(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        key: pa.compute.cast(batch[key], pa.int64()),
+                        out: pa.compute.cast(batch["count()"], pa.int64()),
+                    }
+                )
+
+            return f
+
+        odeg = edges.groupby("src").count().map_batches(
+            _deg("src", "odeg"), batch_format="pyarrow"
+        )
+        ideg = edges.groupby("dst").count().map_batches(
+            _deg("dst", "ideg"), batch_format="pyarrow"
+        )
+        edges = bucketed_hash_join(
+            edges, odeg, on="src", num_buckets=num_buckets
+        )
+        edges = bucketed_hash_join(
+            edges, ideg, on="dst", num_buckets=num_buckets
+        ).materialize()
 
     def _half(scores, prop_key: str, sum_key: str):
         """One half-round: propagate ``scores`` along edges keyed by
@@ -490,8 +532,11 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
         joined = bucketed_hash_join(
             edges, keyed, on=prop_key, num_buckets=num_buckets
         )
+        deg_key = None
+        if stochastic:
+            deg_key = "odeg" if prop_key == "src" else "ideg"
         partials = joined.map_batches(
-            _value_partials(sum_key), batch_format="pyarrow"
+            _value_partials(sum_key, deg_key), batch_format="pyarrow"
         )
         raw = (
             partials.union(zeros)
@@ -521,6 +566,19 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
         hub.map_batches(_hub_col, batch_format="pyarrow"),
         on="doc_id",
         num_buckets=num_buckets,
+    )
+
+
+def salsa(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
+          num_buckets: int | None = None):
+    """SALSA hubs & authorities (Lempel & Moran 2000): the random-walk
+    variant of HITS — every propagated score is first divided by the
+    propagating endpoint's degree, damping the tightly-knit-community
+    effect.  Thin alias for ``hits(..., stochastic=True)``; see there
+    for the exact fixed-point replay convention."""
+    return hits(
+        edges_ds, nodes_ds, iters=iters, scale=scale,
+        num_buckets=num_buckets, stochastic=True,
     )
 
 

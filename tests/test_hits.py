@@ -155,3 +155,81 @@ def test_coupling_matches_local_replay():
     assert len(got) == min(20, len(cnt))
     for row, ((u, v), c) in zip(got.itertuples(index=False), want):
         assert (row.u, row.v, row.cnt) == (u, v, c)
+
+
+# ---------------------------------------------------------------------------
+# SALSA (stochastic HITS)
+# ---------------------------------------------------------------------------
+
+
+def _local_salsa(ids, src, dst, iters, scale=HITS_SCALE):
+    ids = np.sort(np.asarray(ids, dtype=np.int64))
+    n = ids.size
+    ix = {int(v): i for i, v in enumerate(ids)}
+    od = np.zeros(n, dtype=np.int64)
+    idg = np.zeros(n, dtype=np.int64)
+    for s, d in zip(src, dst):
+        od[ix[int(s)]] += 1
+        idg[ix[int(d)]] += 1
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            a[ix[int(d)]] += h[ix[int(s)]] // od[ix[int(s)]]
+        a //= max(1, int(a.max()) // scale)
+        hh = np.zeros(n, dtype=np.int64)
+        for s, d in zip(src, dst):
+            hh[ix[int(s)]] += a[ix[int(d)]] // idg[ix[int(d)]]
+        h = hh // max(1, int(hh.max()) // scale)
+    return pd.DataFrame({"doc_id": ids, "auth": a, "hub": h})
+
+
+def test_salsa_matches_local_integer_replay():
+    from mini_ivf_ray.pipelines.graph import salsa
+
+    rng = np.random.default_rng(31)
+    ids = np.unique(rng.integers(0, 8_000, size=220)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    e = edges.to_pandas()
+    got = salsa(edges, nodes, iters=2).to_pandas()
+    want = _local_salsa(ids, e["src"].to_numpy(), e["dst"].to_numpy(), 2)
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
+    # SALSA must actually differ from HITS on this graph (degree
+    # normalization bites) — otherwise the test is vacuous
+    plain = hits(edges, nodes, iters=2).to_pandas()
+    assert not _canon(plain).equals(_canon(got))
+
+
+def test_salsa_partitioning_invariant():
+    from mini_ivf_ray.pipelines.graph import salsa
+
+    rng = np.random.default_rng(37)
+    ids = np.unique(rng.integers(0, 4_000, size=90)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    a = salsa(edges, nodes, iters=2).to_pandas()
+    b = salsa(
+        edges.repartition(9), nodes.repartition(4), iters=2, num_buckets=5
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_salsa_degree_normalization_pins():
+    """Two authorities: 0 receives from hub 10 (outdeg 3, split 3
+    ways) and 1 receives from hub 11 (outdeg 1, undivided) — under
+    SALSA node 1 outranks node 0 even though 0 has more in-links
+    under HITS semantics."""
+    from mini_ivf_ray.pipelines.graph import salsa
+
+    src = np.array([10, 10, 10, 11], dtype=np.int64)
+    dst = np.array([0, 2, 3, 1], dtype=np.int64)
+    ids = np.arange(12, dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = salsa(edges, _nodes(ids), iters=1).to_pandas().set_index("doc_id")
+    assert int(out.loc[1, "auth"]) > int(out.loc[0, "auth"])
+    e = pd.DataFrame({"src": src, "dst": dst})
+    want = _local_salsa(ids, e["src"], e["dst"], 1)
+    got = salsa(edges, _nodes(ids), iters=1).to_pandas()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want))
