@@ -1511,6 +1511,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dict_topdf(sf_dir):
+        """The BUILT index's global dictionary vs tokenize truth:
+        top-100 terms by (df desc, term asc) read straight from
+        <index>/dictionary.parquet — the distributed merge stage's
+        output (stages/merge.py: per-partition metadata reads,
+        hash-bucketed groupby).  df/cf here are the
+        SPIMI->encode->merge BOOKKEEPING, not a recompute, so a hash
+        match pins the build path's counters to SQL (the
+        posting_lists_lens analog under a full oracle)."""
+        import pyarrow.parquet as pqmod
+
+        idx = _ensure_index(sf_dir)
+        d = pqmod.read_table(
+            os.path.join(idx, "dictionary.parquet"),
+            columns=["term", "df", "cf"],
+        )
+        order = pa.compute.sort_indices(
+            d, sort_keys=[("df", "descending"), ("term", "ascending")]
+        )
+        top = d.take(order[:100])
+        return pa.table(
+            {
+                "term": pa.compute.cast(top["term"], pa.string()),
+                "df": pa.compute.cast(top["df"], pa.int64()),
+                "cf": pa.compute.cast(top["cf"], pa.int64()),
+            }
+        )
+
     def salsa_q(sf_dir):
         """SALSA hubs & authorities (Lempel & Moran 2000) over the
         deterministic link graph: HITS with the random-walk degree
@@ -4641,7 +4669,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
         "stratified_sample": stratified_sample_q,
-        "lm_score": lm_score,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -4652,6 +4679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr": ppr_q,
         "hits": hits_q,
         "salsa": salsa_q,
+        # dict_topdf: the merge-stage dictionary bookkeeping vs SQL
+        "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
@@ -4690,9 +4719,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         # source_mix r4-green, shares the salted-hash sampling family;
-        # token_budget r4-green, histogram-budget pytest gates
+        # token_budget r4-green, histogram-budget pytest gates;
+        # lm_score r4-green, broadcast-model replay pytests
         "source_mix": source_mix,
         "token_budget": token_budget,
+        "lm_score": lm_score,
         "match_histogram": match_histogram,
         "price_quantiles": price_quantiles,
         "regex_grep": regex_grep,
@@ -5408,6 +5439,19 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM postings GROUP B
     sql = {
         "tokenize_postings": postings_sql,
         "term_df": term_df_sql,
+        # the built index's dictionary bookkeeping: top-100 by
+        # (df desc, term asc) — row_number is deterministic under the
+        # term tiebreak, so the rank-100 cut is exact on both sides
+        "dict_topdf": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+      FROM postings GROUP BY 1),
+r AS (SELECT term, df, cf,
+             row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+      FROM d)
+SELECT term, df, cf FROM r WHERE rn <= 100
+""",
         "corpus_stats": f"""
 WITH {_TOK_CTE}
 SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
