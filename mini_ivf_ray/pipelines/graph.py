@@ -117,6 +117,49 @@ def _share_partials(batch: pa.Table) -> pa.Table:
     )
 
 
+def _pagerank_local(
+    ids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    iters: int,
+    scale: int,
+    seed_arr: np.ndarray | None,
+) -> pa.Table:
+    """Driver replay of the EXACT distributed fixed-point recurrence
+    (vectorized np.add.at over index-mapped endpoints) — the
+    small-graph shortcut, same integer ops, bit-identical labels."""
+    n = ids.size
+    s_ix = np.searchsorted(ids, src)
+    d_ix = np.searchsorted(ids, dst)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, s_ix, 1)
+    if seed_arr is None:
+        base_v = (15 * (scale // n)) // 100
+        r = np.full(n, scale // n, dtype=np.int64)
+        base = np.full(n, base_v, dtype=np.int64)
+    else:
+        base_v = (15 * (scale // int(seed_arr.size))) // 100
+        r0 = scale // int(seed_arr.size)
+        mask = np.zeros(n, dtype=bool)
+        ix = np.searchsorted(ids, seed_arr)
+        np.minimum(ix, n - 1, out=ix)
+        hit = ids[ix] == seed_arr
+        mask[ix[hit]] = True
+        r = np.where(mask, r0, 0).astype(np.int64)
+        base = np.where(mask, base_v, 0).astype(np.int64)
+    safe_deg = np.maximum(deg, 1)
+    for _ in range(iters):
+        m = np.zeros(n, dtype=np.int64)
+        np.add.at(m, d_ix, r[s_ix] // safe_deg[s_ix])
+        r = base + (85 * m) // 100
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "rank": pa.array(r, type=pa.int64()),
+        }
+    )
+
+
 def pagerank(
     edges_ds,
     nodes_ds,
@@ -124,6 +167,7 @@ def pagerank(
     scale: int = PR_SCALE,
     num_buckets: int | None = None,
     seeds=None,
+    driver_threshold: int = 2_000_000,
 ):
     """Distributed fixed-point PageRank: (doc_id, rank int64) after
     ``iters`` damped rounds (d = 85/100).  Each round is one bucketed
@@ -139,18 +183,27 @@ def pagerank(
     broadcast once (``ray.put``, sorted int64) and must be small —
     it is the personalization vector, not a corpus-sized sidecar.
     Seeds absent from ``nodes_ds`` contribute no mass (total teleport
-    mass is then < scale) — callers own seed validity."""
+    mass is then < scale) — callers own seed validity.
+
+    Graphs with edges + nodes at or below ``driver_threshold`` take
+    the driver-replay shortcut (same convention as
+    dedup.connected_components_ds): the identical integer recurrence
+    runs vectorized on the driver — same labels, none of the
+    per-exchange latency floors that dominate small graphs.  Pass 0 to
+    force the distributed path (tests do)."""
     import ray
     import ray.data
 
     from mini_ivf_ray.pipelines.relational import bucketed_hash_join
 
-    nodes = nodes_ds.select_columns(["doc_id"])
+    nodes = nodes_ds.select_columns(["doc_id"]).materialize()
     n = nodes.count()
     if n:
         # the bucketed join pads missing-side columns through float64,
         # so endpoint ids must be exactly float64-representable — raise
-        # loudly rather than corrupt silently (testdata ids are far below)
+        # loudly rather than corrupt silently (testdata ids are far
+        # below); enforced in BOTH modes so behavior never depends on
+        # graph size
         agg = nodes.aggregate(ray.data.aggregate.Max("doc_id"))
         if int(agg["max(doc_id)"]) >= 2**53:
             raise ValueError(
@@ -166,14 +219,33 @@ def pagerank(
                 }
             )
         )
-    seeds_ref = None
+    seed_local = None
     if seeds is not None:
-        seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
-        if not seed_arr.size:
+        seed_local = np.unique(np.asarray(list(seeds), dtype=np.int64))
+        if not seed_local.size:
             raise ValueError("seeds must be non-empty when given")
-        base = (15 * (scale // int(seed_arr.size))) // 100
-        r0 = scale // int(seed_arr.size)
-        seeds_ref = ray.put(seed_arr)
+    edges_cached = edges_ds.select_columns(["src", "dst"]).materialize()
+    if n + edges_cached.count() <= driver_threshold:
+        e = edges_cached.to_pandas()
+        ids = np.sort(
+            nodes.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        )
+        return ray.data.from_arrow(
+            _pagerank_local(
+                ids,
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                iters,
+                scale,
+                seed_local,
+            )
+        )
+    edges_ds = edges_cached
+    seeds_ref = None
+    if seed_local is not None:
+        base = (15 * (scale // int(seed_local.size))) // 100
+        r0 = scale // int(seed_local.size)
+        seeds_ref = ray.put(seed_local)
     else:
         base = (15 * (scale // n)) // 100
         r0 = scale // n
@@ -389,8 +461,49 @@ def _value_partials(key: str, deg_key: str | None = None):
     return f
 
 
+def _hits_local(
+    ids: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    iters: int,
+    scale: int,
+    stochastic: bool,
+) -> pa.Table:
+    """Driver replay of the EXACT HITS/SALSA fixed-point recurrence
+    (vectorized np.add.at) — the small-graph shortcut, same integer
+    ops, bit-identical scores."""
+    n = ids.size
+    s_ix = np.searchsorted(ids, src)
+    d_ix = np.searchsorted(ids, dst)
+    od = np.zeros(n, dtype=np.int64)
+    idg = np.zeros(n, dtype=np.int64)
+    np.add.at(od, s_ix, 1)
+    np.add.at(idg, d_ix, 1)
+    safe_od = np.maximum(od, 1)
+    safe_id = np.maximum(idg, 1)
+    h = np.full(n, scale, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        a = np.zeros(n, dtype=np.int64)
+        hv = h[s_ix] // safe_od[s_ix] if stochastic else h[s_ix]
+        np.add.at(a, d_ix, hv)
+        a //= max(1, int(a.max(initial=0)) // scale)
+        hh = np.zeros(n, dtype=np.int64)
+        av = a[d_ix] // safe_id[d_ix] if stochastic else a[d_ix]
+        np.add.at(hh, s_ix, av)
+        h = hh // max(1, int(hh.max(initial=0)) // scale)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "auth": pa.array(a, type=pa.int64()),
+            "hub": pa.array(h, type=pa.int64()),
+        }
+    )
+
+
 def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
-         num_buckets: int | None = None, stochastic: bool = False):
+         num_buckets: int | None = None, stochastic: bool = False,
+         driver_threshold: int = 2_000_000):
     """Distributed fixed-point HITS (Kleinberg 1999, "Authoritative
     sources in a hyperlinked environment"): returns (doc_id, auth, hub)
     after ``iters`` mutual-reinforcement rounds over a (src, dst) edge
@@ -430,6 +543,11 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
     loop) and reused every round; the floor division is part of the
     exact fixed-point convention, replayed verbatim by the SQL oracle.
 
+    Graphs at or below ``driver_threshold`` (nodes + edges) take the
+    driver-replay shortcut — identical integer recurrence, vectorized,
+    bit-identical scores; pass 0 to force the distributed path (the
+    connected_components_ds convention).
+
     Reference analog: the same recompute-global-state-per-round shape
     as KMeans training (mini-ivf index_ivfpq.cpp train/update passes),
     like ``pagerank`` above."""
@@ -438,7 +556,7 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
 
     from mini_ivf_ray.pipelines.relational import bucketed_hash_join
 
-    nodes = nodes_ds.select_columns(["doc_id"])
+    nodes = nodes_ds.select_columns(["doc_id"]).materialize()
     n = nodes.count()
     if n == 0:
         empty = pa.array([], type=pa.int64())
@@ -451,6 +569,25 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
             "hits requires doc ids < 2**53 (join padding is exact "
             "only in the float64-representable range); remap ids first"
         )
+    edges_cached = edges_ds.select_columns(["src", "dst"]).materialize()
+    if n + edges_cached.count() <= driver_threshold:
+        # small-graph driver replay (same convention as
+        # connected_components_ds; distributed path forced in tests)
+        e = edges_cached.to_pandas()
+        ids = np.sort(
+            nodes.to_pandas()["doc_id"].to_numpy().astype(np.int64)
+        )
+        return ray.data.from_arrow(
+            _hits_local(
+                ids,
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                iters,
+                scale,
+                stochastic,
+            )
+        )
+    edges_ds = edges_cached
 
     def _zero(batch: pa.Table) -> pa.Table:
         k = batch.num_rows
@@ -570,7 +707,8 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
 
 
 def salsa(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
-          num_buckets: int | None = None):
+          num_buckets: int | None = None,
+          driver_threshold: int = 2_000_000):
     """SALSA hubs & authorities (Lempel & Moran 2000): the random-walk
     variant of HITS — every propagated score is first divided by the
     propagating endpoint's degree, damping the tightly-knit-community
@@ -579,11 +717,52 @@ def salsa(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
     return hits(
         edges_ds, nodes_ds, iters=iters, scale=scale,
         num_buckets=num_buckets, stochastic=True,
+        driver_threshold=driver_threshold,
+    )
+
+
+def _bfs_local(
+    src: np.ndarray, dst: np.ndarray, seed_arr: np.ndarray, max_hops: int
+) -> pa.Table:
+    """Driver replay of the exact level-synchronous BFS (vectorized
+    per level) — the small-graph shortcut, identical (doc_id, dist)."""
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    dist_ids = seed_arr.copy()
+    dist_vals = np.zeros(seed_arr.size, dtype=np.int64)
+    frontier = seed_arr
+    for t in range(1, max_hops + 1):
+        if not frontier.size or not s_sorted.size:
+            break
+        lo = np.searchsorted(s_sorted, frontier, side="left")
+        hi = np.searchsorted(s_sorted, frontier, side="right")
+        spans = hi - lo
+        if not spans.sum():
+            break
+        take = np.concatenate(
+            [d_sorted[a:b] for a, b in zip(lo, hi) if b > a]
+        )
+        cand = np.unique(take)
+        new = cand[~np.isin(cand, dist_ids)]
+        if not new.size:
+            break
+        dist_ids = np.concatenate([dist_ids, new])
+        dist_vals = np.concatenate(
+            [dist_vals, np.full(new.size, t, dtype=np.int64)]
+        )
+        frontier = new
+    order = np.argsort(dist_ids, kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(dist_ids[order], type=pa.int64()),
+            "dist": pa.array(dist_vals[order], type=pa.int64()),
+        }
     )
 
 
 def bfs_hops(edges_ds, seeds, max_hops: int = 3,
-             num_buckets: int | None = None):
+             num_buckets: int | None = None,
+             driver_threshold: int = 2_000_000):
     """Multi-source BFS hop distance over the link graph: (doc_id,
     dist int64) for every node reachable from ``seeds`` within
     ``max_hops`` directed hops — dist is the MINIMAL hop count, seeds
@@ -615,6 +794,20 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3,
     seed_arr = np.unique(np.asarray(list(seeds), dtype=np.int64))
     if not seed_arr.size:
         raise ValueError("seeds must be non-empty")
+    edges_cached = edges_ds.select_columns(["src", "dst"]).materialize()
+    if seed_arr.size + edges_cached.count() <= driver_threshold:
+        # small-graph driver replay (connected_components_ds
+        # convention; the distributed path is forced in tests)
+        e = edges_cached.to_pandas()
+        return ray.data.from_arrow(
+            _bfs_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                seed_arr,
+                max_hops,
+            )
+        )
+    edges_ds = edges_cached
 
     def _tbl(ids: np.ndarray, dist: int) -> pa.Table:
         return pa.table(

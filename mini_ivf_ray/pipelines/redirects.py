@@ -80,11 +80,44 @@ def synth_redirects(docs_ds, mod: int = 7, residue: int = 1):
     )
 
 
+def _redirects_local(
+    src: np.ndarray, dst: np.ndarray, rounds: int
+) -> pa.Table:
+    """Driver replay of the EXACT pointer-doubling recurrence
+    (vectorized searchsorted lookups) — the small-mapping shortcut,
+    identical (src, canonical, resolved) rows."""
+    order = np.argsort(src, kind="stable")
+    s_sorted = src[order]
+    cur = dst.copy()
+    for _ in range(rounds):
+        cur_s = cur[order]  # current pointer of each sorted source
+        idx = np.searchsorted(s_sorted, cur)
+        np.minimum(idx, max(s_sorted.size - 1, 0), out=idx)
+        match = s_sorted[idx] == cur
+        cur = np.where(match, cur_s[idx], cur)
+    idx = np.searchsorted(s_sorted, cur)
+    np.minimum(idx, max(s_sorted.size - 1, 0), out=idx)
+    resolved = (s_sorted[idx] != cur).astype(np.int64)
+    return pa.table(
+        {
+            "src": pa.array(src, type=pa.int64()),
+            "canonical": pa.array(cur, type=pa.int64()),
+            "resolved": pa.array(resolved, type=pa.int64()),
+        }
+    )
+
+
 def resolve_redirects(redirects_ds, rounds: int = 3,
-                      num_buckets: int | None = None):
+                      num_buckets: int | None = None,
+                      driver_threshold: int = 2_000_000):
     """(src, dst) redirect mapping -> (src, canonical, resolved int64)
     for every redirect source, after ``rounds`` pointer-doubling
-    rounds (resolves chains of length <= 2**rounds exactly)."""
+    rounds (resolves chains of length <= 2**rounds exactly).
+
+    Mappings at or below ``driver_threshold`` rows take the
+    driver-replay shortcut (connected_components_ds convention) — the
+    identical doubling recurrence runs vectorized on the driver; pass
+    0 to force the distributed path (tests do)."""
     import ray
     import ray.data
 
@@ -103,6 +136,15 @@ def resolve_redirects(redirects_ds, rounds: int = 3,
         raise ValueError(
             "resolve_redirects requires node ids < 2**53 (LEFT-join "
             "padding is exact only in the float64-representable range)"
+        )
+    if red.count() <= driver_threshold:
+        e = red.to_pandas()
+        return ray.data.from_arrow(
+            _redirects_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                rounds,
+            )
         )
 
     def _init(batch: pa.Table) -> pa.Table:

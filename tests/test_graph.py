@@ -49,7 +49,7 @@ def test_pagerank_matches_local_integer_replay():
     edges = synth_edges(nodes, max_deg=3).materialize()
     e = edges.to_pandas()
     assert len(e) and (e["src"] != e["dst"]).all()
-    got = pagerank(edges, nodes, iters=ITERS).to_pandas()
+    got = pagerank(edges, nodes, iters=ITERS, driver_threshold=0).to_pandas()
     want = _local_pagerank(ids, e["src"].to_numpy(), e["dst"].to_numpy())
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
@@ -61,9 +61,10 @@ def test_pagerank_partitioning_invariant():
     ids = np.unique(rng.integers(0, 5_000, size=120)).astype(np.int64)
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
-    a = pagerank(edges, nodes, iters=3).to_pandas()
+    a = pagerank(edges, nodes, iters=3, driver_threshold=0).to_pandas()
     b = pagerank(
-        edges.repartition(7), nodes.repartition(3), iters=3, num_buckets=5
+        edges.repartition(7), nodes.repartition(3), iters=3, num_buckets=5,
+        driver_threshold=0,
     ).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
@@ -83,7 +84,7 @@ def test_pagerank_base_rank_for_sources_and_mass_bound():
             }
         )
     )
-    r = _canon(pagerank(edges, _nodes(ids), iters=ITERS).to_pandas())
+    r = _canon(pagerank(edges, _nodes(ids), iters=ITERS, driver_threshold=0).to_pandas())
     n = ids.size
     base = (15 * (PR_SCALE // n)) // 100
     assert (r.loc[r["doc_id"] != 0, "rank"] == base).all()
@@ -122,7 +123,9 @@ def test_personalized_pagerank_matches_local_replay():
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
     e = edges.to_pandas()
-    got = pagerank(edges, nodes, iters=3, seeds=seeds).to_pandas()
+    got = pagerank(
+        edges, nodes, iters=3, seeds=seeds, driver_threshold=0
+    ).to_pandas()
 
     # local replay
     sids = np.sort(ids)
@@ -199,7 +202,7 @@ def test_bfs_matches_local_replay():
     e = edges.to_pandas()
     seeds = ids[ids % 10 == 3]
     assert seeds.size
-    got = bfs_hops(edges, seeds, max_hops=3).to_pandas()
+    got = bfs_hops(edges, seeds, max_hops=3, driver_threshold=0).to_pandas()
     want = _local_bfs(e["src"], e["dst"], seeds, 3)
     want_df = pd.DataFrame(
         {"doc_id": sorted(want), "dist": [want[k] for k in sorted(want)]}
@@ -217,9 +220,13 @@ def test_bfs_partitioning_invariant():
     ids = np.unique(rng.integers(0, 5_000, size=120)).astype(np.int64)
     edges = synth_edges(_nodes(ids), max_deg=3).materialize()
     seeds = ids[:5]
-    a = _bfs_canon(bfs_hops(edges, seeds, max_hops=3).to_pandas())
+    a = _bfs_canon(
+        bfs_hops(edges, seeds, max_hops=3, driver_threshold=0).to_pandas()
+    )
     b = _bfs_canon(
-        bfs_hops(edges.repartition(13), seeds, max_hops=3).to_pandas()
+        bfs_hops(
+            edges.repartition(13), seeds, max_hops=3, driver_threshold=0
+        ).to_pandas()
     )
     pd.testing.assert_frame_equal(a, b)
 
@@ -252,3 +259,35 @@ def test_bfs_unreachable_absent():
     out = _bfs_canon(bfs_hops(edges, [1], max_hops=5).to_pandas())
     assert list(out["doc_id"]) == [1, 2, 3]
     assert list(out["dist"]) == [0, 1, 2]
+
+
+def test_pagerank_driver_shortcut_matches_distributed():
+    """The adaptive driver replay (small graphs) is bit-identical to
+    the forced distributed path — uniform AND personalized."""
+    rng = np.random.default_rng(29)
+    ids = np.unique(rng.integers(0, 6_000, size=180)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    auto = pagerank(edges, nodes, iters=3).to_pandas()
+    forced = pagerank(edges, nodes, iters=3, driver_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(_canon(auto), _canon(forced))
+    seeds = ids[::7]
+    auto_s = pagerank(edges, nodes, iters=2, seeds=seeds).to_pandas()
+    forced_s = pagerank(
+        edges, nodes, iters=2, seeds=seeds, driver_threshold=0
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_canon(auto_s), _canon(forced_s))
+
+
+def test_bfs_driver_shortcut_matches_distributed():
+    from mini_ivf_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.default_rng(41)
+    ids = np.unique(rng.integers(0, 6_000, size=160)).astype(np.int64)
+    edges = synth_edges(_nodes(ids), max_deg=3).materialize()
+    seeds = ids[ids % 9 == 1]
+    auto = _bfs_canon(bfs_hops(edges, seeds, max_hops=3).to_pandas())
+    forced = _bfs_canon(
+        bfs_hops(edges, seeds, max_hops=3, driver_threshold=0).to_pandas()
+    )
+    pd.testing.assert_frame_equal(auto, forced)

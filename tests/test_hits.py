@@ -51,7 +51,7 @@ def test_hits_matches_local_integer_replay():
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
     e = edges.to_pandas()
-    got = hits(edges, nodes, iters=3).to_pandas()
+    got = hits(edges, nodes, iters=3, driver_threshold=0).to_pandas()
     want = _local_hits(ids, e["src"].to_numpy(), e["dst"].to_numpy(), 3)
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
@@ -61,9 +61,10 @@ def test_hits_partitioning_invariant():
     ids = np.unique(rng.integers(0, 4_000, size=100)).astype(np.int64)
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
-    a = hits(edges, nodes, iters=2).to_pandas()
+    a = hits(edges, nodes, iters=2, driver_threshold=0).to_pandas()
     b = hits(
-        edges.repartition(7), nodes.repartition(3), iters=2, num_buckets=5
+        edges.repartition(7), nodes.repartition(3), iters=2, num_buckets=5,
+        driver_threshold=0,
     ).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
@@ -193,12 +194,12 @@ def test_salsa_matches_local_integer_replay():
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
     e = edges.to_pandas()
-    got = salsa(edges, nodes, iters=2).to_pandas()
+    got = salsa(edges, nodes, iters=2, driver_threshold=0).to_pandas()
     want = _local_salsa(ids, e["src"].to_numpy(), e["dst"].to_numpy(), 2)
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
     # SALSA must actually differ from HITS on this graph (degree
     # normalization bites) — otherwise the test is vacuous
-    plain = hits(edges, nodes, iters=2).to_pandas()
+    plain = hits(edges, nodes, iters=2, driver_threshold=0).to_pandas()
     assert not _canon(plain).equals(_canon(got))
 
 
@@ -209,9 +210,10 @@ def test_salsa_partitioning_invariant():
     ids = np.unique(rng.integers(0, 4_000, size=90)).astype(np.int64)
     nodes = _nodes(ids)
     edges = synth_edges(nodes, max_deg=3).materialize()
-    a = salsa(edges, nodes, iters=2).to_pandas()
+    a = salsa(edges, nodes, iters=2, driver_threshold=0).to_pandas()
     b = salsa(
-        edges.repartition(9), nodes.repartition(4), iters=2, num_buckets=5
+        edges.repartition(9), nodes.repartition(4), iters=2, num_buckets=5,
+        driver_threshold=0,
     ).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
@@ -233,3 +235,16 @@ def test_salsa_degree_normalization_pins():
     want = _local_salsa(ids, e["src"], e["dst"], 1)
     got = salsa(edges, _nodes(ids), iters=1).to_pandas()
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
+
+
+def test_hits_and_salsa_driver_shortcut_matches_distributed():
+    from mini_ivf_ray.pipelines.graph import salsa
+
+    rng = np.random.default_rng(47)
+    ids = np.unique(rng.integers(0, 6_000, size=150)).astype(np.int64)
+    nodes = _nodes(ids)
+    edges = synth_edges(nodes, max_deg=3).materialize()
+    for fn in (hits, salsa):
+        auto = fn(edges, nodes, iters=2).to_pandas()
+        forced = fn(edges, nodes, iters=2, driver_threshold=0).to_pandas()
+        pd.testing.assert_frame_equal(_canon(auto), _canon(forced))

@@ -54,7 +54,7 @@ def test_resolve_matches_local_replay_on_synth():
         zip(red.to_pandas()["src"], red.to_pandas()["dst"])
     )
     assert pairs  # non-vacuous: mod=3 gives ~a third of docs
-    got = resolve_redirects(red, rounds=3).to_pandas()
+    got = resolve_redirects(red, rounds=3, driver_threshold=0).to_pandas()
     want = _local_resolve(pairs, rounds=3)
     pd.testing.assert_frame_equal(_canon(got), _canon(want))
 
@@ -86,9 +86,9 @@ def test_partitioning_invariant():
     rng = np.random.default_rng(23)
     ids = np.unique(rng.integers(0, 5_000, size=200)).astype(np.int64)
     red = synth_redirects(_nodes(ids), mod=3, residue=1).materialize()
-    a = resolve_redirects(red, rounds=3).to_pandas()
+    a = resolve_redirects(red, rounds=3, driver_threshold=0).to_pandas()
     b = resolve_redirects(
-        red.repartition(5), rounds=3, num_buckets=7
+        red.repartition(5), rounds=3, num_buckets=7, driver_threshold=0,
     ).to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
 
@@ -97,3 +97,16 @@ def test_rejects_unrepresentable_ids():
     pairs = [(1, 2**53 + 5)]
     with pytest.raises(ValueError, match="2\\*\\*53"):
         resolve_redirects(_red(pairs), rounds=1)
+
+
+def test_redirects_driver_shortcut_matches_distributed():
+    """The adaptive driver replay == the forced distributed doubling,
+    including cycles and over-length chains."""
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (7, 8), (8, 7),
+             (10, 11)]
+    red = _red(pairs)
+    auto = _canon(resolve_redirects(red, rounds=3).to_pandas())
+    forced = _canon(
+        resolve_redirects(red, rounds=3, driver_threshold=0).to_pandas()
+    )
+    pd.testing.assert_frame_equal(auto, forced)
