@@ -54,6 +54,18 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
     (8, "hash merge sort"),
 ]
 
+# SpanFirst workload: (query_id, term, first-window limit) — small
+# limits so the position filter visibly prunes the term's postings;
+# one OOV term (empty) and one zero window (empty by definition)
+SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
+    (0, "the", 2),
+    (1, "data", 1),
+    (2, "window", 5),
+    (3, "customer", 3),
+    (4, "zz9999qq", 4),
+    (5, "the", 0),
+]
+
 # misspellings of real corpus terms (+ one exact term, one hopeless):
 # spell_suggest matches the corpus vocabulary within Levenshtein <= 2
 SPELL_QUERIES: list[str] = [
@@ -1507,6 +1519,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "rank": pa.array(
                     res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def span_first(sf_dir):
+        """SpanFirst search (Lucene SpanFirstQuery): top-10 docs whose
+        term FIRST occurs within the opening ``limit`` token positions
+        (first_pos < limit), ranked by the term's BM25 score — the
+        title/lead-paragraph matching primitive, served INDEX-ONLY
+        from the positions store (docs_ds=None: no document text read
+        at query time; pipelines/phrase.py span_first_topk)."""
+        from mini_ivf_ray.pipelines.phrase import span_first_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = span_first_topk(
+            idx, None, SPAN_FIRST_QUERIES, _CFG, positions="index"
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -4651,7 +4694,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8": ann_sq8,
         "bpe_tokens": bpe_tokens,
         # -- window: r4-green rows on their second checked round ----------
-        "scrub": scrub,
+        # span_first: positional-payload family, round-5 addition
+        "span_first": span_first,
         "hybrid_rrf": hybrid_rrf,
         "ann_append": ann_append,
         "ann_sq8_refined": ann_sq8_refined,
@@ -4720,8 +4764,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": per_source_cap,
         # source_mix r4-green, shares the salted-hash sampling family;
         # token_budget r4-green, histogram-budget pytest gates;
-        # lm_score r4-green, broadcast-model replay pytests
+        # lm_score r4-green, broadcast-model replay pytests;
+        # scrub r4-green, stateless vectorized PII-scrub pytests
         "source_mix": source_mix,
+        "scrub": scrub,
         "token_budget": token_budget,
         "lm_score": lm_score,
         "match_histogram": match_histogram,
@@ -5439,6 +5485,41 @@ SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM postings GROUP B
     sql = {
         "tokenize_postings": postings_sql,
         "term_df": term_df_sql,
+        # SpanFirst: the term's min token position must fall inside the
+        # opening window; score = the single-term BM25 contribution
+        "span_first": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS term,
+               generate_subscripts(tk, 1) - 1 AS p
+        FROM t),
+fp AS (SELECT doc_id, term, min(p) AS first_pos FROM pos GROUP BY 1, 2),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pos GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM pos GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM pos)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term, lim) AS (VALUES {", ".join(f"({qid}, '{term}', {lim})" for qid, term, lim in SPAN_FIRST_QUERIES)}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0))
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN fp ON fp.doc_id = p.doc_id AND fp.term = q.term
+         AND fp.first_pos < q.lim
+  CROSS JOIN stats s),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the
         # term tiebreak, so the rank-100 cut is exact on both sides

@@ -544,3 +544,133 @@ def brute_force_phrase_topk(
     if len(df):
         df["doc_id"] = df["doc_id"].astype(np.uint64)
     return df
+
+
+class _SpanFirstVerifier:
+    """Corpus-verify stage for span_first: re-tokenize candidate docs
+    and keep those whose term FIRST occurs before the query's limit."""
+
+    def __init__(self, cand_ref, queries: list[tuple[int, list[str], int]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)
+        self.queries = queries
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        union = np.unique(
+            np.concatenate([v for v in self.cand.values() if v.size])
+        ) if self.cand else np.empty(0, dtype=np.uint64)
+        keep = np.isin(doc_ids, union)
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if keep.any():
+            texts = batch["text"].to_numpy(zero_copy_only=False)[keep]
+            kept = doc_ids[keep]
+            toks = [tokenize(t) for t in texts]
+            for qid, terms, limit in self.queries:
+                term = terms[0]
+                ids = self.cand.get(qid)
+                if ids is None or not ids.size:
+                    continue
+                mask = np.isin(kept, ids)
+                for d, tk in zip(kept[mask], np.array(toks, dtype=object)[mask]):
+                    try:
+                        first = tk.index(term)
+                    except ValueError:
+                        continue
+                    if first < limit:
+                        out_q.append(qid)
+                        out_d.append(int(d))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def span_first_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, int]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+) -> pd.DataFrame:
+    """SpanFirst search (Lucene SpanFirstQuery): top-k docs whose term
+    FIRST occurs within the opening ``limit`` token positions
+    (first_pos < limit), ranked by the term's BM25 score (score desc,
+    doc_id asc).  The title/lead-paragraph matching primitive.
+
+    ``queries``: (query_id, term_text, limit) rows.  ``positions``:
+    same backend contract as phrase_topk — "index" verifies from the
+    positions store only (``docs_ds`` may be None; raises on a stale
+    store), "corpus" re-tokenizes candidates, "auto" prefers a fresh
+    store.  Candidates are the term's full posting list (conjunctive
+    single-term match set), so verify work is candidate-proportional;
+    single-token queries still need the position check, unlike
+    phrase_topk's single-token fast path."""
+    import ray
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized: list[tuple[int, list[str], int]] = []
+    for qid, text, limit in queries:
+        toks = tokenize(text)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_first_topk takes exactly one term per query, got "
+                f"{text!r} for query {qid}"
+            )
+        tokenized.append((qid, toks, int(limit)))
+
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str], int]] = []
+    for qid, toks, limit in tokenized:
+        docs, scores = searcher.conjunctive_matches_for_text(toks[0])
+        cand[qid] = docs
+        cand_scores[qid] = dict(zip(docs.tolist(), scores.tolist()))
+        if docs.size and limit > 0:
+            needs_verify.append((qid, toks, limit))
+
+    verified: dict[int, np.ndarray] = {}
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(index_dir, cand, needs_verify, "first", cfg)
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
+        hits = docs_ds.map_batches(
+            _SpanFirstVerifier,
+            fn_constructor_args=(cand_ref, needs_verify),
+            batch_format="pyarrow",
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        ).to_pandas()
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+
+    out_rows = []
+    for qid, _toks, _limit in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out_rows.append((qid, r, d, s))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "doc_id", "score"])
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df

@@ -529,6 +529,11 @@ class _IndexPosVerifier:
                         ok = phrase_match_positions(pls)
                     elif self.mode == "ordered":
                         ok = ordered_window_positions(pls, it[2])
+                    elif self.mode == "first":
+                        # SpanFirst: the term's FIRST occurrence lands
+                        # inside the opening window (positions are
+                        # stored token-ascending, so [0] is the min)
+                        ok = int(pls[0][0]) < it[2]
                     else:
                         ok = cover_window_positions(pls, it[2])
                     if ok:

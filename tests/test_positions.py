@@ -425,3 +425,78 @@ def test_compact_positions_restores_single_epoch(tmp_path):
     # idempotent: a second call is a no-op
     again = compact_positions(idx)
     assert not again["compacted"] and again["epochs_before"] == 1
+
+
+# ---------------------------------------------------------------------------
+# span_first (SpanFirstQuery)
+# ---------------------------------------------------------------------------
+
+SPAN_FIRST = [
+    (0, "the", 3),
+    (1, "data", 1),   # strictly the opening token
+    (2, "web", 6),
+    (3, "the", 0),    # empty window matches nothing
+]
+
+
+def _local_span_first(docs, queries, cfg):
+    """Exhaustive local oracle: tokenize every doc, keep docs whose
+    term first occurs before the limit, score = single-term BM25
+    (brute_force_topk with one term), rank (score desc, doc asc)."""
+    import dataclasses
+
+    from mini_ivf_ray.functions.tokenize import tokenize as tok
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    rows = []
+    for qid, term, limit in queries:
+        full = brute_force_topk(docs, [(qid, term)], wide)
+        keep = []
+        tmap = {
+            int(d): tok(t) for d, t in zip(docs["doc_id"], docs["text"])
+        }
+        for d, s in zip(
+            full["doc_id"].to_numpy().astype(np.uint64), full["score"]
+        ):
+            tk = tmap[int(d)]
+            if term in tk and tk.index(term) < limit:
+                keep.append((int(d), float(s)))
+        keep.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(keep[: cfg.topk]):
+            rows.append((qid, r, d, s))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+
+
+def test_span_first_index_equals_corpus_and_oracle(pos_index):
+    from mini_ivf_ray.pipelines.phrase import span_first_topk
+
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = span_first_topk(
+        idx, dds, SPAN_FIRST, cfg, positions="corpus"
+    )
+    via_index = span_first_topk(idx, None, SPAN_FIRST, cfg, positions="index")
+    oracle = _local_span_first(docs, SPAN_FIRST, cfg)
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    pd.testing.assert_frame_equal(
+        _canon(via_index),
+        _canon(oracle).astype({"doc_id": "int64"}),
+        check_dtype=False,
+    )
+    assert len(via_index)  # non-vacuous
+    assert not (via_index["query_id"] == 3).any()  # limit 0 empty
+    # the filter bites: some query keeps fewer docs than its term's df
+    got1 = via_index[via_index["query_id"] == 1]
+    full1 = _local_span_first(docs, [(1, "data", 10**9)], cfg)
+    assert len(got1) <= len(full1)
+
+
+def test_span_first_rejects_multi_term(pos_index):
+    from mini_ivf_ray.pipelines.phrase import span_first_topk
+
+    idx, cfg, _docs, _ = pos_index
+    with pytest.raises(ValueError, match="one term"):
+        span_first_topk(idx, None, [(0, "the data", 3)], cfg, positions="index")
