@@ -1210,6 +1210,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dup_collapsed_sharded(sf_dir):
+        """Doc-sharded duplicate-collapsed retrieval: identical
+        semantics (and SQL oracle) to dup_collapsed_topk, served
+        shard-locally — the CC cluster-label sidecar partitions on the
+        index's doc-shard ranges exactly like the lang sidecar (each
+        shard holds corpus/R labels, collapses its range to per-cluster
+        winners, the merge re-collapses (query x cluster) rows)."""
+        import pandas as pd
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.collapse import collapsed_search_sharded
+        from mini_ivf_ray.pipelines.dedup import (
+            connected_components_ds,
+            lsh_candidate_pairs,
+            verify_pairs_exact,
+        )
+
+        idx = _ensure_index(sf_dir)
+        cand = lsh_candidate_pairs(
+            _documents(sf_dir), k=64, bands=16, threshold=0.5
+        ).to_pandas()
+        pairs = verify_pairs_exact(_documents(sf_dir), cand, w=3, threshold=0.6)
+        comp = connected_components_ds(
+            ray.data.from_pandas(pairs[["id_a", "id_b"]])
+        ).to_pandas()
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        s = pd.Series(ids, dtype=np.int64)
+        lab = (
+            s.map(
+                pd.Series(
+                    comp["cluster_id"].to_numpy(np.int64),
+                    index=comp["doc_id"].to_numpy(np.int64),
+                )
+            )
+            .fillna(s)
+            .astype(np.int64)
+        )
+        res = collapsed_search_sharded(
+            idx,
+            BM25_QUERIES,
+            ids,
+            lab.astype(str).tolist(),
+            _CFG,
+            num_shards=4,
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "grp": pa.array(res["grp"].astype(np.int64), type=pa.int64()),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def synonym_search_q(sf_dir):
         """Synonym-group retrieval (Lucene SynonymQuery): a|b groups
         score as ONE pseudo-term — member tfs summed BEFORE the BM25
@@ -4696,7 +4763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window: r4-green rows on their second checked round ----------
         # span_first: positional-payload family, round-5 addition
         "span_first": span_first,
-        "hybrid_rrf": hybrid_rrf,
         "ann_append": ann_append,
         "ann_sq8_refined": ann_sq8_refined,
         "ann_deleted": ann_deleted,
@@ -4712,6 +4778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_collapsed_topk: near-dup clustering composed into collapse
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
+        "dup_collapsed_sharded": dup_collapsed_sharded,
         "stratified_sample": stratified_sample_q,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
@@ -4765,8 +4832,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # source_mix r4-green, shares the salted-hash sampling family;
         # token_budget r4-green, histogram-budget pytest gates;
         # lm_score r4-green, broadcast-model replay pytests;
-        # scrub r4-green, stateless vectorized PII-scrub pytests
+        # scrub r4-green, stateless vectorized PII-scrub pytests;
+        # hybrid_rrf r4-green, composes two independently green families
         "source_mix": source_mix,
+        "hybrid_rrf": hybrid_rrf,
         "scrub": scrub,
         "token_budget": token_budget,
         "lm_score": lm_score,
@@ -7487,5 +7556,6 @@ SELECT doc_id, cls AS pred FROM (
     # the single-index paths — same oracle, different distribution
     sql["bm25_facets_sharded"] = sql["bm25_facets"]
     sql["collapsed_sharded"] = sql["collapsed_topk"]
+    sql["dup_collapsed_sharded"] = sql["dup_collapsed_topk"]
     sql["top_hits_sharded"] = sql["top_hits"]
     return sql

@@ -156,3 +156,37 @@ def test_sharded_top_hits_identical(tiny_index):
     pd.testing.assert_frame_equal(s, h, check_dtype=False)
     assert list(s["score"]) == list(h["score"])  # bit-identical scores
     assert len(s)
+
+
+def test_sharded_collapse_high_cardinality_labels(tiny_index):
+    """Duplicate-cluster label shape (dup_collapsed_sharded): nearly
+    every doc is its OWN group (singletons label themselves), a few
+    multi-member clusters — the sharded merge must stay bit-identical
+    when groups ~= docs, where the (query x group) merge volume is the
+    match set itself."""
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    lab = ids.astype(np.int64).copy()
+    # plant a few multi-member clusters: every 11th doc shares a label
+    # with the previous planted one (min-member semantics not required
+    # for the identity check — any label function works)
+    lab[::11] = lab[0]
+    vals = [str(x) for x in lab]
+    single = collapsed_search(idx, _qds(), ids, vals, cfg).to_pandas()
+    sharded = collapsed_search_sharded(
+        idx, QUERIES, ids, vals, cfg, num_shards=4
+    )
+    pd.testing.assert_frame_equal(
+        _canon(single, ["query_id", "rank"])[
+            ["query_id", "rank", "doc_id", "grp", "score"]
+        ],
+        _canon(sharded, ["query_id", "rank"])[
+            ["query_id", "rank", "doc_id", "grp", "score"]
+        ],
+        check_dtype=False,
+    )
+    assert len(single)
+    # the planted cluster actually collapses somewhere: a result set
+    # must not contain two docs with the shared label
+    g = single.groupby(["query_id", "grp"]).size()
+    assert (g == 1).all()
