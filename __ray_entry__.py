@@ -1649,6 +1649,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def triangles_q(sf_dir):
+        """Per-node triangle counts over the undirected simple graph
+        derived from the link multigraph (parallel edges collapse,
+        self-loops drop) — the local community-structure signal
+        (pipelines/graph.py triangle_counts: degree-ordered
+        node-iterator, Schank & Wagner 2005; the adaptive entry point
+        takes the driver replay at this scale — the distributed
+        wedge-join path is forced + partitioning-invariance-checked in
+        tests/test_graph.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import synth_edges, triangle_counts
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = triangle_counts(edges, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "triangles": pa.array(
+                    res["triangles"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def salsa_q(sf_dir):
         """SALSA hubs & authorities (Lempel & Moran 2000) over the
         deterministic link graph: HITS with the random-walk degree
@@ -4764,7 +4795,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_first: positional-payload family, round-5 addition
         "span_first": span_first,
         "ann_append": ann_append,
-        "ann_sq8_refined": ann_sq8_refined,
         "ann_deleted": ann_deleted,
         # phrase_topk re-enters the window: its verify backend changed
         # this round (index-only positional payload)
@@ -4793,6 +4823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dict_topdf: the merge-stage dictionary bookkeeping vs SQL
         "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
+        "triangles": triangles_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
@@ -4833,8 +4864,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token_budget r4-green, histogram-budget pytest gates;
         # lm_score r4-green, broadcast-model replay pytests;
         # scrub r4-green, stateless vectorized PII-scrub pytests;
-        # hybrid_rrf r4-green, composes two independently green families
+        # hybrid_rrf r4-green, composes two independently green families;
+        # ann_sq8_refined r4-green, shares the SQ8 family with in-window ann_sq8
         "source_mix": source_mix,
+        "ann_sq8_refined": ann_sq8_refined,
         "hybrid_rrf": hybrid_rrf,
         "scrub": scrub,
         "token_budget": token_budget,
@@ -6372,6 +6405,35 @@ FROM ranked WHERE rank < 10
         # fixed-point PageRank, 3 unrolled damped rounds over the
         # md5-derived synthetic link graph (integer arithmetic end to
         # end, so the replay is hash-exact; // is DuckDB int division)
+        # per-node triangle counts: canonical undirected simple pairs
+        # (u < v), triangles enumerated once as ordered chains
+        # a<b (e1), b<c (e2), closure a<c (e3); each corner counted
+        "triangles": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+SELECT doc_id, count(*)::BIGINT AS triangles FROM corners GROUP BY 1
+""",
         # multi-source BFS: union exact-i-hop walk levels, min(dist) —
         # min-over-walks == min-over-paths, so this replays the
         # engine's revisit-suppressed frontier exactly

@@ -877,3 +877,251 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3,
         visited = visited.union(new).materialize()
         frontier = new.map_batches(_as_src, batch_format="pyarrow")
     return visited
+
+
+def _triangles_local(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """Driver replay of the exact degree-ordered triangle count (the
+    forward algorithm): canonical undirected simple graph, per-node
+    triangle counts for nodes in >= 1 triangle."""
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    pairs = np.unique(
+        np.stack([lo[keep], hi[keep]], axis=1), axis=0
+    ) if keep.any() else np.empty((0, 2), dtype=np.int64)
+    counts: dict[int, int] = {}
+    deg: dict[int, int] = {}
+    for u, v in pairs:
+        deg[int(u)] = deg.get(int(u), 0) + 1
+        deg[int(v)] = deg.get(int(v), 0) + 1
+
+    def k(x: int) -> tuple[int, int]:
+        return (deg[x], x)
+
+    fwd: dict[int, set[int]] = {}
+    for u, v in pairs:
+        u, v = int(u), int(v)
+        a, b = (u, v) if k(u) < k(v) else (v, u)
+        fwd.setdefault(a, set()).add(b)
+    for u, v in pairs:
+        u, v = int(u), int(v)
+        a, b = (u, v) if k(u) < k(v) else (v, u)
+        common = fwd.get(a, set()) & fwd.get(b, set())
+        for c in common:
+            for node in (a, b, c):
+                counts[node] = counts.get(node, 0) + 1
+    ids = np.array(sorted(counts), dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "triangles": pa.array(
+                np.array([counts[int(i)] for i in ids], dtype=np.int64),
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
+def triangle_counts(edges_ds, num_buckets: int | None = None,
+                    driver_threshold: int = 2_000_000):
+    """Per-node triangle counts over the UNDIRECTED simple graph
+    derived from the link multigraph (parallel edges collapse, self
+    loops drop): (doc_id, triangles int64) for every node in at least
+    one triangle — the local community-structure / clustering signal
+    (global triangle total = sum // 3).
+
+    Distributed shape (node-iterator++ with degree ordering, Schank &
+    Wagner 2005): canonical pair dedup (ONE bucketed groupby), degree
+    counts (ONE groupby), degrees attached to both endpoints (two
+    bucketed joins), edges ORIENTED low->high in (degree, id) order —
+    the classic bound that caps any node's forward fan-out at
+    O(sqrt(m)) so hub skew cannot blow up the wedge join — then ONE
+    bucketed self-join on the wedge pivot and ONE bucketed semi-join of
+    wedge endpoints against the oriented edge set (exact string pair
+    keys, never hashes), and a final per-node groupby-sum.  Every
+    triangle is generated exactly once (its unique (deg,id)-minimal
+    pivot), so per-node counts need no dedup.
+
+    Graphs at or below ``driver_threshold`` edges take the
+    driver-replay shortcut (connected_components_ds convention; 0
+    forces distributed — tests do)."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    raw = edges_ds.select_columns(["src", "dst"]).materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "triangles": pa.array([], type=pa.int64()),
+        }
+    )
+    if raw.count() == 0:
+        return ray.data.from_arrow(empty)
+    if raw.count() <= driver_threshold:
+        e = raw.to_pandas()
+        return ray.data.from_arrow(
+            _triangles_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+            )
+        )
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+            }
+        )
+
+    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
+
+    und = dedup_pairs_ds(
+        raw.map_batches(_canon, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b]), type=pa.int64())}
+        )
+
+    deg = und.map_batches(_explode, batch_format="pyarrow").groupby(
+        "doc_id"
+    ).count()
+
+    def _deg(key: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: pa.compute.cast(batch["doc_id"], pa.int64()),
+                    f"deg_{key}": pa.compute.cast(
+                        batch["count()"], pa.int64()
+                    ),
+                }
+            )
+
+        return f
+
+    da = deg.map_batches(_deg("id_a"), batch_format="pyarrow")
+    db = deg.map_batches(_deg("id_b"), batch_format="pyarrow")
+    j = bucketed_hash_join(und, da, on="id_a", num_buckets=num_buckets)
+    j = bucketed_hash_join(j, db, on="id_b", num_buckets=num_buckets)
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        ka = batch["deg_id_a"].to_numpy().astype(np.int64)
+        kb = batch["deg_id_b"].to_numpy().astype(np.int64)
+        a_first = (ka < kb) | ((ka == kb) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        dlo = np.where(a_first, ka, kb)
+        dhi = np.where(a_first, kb, ka)
+        return pa.table(
+            {
+                "u": pa.array(lo, type=pa.int64()),
+                "v": pa.array(hi, type=pa.int64()),
+                "du": pa.array(dlo, type=pa.int64()),
+                "dv": pa.array(dhi, type=pa.int64()),
+            }
+        )
+
+    oriented = j.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    def _as_wedge_side(batch: pa.Table) -> pa.Table:
+        # second copy of the oriented edges for the self-join, renamed
+        return pa.table(
+            {
+                "u": pa.compute.cast(batch["u"], pa.int64()),
+                "w": pa.compute.cast(batch["v"], pa.int64()),
+                "dw": pa.compute.cast(batch["dv"], pa.int64()),
+            }
+        )
+
+    wside = oriented.map_batches(_as_wedge_side, batch_format="pyarrow")
+    wj = bucketed_hash_join(oriented, wside, on="u", num_buckets=num_buckets)
+
+    def _wedges(batch: pa.Table) -> pa.Table:
+        v = batch["v"].to_numpy().astype(np.int64)
+        dv = batch["dv"].to_numpy().astype(np.int64)
+        w = batch["w"].to_numpy().astype(np.int64)
+        dw = batch["dw"].to_numpy().astype(np.int64)
+        u = batch["u"].to_numpy().astype(np.int64)
+        # canonical wedge (b, c) with k(b) < k(c): keeps each unordered
+        # pair once and drops the v == w diagonal
+        keep = (dv < dw) | ((dv == dw) & (v < w))
+        b, c = v[keep], w[keep]
+        key = np.char.add(
+            np.char.add(b.astype("U20"), ":"), c.astype("U20")
+        )
+        return pa.table(
+            {
+                "key": pa.array(key.tolist(), type=pa.string()),
+                "pivot": pa.array(u[keep], type=pa.int64()),
+                "b": pa.array(b, type=pa.int64()),
+                "c": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    wedges = wj.map_batches(_wedges, batch_format="pyarrow")
+
+    def _edge_keys(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy().astype(np.int64)
+        v = batch["v"].to_numpy().astype(np.int64)
+        key = np.char.add(
+            np.char.add(u.astype("U20"), ":"), v.astype("U20")
+        )
+        return pa.table(
+            {
+                "key": pa.array(key.tolist(), type=pa.string()),
+                "closed": pa.array(
+                    np.ones(u.size, dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    ekeys = oriented.map_batches(_edge_keys, batch_format="pyarrow")
+    closed = bucketed_hash_join(
+        wedges, ekeys, on="key", num_buckets=num_buckets
+    )
+
+    def _tri_nodes(batch: pa.Table) -> pa.Table:
+        p = batch["pivot"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        c = batch["c"].to_numpy().astype(np.int64)
+        nodes = np.concatenate([p, b, c])
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                "t": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    per_node = (
+        closed.map_batches(_tri_nodes, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("t")
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "triangles": pa.compute.cast(batch["sum(t)"], pa.int64()),
+            }
+        )
+
+    return per_node.map_batches(_finish, batch_format="pyarrow")

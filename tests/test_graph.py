@@ -291,3 +291,116 @@ def test_bfs_driver_shortcut_matches_distributed():
         bfs_hops(edges, seeds, max_hops=3, driver_threshold=0).to_pandas()
     )
     pd.testing.assert_frame_equal(auto, forced)
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts
+# ---------------------------------------------------------------------------
+
+
+def _tri_brute(src, dst):
+    """Exhaustive reference: unique undirected pairs, count triangles
+    per node by checking all (a, b, c) combinations over the adjacency."""
+    import itertools
+
+    adj = {}
+    pairs = set()
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s == d:
+            continue
+        pairs.add((min(s, d), max(s, d)))
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    nodes = sorted(adj)
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for x in (a, b, c):
+                counts[x] = counts.get(x, 0) + 1
+    return counts
+
+
+def _tri_canon(df):
+    df = df.copy()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["triangles"] = df["triangles"].astype("int64")
+    return df.sort_values("doc_id").reset_index(drop=True)[
+        ["doc_id", "triangles"]
+    ]
+
+
+def test_triangles_match_bruteforce_and_modes_agree():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import triangle_counts
+
+    rng = np.random.default_rng(53)
+    n = 60
+    # dense-ish random graph so triangles are plentiful
+    src = rng.integers(0, n, size=400).astype(np.int64)
+    dst = rng.integers(0, n, size=400).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    want = _tri_brute(src, dst)
+    want_df = pd.DataFrame(
+        {"doc_id": sorted(want), "triangles": [want[k] for k in sorted(want)]}
+    )
+    auto = _tri_canon(triangle_counts(edges).to_pandas())
+    forced = _tri_canon(
+        triangle_counts(edges, driver_threshold=0).to_pandas()
+    )
+    pd.testing.assert_frame_equal(auto, _tri_canon(want_df))
+    pd.testing.assert_frame_equal(forced, _tri_canon(want_df))
+    assert want_df["triangles"].sum() % 3 == 0
+    assert len(want_df)  # non-vacuous
+
+
+def test_triangles_k4_and_multigraph_invariance():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import triangle_counts
+
+    # K4 (+ parallel duplicates and self-loops that must not count)
+    base = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    src = [a for a, _ in base] + [1, 2, 0] + [3]
+    dst = [b for _, b in base] + [0, 1, 0] + [3]  # dups reversed + loops
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array(src, dtype=np.int64),
+                "dst": np.array(dst, dtype=np.int64),
+            }
+        )
+    )
+    for thr in (0, 10**6):
+        out = _tri_canon(
+            triangle_counts(edges, driver_threshold=thr).to_pandas()
+        )
+        assert list(out["doc_id"]) == [0, 1, 2, 3]
+        assert list(out["triangles"]) == [3, 3, 3, 3]
+
+
+def test_triangles_partitioning_invariant_distributed():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import triangle_counts
+
+    rng = np.random.default_rng(59)
+    n = 80
+    src = rng.integers(0, n, size=300).astype(np.int64)
+    dst = rng.integers(0, n, size=300).astype(np.int64)
+    t = pa.table({"src": src, "dst": dst})
+    a = _tri_canon(
+        triangle_counts(
+            ray.data.from_arrow(t), driver_threshold=0
+        ).to_pandas()
+    )
+    b = _tri_canon(
+        triangle_counts(
+            ray.data.from_arrow(t).repartition(11),
+            driver_threshold=0,
+            num_buckets=5,
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
