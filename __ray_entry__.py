@@ -1649,6 +1649,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def blended_topk(sf_dir):
+        """Static-score blending — the canonical web-ranking
+        composition (Brin & Page 1998): score = BM25 text relevance +
+        0.5 * (PageRank link authority / scale), top-10 per query
+        (pipelines/blend.py).  The fixed-point pagerank (2 damped
+        rounds over the deterministic link graph) is the
+        query-independent prior, broadcast once as a column-slim
+        sidecar; the prior changes ranking, so evaluation runs the
+        FULL exact TAAT accumulation (pruning over text-only bounds
+        is rank-unsafe — the index-time bound-augmentation scale path
+        is documented in the module)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.blend import blended_search
+        from mini_ivf_ray.pipelines.graph import PR_SCALE, pagerank, synth_edges
+
+        idx = _ensure_index(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        pr = pagerank(edges, docs, iters=2, num_buckets=16).to_pandas()
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = blended_search(
+            idx,
+            qds,
+            pr["doc_id"].to_numpy().astype(np.uint64),
+            pr["rank"].to_numpy().astype(np.int64),
+            _CFG,
+            w=0.5,
+            scale=PR_SCALE,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def triangles_q(sf_dir):
         """Per-node triangle counts over the undirected simple graph
         derived from the link multigraph (parallel edges collapse,
@@ -4795,7 +4847,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_first: positional-payload family, round-5 addition
         "span_first": span_first,
         "ann_append": ann_append,
-        "ann_deleted": ann_deleted,
         # phrase_topk re-enters the window: its verify backend changed
         # this round (index-only positional payload)
         "phrase_topk": phrase_topk_q,
@@ -4824,6 +4875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
         "triangles": triangles_q,
+        # blended_topk: BM25 + PageRank prior (the web-ranking formula)
+        "blended_topk": blended_topk,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
@@ -4865,8 +4918,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lm_score r4-green, broadcast-model replay pytests;
         # scrub r4-green, stateless vectorized PII-scrub pytests;
         # hybrid_rrf r4-green, composes two independently green families;
-        # ann_sq8_refined r4-green, shares the SQ8 family with in-window ann_sq8
+        # ann_sq8_refined r4-green, shares the SQ8 family with in-window ann_sq8;
+        # ann_deleted r4-green, tombstone semantics pinned by the
+        # tombstone-serving + maintenance pytest suites
         "source_mix": source_mix,
+        "ann_deleted": ann_deleted,
         "ann_sq8_refined": ann_sq8_refined,
         "hybrid_rrf": hybrid_rrf,
         "scrub": scrub,
@@ -6405,6 +6461,75 @@ FROM ranked WHERE rank < 10
         # fixed-point PageRank, 3 unrolled damped rounds over the
         # md5-derived synthetic link graph (integer arithmetic end to
         # end, so the replay is hash-exact; // is DuckDB int division)
+        # static-score blending: BM25 + 0.5 * (2-round fixed-point
+        # pagerank / 1e12) — the identical IEEE float64 sequence
+        # (divide, multiply, add) on both sides
+        "blended_topk": f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+outdeg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT doc_id,
+              CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS rank
+       FROM documents),
+r1 AS (SELECT d.doc_id,
+              CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r0 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id),
+r2 AS (SELECT d.doc_id,
+              CAST((15 * (1000000000000 // (SELECT n FROM nn))) // 100
+                   + (85 * COALESCE(CAST(s.m AS BIGINT), 0)) // 100
+                   AS BIGINT) AS rank
+       FROM documents d LEFT JOIN (
+         SELECT e.dst AS doc_id, sum(r.rank // g.deg) AS m
+         FROM edges e JOIN r1 r ON r.doc_id = e.src
+                      JOIN outdeg g ON g.src = e.src
+         GROUP BY 1) s ON s.doc_id = d.doc_id),
+{_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+blended AS (SELECT s.query_id, s.doc_id,
+                   s.score + 0.5 * (r2.rank / 1000000000000.0) AS b
+            FROM scores s JOIN r2 ON r2.doc_id = s.doc_id),
+ranked AS (SELECT query_id, doc_id, b,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY b DESC, doc_id ASC) - 1 AS rank
+           FROM blended)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # per-node triangle counts: canonical undirected simple pairs
         # (u < v), triangles enumerated once as ordered chains
         # a<b (e1), b<c (e2), closure a<c (e3); each corner counted
