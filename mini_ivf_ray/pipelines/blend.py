@@ -36,6 +36,7 @@ from mini_ivf_ray.config import PipelineConfig
 from mini_ivf_ray.functions.tokenize import tokenize
 from mini_ivf_ray.pipelines.query import (
     BM25Searcher,
+    _allowed_mask,
     _taat_accumulate,
     _topk_exact,
 )
@@ -81,6 +82,13 @@ class BlendedSearcher(BM25Searcher):
             if self.stats.df.get(t, 0) > 0
         }
         fetched = self.reader.fetch_terms(wanted)
+        # per-partition probe bookkeeping, same as the base
+        # topk_for_text — blended queries must stay visible to the
+        # QueryObs counters every other search path feeds
+        pp = self.counters.setdefault("partition_probes", {})
+        for t, locs in wanted.items():
+            for p in dict.fromkeys(locs):
+                pp[p] = pp.get(p, 0) + 1
         blocks = []
         for t in sorted(wanted):
             b = fetched.get(t)
@@ -99,16 +107,20 @@ class BlendedSearcher(BM25Searcher):
             return []
         docs, scores, scored = _taat_accumulate(blocks)
         if self.denied is not None and self.denied.size:
-            idx = np.searchsorted(self.denied, docs)
-            np.minimum(idx, self.denied.size - 1, out=idx)
-            keep = self.denied[idx] != docs
+            keep = ~_allowed_mask(docs, self.denied)
             docs, scores = docs[keep], scores[keep]
         if not docs.size:
             return []
-        idx = np.searchsorted(self.static_ids, docs)
-        np.minimum(idx, self.static_ids.size - 1, out=idx)
-        hit = self.static_ids[idx] == docs
-        static = np.where(hit, self.static_ranks[idx], 0).astype(np.float64)
+        if self.static_ids.size:
+            idx = np.searchsorted(self.static_ids, docs)
+            np.minimum(idx, self.static_ids.size - 1, out=idx)
+            hit = self.static_ids[idx] == docs
+            static = np.where(hit, self.static_ranks[idx], 0).astype(
+                np.float64
+            )
+        else:
+            # empty sidecar: every doc blends with prior 0
+            static = np.zeros(docs.size, dtype=np.float64)
         blended = scores + self.w * (static / self.scale)
         self.counters["searched_cnt"] = (
             self.counters.get("searched_cnt", 0) + scored

@@ -117,6 +117,28 @@ def _share_partials(batch: pa.Table) -> pa.Table:
     )
 
 
+def _check_endpoints(
+    ids: np.ndarray, src: np.ndarray, dst: np.ndarray, op: str
+) -> None:
+    """Edge endpoints must be a subset of the node set — the documented
+    precondition of pagerank/hits (synth_edges and href extraction over
+    the same corpus both satisfy it by construction).  The driver
+    shortcut validates and raises LOUDLY; searchsorted index-mapping
+    would otherwise misattribute an absent endpoint to a neighboring
+    node.  The distributed path does not re-check at scale (an
+    anti-join per call); callers own endpoint validity there."""
+    for name, arr in (("src", src), ("dst", dst)):
+        if not arr.size:
+            continue
+        ix = np.searchsorted(ids, arr)
+        np.minimum(ix, ids.size - 1, out=ix)
+        if not np.all(ids[ix] == arr):
+            raise ValueError(
+                f"{op}: edge {name} endpoints not in nodes_ds — edge "
+                "endpoints must be a subset of the node set"
+            )
+
+
 def _pagerank_local(
     ids: np.ndarray,
     src: np.ndarray,
@@ -230,15 +252,11 @@ def pagerank(
         ids = np.sort(
             nodes.to_pandas()["doc_id"].to_numpy().astype(np.int64)
         )
+        src = e["src"].to_numpy().astype(np.int64)
+        dst = e["dst"].to_numpy().astype(np.int64)
+        _check_endpoints(ids, src, dst, "pagerank")
         return ray.data.from_arrow(
-            _pagerank_local(
-                ids,
-                e["src"].to_numpy().astype(np.int64),
-                e["dst"].to_numpy().astype(np.int64),
-                iters,
-                scale,
-                seed_local,
-            )
+            _pagerank_local(ids, src, dst, iters, scale, seed_local)
         )
     edges_ds = edges_cached
     seeds_ref = None
@@ -577,15 +595,11 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
         ids = np.sort(
             nodes.to_pandas()["doc_id"].to_numpy().astype(np.int64)
         )
+        src = e["src"].to_numpy().astype(np.int64)
+        dst = e["dst"].to_numpy().astype(np.int64)
+        _check_endpoints(ids, src, dst, "hits")
         return ray.data.from_arrow(
-            _hits_local(
-                ids,
-                e["src"].to_numpy().astype(np.int64),
-                e["dst"].to_numpy().astype(np.int64),
-                iters,
-                scale,
-                stochastic,
-            )
+            _hits_local(ids, src, dst, iters, scale, stochastic)
         )
     edges_ds = edges_cached
 
@@ -634,7 +648,7 @@ def hits(edges_ds, nodes_ds, iters: int = 3, scale: int = HITS_SCALE,
         return f
 
     zeros = nodes.map_batches(_zero, batch_format="pyarrow").materialize()
-    edges = edges_ds.select_columns(["src", "dst"]).materialize()
+    edges = edges_ds  # already slim + materialized by the threshold check
     if stochastic:
         # SALSA: per-edge degrees of BOTH endpoints, attached once and
         # reused every round (the static side of the iteration)
@@ -823,7 +837,7 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3,
     frontier = ray.data.from_arrow(
         pa.table({"src": pa.array(seed_arr, type=pa.int64())})
     )
-    edges = edges_ds.select_columns(["src", "dst"])
+    edges = edges_ds  # already slim + materialized by the threshold check
 
     def _dst_only(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -880,43 +894,61 @@ def bfs_hops(edges_ds, seeds, max_hops: int = 3,
 
 
 def _triangles_local(src: np.ndarray, dst: np.ndarray) -> pa.Table:
-    """Driver replay of the exact degree-ordered triangle count (the
-    forward algorithm): canonical undirected simple graph, per-node
+    """Driver replay of the exact degree-ordered triangle count —
+    VECTORIZED (pandas merges mirror the distributed wedge/closure
+    joins; no per-edge Python loops, so the 2M-edge threshold costs
+    seconds, not minutes): canonical undirected simple graph, per-node
     triangle counts for nodes in >= 1 triangle."""
+    import pandas as pd
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "triangles": pa.array([], type=pa.int64()),
+        }
+    )
     lo = np.minimum(src, dst)
     hi = np.maximum(src, dst)
     keep = lo != hi
-    pairs = np.unique(
-        np.stack([lo[keep], hi[keep]], axis=1), axis=0
-    ) if keep.any() else np.empty((0, 2), dtype=np.int64)
-    counts: dict[int, int] = {}
-    deg: dict[int, int] = {}
-    for u, v in pairs:
-        deg[int(u)] = deg.get(int(u), 0) + 1
-        deg[int(v)] = deg.get(int(v), 0) + 1
-
-    def k(x: int) -> tuple[int, int]:
-        return (deg[x], x)
-
-    fwd: dict[int, set[int]] = {}
-    for u, v in pairs:
-        u, v = int(u), int(v)
-        a, b = (u, v) if k(u) < k(v) else (v, u)
-        fwd.setdefault(a, set()).add(b)
-    for u, v in pairs:
-        u, v = int(u), int(v)
-        a, b = (u, v) if k(u) < k(v) else (v, u)
-        common = fwd.get(a, set()) & fwd.get(b, set())
-        for c in common:
-            for node in (a, b, c):
-                counts[node] = counts.get(node, 0) + 1
-    ids = np.array(sorted(counts), dtype=np.int64)
+    if not keep.any():
+        return empty
+    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    nodes, inv = np.unique(pairs.ravel(), return_inverse=True)
+    deg = np.bincount(inv, minlength=nodes.size)
+    ui = inv[0::2].astype(np.int64)  # pairs[:, 0] index-mapped
+    vi = inv[1::2].astype(np.int64)
+    du, dv = deg[ui], deg[vi]
+    u_first = (du < dv) | ((du == dv) & (ui < vi))
+    a = np.where(u_first, ui, vi)  # oriented low -> high in (deg, id)
+    b = np.where(u_first, vi, ui)
+    oriented = pd.DataFrame({"a": a, "b": b})
+    # wedges: self-merge on the pivot, keep canonical (deg,id)-ordered
+    # endpoint pairs (each unordered wedge once, diagonal dropped)
+    w = oriented.merge(oriented, on="a", suffixes=("", "_c"))
+    bb, cc = w["b"].to_numpy(), w["b_c"].to_numpy()
+    dbb, dcc = deg[bb], deg[cc]
+    keep_w = (dbb < dcc) | ((dbb == dcc) & (bb < cc))
+    wedges = pd.DataFrame(
+        {"p": w["a"].to_numpy()[keep_w], "b": bb[keep_w], "c": cc[keep_w]}
+    )
+    closed = wedges.merge(
+        oriented.rename(columns={"a": "b", "b": "c"}),
+        on=["b", "c"],
+        how="inner",
+    )
+    if not len(closed):
+        return empty
+    corners = np.concatenate(
+        [closed["p"].to_numpy(), closed["b"].to_numpy(),
+         closed["c"].to_numpy()]
+    )
+    counts = np.bincount(corners, minlength=nodes.size)
+    nz = np.flatnonzero(counts)
     return pa.table(
         {
-            "doc_id": pa.array(ids, type=pa.int64()),
+            "doc_id": pa.array(nodes[nz], type=pa.int64()),
             "triangles": pa.array(
-                np.array([counts[int(i)] for i in ids], dtype=np.int64),
-                type=pa.int64(),
+                counts[nz].astype(np.int64), type=pa.int64()
             ),
         }
     )

@@ -555,26 +555,34 @@ class _SpanFirstVerifier:
 
         self.cand = ray.get(cand_ref)
         self.queries = queries
+        # candidate union computed ONCE per actor (the _IndexPosVerifier
+        # placement) — self.cand is fixed at construction
+        nonempty = [v for v in self.cand.values() if v.size]
+        self.union_cand = (
+            np.unique(np.concatenate(nonempty))
+            if nonempty
+            else np.empty(0, dtype=np.uint64)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
-        union = np.unique(
-            np.concatenate([v for v in self.cand.values() if v.size])
-        ) if self.cand else np.empty(0, dtype=np.uint64)
-        keep = np.isin(doc_ids, union)
+        keep = np.isin(doc_ids, self.union_cand)
         out_q: list[int] = []
         out_d: list[int] = []
         if keep.any():
             texts = batch["text"].to_numpy(zero_copy_only=False)[keep]
             kept = doc_ids[keep]
-            toks = [tokenize(t) for t in texts]
+            # dict keyed by doc id, NOT np.array(toks, dtype=object):
+            # equal-length token lists would collapse that into a 2D
+            # array whose rows are ndarrays without .index()
+            toks = {int(d): tokenize(t) for d, t in zip(kept, texts)}
             for qid, terms, limit in self.queries:
                 term = terms[0]
                 ids = self.cand.get(qid)
                 if ids is None or not ids.size:
                     continue
-                mask = np.isin(kept, ids)
-                for d, tk in zip(kept[mask], np.array(toks, dtype=object)[mask]):
+                for d in kept[np.isin(kept, ids)]:
+                    tk = toks[int(d)]
                     try:
                         first = tk.index(term)
                     except ValueError:

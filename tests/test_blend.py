@@ -112,3 +112,27 @@ def test_blend_missing_sidecar_docs_default_zero(tiny_index):
         )
     ]
     assert got == want[0]
+
+
+def test_blend_empty_sidecar_is_plain_bm25(tiny_index):
+    """Regression: an EMPTY static sidecar (e.g. the prior of an
+    all-filtered graph) used to IndexError on the size-0 searchsorted
+    gather; it must blend every doc with prior 0 == plain BM25."""
+    idx, cfg, _docs = tiny_index
+    qds = ray.data.from_items([{"query_id": 0, "text": "the data"}])
+    res = blended_search(
+        idx,
+        qds,
+        np.array([], dtype=np.uint64),
+        np.array([], dtype=np.int64),
+        cfg,
+        w=1.0,
+    ).to_pandas()
+    plain = search(idx, qds, cfg).to_pandas()
+    for df in (res, plain):
+        df.sort_values("rank", inplace=True)
+        df.reset_index(drop=True, inplace=True)
+    assert list(res["doc_id"].astype(np.uint64)) == list(
+        plain["doc_id"].astype(np.uint64)
+    )
+    assert np.array_equal(res["score"].to_numpy(), plain["score"].to_numpy())

@@ -500,3 +500,52 @@ def test_span_first_rejects_multi_term(pos_index):
     idx, cfg, _docs, _ = pos_index
     with pytest.raises(ValueError, match="one term"):
         span_first_topk(idx, None, [(0, "the data", 3)], cfg, positions="index")
+
+
+def test_span_first_corpus_verify_equal_length_docs(tmp_path):
+    """Regression: a verify batch whose kept docs ALL tokenize to the
+    same length used to collapse np.array(toks, dtype=object) into a
+    2D array whose rows have no .index() — corpus-backend span_first
+    crashed with AttributeError."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.functions.extract import wrap_html
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.phrase import span_first_topk
+
+    texts = [
+        "alpha beta gamma delta",
+        "beta alpha gamma delta",
+        "gamma delta alpha beta",
+        "delta gamma beta alpha",
+    ]  # all exactly 4 tokens
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "url": pa.array(
+                [f"https://e.example/{i}" for i in range(n)], type=pa.string()
+            ),
+            "warc_ts": pa.array(
+                np.full(n, np.datetime64("2024-01-01", "us"))
+            ),
+            "html": pa.array(
+                [wrap_html(t) for t in texts], type=pa.binary()
+            ),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    from mini_ivf_ray.config import PipelineConfig
+
+    cfg = PipelineConfig(num_partitions=2, topk=5, doc_id_from_url=False)
+    idx = str(tmp_path / "eq_idx")
+    build_index(lambda: ray.data.from_arrow(tbl), idx, cfg, dedup=False)
+    docs_ds = ray.data.from_arrow(tbl.select(["doc_id", "text"]))
+    res = span_first_topk(
+        idx, docs_ds, [(0, "alpha", 1)], cfg, positions="corpus"
+    )
+    # 'alpha' is the FIRST token of exactly docs 0 and 1? doc 0 yes,
+    # doc 1 starts with beta -> only docs whose first token is alpha
+    got = sorted(res["doc_id"].astype(np.int64))
+    assert got == [0]
