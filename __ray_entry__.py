@@ -1732,6 +1732,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def clustering_q(sf_dir):
+        """Local clustering coefficient (Watts & Strogatz 1998) over
+        the undirected simple link graph: cc = 2*T(v) / (deg*(deg-1))
+        for every node with degree >= 2, triangles from the
+        degree-ordered node-iterator (pipelines/graph.py
+        clustering_coefficient; adaptive at this scale, distributed
+        path forced in tests)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import (
+            clustering_coefficient,
+            synth_edges,
+        )
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = clustering_coefficient(edges, num_buckets=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "deg": pa.array(
+                    res["deg"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "triangles": pa.array(
+                    res["triangles"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "cc_r": pa.array(
+                    np.round(res["cc"].to_numpy(), 6), type=pa.float64()
+                ),
+            }
+        )
+
     def salsa_q(sf_dir):
         """SALSA hubs & authorities (Lempel & Moran 2000) over the
         deterministic link graph: HITS with the random-walk degree
@@ -4846,7 +4884,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- window: r4-green rows on their second checked round ----------
         # span_first: positional-payload family, round-5 addition
         "span_first": span_first,
-        "ann_append": ann_append,
         # phrase_topk re-enters the window: its verify backend changed
         # this round (index-only positional payload)
         "phrase_topk": phrase_topk_q,
@@ -4877,6 +4914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": triangles_q,
         # blended_topk: BM25 + PageRank prior (the web-ranking formula)
         "blended_topk": blended_topk,
+        "clustering": clustering_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
@@ -4920,8 +4958,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hybrid_rrf r4-green, composes two independently green families;
         # ann_sq8_refined r4-green, shares the SQ8 family with in-window ann_sq8;
         # ann_deleted r4-green, tombstone semantics pinned by the
-        # tombstone-serving + maintenance pytest suites
+        # tombstone-serving + maintenance pytest suites;
+        # ann_append r4-green, append lifecycle pinned by the 10-test
+        # bit-identity suite
         "source_mix": source_mix,
+        "ann_append": ann_append,
         "ann_deleted": ann_deleted,
         "ann_sq8_refined": ann_sq8_refined,
         "hybrid_rrf": hybrid_rrf,
@@ -6529,6 +6570,44 @@ ranked AS (SELECT query_id, doc_id, b,
            FROM blended)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # local clustering coefficient: triangle chain counts joined
+        # onto undirected simple degrees; cc is one IEEE float64
+        # multiply/divide, identical on both sides
+        "clustering": """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges),
+nd AS (SELECT doc_id, count(*)::BIGINT AS deg FROM (
+         SELECT u AS doc_id FROM und UNION ALL SELECT v FROM und
+       ) GROUP BY 1),
+tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT a AS doc_id FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri),
+tcnt AS (SELECT doc_id, count(*)::BIGINT AS t FROM corners GROUP BY 1)
+SELECT nd.doc_id, nd.deg,
+       COALESCE(tcnt.t, 0)::BIGINT AS triangles,
+       round((2.0 * COALESCE(tcnt.t, 0)) / (nd.deg * (nd.deg - 1.0)), 6)
+         AS cc_r
+FROM nd LEFT JOIN tcnt ON tcnt.doc_id = nd.doc_id
+WHERE nd.deg >= 2
 """,
         # per-node triangle counts: canonical undirected simple pairs
         # (u < v), triangles enumerated once as ordered chains

@@ -1157,3 +1157,132 @@ def triangle_counts(edges_ds, num_buckets: int | None = None,
         )
 
     return per_node.map_batches(_finish, batch_format="pyarrow")
+
+
+def clustering_coefficient(edges_ds, num_buckets: int | None = None,
+                           driver_threshold: int = 2_000_000):
+    """Local clustering coefficient over the undirected simple graph
+    (Watts & Strogatz 1998): for every node with degree >= 2,
+    cc = 2 * triangles(v) / (deg(v) * (deg(v) - 1)) — how close the
+    node's neighborhood is to a clique, the standard community-density
+    signal.  Returns (doc_id, deg, triangles, cc float64); nodes in no
+    triangle get cc = 0.0.
+
+    Composition: ``triangle_counts`` (its exactness and skew story
+    apply unchanged) + ONE degree groupby over the canonical pair set
+    + ONE bucketed LEFT join (triangles onto degrees — zero-triangle
+    nodes pad to 0).  The cc division is one IEEE float64 multiply /
+    divide, identical in the SQL oracle.  Same adaptive threshold
+    convention; 0 forces distributed."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    raw = edges_ds.select_columns(["src", "dst"]).materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "deg": pa.array([], type=pa.int64()),
+            "triangles": pa.array([], type=pa.int64()),
+            "cc": pa.array([], type=pa.float64()),
+        }
+    )
+    if raw.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def _cc_tbl(ids, deg, tri) -> pa.Table:
+        cc = (2.0 * tri.astype(np.float64)) / (
+            deg.astype(np.float64) * (deg.astype(np.float64) - 1.0)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "deg": pa.array(deg, type=pa.int64()),
+                "triangles": pa.array(tri, type=pa.int64()),
+                "cc": pa.array(cc, type=pa.float64()),
+            }
+        )
+
+    if raw.count() <= driver_threshold:
+        e = raw.to_pandas()
+        src = e["src"].to_numpy().astype(np.int64)
+        dst = e["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        keep = lo != hi
+        if not keep.any():
+            return ray.data.from_arrow(empty)
+        pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+        nodes, inv = np.unique(pairs.ravel(), return_inverse=True)
+        deg = np.bincount(inv, minlength=nodes.size).astype(np.int64)
+        tri_tbl = _triangles_local(src, dst)
+        tmap = dict(
+            zip(
+                tri_tbl["doc_id"].to_numpy().tolist(),
+                tri_tbl["triangles"].to_numpy().tolist(),
+            )
+        )
+        m = deg >= 2
+        ids = nodes[m]
+        tri = np.array([tmap.get(int(i), 0) for i in ids], dtype=np.int64)
+        return ray.data.from_arrow(_cc_tbl(ids, deg[m], tri))
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+            }
+        )
+
+    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
+
+    und = dedup_pairs_ds(
+        raw.map_batches(_canon, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b]), type=pa.int64())}
+        )
+
+    def _deg_named(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "deg": pa.compute.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    degs = (
+        und.map_batches(_explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .count()
+        .map_batches(_deg_named, batch_format="pyarrow")
+    )
+    tri = triangle_counts(raw, num_buckets=num_buckets, driver_threshold=0)
+    joined = bucketed_hash_join(
+        degs, tri, on="doc_id", num_buckets=num_buckets, how="left"
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        deg = batch["deg"].to_numpy().astype(np.int64)
+        # LEFT-join padding: zero-triangle nodes arrive as float NaN
+        t = pa.compute.cast(batch["triangles"], pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        tri = np.where(np.isnan(t), 0, t).astype(np.int64)
+        m = deg >= 2
+        return _cc_tbl(ids[m], deg[m], tri[m])
+
+    return joined.map_batches(_finish, batch_format="pyarrow")

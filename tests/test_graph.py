@@ -404,3 +404,61 @@ def test_triangles_partitioning_invariant_distributed():
         ).to_pandas()
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clustering_coefficient_modes_and_pins():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import clustering_coefficient
+
+    rng = np.random.default_rng(71)
+    n = 50
+    src = rng.integers(0, n, size=300).astype(np.int64)
+    dst = rng.integers(0, n, size=300).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    def canon(df):
+        df = df.copy()
+        for c in ("doc_id", "deg", "triangles"):
+            df[c] = df[c].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "deg", "triangles", "cc"]
+        ]
+
+    auto = canon(clustering_coefficient(edges).to_pandas())
+    forced = canon(
+        clustering_coefficient(edges, driver_threshold=0).to_pandas()
+    )
+    pd.testing.assert_frame_equal(auto, forced)
+    # brute-force reference from the triangle brute + adjacency degrees
+    tri = _tri_brute(src, dst)
+    adj = {}
+    for s, d in zip(src, dst):
+        if s != d:
+            adj.setdefault(int(s), set()).add(int(d))
+            adj.setdefault(int(d), set()).add(int(s))
+    for _, row in auto.iterrows():
+        v = int(row["doc_id"])
+        assert row["deg"] == len(adj[v])
+        assert row["triangles"] == tri.get(v, 0)
+        want_cc = 2.0 * tri.get(v, 0) / (len(adj[v]) * (len(adj[v]) - 1))
+        assert row["cc"] == want_cc, v
+    # every deg>=2 node present, deg<2 absent
+    want_nodes = sorted(v for v in adj if len(adj[v]) >= 2)
+    assert list(auto["doc_id"]) == want_nodes
+    assert (auto["cc"] > 0).any()
+
+    # K4: cc exactly 1.0 everywhere
+    k4 = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": np.array([0, 0, 0, 1, 1, 2], dtype=np.int64),
+                "dst": np.array([1, 2, 3, 2, 3, 3], dtype=np.int64),
+            }
+        )
+    )
+    for thr in (0, 10**6):
+        out = canon(
+            clustering_coefficient(k4, driver_threshold=thr).to_pandas()
+        )
+        assert list(out["cc"]) == [1.0, 1.0, 1.0, 1.0]
