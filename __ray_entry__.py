@@ -716,6 +716,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def dismax_topk(sf_dir):
+        """Disjunction-max retrieval (Lucene DisjunctionMaxQuery):
+        score = best single-term BM25 score + 0.3 * the rest — the
+        multi-field / synonym alternative-scoring rule
+        (pipelines/dismax.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.dismax import dismax_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = dismax_search(idx, qds, _CFG, tie_breaker=0.3).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def ann_filtered(sf_dir):
         """Metadata-filtered exact vector search: cosine top-10 over
         only lang='en' vectors — the whitelist (documents join) is
@@ -4897,7 +4929,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
         "dup_collapsed_sharded": dup_collapsed_sharded,
-        "stratified_sample": stratified_sample_q,
+        # dismax_topk: Lucene DisjunctionMaxQuery (round-5 addition)
+        "dismax_topk": dismax_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -4948,9 +4981,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bm25_page2 r4-green, shares the pinned _bm25_sql family;
         # stable_split r4-green, exact md5 SQL replay + pytest gates;
         # per_source_cap r4-green, shares the salted-hash row-function
-        # family with stratified_sample/source_mix which stay in-window)
+        # family with stratified_sample/source_mix;
+        # stratified_sample r4-green, same salted-hash family + pytests)
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
+        "stratified_sample": stratified_sample_q,
         # source_mix r4-green, shares the salted-hash sampling family;
         # token_budget r4-green, histogram-budget pytest gates;
         # lm_score r4-green, broadcast-model replay pytests;
@@ -5984,6 +6019,38 @@ scores AS (
   JOIN dl ON dl.doc_id = p.doc_id
   CROSS JOIN stats s
   GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # disjunction-max: per-(query, doc, term) BM25 scores combined
+        # as max + 0.3 * (sum - max) instead of the plain sum — two
+        # IEEE float64 multiplies/adds, identical on both sides
+        "dismax_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+pscore AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS sc
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id,
+                  max(sc) + 0.3 * (sum(sc) - max(sc)) AS score
+           FROM pscore GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
