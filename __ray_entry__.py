@@ -66,6 +66,23 @@ SPAN_FIRST_QUERIES: list[tuple[int, str, int]] = [
     (5, "the", 0),
 ]
 
+# SpanNot workload: (query_id, include, exclude, window) — pairs that
+# co-occur so the exclusion visibly bites, an OOV exclude (== plain
+# single-term ranking), an OOV include (empty), a self-exclusion
+# (empty: every occurrence excludes itself at distance 0), and a
+# zero window over distinct terms (excludes nothing: two distinct
+# tokens cannot share a position)
+SPAN_NOT_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "key", "value", 1),
+    (1, "sort", "merge", 2),
+    (2, "data", "the", 1),
+    (3, "slow", "fast", 1),
+    (4, "table", "zz9999qq", 3),
+    (5, "zz9999qq", "the", 2),
+    (6, "join", "join", 0),
+    (7, "window", "agg", 0),
+]
+
 # misspellings of real corpus terms (+ one exact term, one hopeless):
 # spell_suggest matches the corpus vocabulary within Levenshtein <= 2
 SPELL_QUERIES: list[str] = [
@@ -1634,6 +1651,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _ensure_positions(sf_dir)
         res = span_first_topk(
             idx, None, SPAN_FIRST_QUERIES, _CFG, positions="index"
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def span_not(sf_dir):
+        """SpanNot search (Lucene SpanNotQuery): top-10 docs with an
+        include-term occurrence that has NO exclude-term occurrence
+        within w positions, ranked by the include term's BM25 score —
+        the negative phrase-context primitive, served INDEX-ONLY from
+        the positions store (docs_ds=None; pipelines/phrase.py
+        span_not_topk)."""
+        from mini_ivf_ray.pipelines.phrase import span_not_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = span_not_topk(
+            idx, None, SPAN_NOT_QUERIES, _CFG, positions="index"
         )
         res = res.sort_values(["query_id", "rank"])
         return pa.table(
@@ -4931,6 +4979,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_collapsed_sharded": dup_collapsed_sharded,
         # dismax_topk: Lucene DisjunctionMaxQuery (round-5 addition)
         "dismax_topk": dismax_topk,
+        # span_not: negative phrase context, positional family
+        "span_not": span_not,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -4967,7 +5017,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dirichlet_topk": dirichlet_topk,
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
-        "boosted_topk": boosted_topk,
         "jm_topk": jm_topk,
         "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
@@ -4982,10 +5031,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stable_split r4-green, exact md5 SQL replay + pytest gates;
         # per_source_cap r4-green, shares the salted-hash row-function
         # family with stratified_sample/source_mix;
-        # stratified_sample r4-green, same salted-hash family + pytests)
+        # stratified_sample r4-green, same salted-hash family + pytests;
+        # boosted_topk r4-green, shares the per-term-contribution
+        # accumulation family with in-window dismax_topk)
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
+        "boosted_topk": boosted_topk,
         # source_mix r4-green, shares the salted-hash sampling family;
         # token_budget r4-green, histogram-budget pytest gates;
         # lm_score r4-green, broadcast-model replay pytests;
@@ -5746,6 +5798,46 @@ scores AS (
   JOIN dl ON dl.doc_id = p.doc_id
   JOIN fp ON fp.doc_id = p.doc_id AND fp.term = q.term
          AND fp.first_pos < q.lim
+  CROSS JOIN stats s),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # SpanNot: doc matches iff EXISTS an include-position with NO
+        # exclude-position within w (|pi - pe| <= w excludes); ranked
+        # by the include term's single-term BM25 score
+        "span_not": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS term,
+               generate_subscripts(tk, 1) - 1 AS p
+        FROM t),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pos GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM pos GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM pos)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, inc, exc, w) AS (VALUES {", ".join(f"({qid}, '{inc}', '{exc}', {w})" for qid, inc, exc, w in SPAN_NOT_QUERIES)}),
+m AS (SELECT DISTINCT q.query_id, pi.doc_id
+      FROM q
+      JOIN pos pi ON pi.term = q.inc
+      WHERE NOT EXISTS (SELECT 1 FROM pos pe
+                        WHERE pe.doc_id = pi.doc_id AND pe.term = q.exc
+                          AND abs(pe.p - pi.p) <= q.w)),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * (p.tf * (1.2 + 1.0))
+         / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS score
+  FROM q
+  JOIN df d ON d.term = q.inc
+  JOIN postings p ON p.term = q.inc
+  JOIN dl ON dl.doc_id = p.doc_id
+  JOIN m ON m.query_id = q.query_id AND m.doc_id = p.doc_id
   CROSS JOIN stats s),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id

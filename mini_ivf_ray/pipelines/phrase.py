@@ -682,3 +682,150 @@ def span_first_topk(
     if len(df):
         df["doc_id"] = df["doc_id"].astype(np.uint64)
     return df
+
+
+class _SpanNotVerifier:
+    """Corpus-verify stage for span_not: re-tokenize candidate docs and
+    keep those where ANY include-term occurrence has NO exclude-term
+    occurrence within the query's window (the positions-store kernel,
+    ``span_not_survives``, applied to token-stream positions)."""
+
+    def __init__(self, cand_ref, queries: list[tuple[int, list[str], int]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)
+        self.queries = queries
+        nonempty = [v for v in self.cand.values() if v.size]
+        self.union_cand = (
+            np.unique(np.concatenate(nonempty))
+            if nonempty
+            else np.empty(0, dtype=np.uint64)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from mini_ivf_ray.pipelines.positions import span_not_survives
+
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        keep = np.isin(doc_ids, self.union_cand)
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if keep.any():
+            texts = batch["text"].to_numpy(zero_copy_only=False)[keep]
+            kept = doc_ids[keep]
+            toks = {int(d): tokenize(t) for d, t in zip(kept, texts)}
+            for qid, terms, w in self.queries:
+                inc_t, exc_t = terms[0], terms[1]
+                ids = self.cand.get(qid)
+                if ids is None or not ids.size:
+                    continue
+                for d in kept[np.isin(kept, ids)]:
+                    tk = toks[int(d)]
+                    inc = np.array(
+                        [i for i, t in enumerate(tk) if t == inc_t],
+                        dtype=np.int64,
+                    )
+                    exc = np.array(
+                        [i for i, t in enumerate(tk) if t == exc_t],
+                        dtype=np.int64,
+                    )
+                    if span_not_survives(inc, exc, w):
+                        out_q.append(qid)
+                        out_d.append(int(d))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def span_not_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, str, int]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+) -> pd.DataFrame:
+    """SpanNot search (Lucene SpanNotQuery with symmetric pre/post
+    slop): top-k docs with at least one INCLUDE-term occurrence that
+    has no EXCLUDE-term occurrence within ``w`` token positions
+    (|p_inc - p_exc| <= w excludes that occurrence), ranked by the
+    include term's BM25 score (score desc, doc asc).  The negative
+    phrase-context primitive ("apple" not near "pie").
+
+    ``queries``: (query_id, include_text, exclude_text, w) rows; each
+    text must tokenize to exactly one term.  ``positions``: the shared
+    backend contract — "index" verifies from the positions store only
+    (``docs_ds`` may be None; raises on a stale store), "corpus"
+    re-tokenizes candidates, "auto" prefers a fresh store.  Candidates
+    are the include term's posting list; an exclude term absent from a
+    candidate doc excludes nothing there, so an OOV exclude term makes
+    span_not == the plain single-term ranking (pytest-pinned).  Verify
+    work is candidate-proportional in both backends."""
+    import ray
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized: list[tuple[int, list[str], int]] = []
+    for qid, inc_text, exc_text, w in queries:
+        inc = tokenize(inc_text)
+        exc = tokenize(exc_text)
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError(
+                f"span_not_topk takes one include and one exclude term "
+                f"per query, got {inc_text!r} / {exc_text!r} for query {qid}"
+            )
+        if w < 0:
+            raise ValueError(f"window must be >= 0, got {w} for query {qid}")
+        tokenized.append((qid, [inc[0], exc[0]], int(w)))
+
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str], int]] = []
+    for qid, terms, w in tokenized:
+        docs, scores = searcher.conjunctive_matches_for_text(terms[0])
+        cand[qid] = docs
+        cand_scores[qid] = dict(zip(docs.tolist(), scores.tolist()))
+        if docs.size:
+            needs_verify.append((qid, terms, w))
+
+    verified: dict[int, np.ndarray] = {}
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(index_dir, cand, needs_verify, "not", cfg)
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
+        hits = docs_ds.map_batches(
+            _SpanNotVerifier,
+            fn_constructor_args=(cand_ref, needs_verify),
+            batch_format="pyarrow",
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        ).to_pandas()
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+
+    out_rows = []
+    for qid, _terms, _w in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out_rows.append((qid, r, d, s))
+    df = pd.DataFrame(out_rows, columns=["query_id", "rank", "doc_id", "score"])
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df

@@ -459,6 +459,28 @@ def ordered_window_positions(pos_lists: list[np.ndarray], w: int) -> bool:
     return False
 
 
+def span_not_survives(inc: np.ndarray, exc: np.ndarray, w: int) -> bool:
+    """SpanNot (Lucene SpanNotQuery with symmetric pre/post slop):
+    does ANY include-term occurrence have NO exclude-term occurrence
+    within ``w`` token positions (|p_inc - p_exc| <= w excludes)?
+    Both arrays sorted ascending; an absent exclude term (empty
+    ``exc``) leaves every include occurrence standing.  Vectorized:
+    one searchsorted + two neighbor gathers per doc."""
+    if inc.size == 0:
+        return False
+    if exc.size == 0:
+        return True
+    inc64 = inc.astype(np.int64, copy=False)
+    exc64 = exc.astype(np.int64, copy=False)
+    idx = np.searchsorted(exc64, inc64)
+    big = np.int64(np.iinfo(np.int64).max // 2)
+    left = np.where(idx > 0, inc64 - exc64[np.maximum(idx - 1, 0)], big)
+    right = np.where(
+        idx < exc64.size, exc64[np.minimum(idx, exc64.size - 1)] - inc64, big
+    )
+    return bool((np.minimum(left, right) > w).any())
+
+
 class _IndexPosVerifier:
     """Partition-task verify stage: each input row is one positions
     partition file; the task reads its term-pruned rows, filters to the
@@ -523,6 +545,21 @@ class _IndexPosVerifier:
                 cand_local = ids[np.isin(ids, here)]
                 for d in cand_local.tolist():
                     pls = [lut.get((int(d), t)) for t in it[1]]
+                    if self.mode == "not":
+                        # SpanNot: candidates come from the include
+                        # term's postings so pls[0] exists; a MISSING
+                        # exclude term means nothing excludes (empty)
+                        if pls[0] is None:
+                            continue
+                        exc = (
+                            pls[1]
+                            if len(pls) > 1 and pls[1] is not None
+                            else np.empty(0, dtype=np.int64)
+                        )
+                        if span_not_survives(pls[0], exc, it[2]):
+                            out_q.append(qid)
+                            out_d.append(int(d))
+                        continue
                     if any(p is None for p in pls):
                         continue
                     if self.mode == "phrase":

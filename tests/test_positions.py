@@ -549,3 +549,143 @@ def test_span_first_corpus_verify_equal_length_docs(tmp_path):
     # doc 1 starts with beta -> only docs whose first token is alpha
     got = sorted(res["doc_id"].astype(np.int64))
     assert got == [0]
+
+
+# ---------------------------------------------------------------------------
+# span_not (SpanNotQuery)
+# ---------------------------------------------------------------------------
+
+SPAN_NOT = [
+    (0, "the", "data", 1),
+    (1, "data", "web", 2),
+    (2, "web", "zz9999qq", 3),   # OOV exclude == plain single-term
+    (3, "the", "the", 0),        # self-exclusion: always empty
+    (4, "the", "web", 0),        # w=0 over distinct terms: excludes nothing
+]
+
+
+def _local_span_not(docs, queries, cfg):
+    """Exhaustive local oracle: pure-Python position scan — a doc
+    matches iff some include position has every exclude position
+    farther than w away."""
+    import dataclasses
+
+    from mini_ivf_ray.functions.tokenize import tokenize as tok
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    tmap = {int(d): tok(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    rows = []
+    for qid, inc, exc, w in queries:
+        full = brute_force_topk(docs, [(qid, inc)], wide)
+        keep = []
+        for d, s in zip(
+            full["doc_id"].to_numpy().astype(np.uint64), full["score"]
+        ):
+            tk = tmap[int(d)]
+            ip = [i for i, t in enumerate(tk) if t == inc]
+            ep = [i for i, t in enumerate(tk) if t == exc]
+            if any(all(abs(p - q) > w for q in ep) for p in ip):
+                keep.append((int(d), float(s)))
+        keep.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(keep[: cfg.topk]):
+            rows.append((qid, r, d, s))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+
+
+def test_span_not_index_equals_corpus_and_oracle(pos_index):
+    from mini_ivf_ray.pipelines.phrase import span_not_topk
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = span_not_topk(idx, dds, SPAN_NOT, cfg, positions="corpus")
+    via_index = span_not_topk(idx, None, SPAN_NOT, cfg, positions="index")
+    oracle = _local_span_not(docs, SPAN_NOT, cfg)
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    pd.testing.assert_frame_equal(
+        _canon(via_index),
+        _canon(oracle).astype({"doc_id": "int64"}),
+        check_dtype=False,
+    )
+    assert len(via_index)  # non-vacuous
+    # self-exclusion at w=0: every occurrence excludes itself -> empty
+    assert not (via_index["query_id"] == 3).any()
+    # OOV exclude == the plain single-term ranking, bit-identically
+    got2 = via_index[via_index["query_id"] == 2].sort_values("rank")
+    plain = brute_force_topk(docs, [(2, "web")], cfg).sort_values("rank")
+    assert list(got2["doc_id"].to_numpy().astype(np.uint64)) == list(
+        plain["doc_id"].to_numpy().astype(np.uint64)
+    )
+    assert list(got2["score"]) == list(plain["score"])
+def test_span_not_exclusion_bites_planted(tmp_path):
+    """A planted corpus where the exclusion provably removes a doc:
+    every 'apple' in doc 1 sits next to a 'pie', doc 2 has no 'pie',
+    doc 3's 'apple' is 2 tokens from its 'pie' (survives at w=1)."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.phrase import span_not_topk
+    from mini_ivf_ray.pipelines.positions import build_positions
+    from mini_ivf_ray.stages.prepare import prepare_documents
+
+    import datetime as dtmod
+
+    pages = pa.table(
+        {
+            "url": [f"http://x.test/{i}" for i in range(4)],
+            "warc_ts": pa.array(
+                [dtmod.datetime(2026, 1, 1)] * 4, type=pa.timestamp("us")
+            ),
+            "html": [
+                b"<html><body><p>apple pie recipe apple pie</p></body></html>",
+                b"<html><body><p>apple orchard tour today</p></body></html>",
+                b"<html><body><p>pie crust fresh apple batch</p></body></html>",
+                b"<html><body><p>plain filler text here</p></body></html>",
+            ],
+        }
+    )
+    cfg = PipelineConfig(num_partitions=2, topk=10)
+    idx = str(tmp_path / "idx")
+    build_index(lambda: ray.data.from_arrow(pages), idx, cfg)
+    docs = prepare_documents(ray.data.from_arrow(pages), cfg).to_pandas()
+    build_positions(idx, ray.data.from_pandas(docs[["doc_id", "text"]]), cfg)
+    by_url = dict(zip(docs["url"], docs["doc_id"].astype(np.uint64)))
+
+    q = [(0, "apple", "pie", 1)]
+    for backend, dds in (
+        ("index", None),
+        ("corpus", ray.data.from_pandas(docs[["doc_id", "text"]])),
+    ):
+        res = span_not_topk(idx, dds, q, cfg, positions=backend)
+        got = set(res["doc_id"].to_numpy().astype(np.uint64).tolist())
+        assert int(by_url["http://x.test/0"]) not in got, backend
+        assert int(by_url["http://x.test/1"]) in got, backend
+        assert int(by_url["http://x.test/2"]) in got, backend
+
+
+def test_span_not_kernel_and_contracts(pos_index):
+    from mini_ivf_ray.pipelines.phrase import span_not_topk
+    from mini_ivf_ray.pipelines.positions import span_not_survives
+
+    # kernel edges
+    e = np.empty(0, dtype=np.int64)
+    assert not span_not_survives(e, e, 3)
+    assert span_not_survives(np.array([5]), e, 3)
+    assert not span_not_survives(np.array([5]), np.array([4]), 1)
+    assert span_not_survives(np.array([5]), np.array([3]), 1)
+    assert span_not_survives(np.array([5, 9]), np.array([4, 6]), 1)  # 9 survives
+    assert not span_not_survives(np.array([5, 9]), np.array([4, 9]), 1)
+    # same-position exclusion at w=0
+    assert not span_not_survives(np.array([7]), np.array([7]), 0)
+    assert span_not_survives(np.array([7]), np.array([8]), 0)
+
+    idx, cfg, _docs, _ = pos_index
+    with pytest.raises(ValueError, match="one include"):
+        span_not_topk(idx, None, [(0, "the data", "web", 1)], cfg,
+                      positions="index")
+    with pytest.raises(ValueError, match=">= 0"):
+        span_not_topk(idx, None, [(0, "the", "web", -1)], cfg,
+                      positions="index")
