@@ -1850,6 +1850,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def kcore_q(sf_dir):
+        """3-core of the undirected simple link graph (Seidman 1983):
+        the unique maximal subgraph where every node keeps degree >= 3
+        — bulk-synchronous parallel peeling, one degree groupby + two
+        bucketed semi-joins per round (pipelines/graph.py kcore;
+        adaptive at this scale, distributed path forced in tests).
+        max_rounds=16 matches the oracle's unroll depth: a deeper peel
+        raises loudly instead of silently hash-mismatching."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import kcore, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = kcore(edges, 3, num_buckets=16, max_rounds=16).to_pandas()
+        res = res.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "deg": pa.array(
+                    res["deg"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def salsa_q(sf_dir):
         """SALSA hubs & authorities (Lempel & Moran 2000) over the
         deterministic link graph: HITS with the random-walk degree
@@ -4998,6 +5027,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blended_topk: BM25 + PageRank prior (the web-ranking formula)
         "blended_topk": blended_topk,
         "clustering": clustering_q,
+        # kcore: 3-core by BSP parallel peeling (round-5 addition)
+        "kcore": kcore_q,
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
@@ -5017,7 +5048,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dirichlet_topk": dirichlet_topk,
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
-        "jm_topk": jm_topk,
         "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
@@ -5033,11 +5063,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family with stratified_sample/source_mix;
         # stratified_sample r4-green, same salted-hash family + pytests;
         # boosted_topk r4-green, shares the per-term-contribution
-        # accumulation family with in-window dismax_topk)
+        # accumulation family with in-window dismax_topk;
+        # jm_topk r4-green, shares the LM-similarity family with
+        # in-window dirichlet_topk)
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
         "boosted_topk": boosted_topk,
+        "jm_topk": jm_topk,
         # source_mix r4-green, shares the salted-hash sampling family;
         # token_budget r4-green, histogram-budget pytest gates;
         # lm_score r4-green, broadcast-model replay pytests;
@@ -5333,6 +5366,51 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank >= {rank_lo} AND rank < {rank_hi}
+"""
+
+
+def _kcore_sql(k: int = 3, rounds: int = 16) -> str:
+    """Unrolled parallel-peeling replay of graph.kcore: each round one
+    degree aggregate + one both-endpoints-survive join; the peel is
+    idempotent once converged, so unrolling MORE rounds than the
+    graph's peel depth is exact (the engine entry passes
+    ``max_rounds=rounds`` and raises if the depth ever exceeds it)."""
+    steps = []
+    for i in range(rounds):
+        # MATERIALIZED: each round references the previous one 3x —
+        # inlined CTEs would expand the scan tree exponentially
+        steps.append(
+            f"d{i} AS MATERIALIZED (SELECT n, count(*)::BIGINT AS deg FROM "
+            f"(SELECT u AS n FROM e{i} UNION ALL SELECT v FROM e{i}) "
+            f"GROUP BY 1)"
+        )
+        steps.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"JOIN d{i} x ON x.n = e.u AND x.deg >= {k} "
+            f"JOIN d{i} y ON y.n = e.v AND y.deg >= {k})"
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+sdeg AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM sdeg d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM edges),
+{unrolled}
+SELECT n AS doc_id, count(*)::BIGINT AS deg
+FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+GROUP BY 1
 """
 
 
@@ -6768,6 +6846,9 @@ SELECT nd.doc_id, nd.deg,
 FROM nd LEFT JOIN tcnt ON tcnt.doc_id = nd.doc_id
 WHERE nd.deg >= 2
 """,
+        # 3-core: unrolled parallel peeling (16 rounds, idempotent once
+        # converged; engine raises past 16 instead of mismatching)
+        "kcore": _kcore_sql(3, 16),
         # per-node triangle counts: canonical undirected simple pairs
         # (u < v), triangles enumerated once as ordered chains
         # a<b (e1), b<c (e2), closure a<c (e3); each corner counted

@@ -1286,3 +1286,175 @@ def clustering_coefficient(edges_ds, num_buckets: int | None = None,
         return _cc_tbl(ids[m], deg[m], tri[m])
 
     return joined.map_batches(_finish, batch_format="pyarrow")
+
+
+def undirected_pairs(edges_ds, num_buckets: int | None = None):
+    """Canonical undirected simple pair set from a directed multigraph
+    edge Dataset: parallel edges collapse, self-loops drop, each edge
+    appears once as (id_a < id_b).  The shared preprocessing of the
+    triangle / clustering / k-core family."""
+    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+            }
+        )
+
+    return dedup_pairs_ds(
+        edges_ds.select_columns(["src", "dst"]).map_batches(
+            _canon, batch_format="pyarrow"
+        ),
+        num_buckets=num_buckets,
+    )
+
+
+def _kcore_local(src: np.ndarray, dst: np.ndarray, k: int) -> pa.Table:
+    """Driver-side k-core: the identical parallel-peeling recurrence,
+    vectorized (all deg<k nodes drop each round)."""
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "deg": pa.array([], type=pa.int64()),
+        }
+    )
+    if not keep.any():
+        return empty
+    pairs = np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
+    pu, pv = pairs[:, 0], pairs[:, 1]
+    while pu.size:
+        nodes, inv = np.unique(np.concatenate([pu, pv]), return_inverse=True)
+        deg = np.bincount(inv, minlength=nodes.size)
+        if (deg >= k).all():
+            return pa.table(
+                {
+                    "doc_id": pa.array(nodes, type=pa.int64()),
+                    "deg": pa.array(deg.astype(np.int64), type=pa.int64()),
+                }
+            )
+        alive = nodes[deg >= k]
+        m = np.isin(pu, alive) & np.isin(pv, alive)
+        pu, pv = pu[m], pv[m]
+    return empty
+
+
+def kcore(edges_ds, k: int, num_buckets: int | None = None,
+          driver_threshold: int = 2_000_000, max_rounds: int = 64):
+    """k-core decomposition (Seidman 1983): the unique maximal subgraph
+    of the undirected simple graph in which every node has degree >= k
+    — the standard dense-community / crawl-frontier-prioritization
+    signal.  Returns (doc_id, deg int64) with ``deg`` the IN-CORE
+    degree (so every row has deg >= k); an empty core returns an empty
+    Dataset.
+
+    Distributed as bulk-synchronous parallel peeling: each round ONE
+    explode + groupby degree count over the surviving edge set and TWO
+    bucketed semi-joins (an edge survives iff BOTH endpoints keep
+    degree >= k); ALL deg<k nodes drop simultaneously, so the number
+    of rounds is the graph's peel depth, not its node count.  The
+    k-core is the greatest fixed point of the peel operator, which is
+    order-independent — parallel and sequential peeling converge to
+    the same set, so the driver shortcut and the SQL oracle's unrolled
+    replay agree exactly.
+
+    ``max_rounds`` bounds the loop; exceeding it raises loudly (the
+    oracle unrolls a fixed number of rounds, so a silently-truncated
+    peel could hash-mismatch — callers with legitimately deeper graphs
+    pass a larger bound).  Same adaptive threshold convention as the
+    rest of the family; ``driver_threshold=0`` forces distributed."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    raw = edges_ds.select_columns(["src", "dst"]).materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "deg": pa.array([], type=pa.int64()),
+        }
+    )
+    if raw.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    if raw.count() <= driver_threshold:
+        e = raw.to_pandas()
+        return ray.data.from_arrow(
+            _kcore_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                k,
+            )
+        )
+
+    und = undirected_pairs(raw, num_buckets=num_buckets).materialize()
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"doc_id": pa.array(np.concatenate([a, b]), type=pa.int64())}
+        )
+
+    def _deg_named(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.compute.cast(batch["doc_id"], pa.int64()),
+                "deg": pa.compute.cast(batch["count()"], pa.int64()),
+            }
+        )
+
+    def _rename(col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {col: pa.compute.cast(batch["doc_id"], pa.int64())}
+            )
+
+        return f
+
+    for _ in range(max_rounds):
+        if und.count() == 0:
+            return ray.data.from_arrow(empty)
+        degs = (
+            und.map_batches(_explode, batch_format="pyarrow")
+            .groupby("doc_id")
+            .count()
+            .map_batches(_deg_named, batch_format="pyarrow")
+            .materialize()
+        )
+        low = degs.filter(expr=f"deg < {int(k)}")
+        if low.count() == 0:
+            return degs
+        alive = degs.filter(expr=f"deg >= {int(k)}").select_columns(
+            ["doc_id"]
+        ).materialize()
+        if alive.count() == 0:
+            return ray.data.from_arrow(empty)
+        und = bucketed_hash_join(
+            bucketed_hash_join(
+                und,
+                alive.map_batches(_rename("id_a"), batch_format="pyarrow"),
+                on="id_a",
+                num_buckets=num_buckets,
+            ),
+            alive.map_batches(_rename("id_b"), batch_format="pyarrow"),
+            on="id_b",
+            num_buckets=num_buckets,
+        ).materialize()
+    raise RuntimeError(
+        f"k-core did not converge within {max_rounds} peeling rounds — "
+        f"raise max_rounds for deeper graphs"
+    )

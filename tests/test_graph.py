@@ -462,3 +462,114 @@ def test_clustering_coefficient_modes_and_pins():
             clustering_coefficient(k4, driver_threshold=thr).to_pandas()
         )
         assert list(out["cc"]) == [1.0, 1.0, 1.0, 1.0]
+
+
+def _kcore_brute(src, dst, k):
+    """Sequential peeling reference: repeatedly remove ONE node with
+    degree < k (different removal order from the engine's parallel
+    peel — the k-core is unique, so results must still agree)."""
+    adj = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj[v]:
+                    adj[u].discard(v)
+                del adj[v]
+                changed = True
+                break
+    return {v: len(ns) for v, ns in adj.items() if ns}
+
+
+def test_kcore_modes_match_bruteforce():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(37)
+    n = 60
+    src = rng.integers(0, n, size=260).astype(np.int64)
+    dst = rng.integers(0, n, size=260).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    def canon(df):
+        df = df.copy()
+        for c in ("doc_id", "deg"):
+            df[c] = df[c].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    for k in (2, 4, 6):
+        want = _kcore_brute(src, dst, k)
+        auto = canon(kcore(edges, k).to_pandas())
+        forced = canon(kcore(edges, k, driver_threshold=0).to_pandas())
+        pd.testing.assert_frame_equal(auto, forced)
+        assert dict(zip(auto["doc_id"], auto["deg"])) == want, k
+        assert (auto["deg"] >= k).all()
+    # a k larger than any degree: empty core, both modes
+    for thr in (0, 10**6):
+        assert kcore(edges, 1000, driver_threshold=thr).count() == 0
+
+
+def test_kcore_multiround_peel_pin():
+    """K4 with a 3-node tail hanging off node 0: the k=2 peel needs 3
+    rounds (6 -> 5 -> 4) and must leave exactly the K4, each deg 3;
+    parallel edges and self-loops must not change anything."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import kcore
+
+    src = np.array([0, 0, 0, 1, 1, 2, 0, 4, 5, 0, 3, 6], dtype=np.int64)
+    dst = np.array([1, 2, 3, 2, 3, 3, 4, 5, 6, 1, 3, 6], dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    for thr in (0, 10**6):
+        out = (
+            kcore(edges, 2, driver_threshold=thr)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert list(out["doc_id"].astype("int64")) == [0, 1, 2, 3]
+        assert list(out["deg"].astype("int64")) == [3, 3, 3, 3]
+    # max_rounds guard: the same peel cannot finish in 1 round
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(edges, 2, driver_threshold=0, max_rounds=1)
+
+
+def test_kcore_partitioning_invariance():
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import kcore
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, size=150).astype(np.int64)
+    dst = rng.integers(0, n, size=150).astype(np.int64)
+    tbl = pa.table({"src": src, "dst": dst})
+
+    def canon(ds):
+        df = ds.to_pandas()
+        for c in ("doc_id", "deg"):
+            df[c] = df[c].astype("int64")
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    a = canon(
+        kcore(
+            ray.data.from_arrow(tbl).repartition(1),
+            3,
+            num_buckets=4,
+            driver_threshold=0,
+        )
+    )
+    b = canon(
+        kcore(
+            ray.data.from_arrow(tbl).repartition(7),
+            3,
+            num_buckets=13,
+            driver_threshold=0,
+        )
+    )
+    pd.testing.assert_frame_equal(a, b)
