@@ -947,6 +947,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def rescore_topk(sf_dir):
+        """Two-pass rescoring (ES rescore API / Lucene QueryRescorer):
+        full exact BM25 ranks the corpus, only the top-50 window per
+        query is re-scored by LM-Dirichlet (mu=2000), combined =
+        1.0 * bm25 + 0.5 * dirichlet, top-10 of the rescored window
+        (pipelines/rescore.py — the text-side analog of the
+        reference's IVFPQ coarse-scan -> exact-refine shortlist
+        pattern, index_ivfpq.cpp refine path)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.rescore import rescore_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = rescore_search(
+            idx, qds, _CFG, window=50, query_weight=1.0,
+            rescore_weight=0.5, mu=2000.0,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def shuffle_export(sf_dir):
         """Seeded global shuffle for training export: shard =
         md5(id, shard-salt) % 8, pos = rank of md5(id, order-salt)
@@ -5046,7 +5084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_search": synonym_search_q,
         "shuffle_export": shuffle_export,
         "dirichlet_topk": dirichlet_topk,
-        "percolate_docs": percolate_docs,
+        # rescore_topk: ES rescore two-pass composition (round-5 addition)
+        "rescore_topk": rescore_topk,
         "ann_filtered": ann_filtered,
         "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
@@ -5065,7 +5104,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boosted_topk r4-green, shares the per-term-contribution
         # accumulation family with in-window dismax_topk;
         # jm_topk r4-green, shares the LM-similarity family with
-        # in-window dirichlet_topk)
+        # in-window dirichlet_topk;
+        # percolate_docs r4-green, broadcast-CSR reverse-search pytests)
+        "percolate_docs": percolate_docs,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -6243,6 +6284,58 @@ WHERE m.c = qn.n
 """,
         # LM Dirichlet: per-term clipped query likelihood, cf = summed
         # term tf over the collection, total = collection token count
+        # two-pass rescoring: BM25 window (rank < 50 by score desc,
+        # doc asc), combined = 1.0*bm25 + 0.5*clipped-Dirichlet over the
+        # window only, re-ranked; both score CTEs are the pinned
+        # bm25_topk / dirichlet_topk formulas verbatim
+        "rescore_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+total AS (SELECT count(*)::DOUBLE AS c FROM tok),
+cf AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+bscores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+dscores AS (
+  SELECT q.query_id, p.doc_id,
+         sum(GREATEST(ln(1 + p.tf / (2000.0 * c.cf / t.c))
+                      + ln(2000.0 / (dl.dl + 2000.0)), 0.0)) AS score
+  FROM q
+  JOIN postings p ON p.term = q.term
+  JOIN cf c ON c.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN total t
+  GROUP BY 1, 2),
+win AS (SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) AS rw
+        FROM bscores),
+comb AS (SELECT w.query_id, w.doc_id,
+                1.0 * w.score + 0.5 * d.score AS score
+         FROM win w
+         JOIN dscores d ON d.query_id = w.query_id AND d.doc_id = w.doc_id
+         WHERE w.rw <= 50),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM comb)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         "dirichlet_topk": f"""
 WITH {_TOK_CTE},
 postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
