@@ -40,6 +40,24 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (7, "data row column filter group batch"),
 ]
 
+# common-terms workload + cutoff: the synthetic vocab is FLAT (every
+# ordinary term sits at df/N ~ 0.75-0.80; the only outlier is the
+# duplicate marker 'dup' at 0.05), so a conventional cutoff like 0.10
+# is vacuous — 'dup' alone gates, and its ~3.0 idf means plain BM25's
+# top-10 is all dup-docs anyway.  Cutting INSIDE the band (0.78) makes
+# the frequency classes split among equal-idf terms, so the gate
+# provably changes rankings (checked non-vacuous at sf0.01: 20/50
+# result slots differ from the ungated disjunction).  Classification
+# is corpus-dependent by design — exactly CommonTermsQuery semantics.
+COMMON_CUTOFF = 0.78
+COMMON_QUERIES: list[tuple[int, str]] = [
+    (0, "dup vector spark hash"),
+    (1, "dup vector merge"),
+    (2, "data row filter"),
+    (3, "dup"),
+    (4, "customer hash row fast dup window"),
+]
+
 # phrase workload: exact contiguous-token-sequence queries (incl. one
 # phrase with zero corpus occurrences and one singleton)
 PHRASE_QUERIES: list[tuple[int, str]] = [
@@ -966,6 +984,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = rescore_search(
             idx, qds, _CFG, window=50, query_weight=1.0,
             rescore_weight=0.5, mu=2000.0,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def common_topk(sf_dir):
+        """Common-terms retrieval (Lucene CommonTermsQuery / ES
+        'common' query): query terms split by df/N at COMMON_CUTOFF —
+        a doc qualifies only if it matches >= 1 rare term, but every
+        matched term (stopwords included) still contributes its full
+        BM25 score; an all-common query degenerates to the plain
+        disjunction (pipelines/commonterms.py).  Workload + cutoff
+        rationale: see COMMON_QUERIES."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.commonterms import common_terms_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in COMMON_QUERIES]
+        )
+        res = common_terms_search(
+            idx, qds, _CFG, max_term_frequency=COMMON_CUTOFF
         ).to_pandas()
         res = res.sort_values(["query_id", "rank"])
         return pa.table(
@@ -5086,7 +5141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dirichlet_topk": dirichlet_topk,
         # rescore_topk: ES rescore two-pass composition (round-5 addition)
         "rescore_topk": rescore_topk,
-        "ann_filtered": ann_filtered,
+        # common_topk: Lucene CommonTermsQuery (round-5 addition)
+        "common_topk": common_topk,
         "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
@@ -5105,8 +5161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # accumulation family with in-window dismax_topk;
         # jm_topk r4-green, shares the LM-similarity family with
         # in-window dirichlet_topk;
-        # percolate_docs r4-green, broadcast-CSR reverse-search pytests)
+        # percolate_docs r4-green, broadcast-CSR reverse-search pytests;
+        # ann_filtered r4-green, masked-batch pre-matmul pytests)
         "percolate_docs": percolate_docs,
+        "ann_filtered": ann_filtered,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -5253,6 +5311,14 @@ _BM25F_TOK_CTE = (
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _common_values() -> str:
+    rows = []
+    for qid, text in COMMON_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -6284,6 +6350,48 @@ WHERE m.c = qn.n
 """,
         # LM Dirichlet: per-term clipped query likelihood, cf = summed
         # term tf over the collection, total = collection token count
+        # common-terms query: full BM25 sum over all matched terms,
+        # result set gated on EXISTS a rare (df/N <= 0.10) query-term
+        # match; queries with no rare term keep every matched doc
+        "common_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_common_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+qlow AS (SELECT q.query_id, q.term
+         FROM q JOIN df d ON d.term = q.term CROSS JOIN stats s
+         WHERE d.df / s.n <= {COMMON_CUTOFF}),
+qlown AS (SELECT DISTINCT query_id FROM qlow),
+qual AS (SELECT DISTINCT l.query_id, p.doc_id
+         FROM qlow l JOIN postings p ON p.term = l.term),
+gated AS (SELECT s.query_id, s.doc_id, s.score
+          FROM scores s
+          LEFT JOIN qlown n ON n.query_id = s.query_id
+          LEFT JOIN qual u ON u.query_id = s.query_id
+                          AND u.doc_id = s.doc_id
+          WHERE n.query_id IS NULL OR u.doc_id IS NOT NULL),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM gated)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # two-pass rescoring: BM25 window (rank < 50 by score desc,
         # doc asc), combined = 1.0*bm25 + 0.5*clipped-Dirichlet over the
         # window only, re-ranked; both score CTEs are the pinned
