@@ -1874,6 +1874,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def decay_topk(sf_dir):
+        """Function-score decay (ES function_score gauss decay):
+        score = BM25 * exp(ln(0.5) * (d/scale)^2) with
+        d = max(0, |n_chars - 150| - 25), scale = 150 — the
+        "prefer documents near an origin" multiplicative ranking
+        (recency/geo/length pivots), pipelines/decay.py.  The
+        (doc_id, n_chars) sidecar broadcasts once; the multiplier
+        changes ranking, so evaluation runs the FULL exact TAAT
+        accumulation (blend.py's rank-safety rule).  Origin 150 sits
+        below the corpus median (~306 chars), so the decay provably
+        reorders vs plain BM25."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.decay import decay_search
+
+        idx = _ensure_index(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        ).to_pandas()
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = decay_search(
+            idx,
+            qds,
+            docs["doc_id"].to_numpy().astype(np.uint64),
+            docs["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+            mode="gauss",
+            origin=150.0,
+            scale=150.0,
+            offset=25.0,
+            decay=0.5,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def triangles_q(sf_dir):
         """Per-node triangle counts over the undirected simple graph
         derived from the link multigraph (parallel edges collapse,
@@ -5137,8 +5190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": fuzzy_search_q,
         "search_eval": search_eval_q,
         "synonym_search": synonym_search_q,
-        "shuffle_export": shuffle_export,
         "dirichlet_topk": dirichlet_topk,
+        # decay_topk: ES function_score gauss decay (round-5 addition)
+        "decay_topk": decay_topk,
         # rescore_topk: ES rescore two-pass composition (round-5 addition)
         "rescore_topk": rescore_topk,
         # common_topk: Lucene CommonTermsQuery (round-5 addition)
@@ -5162,9 +5216,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jm_topk r4-green, shares the LM-similarity family with
         # in-window dirichlet_topk;
         # percolate_docs r4-green, broadcast-CSR reverse-search pytests;
-        # ann_filtered r4-green, masked-batch pre-matmul pytests)
+        # ann_filtered r4-green, masked-batch pre-matmul pytests;
+        # shuffle_export r4-green, exact md5 shard/order SQL replay +
+        # single-exchange pytests)
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
+        "shuffle_export": shuffle_export,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -7006,6 +7063,43 @@ ranked AS (SELECT query_id, doc_id, b,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY b DESC, doc_id ASC) - 1 AS rank
            FROM blended)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # function-score gauss decay: BM25 score CTE * the identical
+        # IEEE float64 sequence the engine runs — d = greatest(0,
+        # abs(n_chars - origin) - offset), r = d/scale, mult =
+        # exp(ln(decay) * r * r)
+        "decay_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+dist AS (SELECT doc_id,
+                greatest(0.0, abs(n_chars::DOUBLE - 150.0) - 25.0) / 150.0 AS r
+         FROM documents),
+decayed AS (SELECT s.query_id, s.doc_id,
+                   s.score * exp(ln(0.5) * v.r * v.r) AS b
+            FROM scores s JOIN dist v ON v.doc_id = s.doc_id),
+ranked AS (SELECT query_id, doc_id, b,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY b DESC, doc_id ASC) - 1 AS rank
+           FROM decayed)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
