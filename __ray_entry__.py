@@ -1927,6 +1927,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def explain_topk(sf_dir):
+        """Explain API (Lucene explain() / ES _explain, flattened):
+        one row per (query, top-10 hit, matched term) with the full
+        BM25 breakdown — tf, df, idf, the exact float64 per-term
+        contribution, and the doc's total (pipelines/explain.py).
+        Ranking is the canonical term-ordered accumulation (== plain
+        BM25, pytest-pinned); the breakdown is a searchsorted gather
+        of each term's postings at the top-k docs — O(k x terms)
+        extra, corpus-independent.  Served index-only over
+        payload-mode readers."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.explain import explain_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = explain_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank", "term"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"], type=pa.string()),
+                "tf": pa.array(res["tf"].to_numpy(), type=pa.float64()),
+                "df": pa.array(res["df"].to_numpy(), type=pa.float64()),
+                "idf_r": pa.array(
+                    np.round(res["idf"].to_numpy(), 4), type=pa.float64()
+                ),
+                "contrib_r": pa.array(
+                    np.round(res["contrib"].to_numpy(), 4), type=pa.float64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def triangles_q(sf_dir):
         """Per-node triangle counts over the undirected simple graph
         derived from the link multigraph (parallel edges collapse,
@@ -5187,7 +5233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_topk": bm25f_topk,
         "more_like_this": more_like_this_q,
         "wildcard_search": wildcard_search_q,
-        "fuzzy_search": fuzzy_search_q,
+        # explain_topk: Lucene/ES Explain API analog (round-5 addition)
+        "explain_topk": explain_topk,
         "search_eval": search_eval_q,
         "synonym_search": synonym_search_q,
         "dirichlet_topk": dirichlet_topk,
@@ -5218,10 +5265,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # percolate_docs r4-green, broadcast-CSR reverse-search pytests;
         # ann_filtered r4-green, masked-batch pre-matmul pytests;
         # shuffle_export r4-green, exact md5 shard/order SQL replay +
-        # single-exchange pytests)
+        # single-exchange pytests;
+        # fuzzy_search r4-green, SymSpell-expansion pytests — the
+        # round-5 ADVICE default-max_edits fix changed no caller)
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
         "shuffle_export": shuffle_export,
+        "fuzzy_search": fuzzy_search_q,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -7065,6 +7115,42 @@ ranked AS (SELECT query_id, doc_id, b,
            FROM blended)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # Explain API: per-(query, top-10 hit, matched term) BM25
+        # breakdown — the per-term contribution CTE under the
+        # summed-score top-10 window; tf/df exact doubles, idf /
+        # contrib / score rounded like every score column
+        "explain_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+pscore AS (
+  SELECT q.query_id, p.doc_id, q.term, p.tf, d.df,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS idf,
+         ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+           * (p.tf * (1.2 + 1.0))
+           / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s),
+scores AS (SELECT query_id, doc_id, sum(contrib) AS score
+           FROM pscore GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT r.query_id, CAST(r.rank AS BIGINT) AS rank, r.doc_id, p.term,
+       p.tf, p.df, round(p.idf, 4) AS idf_r, round(p.contrib, 4) AS contrib_r,
+       round(r.score, 4) AS score_r
+FROM ranked r JOIN pscore p ON p.query_id = r.query_id AND p.doc_id = r.doc_id
+WHERE r.rank < 10
 """,
         # function-score gauss decay: BM25 score CTE * the identical
         # IEEE float64 sequence the engine runs — d = greatest(0,
