@@ -1973,6 +1973,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def composite_page_q(sf_dir):
+        """Composite aggregation (ES composite agg with after_key):
+        the next 15 (lang, source) buckets strictly after
+        ('en', 'src2') in key order, each with doc_count +
+        sum(n_chars) — keyset pagination over aggregation buckets
+        (pipelines/composite.py).  Two streamed passes: per-block
+        distinct-key top-N discovers the page keys (driver merges
+        blocks x N slim key rows, never the full cardinality), then a
+        broadcast-key inner-join fills exact integer metrics."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.composite import composite_page
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "source", "n_chars"],
+        )
+        return composite_page(
+            ds,
+            ["lang", "source"],
+            page_size=15,
+            after=("en", "src2"),
+            sum_cols=["n_chars"],
+        )
+
     def triangles_q(sf_dir):
         """Per-node triangle counts over the undirected simple graph
         derived from the link multigraph (parallel edges collapse,
@@ -5236,7 +5261,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # explain_topk: Lucene/ES Explain API analog (round-5 addition)
         "explain_topk": explain_topk,
         "search_eval": search_eval_q,
-        "synonym_search": synonym_search_q,
+        # composite_page: ES composite agg / bucket keyset pagination
+        # (round-5 addition)
+        "composite_page": composite_page_q,
         "dirichlet_topk": dirichlet_topk,
         # decay_topk: ES function_score gauss decay (round-5 addition)
         "decay_topk": decay_topk,
@@ -5267,11 +5294,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shuffle_export r4-green, exact md5 shard/order SQL replay +
         # single-exchange pytests;
         # fuzzy_search r4-green, SymSpell-expansion pytests — the
-        # round-5 ADVICE default-max_edits fix changed no caller)
+        # round-5 ADVICE default-max_edits fix changed no caller;
+        # synonym_search r4-green, payload-mode family shared with
+        # in-window dirichlet_topk/rescore_topk/explain_topk)
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
         "shuffle_export": shuffle_export,
         "fuzzy_search": fuzzy_search_q,
+        "synonym_search": synonym_search_q,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -7115,6 +7145,17 @@ ranked AS (SELECT query_id, doc_id, b,
            FROM blended)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # composite aggregation: the next 15 (lang, source) buckets
+        # strictly after the cursor in key order, exact integer metrics
+        "composite_page": """
+SELECT lang, source, count(*)::BIGINT AS doc_count,
+       sum(n_chars)::BIGINT AS sum_n_chars
+FROM documents
+WHERE lang > 'en' OR (lang = 'en' AND source > 'src2')
+GROUP BY 1, 2
+ORDER BY 1, 2
+LIMIT 15
 """,
         # Explain API: per-(query, top-10 hit, matched term) BM25
         # breakdown — the per-term contribution CTE under the
