@@ -58,6 +58,17 @@ COMMON_QUERIES: list[tuple[int, str]] = [
     (4, "customer hash row fast dup window"),
 ]
 
+# phrase-suggester workload: misspelled multi-token queries (each typo
+# within 1 edit of corpus vocab), one already-correct query, one with
+# an uncorrectable OOV token
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str]] = [
+    (0, "dat merge"),
+    (1, "vektor scan"),
+    (2, "hach join fast"),
+    (3, "data row"),
+    (4, "roe filter"),
+]
+
 # phrase workload: exact contiguous-token-sequence queries (incl. one
 # phrase with zero corpus occurrences and one singleton)
 PHRASE_QUERIES: list[tuple[int, str]] = [
@@ -1996,6 +2007,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             page_size=15,
             after=("en", "src2"),
             sum_cols=["n_chars"],
+        )
+
+    def phrase_suggest_q(sf_dir):
+        """Phrase suggester (ES phrase suggester, laplace smoothing):
+        per-token candidates from the index dictionary (SymSpell
+        within 1 edit, (lev asc, df desc, term asc) top-3), candidate
+        phrases = original + every single-position substitution
+        (max_errors=1, the ES default), ranked by the add-one bigram
+        LM log-likelihood trained on the corpus — phrase context
+        separates corrections single-term spell ranking cannot
+        (pipelines/phrasesuggest.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.phrasesuggest import (
+            phrase_suggest_for_index,
+        )
+
+        idx = _ensure_index(sf_dir)
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+        res = phrase_suggest_for_index(
+            idx, docs, PHRASE_SUGGEST_QUERIES,
+            max_edits=1, per_token=3, topn=3,
+        ).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(res["query_id"], type=pa.int64()),
+                "rank": pa.array(res["rank"], type=pa.int64()),
+                "phrase": pa.array(res["phrase"], type=pa.string()),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
         )
 
     def triangles_q(sf_dir):
@@ -5256,7 +5302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_search": bool_search,
         "prox_search": prox_search,
         "bm25f_topk": bm25f_topk,
-        "more_like_this": more_like_this_q,
+        # phrase_suggest: ES phrase suggester / LM did-you-mean
+        # (round-5 addition)
+        "phrase_suggest": phrase_suggest_q,
         "wildcard_search": wildcard_search_q,
         # explain_topk: Lucene/ES Explain API analog (round-5 addition)
         "explain_topk": explain_topk,
@@ -5296,12 +5344,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fuzzy_search r4-green, SymSpell-expansion pytests — the
         # round-5 ADVICE default-max_edits fix changed no caller;
         # synonym_search r4-green, payload-mode family shared with
-        # in-window dirichlet_topk/rescore_topk/explain_topk)
+        # in-window dirichlet_topk/rescore_topk/explain_topk;
+        # more_like_this r4-green, tf-idf term-selection pytests)
         "percolate_docs": percolate_docs,
         "ann_filtered": ann_filtered,
         "shuffle_export": shuffle_export,
         "fuzzy_search": fuzzy_search_q,
         "synonym_search": synonym_search_q,
+        "more_like_this": more_like_this_q,
         "stable_split": stable_split_q,
         "per_source_cap": per_source_cap,
         "stratified_sample": stratified_sample_q,
@@ -5458,6 +5508,16 @@ def _common_values() -> str:
     for qid, text in COMMON_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _psug_values() -> str:
+    from mini_ivf_ray.functions.tokenize import tokenize as _tok
+
+    rows = []
+    for qid, text in PHRASE_SUGGEST_QUERIES:
+        for p, t in enumerate(_tok(text)):
+            rows.append(f"({qid}, {p}, '{t}')")
     return ", ".join(rows)
 
 
@@ -7145,6 +7205,67 @@ ranked AS (SELECT query_id, doc_id, b,
            FROM blended)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # phrase suggester: per-(query, position) levenshtein<=1
+        # candidates under the engine's (lev, df desc, term) top-3
+        # window, single-substitution phrase assembly, add-one bigram
+        # LM scoring from corpus-derived counts — the identical
+        # laplace formula
+        "phrase_suggest": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS term,
+               generate_subscripts(tk, 1) - 1 AS p
+        FROM t),
+uni AS (SELECT term, count(*)::BIGINT AS c FROM pos GROUP BY 1),
+nv AS (SELECT (SELECT count(*) FROM pos)::DOUBLE AS n,
+              (SELECT count(*) FROM uni)::DOUBLE AS v),
+big AS (SELECT a.term AS w1, b.term AS w2, count(*)::BIGINT AS c
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        GROUP BY 1, 2),
+dfv AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY 1),
+q(query_id, p, tok) AS (VALUES {_psug_values()}),
+cand0 AS (SELECT q.query_id, q.p, q.tok, d.term,
+                 levenshtein(q.tok, d.term) AS lev, d.df
+          FROM q JOIN dfv d ON levenshtein(q.tok, d.term) <= 1),
+candr AS (SELECT *, row_number() OVER (PARTITION BY query_id, p
+                     ORDER BY lev ASC, df DESC, term ASC) AS rn
+          FROM cand0),
+subs AS (SELECT c.query_id,
+                string_agg(CASE WHEN q2.p = c.p THEN c.term ELSE q2.tok END,
+                           ' ' ORDER BY q2.p) AS phrase
+         FROM (SELECT * FROM candr WHERE rn <= 3 AND term <> tok) c
+         JOIN q q2 ON q2.query_id = c.query_id
+         GROUP BY c.query_id, c.p, c.term),
+orig AS (SELECT query_id, string_agg(tok, ' ' ORDER BY p) AS phrase
+         FROM q GROUP BY 1),
+phr AS (SELECT DISTINCT query_id, phrase FROM
+        (SELECT query_id, phrase FROM orig
+         UNION ALL SELECT query_id, phrase FROM subs)),
+pt AS (SELECT query_id, phrase, string_split(phrase, ' ') AS ws FROM phr),
+ptok AS (SELECT query_id, phrase, unnest(ws) AS w,
+                generate_subscripts(ws, 1) - 1 AS p FROM pt),
+lp AS (SELECT a.query_id, a.phrase,
+              CASE WHEN a.p = 0
+                   THEN ln((COALESCE(u0.c, 0) + 1) / (nv.n + nv.v))
+                   ELSE ln((COALESCE(bg.c, 0) + 1)
+                           / (COALESCE(u1.c, 0) + nv.v))
+              END AS l
+       FROM ptok a
+       LEFT JOIN ptok b ON b.query_id = a.query_id AND b.phrase = a.phrase
+                        AND b.p = a.p - 1
+       LEFT JOIN uni u0 ON u0.term = a.w
+       LEFT JOIN uni u1 ON u1.term = b.w
+       LEFT JOIN big bg ON bg.w1 = b.w AND bg.w2 = a.w
+       CROSS JOIN nv),
+sc AS (SELECT query_id, phrase, sum(l) AS score FROM lp GROUP BY 1, 2),
+rk AS (SELECT query_id, phrase, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, phrase ASC) - 1 AS rank
+       FROM sc)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, phrase,
+       round(score, 4) AS score_r
+FROM rk WHERE rank < 3
 """,
         # composite aggregation: the next 15 (lang, source) buckets
         # strictly after the cursor in key order, exact integer metrics
