@@ -3454,6 +3454,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return keyed_window_funcs(ev)
 
+    def events_pipeline(sf_dir):
+        """Date histogram + pipeline aggregations (ES date_histogram
+        with derivative / cumulative_sum / moving_fn): hourly
+        (event_type, bucket) count+sum via the combiner-first
+        histogram pass, then the three pipeline aggs computed on the
+        REDUCED bucket table (ES's reduce-phase model — (types x
+        buckets) driver rows, corpus-independent); per-series gaps
+        densified to zero buckets, derivative NULL on each series
+        head, trailing 3-bucket moving mean including the current
+        bucket (pipelines/pipelineagg.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import (
+            date_histogram_pipeline,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return date_histogram_pipeline(ev, 3600, moving_window=3)
+
     def events_distinct_users(sf_dir):
         """Exact per-hour distinct users: per-batch DISTINCT-pair
         combiner, one bucketed exchange, per-bucket nunique
@@ -5298,7 +5320,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coupling": coupling_q,
         "link_components": link_components_q,
         "msm_topk": msm_topk,
-        "events_json_stats": events_json_stats,
+        # events_pipeline: ES date_histogram + pipeline aggregations
+        # (round-5 addition)
+        "events_pipeline": events_pipeline,
         "bool_search": bool_search,
         "prox_search": prox_search,
         "bm25f_topk": bm25f_topk,
@@ -5345,8 +5369,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 ADVICE default-max_edits fix changed no caller;
         # synonym_search r4-green, payload-mode family shared with
         # in-window dirichlet_topk/rescore_topk/explain_topk;
-        # more_like_this r4-green, tf-idf term-selection pytests)
+        # more_like_this r4-green, tf-idf term-selection pytests;
+        # events_json_stats r4-green, vectorized JSON-prop extraction
+        # pytests)
         "percolate_docs": percolate_docs,
+        "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
         "shuffle_export": shuffle_export,
         "fuzzy_search": fuzzy_search_q,
@@ -7205,6 +7232,39 @@ ranked AS (SELECT query_id, doc_id, b,
            FROM blended)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(b, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # date histogram + pipeline aggs: densified per-series hourly
+        # buckets, then lag/cumsum/trailing-avg window functions over
+        # the reduced bucket table — the identical operand sets
+        "events_pipeline": """
+WITH RECURSIVE b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  count(*)::BIGINT AS n, sum(value) AS sv
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM b GROUP BY 1),
+series(ws) AS (SELECT min(lo) FROM ext
+               UNION ALL
+               SELECT ws + 3600 FROM series
+               WHERE ws + 3600 <= (SELECT max(hi) FROM ext)),
+dense AS (SELECT e.event_type, s.ws AS window_start
+          FROM ext e JOIN series s ON s.ws BETWEEN e.lo AND e.hi),
+filled AS (SELECT d.event_type, d.window_start,
+                  COALESCE(b.n, 0)::BIGINT AS n, COALESCE(b.sv, 0.0) AS sv
+           FROM dense d LEFT JOIN b ON b.event_type = d.event_type
+                                   AND b.window_start = d.window_start),
+w AS (SELECT event_type, window_start, n, sv,
+             sv - lag(sv) OVER (PARTITION BY event_type
+                                ORDER BY window_start) AS deriv,
+             sum(n) OVER (PARTITION BY event_type
+                          ORDER BY window_start) AS cum_n,
+             avg(sv) OVER (PARTITION BY event_type ORDER BY window_start
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mavg
+      FROM filled)
+SELECT event_type, window_start, n, round(sv, 4) AS sv_r,
+       round(deriv, 4) AS deriv_r, CAST(cum_n AS BIGINT) AS cum_n,
+       round(mavg, 4) AS mavg_r
+FROM w
 """,
         # phrase suggester: per-(query, position) levenshtein<=1
         # candidates under the engine's (lev, df desc, term) top-3

@@ -1,0 +1,121 @@
+"""Date histogram + pipeline aggregations: the ES ``date_histogram``
+bucket aggregation with ``derivative`` / ``cumulative_sum`` /
+``moving_fn`` pipeline aggregations computed on the reduced buckets.
+
+ES pipeline aggregations run in the REDUCE phase — on the bucket
+table produced by the sibling aggregation, never on raw documents.
+This module keeps that exact split:
+
+  * the distributed part is one combiner-first histogram pass (the
+    events.windowed_agg pattern: per-block partial (type, bucket)
+    count+sum, one small ``groupby`` exchange) — buckets are the only
+    thing shuffled;
+  * the pipeline part is vectorized driver math over the reduced
+    bucket table — (types x buckets) rows, corpus-independent.
+
+Bucket semantics (pinned):
+
+  * per event_type the histogram is DENSIFIED between that series'
+    first and last bucket (``min_doc_count=0`` inside the series
+    extent, ES's default rendering of date_histogram gaps): empty
+    buckets get n=0, sv=0.
+  * ``deriv``   = sv - sv(previous bucket); NULL for the first bucket
+    of each series (ES derivative emits nothing there).
+  * ``cum_n``   = running int64 sum of n within the series
+    (cumulative_sum — integer, exact).
+  * ``mavg``    = trailing mean of sv over the last ``moving_window``
+    buckets INCLUDING the current one (ES moving_fn with
+    shift=window end at the current bucket), i.e. ROWS BETWEEN
+    moving_window-1 PRECEDING AND CURRENT ROW.
+
+Exactness: n/cum_n are integers; sv, deriv, mavg are float64 whose
+operand sets are identical to the SQL window functions (densified
+zero buckets included), matched under the driver's rounding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def date_histogram_pipeline(
+    events_ds,
+    window_sec: int = 3600,
+    moving_window: int = 3,
+) -> pa.Table:
+    """(event_type, window_start, n, sv_r, deriv_r, cum_n, mavg_r):
+    per-type densified time buckets with the three ES pipeline
+    aggregations computed on the reduced bucket table."""
+    if moving_window <= 0:
+        raise ValueError(f"moving_window must be > 0, got {moving_window}")
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    from mini_ivf_ray.pipelines.events import _window_partials
+
+    from ray.data.aggregate import Sum
+
+    partials = events_ds.map_batches(
+        _window_partials,
+        fn_kwargs={"window_sec": window_sec},
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    buckets = (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"))
+        .to_pandas()
+    )
+    frames = []
+    for et, g in buckets.groupby("event_type", sort=True):
+        g = g.sort_values("window_start")
+        lo, hi = int(g["window_start"].min()), int(g["window_start"].max())
+        dense = pd.DataFrame(
+            {"window_start": np.arange(lo, hi + 1, window_sec, dtype=np.int64)}
+        )
+        g = dense.merge(g, on="window_start", how="left")
+        g["event_type"] = et
+        g["n"] = g["n"].fillna(0).astype(np.int64)
+        g["sv"] = g["sv"].fillna(0.0).astype(np.float64)
+        sv = g["sv"].to_numpy()
+        deriv = np.empty(len(g), dtype=np.float64)
+        deriv[0] = np.nan
+        deriv[1:] = sv[1:] - sv[:-1]
+        g["deriv"] = deriv
+        g["cum_n"] = g["n"].cumsum().astype(np.int64)
+        # trailing moving mean incl. current bucket
+        w = moving_window
+        csum = np.concatenate([[0.0], np.cumsum(sv)])
+        idx = np.arange(len(sv))
+        start = np.maximum(0, idx - w + 1)
+        g["mavg"] = (csum[idx + 1] - csum[start]) / (idx - start + 1)
+        frames.append(g)
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
+        columns=["event_type", "window_start", "n", "sv", "deriv",
+                 "cum_n", "mavg"]
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_start": pa.array(
+                out["window_start"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "sv_r": pa.array(
+                np.round(out["sv"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "deriv_r": pa.array(
+                np.round(out["deriv"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "cum_n": pa.array(
+                out["cum_n"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "mavg_r": pa.array(
+                np.round(out["mavg"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+        }
+    )

@@ -1,0 +1,129 @@
+"""Date-histogram pipeline aggregations: local pandas replay identity
+(densified gaps, derivative NULL head, trailing moving mean), gap
+densification non-vacuity, partitioning invariance, contracts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+from mini_ivf_ray.pipelines.pipelineagg import date_histogram_pipeline
+
+W = 3600
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(23)
+    n = 400
+    # hours 0..11 with hours 4 and 7 deliberately EMPTY for type 'a'
+    hours = rng.choice([0, 1, 2, 3, 5, 6, 8, 9, 10, 11], n)
+    types = rng.choice(["a", "b"], n)
+    offs = rng.integers(0, 3600, n)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (hours * 3600 + offs).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "event_type": types,
+            "value": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+
+
+def _truth(df, w, mw):
+    df = df.copy()
+    df["window_start"] = (
+        df["ts"].astype("datetime64[s]").astype(np.int64) // w * w
+    )
+    rows = []
+    for et, g in df.groupby("event_type"):
+        b = (
+            g.groupby("window_start")
+            .agg(n=("value", "size"), sv=("value", "sum"))
+            .reset_index()
+            .sort_values("window_start")
+        )
+        full = pd.DataFrame(
+            {
+                "window_start": np.arange(
+                    b["window_start"].min(),
+                    b["window_start"].max() + 1,
+                    w,
+                    dtype=np.int64,
+                )
+            }
+        )
+        b = full.merge(b, on="window_start", how="left").fillna(
+            {"n": 0, "sv": 0.0}
+        )
+        b["event_type"] = et
+        b["deriv"] = b["sv"].diff()
+        b["cum_n"] = b["n"].cumsum()
+        b["mavg"] = b["sv"].rolling(mw, min_periods=1).mean()
+        rows.append(b)
+    out = pd.concat(rows, ignore_index=True)
+    return out
+
+
+def test_matches_pandas_replay(events):
+    ds = ray.data.from_pandas(events).repartition(6)
+    got = date_histogram_pipeline(ds, W, moving_window=3).to_pandas()
+    want = _truth(events, W, 3)
+    got = got.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got["event_type"]) == list(want["event_type"])
+    assert np.array_equal(
+        got["window_start"].to_numpy(), want["window_start"].to_numpy()
+    )
+    assert np.array_equal(got["n"].to_numpy(), want["n"].to_numpy())
+    assert np.array_equal(got["cum_n"].to_numpy(), want["cum_n"].to_numpy())
+    assert np.allclose(got["sv_r"], want["sv"], atol=1e-4)
+    assert np.allclose(
+        got["deriv_r"], want["deriv"], atol=1e-4, equal_nan=True
+    )
+    assert np.allclose(got["mavg_r"], want["mavg"], atol=1e-4)
+
+
+def test_gaps_are_densified_and_derivative_head_is_null(events):
+    ds = ray.data.from_pandas(events)
+    got = date_histogram_pipeline(ds, W, moving_window=3).to_pandas()
+    a = got[got["event_type"] == "a"].sort_values("window_start")
+    # the two planted empty hours exist as zero buckets
+    zeros = a[a["n"] == 0]
+    assert len(zeros) == 2
+    assert set(zeros["sv_r"]) == {0.0}
+    # a zero bucket's derivative is -sv(prev), non-trivially negative
+    prev = a.shift(1)
+    z = a["n"] == 0
+    assert np.allclose(
+        a.loc[z, "deriv_r"], -prev.loc[z, "sv_r"], atol=1e-4
+    )
+    # first bucket of each series: NULL derivative
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("window_start")
+        assert np.isnan(g["deriv_r"].iloc[0])
+        assert not np.isnan(g["deriv_r"].iloc[1:]).any()
+
+
+def test_partitioning_invariance(events):
+    a = date_histogram_pipeline(
+        ray.data.from_pandas(events).repartition(2), W, 3
+    ).to_pandas()
+    b = date_histogram_pipeline(
+        ray.data.from_pandas(events).repartition(11), W, 3
+    ).to_pandas()
+    a = a.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    b = b.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_contracts(events):
+    ds = ray.data.from_pandas(events)
+    with pytest.raises(ValueError, match="moving_window"):
+        date_histogram_pipeline(ds, W, moving_window=0)
+    with pytest.raises(ValueError, match="window_sec"):
+        date_histogram_pipeline(ds, 0)
