@@ -112,6 +112,20 @@ SPAN_NOT_QUERIES: list[tuple[int, str, str, int]] = [
     (7, "window", "agg", 0),
 ]
 
+# SpanContaining workload: (query_id, big_text, little_text, window) —
+# an ORDERED 2-term big span within w must CONTAIN a little occurrence
+# (p1 <= l <= p2).  Common pairs so containment visibly prunes the
+# ordered-window match set, an OOV little (empty), a little that is
+# also a big term (always contained at p1), and a width-2 window
+# (little must sit exactly on a span endpoint)
+SPAN_CONTAINING_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "the data", "web", 6),
+    (1, "sort merge", "join", 8),
+    (2, "key table", "zz9999qq", 5),
+    (3, "the data", "the", 4),
+    (4, "data stream", "the", 2),
+]
+
 # misspellings of real corpus terms (+ one exact term, one hopeless):
 # spell_suggest matches the corpus vocabulary within Levenshtein <= 2
 SPELL_QUERIES: list[str] = [
@@ -1786,6 +1800,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         idx = _ensure_positions(sf_dir)
         res = span_not_topk(
             idx, None, SPAN_NOT_QUERIES, _CFG, positions="index"
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def span_containing(sf_dir):
+        """SpanContaining search (Lucene SpanContainingQuery): top-10
+        docs where an ORDERED 2-term big span — positions p1 < p2 in
+        query order with p2 - p1 + 1 <= w — CONTAINS an occurrence of
+        the little term (p1 <= l <= p2), ranked by the big terms'
+        summed BM25 (SpanContaining scores the big spans).  Served
+        INDEX-ONLY from the positions store (docs_ds=None;
+        pipelines/phrase.py span_containing_topk)."""
+        from mini_ivf_ray.pipelines.phrase import span_containing_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = span_containing_topk(
+            idx, None, SPAN_CONTAINING_QUERIES, _CFG, positions="index"
         )
         res = res.sort_values(["query_id", "rank"])
         return pa.table(
@@ -5282,7 +5328,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # this round (index-only positional payload)
         "phrase_topk": phrase_topk_q,
         "ordered_prox": ordered_prox,
-        "jaccard_dup_clusters": jaccard_dup_clusters,
         # page2_filtered: search_after composed with the allowed mask
         # (round-5 boundary closure — the path used to raise)
         "page2_filtered": page2_filtered,
@@ -5295,6 +5340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dismax_topk": dismax_topk,
         # span_not: negative phrase context, positional family
         "span_not": span_not,
+        # span_containing: ordered big span must contain the little
+        # term (round-5 addition, positional family)
+        "span_containing": span_containing,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5371,7 +5419,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window dirichlet_topk/rescore_topk/explain_topk;
         # more_like_this r4-green, tf-idf term-selection pytests;
         # events_json_stats r4-green, vectorized JSON-prop extraction
-        # pytests)
+        # pytests;
+        # jaccard_dup_clusters r4-green hash row + 10^6-edge CC pytest;
+        # its family stays double-covered in-window by
+        # jaccard_verified_pairs (exact verify) and dup_collapsed_topk/
+        # dup_collapsed_sharded (serve the same CC cluster labels))
+        "jaccard_dup_clusters": jaccard_dup_clusters,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6248,6 +6301,52 @@ scores AS (
   JOIN dl ON dl.doc_id = p.doc_id
   JOIN m ON m.query_id = q.query_id AND m.doc_id = p.doc_id
   CROSS JOIN stats s),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # SpanContaining (2-term big): doc matches iff EXISTS an
+        # ordered big chain p1 < p2 with p2 - p1 + 1 <= w AND a little
+        # occurrence l with p1 <= l <= p2 tied to that chain; ranked by
+        # the big terms' SUMMED BM25 (SpanContaining scores big spans)
+        "span_containing": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS term,
+               generate_subscripts(tk, 1) - 1 AS p
+        FROM t),
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM pos GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM pos GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM pos)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, b1, b2, little, w) AS (VALUES {", ".join(f"({qid}, '{big.split()[0]}', '{big.split()[1]}', '{little}', {w})" for qid, big, little, w in SPAN_CONTAINING_QUERIES)}),
+m AS (SELECT DISTINCT q.query_id, p1.doc_id
+      FROM q
+      JOIN pos p1 ON p1.term = q.b1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = q.b2
+                 AND p2.p > p1.p AND p2.p - p1.p + 1 <= q.w
+      WHERE EXISTS (SELECT 1 FROM pos pl
+                    WHERE pl.doc_id = p1.doc_id AND pl.term = q.little
+                      AND pl.p >= p1.p AND pl.p <= p2.p)),
+qt AS (SELECT query_id, b1 AS term FROM q
+       UNION ALL SELECT query_id, b2 FROM q),
+scores AS (
+  SELECT m.query_id, m.doc_id,
+         sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+             * (p.tf * (1.2 + 1.0))
+             / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM m
+  JOIN qt ON qt.query_id = m.query_id
+  JOIN postings p ON p.doc_id = m.doc_id AND p.term = qt.term
+  JOIN df d ON d.term = qt.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank

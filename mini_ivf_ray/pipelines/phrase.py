@@ -829,3 +829,193 @@ def span_not_topk(
     if len(df):
         df["doc_id"] = df["doc_id"].astype(np.uint64)
     return df
+
+
+class _SpanContainingVerifier:
+    """Corpus-verify stage for span_containing: re-tokenize candidate
+    docs, derive per-term positions from the token stream, and apply
+    positions.containing_span_positions — the identical kernel the
+    index backend runs, so both backends agree by construction."""
+
+    def __init__(self, cand_ref, queries: list[tuple[int, list[str], int]]):
+        import ray
+
+        self.cand = ray.get(cand_ref)  # {qid: sorted uint64 ids}
+        self.queries = queries  # (qid, big_tokens + [little], window)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from mini_ivf_ray.pipelines.positions import (
+            containing_span_positions,
+        )
+
+        doc_ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        any_mask = np.zeros(len(doc_ids), dtype=bool)
+        per_q = {}
+        for qid, _terms, _w in self.queries:
+            ids = self.cand.get(qid)
+            if ids is None or not ids.size:
+                continue
+            m = np.isin(doc_ids, ids, assume_unique=False)
+            if m.any():
+                per_q[qid] = m
+                any_mask |= m
+        out_q: list[int] = []
+        out_d: list[int] = []
+        if per_q:
+            rows = np.flatnonzero(any_mask)
+            texts = batch["text"].take(pa.array(rows)).to_pylist()
+            toks, _ = tokenize_batch(texts)
+            row_tokens = dict(zip(rows.tolist(), toks))
+            for qid, qterms, w in self.queries:
+                m = per_q.get(qid)
+                if m is None:
+                    continue
+                for i in np.flatnonzero(m).tolist():
+                    tk = row_tokens[i]
+                    pos_by_term: dict[str, list[int]] = {}
+                    for p, t in enumerate(tk):
+                        if t in qterms:
+                            pos_by_term.setdefault(t, []).append(p)
+                    pls = [
+                        np.array(pos_by_term.get(t, ()), dtype=np.int32)
+                        for t in qterms
+                    ]
+                    if containing_span_positions(pls[:-1], pls[-1], w):
+                        out_q.append(qid)
+                        out_d.append(int(doc_ids[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(
+                    np.array(out_d, dtype=np.uint64), type=pa.uint64()
+                ),
+            }
+        )
+
+
+def span_containing_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, str, int]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+    score_from: str = "big",
+) -> pd.DataFrame:
+    """SpanContaining / SpanWithin search (Lucene SpanContainingQuery /
+    SpanWithinQuery): top-k docs where an ORDERED big-span window —
+    positions p1 < ... < pk over the big terms in query order with
+    pk - p1 + 1 <= w — CONTAINS an occurrence of the little term
+    (p1 <= l <= pk).  The doc-level match set of the two Lucene
+    queries is identical; only scoring differs, and ``score_from``
+    pins it: "big" sums the big terms' BM25 contributions
+    (SpanContaining scores the big spans), "little" scores the little
+    term alone (SpanWithin scores the little spans).  Ranked
+    (score desc, doc_id asc).
+
+    ``queries``: (query_id, big_text, little_text, window) — big_text
+    must tokenize to >= 2 tokens (a 1-term "span" is just the term;
+    use span_first/plain search), little_text to exactly 1.
+    Candidates are the conjunctive match set over big + little terms,
+    so verify work is candidate-proportional; ``positions`` has the
+    phrase_topk backend contract ("index" = positions store only,
+    docs_ds may be None; "corpus" = re-tokenize; "auto")."""
+    import ray
+
+    if score_from not in ("big", "little"):
+        raise ValueError(f"score_from must be big|little, got {score_from!r}")
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    use_index = _resolve_positions_mode(index_dir, positions)
+    searcher = BM25Searcher(index_dir, cfg)
+
+    tokenized: list[tuple[int, list[str], str, int]] = []
+    for qid, big_text, little_text, w in queries:
+        big = tokenize(big_text)
+        little = tokenize(little_text)
+        if len(big) < 2:
+            raise ValueError(
+                f"span_containing_topk needs >= 2 big terms, got "
+                f"{big_text!r} for query {qid}"
+            )
+        if len(little) != 1:
+            raise ValueError(
+                f"span_containing_topk takes exactly one little term, got "
+                f"{little_text!r} for query {qid}"
+            )
+        if w <= 0:
+            raise ValueError(f"window must be >= 1, got {w} for query {qid}")
+        tokenized.append((qid, big, little[0], int(w)))
+
+    cand: dict[int, np.ndarray] = {}
+    cand_scores: dict[int, dict[int, float]] = {}
+    needs_verify: list[tuple[int, list[str], int]] = []
+    for qid, big, little, w in tokenized:
+        docs_b, scores_b = searcher.conjunctive_matches_for_text(
+            " ".join(big)
+        )
+        docs_l, scores_l = searcher.conjunctive_matches_for_text(little)
+        docs = np.intersect1d(docs_b, docs_l)
+        cand[qid] = docs
+        if score_from == "big":
+            smap = dict(zip(docs_b.tolist(), scores_b.tolist()))
+        else:
+            smap = dict(zip(docs_l.tolist(), scores_l.tolist()))
+        cand_scores[qid] = smap
+        if docs.size:
+            needs_verify.append((qid, big + [little], w))
+
+    verified: dict[int, np.ndarray] = {}
+    if needs_verify and use_index:
+        from mini_ivf_ray.pipelines.positions import positional_hits
+
+        hits = positional_hits(
+            index_dir, cand, needs_verify, "containing", cfg
+        )
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+    elif needs_verify:
+        cand_ref = ray.put({q: cand[q] for q, _, _ in needs_verify})
+        hits = docs_ds.map_batches(
+            _SpanContainingVerifier,
+            fn_constructor_args=(cand_ref, needs_verify),
+            batch_format="pyarrow",
+            concurrency=(1, cfg.query_concurrency),
+            num_cpus=1,
+        ).to_pandas()
+        for qid, grp in hits.groupby("query_id"):
+            verified[int(qid)] = np.sort(
+                grp["doc_id"].to_numpy().astype(np.uint64)
+            )
+
+    out_rows = []
+    for qid, _big, _little, _w in tokenized:
+        docs = verified.get(qid)
+        if docs is None or not len(docs):
+            continue
+        smap = cand_scores[qid]
+        scores = np.array([smap[int(d)] for d in docs], dtype=np.float64)
+        for r, (d, s) in enumerate(_topk_exact(docs, scores, cfg.topk)):
+            out_rows.append((qid, r, d, s))
+    df = pd.DataFrame(
+        out_rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+    if len(df):
+        df["doc_id"] = df["doc_id"].astype(np.uint64)
+    return df
+
+
+def span_within_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str, str, int]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+) -> pd.DataFrame:
+    """SpanWithin (Lucene SpanWithinQuery): the identical doc-level
+    match set as span_containing_topk — little occurrences inside an
+    ordered big window — ranked by the LITTLE term's BM25 score
+    (within scores the little spans)."""
+    return span_containing_topk(
+        index_dir, docs_ds, queries, cfg, positions, score_from="little"
+    )

@@ -459,6 +459,50 @@ def ordered_window_positions(pos_lists: list[np.ndarray], w: int) -> bool:
     return False
 
 
+def containing_span_positions(
+    big_lists: list[np.ndarray], little: np.ndarray, w: int
+) -> bool:
+    """SpanContaining test (Lucene SpanContainingQuery with an
+    in-order SpanNear big and a term little): True iff there exist
+    big positions p1 < ... < pk (pi from the i-th big list,
+    pk - p1 + 1 <= w) and a little position l with p1 <= l <= pk.
+
+    Exactness: for a start p1 the greedy chain minimizes the end
+    e_min, and every last-term occurrence e in [e_min, p1 + w - 1] is
+    an achievable end (the greedy chain's intermediates stay strictly
+    below e_min <= e), so achievable ends for p1 are exactly the last
+    list's occurrences in that range — the containment test per start
+    reduces to: does a little position fall in [p1, e_max]?  A dead
+    greedy chain stays dead for every later start (sorted lists), so
+    the scan stops there, mirroring ordered_window_positions."""
+    k = len(big_lists)
+    if k < 2:
+        raise ValueError(f"big span needs >= 2 terms, got {k}")
+    if w <= 0:
+        raise ValueError(f"window must be >= 1, got {w}")
+    if not little.size or any(not p.size for p in big_lists):
+        return False
+    last = big_lists[-1]
+    for p1 in big_lists[0].tolist():
+        p = p1
+        dead = False
+        for nxt in big_lists[1:]:
+            j = int(np.searchsorted(nxt, p, side="right"))
+            if j >= nxt.size:
+                dead = True
+                break
+            p = int(nxt[j])
+        if dead:
+            return False
+        if p - p1 + 1 <= w:
+            hi = int(np.searchsorted(last, p1 + w - 1, side="right")) - 1
+            e_max = int(last[hi])  # >= p: p itself is such an occurrence
+            li = int(np.searchsorted(little, p1, side="left"))
+            if li < little.size and int(little[li]) <= e_max:
+                return True
+    return False
+
+
 def span_not_survives(inc: np.ndarray, exc: np.ndarray, w: int) -> bool:
     """SpanNot (Lucene SpanNotQuery with symmetric pre/post slop):
     does ANY include-term occurrence have NO exclude-term occurrence
@@ -564,6 +608,12 @@ class _IndexPosVerifier:
                         continue
                     if self.mode == "phrase":
                         ok = phrase_match_positions(pls)
+                    elif self.mode == "containing":
+                        # it[1] = big terms + [little]: an ordered big
+                        # window must contain a little occurrence
+                        ok = containing_span_positions(
+                            pls[:-1], pls[-1], it[2]
+                        )
                     elif self.mode == "ordered":
                         ok = ordered_window_positions(pls, it[2])
                     elif self.mode == "first":

@@ -689,3 +689,226 @@ def test_span_not_kernel_and_contracts(pos_index):
     with pytest.raises(ValueError, match=">= 0"):
         span_not_topk(idx, None, [(0, "the", "web", -1)], cfg,
                       positions="index")
+
+
+# ---------------------------------------------------------------------------
+# SpanContaining / SpanWithin
+# ---------------------------------------------------------------------------
+
+SPAN_CONTAINING = [
+    (0, "the data", "web", 6),
+    (1, "data web", "the", 8),
+    (2, "the data", "zzoovzz", 5),     # OOV little: empty
+    (3, "the data", "the", 4),          # little == a big term
+    (4, "the data", "web", 2),          # window 2: chain width 2 max
+]
+
+
+def _brute_containing(tokens, big, little, w):
+    """Exhaustive chain enumeration: any ordered big chain within w
+    containing a little occurrence."""
+    import itertools
+
+    pls = [[p for p, t in enumerate(tokens) if t == b] for b in big]
+    lit = [p for p, t in enumerate(tokens) if t == little]
+    if not lit or any(not p for p in pls):
+        return False
+    for combo in itertools.product(*pls):
+        if all(a < b for a, b in zip(combo, combo[1:])):
+            if combo[-1] - combo[0] + 1 <= w:
+                if any(combo[0] <= l <= combo[-1] for l in lit):
+                    return True
+    return False
+
+
+def _local_span_containing(docs, queries, cfg, score_from="big"):
+    import dataclasses
+
+    from mini_ivf_ray.functions.tokenize import tokenize as tok
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    tmap = {int(d): tok(t) for d, t in zip(docs["doc_id"], docs["text"])}
+    rows = []
+    for qid, big_text, little_text, w in queries:
+        big, little = tok(big_text), tok(little_text)[0]
+        src = big_text if score_from == "big" else little_text
+        full = brute_force_topk(docs, [(qid, src)], wide)
+        smap = dict(
+            zip(
+                full["doc_id"].to_numpy().astype(np.uint64).tolist(),
+                full["score"].tolist(),
+            )
+        )
+        keep = []
+        for d, tk in tmap.items():
+            if _brute_containing(tk, big, little, w):
+                keep.append((int(d), float(smap[d])))
+        keep.sort(key=lambda x: (-x[1], x[0]))
+        for r, (d, s) in enumerate(keep[: cfg.topk]):
+            rows.append((qid, r, d, s))
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "doc_id", "score"]
+    )
+
+
+def test_containing_kernel_matches_brute_force():
+    from mini_ivf_ray.pipelines.positions import containing_span_positions
+
+    rng = np.random.default_rng(99)
+    vocab = ["a", "b", "c", "x"]
+    for trial in range(300):
+        n = int(rng.integers(3, 30))
+        toks = [vocab[i] for i in rng.integers(0, len(vocab), n)]
+        for big, little, w in (
+            (["a", "b"], "c", int(rng.integers(1, 8))),
+            (["a", "b", "c"], "x", int(rng.integers(2, 10))),
+            (["b", "a"], "a", 4),
+        ):
+            pls = [
+                np.array(
+                    [p for p, t in enumerate(toks) if t == b], dtype=np.int32
+                )
+                for b in big
+            ]
+            lit = np.array(
+                [p for p, t in enumerate(toks) if t == little], dtype=np.int32
+            )
+            got = containing_span_positions(pls, lit, w)
+            want = _brute_containing(toks, big, little, w)
+            assert got == want, (trial, toks, big, little, w)
+
+
+def test_span_containing_index_equals_corpus_and_oracle(pos_index):
+    from mini_ivf_ray.pipelines.phrase import span_containing_topk
+
+    idx, cfg, docs, _ = pos_index
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    via_corpus = span_containing_topk(
+        idx, dds, SPAN_CONTAINING, cfg, positions="corpus"
+    )
+    via_index = span_containing_topk(
+        idx, None, SPAN_CONTAINING, cfg, positions="index"
+    )
+    oracle = _local_span_containing(docs, SPAN_CONTAINING, cfg)
+    pd.testing.assert_frame_equal(_canon(via_corpus), _canon(via_index))
+    pd.testing.assert_frame_equal(
+        _canon(via_index), _canon(oracle), check_dtype=False
+    )
+    assert len(via_index)  # non-vacuous
+    assert not (via_index["query_id"] == 2).any()  # OOV little empty
+    # containment bites: the FULL verified match set for query 0 is a
+    # strict, non-empty subset of the plain ordered-window match set
+    # (compare at wide topk so neither side is truncation-censored)
+    import dataclasses
+
+    from mini_ivf_ray.pipelines.phrase import ordered_proximity_topk
+
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    ow = ordered_proximity_topk(
+        idx, None, [(0, "the data", 6)], wide, positions="index"
+    )
+    sc = span_containing_topk(
+        idx, None, [(0, "the data", "web", 6)], wide, positions="index"
+    )
+    ow_ids = set(ow["doc_id"].astype("int64"))
+    sc_ids = set(sc["doc_id"].astype("int64"))
+    assert sc_ids and sc_ids < ow_ids
+
+
+def test_span_within_same_docs_little_scores(pos_index):
+    from mini_ivf_ray.pipelines.phrase import (
+        span_containing_topk,
+        span_within_topk,
+    )
+
+    import dataclasses
+
+    idx, cfg, docs, _ = pos_index
+    q = [(0, "the data", "web", 6)]
+    within = span_within_topk(idx, None, q, cfg, positions="index")
+    oracle = _local_span_containing(docs, q, cfg, score_from="little")
+    pd.testing.assert_frame_equal(
+        _canon(within), _canon(oracle), check_dtype=False
+    )
+    # identical doc-level match SET (ranked differently) — compare at
+    # wide topk so scoring-order differences can't censor either side
+    wide = dataclasses.replace(cfg, topk=len(docs))
+    cont = span_containing_topk(idx, None, q, wide, positions="index")
+    withw = span_within_topk(idx, None, q, wide, positions="index")
+    assert set(cont["doc_id"].astype("int64")) == set(
+        withw["doc_id"].astype("int64")
+    )
+    # scoring provably differs: within uses the little term only
+    assert not np.array_equal(
+        cont.sort_values("doc_id")["score"].to_numpy(),
+        withw.sort_values("doc_id")["score"].to_numpy(),
+    )
+
+
+def test_span_containing_planted_and_contracts(pos_index, tmp_path):
+    import shutil
+
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.pipelines.phrase import span_containing_topk
+    from mini_ivf_ray.pipelines.positions import build_positions as bp
+
+    idx0, cfg0, _docs, _ = pos_index
+    # planted pins: "data filter row" contains filter inside the
+    # (data, row) w=3 span; "data row filter" does NOT (filter is
+    # outside the only achievable span [0, 1])
+    from mini_ivf_ray.functions.extract import wrap_html
+
+    texts = ["data filter row", "data row filter", "data row x filter row"]
+    docs = pd.DataFrame(
+        {"doc_id": np.arange(len(texts), dtype=np.uint64), "text": texts}
+    )
+    cfg = PipelineConfig(num_partitions=2, topk=10, doc_id_from_url=False)
+    idx = str(tmp_path / "planted")
+    shutil.rmtree(idx, ignore_errors=True)
+    n = len(texts)
+    tbl = pa.table(
+        {
+            "url": pa.array(
+                [f"https://e.example/{i}" for i in range(n)],
+                type=pa.string(),
+            ),
+            "warc_ts": pa.array(
+                np.full(n, np.datetime64("2024-01-01", "us"))
+            ),
+            "html": pa.array(
+                [wrap_html(t) for t in texts], type=pa.binary()
+            ),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * n, type=pa.string()),
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        }
+    )
+    build_index(lambda: ray.data.from_arrow(tbl), idx, cfg, dedup=False)
+    bp(idx, ray.data.from_pandas(docs[["doc_id", "text"]]), cfg)
+    q = [(0, "data row", "filter", 3)]
+    for mode, dds in (("index", None), ("corpus", ray.data.from_pandas(docs))):
+        got = span_containing_topk(idx, dds, q, cfg, positions=mode)
+        ids = set(got["doc_id"].astype("int64"))
+        assert 0 in ids, mode      # filter inside the span
+        assert 1 not in ids, mode  # filter after the only span
+        # doc 2: spans (0,1) and (4-start? no 'data' at 4) -> only
+        # [0,1]; filter@3 outside -> excluded... unless the wider
+        # last-occurrence end (row@4) admits [0,4] at w=3? width 5 > 3:
+        # excluded.
+        assert 2 not in ids, mode
+    # contracts
+    with pytest.raises(ValueError, match=">= 2 big terms"):
+        span_containing_topk(idx0, None, [(0, "data", "web", 4)], cfg0,
+                             positions="index")
+    with pytest.raises(ValueError, match="little"):
+        span_containing_topk(idx0, None, [(0, "the data", "a b", 4)], cfg0,
+                             positions="index")
+    with pytest.raises(ValueError, match="window"):
+        span_containing_topk(idx0, None, [(0, "the data", "web", 0)], cfg0,
+                             positions="index")
+    with pytest.raises(ValueError, match="score_from"):
+        span_containing_topk(idx0, None, [(0, "the data", "web", 4)], cfg0,
+                             positions="index", score_from="both")
