@@ -126,6 +126,19 @@ SPAN_CONTAINING_QUERIES: list[tuple[int, str, str, int]] = [
     (4, "data stream", "the", 2),
 ]
 
+# boosting workload: (query_id, positive, negative, negative_boost) —
+# a topical demotion, a strong demotion, an OOV negative (== plain
+# BM25 bit-identically), a negative overlapping the positive, and
+# negative == positive (uniform demotion: plain ranking ORDER
+# preserved while every score scales by exactly nb)
+BOOSTING_QUERIES: list[tuple[int, str, str, float]] = [
+    (0, "data web", "slow", 0.5),
+    (1, "hash join", "merge", 0.2),
+    (2, "sort merge", "zz9999qq", 0.5),
+    (3, "window stream", "window", 0.3),
+    (4, "table key", "table key", 0.125),
+]
+
 # misspellings of real corpus terms (+ one exact term, one hopeless):
 # spell_suggest matches the corpus vocabulary within Levenshtein <= 2
 SPELL_QUERIES: list[str] = [
@@ -1833,6 +1846,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         res = span_containing_topk(
             idx, None, SPAN_CONTAINING_QUERIES, _CFG, positions="index"
         )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def boosting_topk(sf_dir):
+        """Boosting query (ES ``boosting`` / Lucene BoostingQuery):
+        top-10 by the positive query's disjunctive BM25, with matches
+        of the negative query DEMOTED (score * negative_boost) but
+        never filtered — the match set is exactly the positive match
+        set.  No sidecar, no broadcast: the negative match set is the
+        union of the negative terms' postings from the same
+        partition-selective reader (pipelines/boosting.py)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.boosting import boosting_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {
+                    "query_id": q,
+                    "positive": p,
+                    "negative": n,
+                    "negative_boost": nb,
+                }
+                for q, p, n, nb in BOOSTING_QUERIES
+            ]
+        )
+        res = boosting_search(idx, qds, _CFG).to_pandas()
         res = res.sort_values(["query_id", "rank"])
         return pa.table(
             {
@@ -5343,6 +5399,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_containing: ordered big span must contain the little
         # term (round-5 addition, positional family)
         "span_containing": span_containing,
+        # boosting_topk: ES boosting query — negative-match demotion
+        # (round-5 addition, index-local, no sidecar)
+        "boosting_topk": boosting_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5372,7 +5431,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (round-5 addition)
         "events_pipeline": events_pipeline,
         "bool_search": bool_search,
-        "prox_search": prox_search,
         "bm25f_topk": bm25f_topk,
         # phrase_suggest: ES phrase suggester / LM did-you-mean
         # (round-5 addition)
@@ -5423,8 +5481,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # jaccard_dup_clusters r4-green hash row + 10^6-edge CC pytest;
         # its family stays double-covered in-window by
         # jaccard_verified_pairs (exact verify) and dup_collapsed_topk/
-        # dup_collapsed_sharded (serve the same CC cluster labels))
+        # dup_collapsed_sharded (serve the same CC cluster labels);
+        # prox_search r4-green hash row: the positional family keeps
+        # THREE in-window rows (ordered_prox, span_containing,
+        # span_not) plus the index-only-vs-corpus equality pytests)
         "jaccard_dup_clusters": jaccard_dup_clusters,
+        "prox_search": prox_search,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6351,6 +6413,48 @@ ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # Boosting query: score = positive disjunctive BM25 sum, then
+        # ONE multiply by nb on docs matching ANY negative term — the
+        # negative query demotes, never filters (LEFT JOIN)
+        "boosting_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, pos, _n, _b in BOOSTING_QUERIES for t in sorted(set(pos.split())))}),
+nq(query_id, term) AS (VALUES {", ".join(f"({qid}, '{t}')" for qid, _p, neg, _b in BOOSTING_QUERIES for t in sorted(set(neg.split())))}),
+qb(query_id, nb) AS (VALUES {", ".join(f"({qid}, {nb!r})" for qid, _p, _n, nb in BOOSTING_QUERIES)}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+neg AS (SELECT DISTINCT nq.query_id, p.doc_id
+        FROM nq JOIN postings p ON p.term = nq.term),
+final AS (SELECT s.query_id, s.doc_id,
+                 s.score * (CASE WHEN n.doc_id IS NOT NULL
+                                 THEN CAST(qb.nb AS DOUBLE) ELSE 1.0 END)
+                   AS score
+          FROM scores s
+          JOIN qb ON qb.query_id = s.query_id
+          LEFT JOIN neg n ON n.query_id = s.query_id
+                         AND n.doc_id = s.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
