@@ -1907,6 +1907,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def match_extstats(sf_dir):
+        """Extended stats aggregation (ES extended_stats,
+        pipelines/extstats.py): per query, count / min / max / sum /
+        sum-of-squares / avg / population variance / std of
+        documents.n_chars over the FULL disjunctive match set.
+        Mergeable-moments shape: partials (n, sum, sumsq, min, max)
+        combine associatively, so doc-sharded serving ships one slim
+        row per (query, shard) — ShardedIndex.ext_stats, pytest-pinned
+        bit-identical to this single-index path.  Integer-valued field
+        -> float64 sums below 2^53 are exact -> derived stats are the
+        identical op sequence the SQL oracle runs."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.extstats import ext_stats_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = ext_stats_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "min_v": pa.array(res["min_v"].to_numpy(), type=pa.float64()),
+                "max_v": pa.array(res["max_v"].to_numpy(), type=pa.float64()),
+                "sum_v": pa.array(res["sum_v"].to_numpy(), type=pa.float64()),
+                "sumsq_v": pa.array(
+                    res["sumsq_v"].to_numpy(), type=pa.float64()
+                ),
+                "avg_r": pa.array(
+                    np.round(res["avg_v"].to_numpy(), 4), type=pa.float64()
+                ),
+                "var_r": pa.array(
+                    np.round(res["variance"].to_numpy(), 4), type=pa.float64()
+                ),
+                "std_r": pa.array(
+                    np.round(res["std_dev"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5387,7 +5445,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # page2_filtered: search_after composed with the allowed mask
         # (round-5 boundary closure — the path used to raise)
         "page2_filtered": page2_filtered,
-        "decontaminate": decontaminate_q,
         # dup_collapsed_topk: near-dup clustering composed into collapse
         # serving (one result per duplicate cluster)
         "dup_collapsed_topk": dup_collapsed_topk,
@@ -5402,6 +5459,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boosting_topk: ES boosting query — negative-match demotion
         # (round-5 addition, index-local, no sidecar)
         "boosting_topk": boosting_topk,
+        # match_extstats: ES extended_stats — mergeable-moments
+        # aggregation over the match set (round-5 addition)
+        "match_extstats": match_extstats,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5484,9 +5544,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_collapsed_sharded (serve the same CC cluster labels);
         # prox_search r4-green hash row: the positional family keeps
         # THREE in-window rows (ordered_prox, span_containing,
-        # span_not) plus the index-only-vs-corpus equality pytests)
+        # span_not) plus the index-only-vs-corpus equality pytests;
+        # decontaminate r4-green hash row: the broadcast eval-gram
+        # probe keeps its zero-shuffle pytests and shares the n-gram
+        # machinery with in-window jaccard_verified_pairs)
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
+        "decontaminate": decontaminate_q,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6457,6 +6521,33 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # Extended stats: exact moments over the disjunctive match set;
+        # integer n_chars -> float64 sums below 2^53 are exact, so the
+        # derived avg/variance/std expressions are the identical float64
+        # op sequence the engine's derived_stats runs
+        "match_extstats": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       min(d.n_chars)::DOUBLE AS min_v,
+       max(d.n_chars)::DOUBLE AS max_v,
+       sum(d.n_chars::DOUBLE) AS sum_v,
+       sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE) AS sumsq_v,
+       round(sum(d.n_chars::DOUBLE) / count(*), 4) AS avg_r,
+       round((sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE)
+              - sum(d.n_chars::DOUBLE) * sum(d.n_chars::DOUBLE) / count(*))
+             / count(*), 4) AS var_r,
+       round(sqrt((sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE)
+                   - sum(d.n_chars::DOUBLE) * sum(d.n_chars::DOUBLE)
+                     / count(*))
+                  / count(*)), 4) AS std_r
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the

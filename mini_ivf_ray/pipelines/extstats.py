@@ -1,0 +1,220 @@
+"""Extended stats aggregation: Elasticsearch ``extended_stats`` over
+the match set — count / min / max / sum / avg / sum_of_squares /
+variance / std_deviation of a numeric per-document field, per query.
+
+The textbook mergeable-moments aggregation: every partition of the
+match set contributes a 5-tuple partial
+
+    (n, sum, sum_of_squares, min, max)
+
+and partials combine associatively (adds and min/max), so the
+distributed shape is ONE slim (queries x shards) merge — never
+doc-proportional — and the derived statistics are computed once,
+driver-side, from the merged moments:
+
+    avg      = sum / n
+    variance = (sum_of_squares - sum * sum / n) / n      (population,
+                ES's ``variance_population``)
+    std      = sqrt(variance)
+
+Exactness: over an integer-valued field (token/char counts, the
+common case) float64 sums below 2^53 are EXACT regardless of
+accumulation order, so engine, shard-merged, and SQL moments are
+bit-equal, and the derived stats — computed by the identical float64
+op sequence on both sides — hash-match under the driver's rounding.
+For genuinely fractional fields the sums are order-sensitive at the
+last ulp like any parallel sum; the driver rounds to 4 decimals.
+
+ES semantics pinned here: a matched doc MISSING the field is skipped
+(contributes to no moment, not even ``count``); a query whose match
+set carries no field values emits NO row (the SQL GROUP BY shape).
+
+Scale shape: identical to facets.py — the (doc_id, value) sidecar is
+broadcast ONCE via ``ray.put`` in the single-index path, and in
+doc-sharded serving (serving.ShardedIndex.ext_stats) each shard holds
+only its range's slice and ships one moments row per (query, shard).
+
+Reference analogy: the per-query histogram walk of QueryObs
+(index_ivfpq.cpp:412-470), reduced to moments instead of buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.pipelines.facets import FacetCounter
+from mini_ivf_ray.pipelines.query import BM25Searcher
+
+STAT_COLUMNS = [
+    "query_id", "n_docs", "min_v", "max_v", "sum_v", "sumsq_v",
+    "avg_v", "variance", "std_dev",
+]
+
+
+def derived_stats(n: int, s: float, ss: float) -> tuple[float, float, float]:
+    """(avg, population variance, std) from merged moments — the ONE
+    float64 op sequence both the SQL oracle and every serving path
+    replay (change both or neither)."""
+    avg = s / n
+    var = (ss - s * s / n) / n
+    # guard the tiny negative a cancellation can leave at n==1 etc.
+    var = var if var > 0.0 else 0.0
+    return avg, var, float(np.sqrt(var))
+
+
+class ExtStatsSearcher(BM25Searcher):
+    """Actor-pool stage: (query_id, text) -> one extended-stats row per
+    query over the disjunctive match set's field values."""
+
+    # the canonical match-set walk, shared with the facet panel
+    disjunctive_matches_for_text = FacetCounter.disjunctive_matches_for_text
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg: PipelineConfig | None = None,
+        shared_tables: dict | None = None,
+        decoded_refs: dict | None = None,
+        values_ref=None,
+        denied_ref=None,
+    ):
+        super().__init__(
+            index_dir, cfg, shared_tables, decoded_refs, denied_ref=denied_ref
+        )
+        import ray
+
+        ids, vals = (
+            ray.get(values_ref)
+            if isinstance(values_ref, ray.ObjectRef)
+            else values_ref
+        )
+        self.value_ids = np.asarray(ids, dtype=np.uint64)
+        self.values = np.asarray(vals, dtype=np.float64)
+        if self.value_ids.size > 1 and not np.all(
+            self.value_ids[:-1] < self.value_ids[1:]
+        ):
+            raise ValueError("value sidecar must be sorted by unique doc_id")
+
+    def moments_for_text(self, qtext: str):
+        """(n, sum, sumsq, min, max) over the match set's field values,
+        or None when no matched doc carries the field."""
+        docs = self.disjunctive_matches_for_text(qtext)
+        if not docs.size or not self.value_ids.size:
+            return None
+        idx = np.searchsorted(self.value_ids, docs)
+        np.minimum(idx, self.value_ids.size - 1, out=idx)
+        hit = self.value_ids[idx] == docs
+        v = self.values[idx[hit]]
+        if not v.size:
+            return None
+        return (
+            int(v.size),
+            float(np.sum(v)),
+            float(np.sum(v * v)),
+            float(np.min(v)),
+            float(np.max(v)),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {c: [] for c in STAT_COLUMNS}
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            m = self.moments_for_text(qtext)
+            if m is None:
+                continue
+            n, s, ss, lo, hi = m
+            avg, var, std = derived_stats(n, s, ss)
+            rows["query_id"].append(qid)
+            rows["n_docs"].append(n)
+            rows["min_v"].append(lo)
+            rows["max_v"].append(hi)
+            rows["sum_v"].append(s)
+            rows["sumsq_v"].append(ss)
+            rows["avg_v"].append(avg)
+            rows["variance"].append(var)
+            rows["std_dev"].append(std)
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "n_docs": pa.array(rows["n_docs"], type=pa.int64()),
+                **{
+                    c: pa.array(rows[c], type=pa.float64())
+                    for c in STAT_COLUMNS[2:]
+                },
+            }
+        )
+
+
+def ext_stats_search(
+    index_dir: str,
+    queries_ds,
+    value_ids,
+    values,
+    cfg: PipelineConfig | None = None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> one (query_id, n_docs, min_v, max_v,
+    sum_v, sumsq_v, avg_v, variance, std_dev) row per query over the
+    disjunctive match set; matched docs missing the field are skipped,
+    empty-stat queries emit no row (ES extended_stats semantics).  The
+    (doc_id, value) sidecar is broadcast ONCE (``ray.put``)."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(value_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = np.asarray(values, dtype=np.float64)[order]
+    if np.isnan(vals).any():
+        raise ValueError(
+            "values contains NaN; drop missing-field docs from the "
+            "sidecar instead (they are skipped by construction)"
+        )
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    values_ref = ray.put((ids, vals))
+    return queries_ds.map_batches(
+        ExtStatsSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, values_ref),
+        fn_constructor_kwargs={"denied_ref": denied_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
+def merge_moments(parts) -> dict[int, tuple[int, float, float, float, float]]:
+    """Associatively combine per-shard (query_id, n, sum, sumsq, min,
+    max) partial rows into one moments tuple per query — the driver
+    side of the doc-sharded path (queries x shards rows in, queries
+    rows out)."""
+    merged: dict[int, tuple[int, float, float, float, float]] = {}
+    for qid, n, s, ss, lo, hi in parts:
+        cur = merged.get(int(qid))
+        if cur is None:
+            merged[int(qid)] = (int(n), float(s), float(ss), float(lo), float(hi))
+        else:
+            merged[int(qid)] = (
+                cur[0] + int(n),
+                cur[1] + float(s),
+                cur[2] + float(ss),
+                min(cur[3], float(lo)),
+                max(cur[4], float(hi)),
+            )
+    return merged

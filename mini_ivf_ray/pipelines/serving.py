@@ -98,6 +98,10 @@ class RangeSearcher:
         # node instead of an O(corpus) broadcast (facets.py:11-18)
         self.side_ids = np.empty(0, dtype=np.uint64)
         self.side_codes = np.empty(0, dtype=np.int64)
+        # shard-local NUMERIC sidecar (float64 values) for moment
+        # aggregations — set via set_value_sidecar
+        self.val_ids = np.empty(0, dtype=np.uint64)
+        self.vals = np.empty(0, dtype=np.float64)
 
     def set_sidecar(self, ref) -> int:
         """Install this shard's (ids, codes) sidecar SLICE (already
@@ -117,6 +121,51 @@ class RangeSearcher:
         self.side_ids = ids
         self.side_codes = np.asarray(codes, dtype=np.int64)
         return int(ids.size)
+
+    def set_value_sidecar(self, ref) -> int:
+        """Install this shard's (ids, float64 values) slice (already
+        restricted to [lo, hi] by the driver) for moment aggregations
+        (extstats.py).  Returns the slice length for coverage asserts."""
+        import ray
+
+        ids, vals = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size and (int(ids[0]) < self.lo or int(ids[-1]) > self.hi):
+            raise ValueError(
+                f"value-sidecar slice [{ids[0]}, {ids[-1]}] escapes "
+                f"shard range [{self.lo}, {self.hi}]"
+            )
+        if ids.size > 1 and not np.all(ids[:-1] < ids[1:]):
+            raise ValueError(
+                "value-sidecar slice must be sorted by unique doc_id"
+            )
+        self.val_ids = ids
+        self.vals = np.asarray(vals, dtype=np.float64)
+        return int(ids.size)
+
+    def extstats_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        """Per query, this shard's PARTIAL moments (n, sum, sumsq, min,
+        max) over its slice of the disjunctive match set — additive /
+        min-max mergeable (extstats.merge_moments), one slim row per
+        (query, shard), never doc-proportional."""
+        out = {"query_id": [], "n": [], "s": [], "ss": [], "lo_v": [], "hi_v": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not self.val_ids.size:
+                continue
+            idx = np.searchsorted(self.val_ids, docs)
+            np.minimum(idx, self.val_ids.size - 1, out=idx)
+            hit = self.val_ids[idx] == docs
+            v = self.vals[idx[hit]]
+            if not v.size:
+                continue
+            out["query_id"].append(qid)
+            out["n"].append(int(v.size))
+            out["s"].append(float(np.sum(v)))
+            out["ss"].append(float(np.sum(v * v)))
+            out["lo_v"].append(float(np.min(v)))
+            out["hi_v"].append(float(np.max(v)))
+        return pd.DataFrame(out)
 
     def _in_range_scored(self, qtext: str, full: bool):
         """(docs, scores) of the query's match set restricted to THIS
@@ -494,6 +543,81 @@ class ShardedIndex:
                 f"sidecar slices cover {total} of {ids.size} docs"
             )
         ray.get(futs)
+
+    def attach_value_sidecar(self, doc_ids, values) -> None:
+        """Partition a doc -> float64 value sidecar on this index's
+        doc-shard ranges for moment aggregations (ext_stats) — same
+        slicing contract as attach_sidecar: each actor receives ONLY
+        its range's slice, 1/R of the sidecar per node at scale."""
+        import ray
+
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vals = np.asarray(values, dtype=np.float64)[order]
+        if np.isnan(vals).any():
+            raise ValueError(
+                "values contain NaN; drop missing-field docs from the "
+                "sidecar instead"
+            )
+        futs, total = [], 0
+        for s, a in enumerate(self.actors):
+            lo, hi = self.bounds[s], self.bounds[s + 1] - 1
+            i = int(np.searchsorted(ids, np.uint64(lo), side="left"))
+            j = int(np.searchsorted(ids, np.uint64(min(hi, 2**64 - 1)), side="right"))
+            futs.append(
+                a.set_value_sidecar.remote(ray.put((ids[i:j], vals[i:j])))
+            )
+            total += j - i
+        if total != ids.size:
+            raise AssertionError(
+                f"value-sidecar slices cover {total} of {ids.size} docs"
+            )
+        ray.get(futs)
+        self._has_value_sidecar = True
+
+    def ext_stats(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local extended stats -> one (query_id, n_docs, min_v,
+        max_v, sum_v, sumsq_v, avg_v, variance, std_dev) row per query,
+        identical to pipelines.extstats.ext_stats_search on an
+        integer-valued field (float64 sums below 2^53 are exact, so the
+        shard merge is bit-equal to the single pass).  The merge
+        combines (queries x shards) slim moment rows — never
+        doc-proportional."""
+        import ray
+
+        from mini_ivf_ray.pipelines.extstats import (
+            STAT_COLUMNS,
+            derived_stats,
+            merge_moments,
+        )
+
+        if not getattr(self, "_has_value_sidecar", False):
+            raise ValueError("attach_value_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(a.extstats_batch.remote(part) for a in self.actors)
+        frames = [f for f in ray.get(futs) if len(f)]
+        rows = []
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            merged = merge_moments(
+                zip(
+                    allp["query_id"], allp["n"], allp["s"], allp["ss"],
+                    allp["lo_v"], allp["hi_v"],
+                )
+            )
+            for qid in sorted(merged):
+                n, s, ss, lo, hi = merged[qid]
+                avg, var, std = derived_stats(n, s, ss)
+                rows.append((qid, n, lo, hi, s, ss, avg, var, std))
+        out = pd.DataFrame(rows, columns=STAT_COLUMNS)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
 
     def facet_search(
         self, queries: list[tuple[int, str]], chunk: int = 512

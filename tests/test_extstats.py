@@ -1,0 +1,146 @@
+"""Extended stats aggregation (ES extended_stats): local replay
+identity over an integer-valued field (exact float64 moments), sharded
+== single-pass bit-identity, missing-field skip + empty-query row
+omission, contracts."""
+
+import numpy as np
+import pytest
+
+import ray.data
+from mini_ivf_ray.functions.tokenize import tokenize
+from mini_ivf_ray.pipelines.extstats import (
+    STAT_COLUMNS,
+    derived_stats,
+    ext_stats_search,
+    merge_moments,
+)
+
+QUERIES = [(0, "the data web"), (1, "w00042 of"), (2, "a data")]
+
+
+def _field(docs):
+    """Integer-valued field: character count per doc."""
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    vals = np.array([float(len(t)) for t in docs["text"]], dtype=np.float64)
+    return ids, vals
+
+
+def _match_ids(docs, qtext):
+    terms = set(tokenize(qtext))
+    return {
+        int(d)
+        for d, t in zip(docs["doc_id"], docs["text"])
+        if terms & set(tokenize(t))
+    }
+
+
+def _local(docs, queries, ids, vals):
+    vmap = dict(zip(ids.tolist(), vals.tolist()))
+    rows = []
+    for qid, qtext in queries:
+        vs = sorted(
+            vmap[d] for d in _match_ids(docs, qtext) if d in vmap
+        )
+        if not vs:
+            continue
+        n = len(vs)
+        s = float(np.sum(np.array(vs)))
+        ss = float(np.sum(np.array(vs) ** 2))
+        avg, var, std = derived_stats(n, s, ss)
+        rows.append((qid, n, min(vs), max(vs), s, ss, avg, var, std))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=STAT_COLUMNS)
+
+
+def _run(idx, cfg, docs, queries=QUERIES, ids=None, vals=None):
+    if ids is None:
+        ids, vals = _field(docs)
+    import pandas as pd
+
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    df = ext_stats_search(idx, qds, ids, vals, cfg).to_pandas()
+    if not len(df):
+        return pd.DataFrame(columns=STAT_COLUMNS)
+    return df.sort_values("query_id").reset_index(drop=True)
+
+
+def test_extstats_matches_local_replay(tiny_index):
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    got = _run(idx, cfg, docs)
+    want = _local(docs, QUERIES, ids, vals)
+    assert len(got) == len(QUERIES)  # every query matches something
+    assert list(got["query_id"]) == list(want["query_id"])
+    for c in STAT_COLUMNS[1:]:
+        # integer-valued field -> exact float64 moments -> the derived
+        # stats are the identical op sequence: bit-equal, no tolerance
+        assert np.array_equal(
+            got[c].to_numpy(), want[c].to_numpy()
+        ), c
+    # the aggregation is non-trivial: variance > 0 somewhere
+    assert (got["variance"] > 0).any()
+
+
+def test_extstats_sharded_identity(tiny_index):
+    from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    single = _run(idx, cfg, docs)
+    sharded = ShardedIndex(idx, cfg, num_shards=4)
+    try:
+        with pytest.raises(ValueError, match="attach_value_sidecar"):
+            sharded.ext_stats(QUERIES)
+        sharded.attach_value_sidecar(ids, vals)
+        got = sharded.ext_stats(QUERIES).reset_index(drop=True)
+    finally:
+        sharded.shutdown()
+    assert list(got.columns) == list(single.columns)
+    assert list(got["query_id"]) == list(single["query_id"])
+    for c in STAT_COLUMNS[1:]:
+        assert np.array_equal(got[c].to_numpy(), single[c].to_numpy()), c
+    # the shard split was real: >= 2 shards held sidecar rows
+    lo, hi = int(ids.min()), int(ids.max())
+    assert hi - lo > 2**62  # md5-hashed ids span the space
+
+
+def test_extstats_missing_field_and_empty(tiny_index):
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    # keep the field on only half the docs: matched docs missing the
+    # field are skipped entirely (ES semantics)
+    keep = np.arange(ids.size) % 2 == 0
+    got = _run(idx, cfg, docs, ids=ids[keep], vals=vals[keep])
+    full = _run(idx, cfg, docs)
+    m0 = set(_match_ids(docs, QUERIES[0][1]))
+    kept_ids = set(ids[keep].tolist())
+    want_n = len(m0 & kept_ids)
+    row = got[got["query_id"] == 0]
+    assert int(row["n_docs"].iloc[0]) == want_n
+    assert want_n < int(full[full["query_id"] == 0]["n_docs"].iloc[0])
+    # OOV query: no row at all (SQL GROUP BY shape)
+    oov = _run(idx, cfg, docs, queries=[(7, "zzqq9999xx")])
+    assert len(oov) == 0
+
+
+def test_extstats_merge_and_contracts(tiny_index):
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    # merge_moments is associative & matches a one-shot computation
+    parts = [
+        (0, 2, 5.0, 13.0, 2.0, 3.0),
+        (0, 1, 7.0, 49.0, 7.0, 7.0),
+        (1, 1, 4.0, 16.0, 4.0, 4.0),
+    ]
+    m = merge_moments(parts)
+    assert m[0] == (3, 12.0, 62.0, 2.0, 7.0)
+    assert m[1] == (1, 4.0, 16.0, 4.0, 4.0)
+    avg, var, std = derived_stats(*m[1][:3])
+    assert (avg, var, std) == (4.0, 0.0, 0.0)  # n=1: cancellation guard
+    with pytest.raises(Exception, match="NaN"):
+        bad = vals.copy()
+        bad[0] = np.nan
+        _run(idx, cfg, docs, ids=ids, vals=bad)
