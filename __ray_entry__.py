@@ -1965,6 +1965,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def classic_topk(sf_dir):
+        """Lucene ClassicSimilarity (pre-6.0 default TF-IDF VSM,
+        pipelines/classic.py): score = sum_t sqrt(tf) * idf^2 /
+        sqrt(dl), scaled by coord (matched/total distinct query terms,
+        OOV counted in the denominator) and queryNorm (1/sqrt of the
+        summed idf^2 over ALL query terms, OOV at df=0).  Completes
+        the pluggable-similarity family (BM25, LM Dirichlet, LM JM);
+        norm(d) kept exact rather than Lucene's lossy byte encoding
+        (documented divergence)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.classic import classic_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = classic_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5462,6 +5498,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match_extstats: ES extended_stats — mergeable-moments
         # aggregation over the match set (round-5 addition)
         "match_extstats": match_extstats,
+        # classic_topk: Lucene ClassicSimilarity — TF-IDF VSM with
+        # coord + queryNorm (round-5 addition, similarity family)
+        "classic_topk": classic_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5502,7 +5541,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # composite_page: ES composite agg / bucket keyset pagination
         # (round-5 addition)
         "composite_page": composite_page_q,
-        "dirichlet_topk": dirichlet_topk,
         # decay_topk: ES function_score gauss decay (round-5 addition)
         "decay_topk": decay_topk,
         # rescore_topk: ES rescore two-pass composition (round-5 addition)
@@ -5547,10 +5585,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # span_not) plus the index-only-vs-corpus equality pytests;
         # decontaminate r4-green hash row: the broadcast eval-gram
         # probe keeps its zero-shuffle pytests and shares the n-gram
-        # machinery with in-window jaccard_verified_pairs)
+        # machinery with in-window jaccard_verified_pairs;
+        # dirichlet_topk r4-green hash row: the pluggable-similarity
+        # family keeps classic_topk in-window, jm_topk shares the
+        # DirichletSearcher machinery below the line)
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
+        "dirichlet_topk": dirichlet_topk,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6548,6 +6590,40 @@ SELECT m.query_id,
                   / count(*)), 4) AS std_r
 FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1
+""",
+        # ClassicSimilarity: sum_t sqrt(tf) * idf^2 / sqrt(dl), scaled
+        # by coord (LEFT JOIN keeps OOV terms in maxOverlap and in the
+        # queryNorm sum at df = 0) and queryNorm
+        "classic_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+qidf AS (SELECT q.query_id, q.term,
+                1 + ln(s.n / (coalesce(d.df, 0) + 1)) AS idf
+         FROM q LEFT JOIN df d ON d.term = q.term CROSS JOIN stats s),
+qn AS (SELECT query_id, count(*)::DOUBLE AS maxov,
+              1 / sqrt(sum(idf * idf)) AS qnorm
+       FROM qidf GROUP BY 1),
+scores AS (
+  SELECT qi.query_id, p.doc_id,
+         sum(sqrt(p.tf) * (qi.idf * qi.idf) / sqrt(dl.dl)) AS s,
+         count(*)::DOUBLE AS overlap
+  FROM qidf qi
+  JOIN postings p ON p.term = qi.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  GROUP BY 1, 2),
+final AS (SELECT sc.query_id, sc.doc_id,
+                 sc.s * (sc.overlap / qn.maxov) * qn.qnorm AS score
+          FROM scores sc JOIN qn USING (query_id)),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the
