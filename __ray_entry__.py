@@ -2001,6 +2001,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def terms_set_topk(sf_dir):
+        """Terms-set query (ES terms_set, pipelines/termsset.py): docs
+        matching at least their OWN per-document required count of the
+        query's distinct terms — minimum_should_match_field semantics,
+        the per-doc generalization of msm_topk.  Required counts are
+        the deterministic 1 + n_chars % 3 (1..3) so the filter
+        provably varies per doc; scoring is BM25 over matched terms;
+        the (doc_id, required) sidecar is broadcast once."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.termsset import terms_set_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        req = 1 + (side["n_chars"].to_numpy().astype(np.int64) % 3)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = terms_set_search(
+            idx, qds, side["doc_id"].to_numpy(), req, _CFG
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_matched": pa.array(
+                    res["n_matched"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "required": pa.array(
+                    res["required"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5501,6 +5552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classic_topk: Lucene ClassicSimilarity — TF-IDF VSM with
         # coord + queryNorm (round-5 addition, similarity family)
         "classic_topk": classic_topk,
+        # terms_set_topk: ES terms_set — per-doc minimum_should_match
+        # from a numeric field (round-5 addition)
+        "terms_set_topk": terms_set_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5529,7 +5583,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_pipeline: ES date_histogram + pipeline aggregations
         # (round-5 addition)
         "events_pipeline": events_pipeline,
-        "bool_search": bool_search,
         "bm25f_topk": bm25f_topk,
         # phrase_suggest: ES phrase suggester / LM did-you-mean
         # (round-5 addition)
@@ -5588,11 +5641,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery with in-window jaccard_verified_pairs;
         # dirichlet_topk r4-green hash row: the pluggable-similarity
         # family keeps classic_topk in-window, jm_topk shares the
-        # DirichletSearcher machinery below the line)
+        # DirichletSearcher machinery below the line;
+        # bool_search r4-green hash row: the boolean family keeps
+        # msm_topk + terms_set_topk (per-doc msm) in-window, the
+        # boolquery expression engine stays pytest-gated)
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
         "dirichlet_topk": dirichlet_topk,
+        "bool_search": bool_search,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6623,6 +6680,42 @@ ranked AS (SELECT query_id, doc_id, score,
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # Terms-set: per-doc required count (1 + n_chars % 3); a doc
+        # survives iff its matched distinct-term count reaches ITS OWN
+        # requirement; scores are the matched-terms BM25 sum
+        "terms_set_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*)::BIGINT AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+req AS (SELECT doc_id, (1 + n_chars % 3)::BIGINT AS required FROM documents),
+final AS (SELECT sc.query_id, sc.doc_id, sc.nm, r.required, sc.score
+          FROM scores sc
+          JOIN req r ON r.doc_id = sc.doc_id AND sc.nm >= r.required),
+ranked AS (SELECT query_id, doc_id, nm, required, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       nm AS n_matched, required, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,
         # the built index's dictionary bookkeeping: top-100 by
