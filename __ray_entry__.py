@@ -139,6 +139,15 @@ BOOSTING_QUERIES: list[tuple[int, str, str, float]] = [
     (4, "table key", "table key", 0.125),
 ]
 
+# adjacency-matrix filters: (name, single-term query) — common terms
+# whose match sets provably overlap, so intersection buckets are
+# non-empty on the BM25 workload
+ADJ_FILTERS: list[tuple[str, str]] = [
+    ("data", "data"),
+    ("web", "web"),
+    ("key", "key"),
+]
+
 # misspellings of real corpus terms (+ one exact term, one hopeless):
 # spell_suggest matches the corpus vocabulary within Levenshtein <= 2
 SPELL_QUERIES: list[str] = [
@@ -2048,6 +2057,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "score_r": pa.array(
                     np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def adjacency_buckets(sf_dir):
+        """Adjacency-matrix aggregation (ES adjacency_matrix,
+        pipelines/adjacency.py): per query, exact match-set counts for
+        every named single-term filter AND every pairwise intersection
+        (key 'a&b') — computed as ONE integer matmul of the (filters x
+        match set) membership matrix; filter postings are index-local,
+        fetched once per actor.  The bucket matrix is additive across
+        disjoint doc ranges (the extstats moments argument, matrix-
+        shaped), so doc-sharding merges k x k integer matrices."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.adjacency import adjacency_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = adjacency_search(idx, qds, ADJ_FILTERS, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "key": pa.array(res["key"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -5555,6 +5594,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # terms_set_topk: ES terms_set — per-doc minimum_should_match
         # from a numeric field (round-5 addition)
         "terms_set_topk": terms_set_topk,
+        # adjacency_buckets: ES adjacency_matrix — filter-overlap
+        # counts via one membership matmul (round-5 addition)
+        "adjacency_buckets": adjacency_buckets,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5583,7 +5625,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_pipeline: ES date_histogram + pipeline aggregations
         # (round-5 addition)
         "events_pipeline": events_pipeline,
-        "bm25f_topk": bm25f_topk,
         # phrase_suggest: ES phrase suggester / LM did-you-mean
         # (round-5 addition)
         "phrase_suggest": phrase_suggest_q,
@@ -5644,12 +5685,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DirichletSearcher machinery below the line;
         # bool_search r4-green hash row: the boolean family keeps
         # msm_topk + terms_set_topk (per-doc msm) in-window, the
-        # boolquery expression engine stays pytest-gated)
+        # boolquery expression engine stays pytest-gated;
+        # bm25f_topk r4-green hash row: the fielded/derived-corpus
+        # build path stays exercised in-window by anchor_topk, the
+        # token-replication reduction stays pytest-gated)
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
         "dirichlet_topk": dirichlet_topk,
         "bool_search": bool_search,
+        "bm25f_topk": bm25f_topk,
         "percolate_docs": percolate_docs,
         "events_json_stats": events_json_stats,
         "ann_filtered": ann_filtered,
@@ -6717,6 +6762,29 @@ ranked AS (SELECT query_id, doc_id, nm, required, score,
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
        nm AS n_matched, required, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # Adjacency matrix: per query, |match ∩ filter| on the diagonal
+        # and |match ∩ fi ∩ fj| (i < j, key 'fi&fj') off it — exact
+        # integer counts, order-insensitive (the driver sorts rows)
+        "adjacency_buckets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+f(fid, name, term) AS (VALUES {", ".join(f"({i}, '{name}', '{term}')" for i, (name, term) in enumerate(ADJ_FILTERS))}),
+fm AS (SELECT f.fid, f.name, p.doc_id
+       FROM f JOIN postings p ON p.term = f.term),
+singles AS (SELECT m.query_id, a.name AS key, count(*)::BIGINT AS n_docs
+            FROM matches m JOIN fm a ON a.doc_id = m.doc_id
+            GROUP BY 1, 2),
+pairs AS (SELECT m.query_id, a.name || '&' || b.name AS key,
+                 count(*)::BIGINT AS n_docs
+          FROM matches m
+          JOIN fm a ON a.doc_id = m.doc_id
+          JOIN fm b ON b.doc_id = m.doc_id AND b.fid > a.fid
+          GROUP BY 1, 2)
+SELECT * FROM singles UNION ALL SELECT * FROM pairs
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the
