@@ -2091,6 +2091,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def pct_ranks(sf_dir):
+        """Percentile-ranks aggregation (ES percentile_ranks,
+        pipelines/extstats.py PercentileRanksSearcher): per (query,
+        threshold), the EXACT percent of field-carrying matched docs
+        with documents.n_chars <= threshold — the inverse of the
+        percentiles aggregation, no sketch.  Same broadcast sidecar
+        and match walk as match_extstats; per-shard (n, count<=v)
+        partials are additive at scale."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.extstats import percentile_ranks_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = percentile_ranks_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            [100.0, 300.0, 600.0, 1200.0],
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "value"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "value": pa.array(res["value"].to_numpy(), type=pa.float64()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "pct_r": pa.array(
+                    np.round(res["pct"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5597,10 +5642,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # adjacency_buckets: ES adjacency_matrix — filter-overlap
         # counts via one membership matmul (round-5 addition)
         "adjacency_buckets": adjacency_buckets,
+        # pct_ranks: ES percentile_ranks — exact inverse quantiles
+        # over the match set (round-5 addition)
+        "pct_ranks": pct_ranks,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
-        "top_hits": top_hits,
         "top_hits_sharded": top_hits_sharded,
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
@@ -5688,7 +5735,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # boolquery expression engine stays pytest-gated;
         # bm25f_topk r4-green hash row: the fielded/derived-corpus
         # build path stays exercised in-window by anchor_topk, the
-        # token-replication reduction stays pytest-gated)
+        # token-replication reduction stays pytest-gated;
+        # top_hits: identical semantics AND the identical SQL oracle
+        # as in-window top_hits_sharded — the sharded row keeps the
+        # oracle exercised; single==sharded stays pytest-pinned)
+        "top_hits": top_hits,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
@@ -6785,6 +6836,27 @@ pairs AS (SELECT m.query_id, a.name || '&' || b.name AS key,
           JOIN fm b ON b.doc_id = m.doc_id AND b.fid > a.fid
           GROUP BY 1, 2)
 SELECT * FROM singles UNION ALL SELECT * FROM pairs
+""",
+        # Percentile ranks: exact inverse quantiles — percent of
+        # field-carrying matched docs with n_chars <= threshold;
+        # (100.0 * count) / n is the engine's float64 op order
+        "pct_ranks": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+t(value) AS (VALUES (100.0), (300.0), (600.0), (1200.0))
+SELECT m.query_id,
+       CAST(t.value AS DOUBLE) AS value,
+       count(*)::BIGINT AS n_docs,
+       round((100.0 * sum(CASE WHEN d.n_chars <= t.value
+                               THEN 1 ELSE 0 END)::DOUBLE)
+             / count(*), 4) AS pct_r
+FROM matches m
+JOIN documents d USING (doc_id)
+CROSS JOIN t
+GROUP BY 1, 2
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the

@@ -199,6 +199,113 @@ def ext_stats_search(
     )
 
 
+class PercentileRanksSearcher(ExtStatsSearcher):
+    """ES ``percentile_ranks`` over the match set: for each requested
+    threshold value v, the percent of field-carrying matched docs with
+    value <= v (the inverse of the percentiles aggregation, exact —
+    no sketch).  Same sidecar, same match walk as extended stats; the
+    per-threshold count is one searchsorted against the query's SORTED
+    match values, so k thresholds cost O(k log n) after the walk.
+
+    Mergeable the same way: per-shard (n, count<=v per threshold)
+    partials are additive, so the sharded analog ships (1 + k)
+    integers per (query, shard)."""
+
+    def __init__(self, *args, thresholds=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        t = np.asarray(
+            thresholds if thresholds is not None else [], dtype=np.float64
+        )
+        if not t.size:
+            raise ValueError("percentile_ranks needs >= 1 threshold value")
+        if np.isnan(t).any():
+            raise ValueError("thresholds contain NaN")
+        self.thresholds = t
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, vals, pcts, ns = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs = self.disjunctive_matches_for_text(qtext)
+            if not docs.size or not self.value_ids.size:
+                continue
+            idx = np.searchsorted(self.value_ids, docs)
+            np.minimum(idx, self.value_ids.size - 1, out=idx)
+            hit = self.value_ids[idx] == docs
+            v = np.sort(self.values[idx[hit]])
+            if not v.size:
+                continue
+            n = float(v.size)
+            below = np.searchsorted(v, self.thresholds, side="right")
+            for t, c in zip(self.thresholds.tolist(), below.tolist()):
+                qids.append(qid)
+                vals.append(t)
+                pcts.append(100.0 * float(c) / n)
+                ns.append(int(n))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "value": pa.array(vals, type=pa.float64()),
+                "pct": pa.array(pcts, type=pa.float64()),
+                "n_docs": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def percentile_ranks_search(
+    index_dir: str,
+    queries_ds,
+    value_ids,
+    values,
+    thresholds,
+    cfg: PipelineConfig | None = None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> one (query_id, value, pct, n_docs)
+    row per (query, threshold): the exact percent of field-carrying
+    matched docs with field value <= threshold.  Empty-stat queries
+    emit no rows (the extstats contract)."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(value_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = np.asarray(values, dtype=np.float64)[order]
+    if np.isnan(vals).any():
+        raise ValueError(
+            "values contains NaN; drop missing-field docs from the sidecar"
+        )
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    values_ref = ray.put((ids, vals))
+    return queries_ds.map_batches(
+        PercentileRanksSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, values_ref),
+        fn_constructor_kwargs={
+            "denied_ref": denied_ref,
+            "thresholds": list(thresholds),
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
 def merge_moments(parts) -> dict[int, tuple[int, float, float, float, float]]:
     """Associatively combine per-shard (query_id, n, sum, sumsq, min,
     max) partial rows into one moments tuple per query — the driver

@@ -144,3 +144,51 @@ def test_extstats_merge_and_contracts(tiny_index):
         bad = vals.copy()
         bad[0] = np.nan
         _run(idx, cfg, docs, ids=ids, vals=bad)
+
+
+# ---------------------------------------------------------------------------
+# percentile_ranks (ES percentile_ranks — inverse quantiles, exact)
+# ---------------------------------------------------------------------------
+
+
+def test_percentile_ranks_matches_local_and_bounds(tiny_index):
+    import pandas as pd
+    import pytest as _pytest
+
+    from mini_ivf_ray.pipelines.extstats import percentile_ranks_search
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    vmap = dict(zip(ids.tolist(), vals.tolist()))
+    lo, mid, hi = (
+        float(np.min(vals)) - 1.0,
+        float(np.median(vals)),
+        float(np.max(vals)),
+    )
+    thresholds = [lo, mid, hi]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+    got = (
+        percentile_ranks_search(idx, qds, ids, vals, thresholds, cfg)
+        .to_pandas()
+        .sort_values(["query_id", "value"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(QUERIES) * len(thresholds)
+    for qid, qtext in QUERIES:
+        vs = sorted(vmap[d] for d in _match_ids(docs, qtext) if d in vmap)
+        n = float(len(vs))
+        g = got[got["query_id"] == qid].sort_values("value")
+        for t, pct in zip(g["value"], g["pct"]):
+            want = 100.0 * sum(1 for v in vs if v <= t) / n
+            assert pct == want, (qid, t)
+    # bounds: below-min threshold -> 0 %, at-max threshold -> 100 %
+    g0 = got[got["query_id"] == 0].sort_values("value")
+    assert g0["pct"].iloc[0] == 0.0
+    assert g0["pct"].iloc[-1] == 100.0
+    # monotone in the threshold
+    assert (np.diff(g0["pct"].to_numpy()) >= 0).all()
+    # contracts: no thresholds / NaN threshold raise
+    with _pytest.raises(Exception, match="threshold"):
+        percentile_ranks_search(idx, qds, ids, vals, [], cfg).to_pandas()
