@@ -2136,6 +2136,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def sampler_facets_q(sf_dir):
+        """Sampler aggregation (ES sampler + terms sub-agg,
+        pipelines/facets.py SamplerFacetCounter): facet counts over
+        only the 50 BEST-SCORING matches per query — exact full-TAAT
+        scores, (score desc, doc_id asc) tiebreak, so the sample is
+        deterministic (global-top analog of ES's shard-local sampler,
+        documented in the class docstring)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import sampler_facets
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = sampler_facets(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            _CFG,
+            sample_size=50,
+        ).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5616,9 +5656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # page2_filtered: search_after composed with the allowed mask
         # (round-5 boundary closure — the path used to raise)
         "page2_filtered": page2_filtered,
-        # dup_collapsed_topk: near-dup clustering composed into collapse
-        # serving (one result per duplicate cluster)
-        "dup_collapsed_topk": dup_collapsed_topk,
+        # dup_collapsed_sharded: near-dup clustering composed into
+        # collapse serving (one result per duplicate cluster), the
+        # doc-sharded scale path
         "dup_collapsed_sharded": dup_collapsed_sharded,
         # dismax_topk: Lucene DisjunctionMaxQuery (round-5 addition)
         "dismax_topk": dismax_topk,
@@ -5645,6 +5685,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pct_ranks: ES percentile_ranks — exact inverse quantiles
         # over the match set (round-5 addition)
         "pct_ranks": pct_ranks,
+        # sampler_facets: ES sampler + terms sub-agg — facets over the
+        # top-50 scored matches only (round-5 addition)
+        "sampler_facets": sampler_facets_q,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5738,8 +5781,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # token-replication reduction stays pytest-gated;
         # top_hits: identical semantics AND the identical SQL oracle
         # as in-window top_hits_sharded — the sharded row keeps the
-        # oracle exercised; single==sharded stays pytest-pinned)
+        # oracle exercised; single==sharded stays pytest-pinned;
+        # dup_collapsed_topk: same — shares its oracle with in-window
+        # dup_collapsed_sharded, single==sharded pytest-pinned)
         "top_hits": top_hits,
+        "dup_collapsed_topk": dup_collapsed_topk,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
@@ -6856,6 +6902,38 @@ SELECT m.query_id,
 FROM matches m
 JOIN documents d USING (doc_id)
 CROSS JOIN t
+GROUP BY 1, 2
+""",
+        # Sampler agg: facet counts over the top-50 scored matches —
+        # the rank cut uses the same (score desc, doc asc) order the
+        # engine's _topk_exact applies
+        "sampler_facets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+sample AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) AS rn
+           FROM scores)
+SELECT s.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
+FROM sample s JOIN documents d USING (doc_id)
+WHERE s.rn <= 50
 GROUP BY 1, 2
 """,
         # the built index's dictionary bookkeeping: top-100 by

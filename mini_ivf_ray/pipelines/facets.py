@@ -190,6 +190,147 @@ def faceted_search(
     )
 
 
+class SamplerFacetCounter(FacetCounter):
+    """ES ``sampler`` aggregation (single-index analog): the facet
+    sub-aggregation runs over only the ``sample_size`` BEST-SCORING
+    matches — exact full-TAAT BM25 scores, (score desc, doc_id asc)
+    tiebreak, so the sample is deterministic and SQL-replayable.  ES's
+    own sampler is shard-local (top shard_size per shard, results
+    depend on sharding); this analog samples the GLOBAL top so the
+    oracle can pin it exactly — a sharded deployment that wants ES's
+    literal behavior takes each shard's local top instead (the counts
+    then merge additively, like facet_counts_batch)."""
+
+    def __init__(self, *args, sample_size: int = 100, **kwargs):
+        super().__init__(*args, **kwargs)
+        if sample_size < 1:
+            raise ValueError(f"sample_size must be >= 1, got {sample_size}")
+        self.sample_size = int(sample_size)
+
+    def sampled_counts_for_text(self, qtext: str) -> np.ndarray:
+        from mini_ivf_ray.pipelines.query import (
+            _allowed_mask,
+            _taat_accumulate,
+            _topk_exact,
+        )
+        from mini_ivf_ray.functions.tokenize import tokenize
+
+        terms = sorted(set(tokenize(qtext)))
+        wanted = {
+            t: self.stats.term_locations(t, self.cfg)
+            for t in terms
+            if self.stats.df.get(t, 0) > 0
+        }
+        fetched = self.reader.fetch_terms(wanted)
+        blocks = []
+        for t in sorted(wanted):
+            b = fetched.get(t)
+            if b is None or not b.n_blocks:
+                continue
+            b.set_scoring(
+                bm25.idf(self.stats.df[t], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+            blocks.append(b)
+        n_labels = len(self.facet_labels)
+        if not blocks:
+            return np.zeros(n_labels, dtype=np.int64)
+        docs, scores, scored = _taat_accumulate(blocks)
+        self.counters["searched_cnt"] = (
+            self.counters.get("searched_cnt", 0) + scored
+        )
+        self.counters["n_queries"] = self.counters.get("n_queries", 0) + 1
+        if self.denied is not None and self.denied.size:
+            keep = ~_allowed_mask(docs, self.denied)
+            docs, scores = docs[keep], scores[keep]
+        if not docs.size:
+            return np.zeros(n_labels, dtype=np.int64)
+        top = _topk_exact(docs, scores, self.sample_size)
+        sample = np.sort(np.array([d for d, _ in top], dtype=np.uint64))
+        idx = np.searchsorted(self.facet_ids, sample)
+        np.minimum(idx, self.facet_ids.size - 1, out=idx)
+        valid = self.facet_ids[idx] == sample
+        return np.bincount(self.facet_codes[idx[valid]], minlength=n_labels)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, facets, counts = [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = self.sampled_counts_for_text(qtext)
+            for code in np.flatnonzero(c):
+                qids.append(qid)
+                facets.append(self.facet_labels[code])
+                counts.append(int(c[code]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "facet": pa.array(facets, type=pa.string()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def sampler_facets(
+    index_dir: str,
+    queries_ds,
+    facet_ids,
+    facet_values,
+    cfg: PipelineConfig | None = None,
+    sample_size: int = 100,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> facet panel over only the
+    ``sample_size`` best-scoring matches per query (ES sampler +
+    terms sub-aggregation).  Deployment identical to faceted_search;
+    the counts per query sum to min(sample_size, |match set|)."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(facet_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = pa.array(
+        np.asarray(facet_values, dtype=object)[order], type=pa.string()
+    )
+    if vals.null_count:
+        raise ValueError(
+            f"facet_values contains {vals.null_count} null(s); "
+            "map nulls to a sentinel label before faceting"
+        )
+    enc = pa.compute.dictionary_encode(vals)
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    facet_ref = ray.put((ids, codes))
+    return queries_ds.map_batches(
+        SamplerFacetCounter,
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, facet_ref, labels, denied_ref,
+        ),
+        fn_constructor_kwargs={"sample_size": sample_size},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
 def faceted_search_sharded(
     index_dir: str,
     queries: list[tuple[int, str]],

@@ -92,3 +92,64 @@ def test_null_facet_values_rejected(tiny_index):
     qds = ray.data.from_items([{"query_id": 0, "text": "the"}])
     with pytest.raises(ValueError, match="null"):
         faceted_search(idx, qds, ids, vals, cfg)
+
+
+# ---------------------------------------------------------------------------
+# sampler aggregation (ES sampler + terms sub-agg over the top-N scored)
+# ---------------------------------------------------------------------------
+
+
+def test_sampler_facets_matches_bruteforce_topn(tiny_index):
+    import pytest
+
+    from mini_ivf_ray.pipelines.facets import sampler_facets
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    idx, cfg, docs = tiny_index
+
+    def facet_of(doc_id):
+        return ["even", "odd", "prime?"][int(doc_id) % 3]
+
+    ids = docs["doc_id"].to_numpy()
+    labels = [facet_of(d) for d in docs["doc_id"]]
+    queries = [(0, "the data web"), (1, "w00042 w00100")]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    n = 7
+    got = (
+        sampler_facets(idx, qds, ids, labels, cfg, sample_size=n)
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    # ground truth: facet counts over the brute-force top-n docs
+    import dataclasses
+
+    wide = dataclasses.replace(cfg, topk=n)
+    rows = []
+    for qid, qtext in queries:
+        top = brute_force_topk(docs, [(qid, qtext)], wide)
+        counts: dict[str, int] = {}
+        for d in top["doc_id"].to_numpy().astype(np.uint64):
+            f = facet_of(int(d))
+            counts[f] = counts.get(f, 0) + 1
+        for f, c in sorted(counts.items()):
+            rows.append((qid, f, c))
+    want = pd.DataFrame(rows, columns=["query_id", "facet", "n_docs"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the sample bites: counts sum to exactly n (match sets are larger)
+    assert got.groupby("query_id")["n_docs"].sum().eq(n).all()
+    # full-facet comparison: sampler differs from the full panel
+    full = (
+        faceted_search(idx, qds, ids, labels, cfg)
+        .to_pandas()
+        .groupby("query_id")["n_docs"]
+        .sum()
+    )
+    assert (full > n).all()
+    # contracts
+    with pytest.raises(Exception, match="sample_size"):
+        sampler_facets(
+            idx, qds, ids, labels, cfg, sample_size=0
+        ).to_pandas()
