@@ -2176,6 +2176,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def facet_avg_top(sf_dir):
+        """Terms aggregation ORDERED BY a metric sub-aggregation (ES
+        order: {"avg": "desc"}; pipelines/extstats.py
+        GroupedMetricSearcher): per query, the top-3 documents.lang
+        groups of the match set by average documents.n_chars — exact,
+        no shard-local bucket pruning (per-group (n, sum) partials are
+        panel-sized and merge additively, so ALL groups survive to the
+        ordering)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.extstats import grouped_metric_top
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        ids = side["doc_id"].to_numpy()
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = grouped_metric_top(
+            idx,
+            qds,
+            ids,
+            side["lang"].to_pylist(),
+            ids,
+            side["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+            num_buckets=3,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "avg_v"], ascending=[True, False])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "avg_r": pa.array(
+                    np.round(res["avg_v"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5688,6 +5736,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampler_facets: ES sampler + terms sub-agg — facets over the
         # top-50 scored matches only (round-5 addition)
         "sampler_facets": sampler_facets_q,
+        # facet_avg_top: ES terms agg ordered by a metric sub-agg —
+        # exact, no bucket pruning (round-5 addition)
+        "facet_avg_top": facet_avg_top,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5709,7 +5760,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_topk": anchor_topk,
         "redirects": redirects_q,
         "cocitation": cocitation_q,
-        "coupling": coupling_q,
         "link_components": link_components_q,
         "msm_topk": msm_topk,
         # events_pipeline: ES date_histogram + pipeline aggregations
@@ -5783,9 +5833,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # as in-window top_hits_sharded — the sharded row keeps the
         # oracle exercised; single==sharded stays pytest-pinned;
         # dup_collapsed_topk: same — shares its oracle with in-window
-        # dup_collapsed_sharded, single==sharded pytest-pinned)
+        # dup_collapsed_sharded, single==sharded pytest-pinned;
+        # coupling: the exact dual of in-window cocitation — the same
+        # bucketed pair-counting machinery transposed over out-links
+        # instead of in-links, pytest gates shared)
         "top_hits": top_hits,
         "dup_collapsed_topk": dup_collapsed_topk,
+        "coupling": coupling_q,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
@@ -6935,6 +6989,27 @@ SELECT s.query_id, d.lang AS facet, count(*)::BIGINT AS n_docs
 FROM sample s JOIN documents d USING (doc_id)
 WHERE s.rn <= 50
 GROUP BY 1, 2
+""",
+        # Terms agg ordered by metric: top-3 langs of the match set by
+        # avg n_chars (avg desc, lang asc) — exact integer sums make
+        # the SQL avg the engine's identical float64 division
+        "facet_avg_top": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+grouped AS (SELECT m.query_id, d.lang AS facet,
+                   count(*)::BIGINT AS n_docs,
+                   sum(d.n_chars::DOUBLE) / count(*) AS avg_v
+            FROM matches m JOIN documents d USING (doc_id)
+            GROUP BY 1, 2),
+ranked AS (SELECT query_id, facet, n_docs, avg_v,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY avg_v DESC, facet ASC) AS rn
+           FROM grouped)
+SELECT query_id, facet, n_docs, round(avg_v, 4) AS avg_r
+FROM ranked WHERE rn <= 3
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the

@@ -306,6 +306,174 @@ def percentile_ranks_search(
     )
 
 
+class GroupedMetricSearcher(ExtStatsSearcher):
+    """ES ``terms`` aggregation ORDERED BY a metric sub-aggregation
+    (e.g. "top languages by average document length within these
+    results"): per query, group the match set by a label sidecar,
+    compute each group's (count, sum) over a value sidecar, and emit
+    the top ``num_buckets`` groups by (avg desc, label asc).
+
+    ES warns this ordering is inexact under shard-local top-N bucket
+    pruning; here every shard's per-group (n, sum) partials are SLIM —
+    (queries x group-cardinality) rows, group cardinality panel-sized
+    by definition — so the merge keeps ALL groups and the ordering is
+    EXACT (the documented fix ES suggests via larger shard_size, free
+    at this shape).  Integer-valued fields make the sums order-exact
+    (the extstats argument).
+
+    Carries BOTH sidecars: (doc_id, code) labels (facets machinery)
+    and (doc_id, float64) values (extstats machinery)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        cfg=None,
+        shared_tables=None,
+        decoded_refs=None,
+        values_ref=None,
+        labels_ref=None,
+        labels: list[str] | None = None,
+        num_buckets: int = 3,
+        denied_ref=None,
+    ):
+        super().__init__(
+            index_dir, cfg, shared_tables, decoded_refs, values_ref,
+            denied_ref=denied_ref,
+        )
+        import ray
+
+        ids, codes = (
+            ray.get(labels_ref)
+            if isinstance(labels_ref, ray.ObjectRef)
+            else labels_ref
+        )
+        self.label_ids = np.asarray(ids, dtype=np.uint64)
+        self.label_codes = np.asarray(codes, dtype=np.int64)
+        self.labels = list(labels or [])
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        self.num_buckets = int(num_buckets)
+        if self.label_ids.size > 1 and not np.all(
+            self.label_ids[:-1] < self.label_ids[1:]
+        ):
+            raise ValueError("label sidecar must be sorted by unique doc_id")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, facets, ns, avgs = [], [], [], []
+        k = len(self.labels)
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs = self.disjunctive_matches_for_text(qtext)
+            if not docs.size or not self.value_ids.size or not k:
+                continue
+            # docs carrying BOTH the label and the value
+            li = np.searchsorted(self.label_ids, docs)
+            np.minimum(li, self.label_ids.size - 1, out=li)
+            has_l = self.label_ids[li] == docs
+            vi = np.searchsorted(self.value_ids, docs)
+            np.minimum(vi, self.value_ids.size - 1, out=vi)
+            has_v = self.value_ids[vi] == docs
+            both = has_l & has_v
+            if not both.any():
+                continue
+            codes = self.label_codes[li[both]]
+            vals = self.values[vi[both]]
+            n = np.bincount(codes, minlength=k).astype(np.float64)
+            s = np.bincount(codes, weights=vals, minlength=k)
+            present = np.flatnonzero(n > 0)
+            avg = s[present] / n[present]
+            # (avg desc, label asc) top num_buckets
+            names = [self.labels[int(c)] for c in present]
+            order = sorted(
+                range(len(present)), key=lambda i: (-avg[i], names[i])
+            )[: self.num_buckets]
+            for i in order:
+                qids.append(qid)
+                facets.append(names[i])
+                ns.append(int(n[present[i]]))
+                avgs.append(float(avg[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "facet": pa.array(facets, type=pa.string()),
+                "n_docs": pa.array(ns, type=pa.int64()),
+                "avg_v": pa.array(avgs, type=pa.float64()),
+            }
+        )
+
+
+def grouped_metric_top(
+    index_dir: str,
+    queries_ds,
+    label_ids,
+    label_values,
+    value_ids,
+    values,
+    cfg: PipelineConfig | None = None,
+    num_buckets: int = 3,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> top ``num_buckets`` (query_id,
+    facet, n_docs, avg_v) groups of the match set by (avg desc, facet
+    asc) over a numeric field — ES terms-agg ordered by a metric
+    sub-agg, exact (no shard-local bucket pruning).  Docs must carry
+    BOTH sidecars to contribute."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    lids = np.asarray(label_ids, dtype=np.uint64)
+    lorder = np.argsort(lids, kind="stable")
+    lids = lids[lorder]
+    lvals = pa.array(
+        np.asarray(label_values, dtype=object)[lorder], type=pa.string()
+    )
+    if lvals.null_count:
+        raise ValueError(
+            f"label_values contains {lvals.null_count} null(s); "
+            "map nulls to a sentinel label first"
+        )
+    enc = pa.compute.dictionary_encode(lvals)
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    vids = np.asarray(value_ids, dtype=np.uint64)
+    vorder = np.argsort(vids, kind="stable")
+    vids = vids[vorder]
+    vvals = np.asarray(values, dtype=np.float64)[vorder]
+    if np.isnan(vvals).any():
+        raise ValueError("values contains NaN; drop missing-field docs")
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    return queries_ds.map_batches(
+        GroupedMetricSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded),
+        fn_constructor_kwargs={
+            "values_ref": ray.put((vids, vvals)),
+            "labels_ref": ray.put((lids, codes)),
+            "labels": labels,
+            "num_buckets": num_buckets,
+            "denied_ref": denied_ref,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
 def merge_moments(parts) -> dict[int, tuple[int, float, float, float, float]]:
     """Associatively combine per-shard (query_id, n, sum, sumsq, min,
     max) partial rows into one moments tuple per query — the driver

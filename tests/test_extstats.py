@@ -192,3 +192,61 @@ def test_percentile_ranks_matches_local_and_bounds(tiny_index):
     # contracts: no thresholds / NaN threshold raise
     with _pytest.raises(Exception, match="threshold"):
         percentile_ranks_search(idx, qds, ids, vals, [], cfg).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# terms agg ordered by metric sub-agg (ES order: {"avg_v": "desc"})
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_metric_top_matches_local(tiny_index):
+    import pytest as _pytest
+
+    from mini_ivf_ray.pipelines.extstats import grouped_metric_top
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    vmap = dict(zip(ids.tolist(), vals.tolist()))
+
+    def label_of(doc_id):
+        return ["red", "green", "blue", "teal"][int(doc_id) % 4]
+
+    labels = [label_of(d) for d in docs["doc_id"]]
+    lmap = dict(zip(ids.tolist(), labels))
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+    nb = 2
+    got = (
+        grouped_metric_top(
+            idx, qds, ids, labels, ids, vals, cfg, num_buckets=nb
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert len(got)
+    for qid, qtext in QUERIES:
+        groups: dict[str, list[float]] = {}
+        for d in _match_ids(docs, qtext):
+            if d in vmap:
+                groups.setdefault(lmap[d], []).append(vmap[d])
+        want = sorted(
+            (
+                (name, len(vs), float(np.sum(np.array(vs))) / len(vs))
+                for name, vs in groups.items()
+            ),
+            key=lambda t: (-t[2], t[0]),
+        )[:nb]
+        g = got[got["query_id"] == qid]
+        assert list(zip(g["facet"], g["n_docs"])) == [
+            (n, c) for n, c, _ in want
+        ], qid
+        assert np.array_equal(
+            g["avg_v"].to_numpy(), np.array([a for *_, a in want])
+        ), qid
+    # the bucket cut bites: 4 labels exist, only nb returned per query
+    assert (got.groupby("query_id").size() <= nb).all()
+    with _pytest.raises(Exception, match="num_buckets"):
+        grouped_metric_top(
+            idx, qds, ids, labels, ids, vals, cfg, num_buckets=0
+        ).to_pandas()
