@@ -2224,6 +2224,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def rank_feature_topk(sf_dir):
+        """Rank-feature query (ES rank_feature,
+        pipelines/rankfeature.py): score = BM25 + boost * S/(S+pivot)
+        over documents.n_chars (saturation — bounded in [0, boost), a
+        runaway feature can never drown the text score).  Additive
+        positive contribution is rank-unsafe for text bounds ->
+        full-TAAT; (doc_id, feature) sidecar broadcast once;
+        missing-feature docs contribute 0 (the clause doesn't
+        match)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.rankfeature import rank_feature_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = rank_feature_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+            function="saturation",
+            boost=2.0,
+            pivot=500.0,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -5739,6 +5789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # facet_avg_top: ES terms agg ordered by a metric sub-agg —
         # exact, no bucket pruning (round-5 addition)
         "facet_avg_top": facet_avg_top,
+        # rank_feature_topk: ES rank_feature — bounded saturation
+        # boost added to BM25 (round-5 addition)
+        "rank_feature_topk": rank_feature_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -5747,7 +5800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": pagerank_q,
         "ppr": ppr_q,
         "hits": hits_q,
-        "salsa": salsa_q,
         # dict_topdf: the merge-stage dictionary bookkeeping vs SQL
         "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
@@ -5836,10 +5888,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dup_collapsed_sharded, single==sharded pytest-pinned;
         # coupling: the exact dual of in-window cocitation — the same
         # bucketed pair-counting machinery transposed over out-links
-        # instead of in-links, pytest gates shared)
+        # instead of in-links, pytest gates shared;
+        # salsa: link-analysis eigen family keeps hits + pagerank +
+        # ppr in-window; salsa shares hits' half-round machinery)
         "top_hits": top_hits,
         "dup_collapsed_topk": dup_collapsed_topk,
         "coupling": coupling_q,
+        "salsa": salsa_q,
         "jaccard_dup_clusters": jaccard_dup_clusters,
         "prox_search": prox_search,
         "decontaminate": decontaminate_q,
@@ -7010,6 +7065,39 @@ ranked AS (SELECT query_id, facet, n_docs, avg_v,
            FROM grouped)
 SELECT query_id, facet, n_docs, round(avg_v, 4) AS avg_r
 FROM ranked WHERE rn <= 3
+""",
+        # Rank feature (saturation): score = bm25 + 2.0 * (v/(v+500))
+        # — the engine's exact float64 op order over integer n_chars
+        "rank_feature_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+final AS (SELECT sc.query_id, sc.doc_id,
+                 sc.score + 2.0 * (d.n_chars::DOUBLE
+                                   / (d.n_chars::DOUBLE + 500.0)) AS score
+          FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the
