@@ -167,6 +167,99 @@ class RangeSearcher:
             out["hi_v"].append(float(np.max(v)))
         return pd.DataFrame(out)
 
+    def rerank_batch(
+        self, queries: list[tuple], mode: str, params: dict
+    ) -> pd.DataFrame:
+        """Per-shard top-k under a per-doc rerank — the doc-sharded
+        scale path for the whole rerank family:
+
+          mode "rank_feature": score + feature_contrib(value)  (additive)
+          mode "decay":        score * decay_multiplier(value)
+          mode "boosting":     score * nb on the negative match set
+                               (queries carry (qid, positive,
+                               negative, nb) in that mode)
+
+        Exactness relies on the `_in_range_scored` mask, NOT the
+        max-merge trick `search_batch` uses: a per-doc factor does not
+        commute with max over PARTIAL scores (a foreign boundary
+        shard lacks the doc's sidecar value — decay * 1.0 on a partial
+        score could outrank the home shard's full * 0.2), so every doc
+        is scored fully in exactly ONE shard (its home range) and the
+        driver merge is a plain (score desc, doc asc) top-k over
+        shards x k candidate rows."""
+        import numpy as _np
+
+        out = {"query_id": [], "doc_id": [], "score": []}
+        k = self.cfg.topk
+        if mode in ("rank_feature", "decay"):
+            if mode == "rank_feature":
+                from mini_ivf_ray.pipelines.rankfeature import feature_contrib
+
+                adjust = feature_contrib(self.vals, **params)
+                additive = True
+            else:
+                from mini_ivf_ray.pipelines.decay import decay_multiplier
+
+                adjust = decay_multiplier(self.vals, **params)
+                additive = False
+            for qid, qtext in queries:
+                docs, scores = self._in_range_scored(qtext, full=True)
+                if scores is None or not docs.size:
+                    continue
+                if self.val_ids.size:
+                    idx = _np.searchsorted(self.val_ids, docs)
+                    _np.minimum(idx, self.val_ids.size - 1, out=idx)
+                    hit = self.val_ids[idx] == docs
+                    if additive:
+                        scores = scores + _np.where(hit, adjust[idx], 0.0)
+                    else:
+                        scores = scores * _np.where(hit, adjust[idx], 1.0)
+                self._emit_topk(out, qid, docs, scores, k)
+        elif mode == "boosting":
+            for qid, positive, negative, nb in queries:
+                nbf = float(nb)
+                if not (0.0 <= nbf <= 1.0):
+                    raise ValueError(
+                        f"negative_boost must be in [0, 1], got {nb}"
+                    )
+                docs, scores = self._in_range_scored(positive, full=True)
+                if scores is None or not docs.size:
+                    continue
+                neg_parts = []
+                for t in sorted(set(tokenize(negative))):
+                    if self.stats.df.get(t, 0) <= 0:
+                        continue
+                    b = self._term_blocks_in_range(t)
+                    if b is None or not b.n_blocks:
+                        continue
+                    b.set_scoring(
+                        bm25.idf(self.stats.df[t], self.stats.n_docs),
+                        self.stats.avgdl,
+                        self.cfg.k1,
+                        self.cfg.b,
+                    )
+                    neg_parts.append(b.all_postings()[0])
+                if neg_parts:
+                    neg = np.unique(np.concatenate(neg_parts))
+                    from mini_ivf_ray.pipelines.query import _allowed_mask
+
+                    demoted = _allowed_mask(docs, neg)
+                    scores = np.where(
+                        demoted, scores * np.float64(nbf), scores
+                    )
+                self._emit_topk(out, qid, docs, scores, k)
+        else:
+            raise ValueError(f"unknown rerank mode {mode!r}")
+        return pd.DataFrame(out)
+
+    def _emit_topk(self, out: dict, qid, docs, scores, k: int) -> None:
+        from mini_ivf_ray.pipelines.query import _topk_exact
+
+        for d, s in _topk_exact(docs, scores, k):
+            out["query_id"].append(qid)
+            out["doc_id"].append(int(d))
+            out["score"].append(float(s))
+
     def _in_range_scored(self, qtext: str, full: bool):
         """(docs, scores) of the query's match set restricted to THIS
         shard's [lo, hi].  Boundary payload blocks may carry docs outside
@@ -757,6 +850,59 @@ class ShardedIndex:
             df["doc_id"] = df["doc_id"].astype(np.uint64)
             df["hit_rank"] = df["hit_rank"].astype(np.int32)
             df["grp_count"] = df["grp_count"].astype(np.int64)
+        return df
+
+    def rerank_search(
+        self, queries: list[tuple], mode: str, params: dict | None = None,
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Doc-sharded serving for the rerank family — bit-identical to
+        the single-index pipelines (pytest-pinned):
+
+          mode "rank_feature" -> rankfeature.rank_feature_search
+          mode "decay"        -> decay.decay_search
+          mode "boosting"     -> boosting.boosting_search
+                                 (queries = (qid, positive, negative, nb);
+                                 needs NO sidecar)
+
+        rank_feature/decay need ``attach_value_sidecar`` first (each
+        shard holds its corpus/R value slice).  Every doc is scored
+        fully in exactly ONE shard (RangeSearcher.rerank_batch's range
+        mask), so the merge is a plain (score desc, doc asc) top-k
+        over shards x k slim candidate rows — never doc-proportional."""
+        import ray
+
+        params = dict(params or {})
+        if mode in ("rank_feature", "decay") and not getattr(
+            self, "_has_value_sidecar", False
+        ):
+            raise ValueError("attach_value_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.rerank_batch.remote(part, mode, params)
+                for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        k = self.cfg.topk
+        if frames:
+            cand = pd.concat(frames, ignore_index=True)
+            for qid, g in cand.groupby("query_id", sort=True):
+                g = g.sort_values(
+                    ["score", "doc_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+                out["query_id"].extend([int(qid)] * len(g))
+                out["rank"].extend(range(len(g)))
+                out["doc_id"].extend(g["doc_id"].tolist())
+                out["score"].extend(g["score"].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["rank"] = df["rank"].astype(np.int32)
         return df
 
     def search(

@@ -1,0 +1,96 @@
+"""Doc-sharded rerank serving (ShardedIndex.rerank_search): bit-exact
+identity with the single-index rank_feature / decay / boosting
+pipelines — every doc scored fully in exactly one shard, merge over
+shards x k slim rows."""
+
+import numpy as np
+import pytest
+
+import ray.data
+from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+QUERIES = [(0, "the data web"), (1, "w00042 of")]
+
+
+def _field(docs):
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    vals = np.array([float(len(t)) for t in docs["text"]], dtype=np.float64)
+    return ids, vals
+
+
+def _qds():
+    return ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+
+
+def _canon(df):
+    return (
+        df.sort_values(["query_id", "rank"])
+        .reset_index(drop=True)[["query_id", "rank", "doc_id", "score"]]
+    )
+
+
+def test_sharded_rerank_identity_all_modes(tiny_index):
+    from mini_ivf_ray.pipelines.boosting import boosting_search
+    from mini_ivf_ray.pipelines.decay import decay_search
+    from mini_ivf_ray.pipelines.rankfeature import rank_feature_search
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+    sharded = ShardedIndex(idx, cfg, num_shards=3)
+    try:
+        # sidecar contract: rank_feature/decay refuse before attach
+        with pytest.raises(ValueError, match="attach_value_sidecar"):
+            sharded.rerank_search(QUERIES, "rank_feature", {})
+        sharded.attach_value_sidecar(ids, vals)
+
+        rf_kw = {"function": "saturation", "boost": 2.0, "pivot": 20.0}
+        single = rank_feature_search(
+            idx, _qds(), ids, vals, cfg, **rf_kw
+        ).to_pandas()
+        got = sharded.rerank_search(QUERIES, "rank_feature", rf_kw)
+        for c in ("doc_id", "score"):
+            assert np.array_equal(
+                _canon(got)[c].to_numpy().astype(np.float64),
+                _canon(single)[c].to_numpy().astype(np.float64),
+            ), ("rank_feature", c)
+
+        dc_kw = {
+            "mode": "gauss", "origin": float(np.median(vals)),
+            "scale": 5.0, "offset": 1.0, "decay": 0.5,
+        }
+        single = decay_search(idx, _qds(), ids, vals, cfg, **dc_kw).to_pandas()
+        got = sharded.rerank_search(QUERIES, "decay", dc_kw)
+        for c in ("doc_id", "score"):
+            assert np.array_equal(
+                _canon(got)[c].to_numpy().astype(np.float64),
+                _canon(single)[c].to_numpy().astype(np.float64),
+            ), ("decay", c)
+
+        bq = [(0, "the data web", "w00042", 0.25), (1, "a data", "web", 0.5)]
+        bqs = ray.data.from_items(
+            [
+                {
+                    "query_id": q, "positive": p,
+                    "negative": n, "negative_boost": nb,
+                }
+                for q, p, n, nb in bq
+            ]
+        )
+        single = boosting_search(idx, bqs, cfg).to_pandas()
+        got = sharded.rerank_search(bq, "boosting")
+        for c in ("doc_id", "score"):
+            assert np.array_equal(
+                _canon(got)[c].to_numpy().astype(np.float64),
+                _canon(single)[c].to_numpy().astype(np.float64),
+            ), ("boosting", c)
+        # contracts
+        with pytest.raises(Exception, match="unknown rerank mode|mode"):
+            sharded.rerank_search(QUERIES, "bogus", {})
+        with pytest.raises(Exception, match="negative_boost"):
+            sharded.rerank_search(
+                [(0, "the data", "web", 1.5)], "boosting"
+            )
+    finally:
+        sharded.shutdown()
