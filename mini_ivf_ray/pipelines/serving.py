@@ -252,6 +252,96 @@ class RangeSearcher:
             raise ValueError(f"unknown rerank mode {mode!r}")
         return pd.DataFrame(out)
 
+    def similarity_batch(
+        self, queries: list[tuple[int, str]], model: str, params: dict
+    ) -> pd.DataFrame:
+        """Per-shard top-k under a pluggable similarity over RAW
+        in-range postings:
+
+          model "dirichlet": LM Dirichlet (lm_dirichlet.py formula)
+          model "jm":        LM Jelinek-Mercer
+          model "classic":   Lucene ClassicSimilarity (classic.py)
+
+        Exactness uses search_batch's max-merge argument, which holds
+        for all three: per-term contributions are >= 0 (Dirichlet
+        clips, JM's log1p of a positive is positive, classic's factors
+        are positive), and classic's coord shrinks with partial
+        overlap — so a boundary shard's partial score is <= the home
+        shard's full score and the driver's max-dedup keeps the full
+        one.  Collection statistics are GLOBAL (stats.df / stats.cf /
+        stats.total_tokens — the dictionary bookkeeping dict_topdf
+        pins to SQL), so per-shard contributions are bit-equal to the
+        single-index searchers'."""
+        from mini_ivf_ray.pipelines.synonyms import _raw_postings
+
+        if model not in ("dirichlet", "jm", "classic"):
+            raise ValueError(f"unknown similarity model {model!r}")
+        out = {"query_id": [], "doc_id": [], "score": []}
+        k = self.cfg.topk
+        total = float(self.stats.total_tokens)
+        n = float(self.stats.n_docs)
+        for qid, qtext in queries:
+            terms = sorted(set(tokenize(qtext)))
+            if not terms:
+                continue
+            if model == "classic":
+                idf = {
+                    t: 1.0 + np.log(n / (float(self.stats.df.get(t, 0)) + 1.0))
+                    for t in terms
+                }
+                qnorm = 1.0 / float(
+                    np.sqrt(np.sum(np.array([idf[t] * idf[t] for t in terms])))
+                )
+                maxov = float(len(terms))
+            per_term = []
+            for t in terms:
+                if self.stats.df.get(t, 0) <= 0:
+                    continue
+                b = self._term_blocks_in_range(t)
+                if b is None or not b.n_blocks:
+                    continue
+                docs, tfs, dls = _raw_postings(b)
+                if not docs.size:
+                    continue
+                if model == "dirichlet":
+                    # lm_dirichlet.DirichletSearcher._term_contribs
+                    mu = float(params.get("mu", 2000.0))
+                    cf = float(self.stats.cf[t])
+                    c = np.log1p(tfs / (mu * cf / total)) + np.log(
+                        mu / (dls + mu)
+                    )
+                    np.maximum(c, 0.0, out=c)
+                elif model == "jm":
+                    # lm_dirichlet.JelinekMercerSearcher._term_contribs
+                    lam = float(params.get("lam", 0.1))
+                    cf = float(self.stats.cf[t])
+                    c = np.log1p(
+                        ((1.0 - lam) / lam) * (tfs / dls) / (cf / total)
+                    )
+                else:
+                    # classic.ClassicSearcher per-term contribution
+                    c = np.sqrt(tfs) * (idf[t] * idf[t]) / np.sqrt(dls)
+                per_term.append((docs, c))
+            if not per_term:
+                continue
+            docs_cat = np.concatenate([d for d, _ in per_term])
+            con_cat = np.concatenate([c for _, c in per_term])
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            scores = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(scores, inv, con_cat)
+            if model == "classic":
+                overlap = np.zeros(uniq.size, dtype=np.float64)
+                np.add.at(overlap, inv, 1.0)
+                scores = scores * (overlap / maxov) * qnorm
+            if self.denied is not None and self.denied.size:
+                from mini_ivf_ray.pipelines.query import _allowed_mask
+
+                live = ~_allowed_mask(uniq, self.denied)
+                uniq, scores = uniq[live], scores[live]
+            if uniq.size:
+                self._emit_topk(out, qid, uniq, scores, k)
+        return pd.DataFrame(out)
+
     def _emit_topk(self, out: dict, qid, docs, scores, k: int) -> None:
         from mini_ivf_ray.pipelines.query import _topk_exact
 
@@ -889,6 +979,51 @@ class ShardedIndex:
         k = self.cfg.topk
         if frames:
             cand = pd.concat(frames, ignore_index=True)
+            for qid, g in cand.groupby("query_id", sort=True):
+                g = g.sort_values(
+                    ["score", "doc_id"],
+                    ascending=[False, True],
+                    kind="mergesort",
+                ).head(k)
+                out["query_id"].extend([int(qid)] * len(g))
+                out["rank"].extend(range(len(g)))
+                out["doc_id"].extend(g["doc_id"].tolist())
+                out["score"].extend(g["score"].tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+            df["rank"] = df["rank"].astype(np.int32)
+        return df
+
+    def similarity_search(
+        self, queries: list[tuple[int, str]], model: str,
+        params: dict | None = None, chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Doc-sharded serving for the pluggable-similarity family —
+        bit-identical to the single-index pipelines (pytest-pinned):
+        model "dirichlet" -> lm_dirichlet.dirichlet_search, "jm" ->
+        jelinek_mercer_search, "classic" -> classic.classic_search.
+        No sidecar needed; collection stats are global per shard.  The
+        merge is search()'s max-dedup (partial boundary scores are <=
+        the home shard's full score for all three models)."""
+        import ray
+
+        params = dict(params or {})
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.similarity_batch.remote(part, model, params)
+                for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+        k = self.cfg.topk
+        if frames:
+            cand = pd.concat(frames, ignore_index=True)
+            cand = cand.sort_values(
+                "score", ascending=False, kind="mergesort"
+            ).drop_duplicates(["query_id", "doc_id"])
             for qid, g in cand.groupby("query_id", sort=True):
                 g = g.sort_values(
                     ["score", "doc_id"],

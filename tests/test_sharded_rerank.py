@@ -94,3 +94,38 @@ def test_sharded_rerank_identity_all_modes(tiny_index):
             )
     finally:
         sharded.shutdown()
+
+
+def test_sharded_similarity_identity_all_models(tiny_index):
+    """similarity_search == the single-index pluggable-similarity
+    pipelines bit-exactly (dirichlet / jm / classic), 3 shards."""
+    from mini_ivf_ray.pipelines.classic import classic_search
+    from mini_ivf_ray.pipelines.lm_dirichlet import (
+        dirichlet_search,
+        jelinek_mercer_search,
+    )
+
+    idx, cfg, docs = tiny_index
+    sharded = ShardedIndex(idx, cfg, num_shards=3)
+    try:
+        cases = [
+            ("dirichlet", {"mu": 1500.0},
+             lambda q: dirichlet_search(idx, q, cfg, mu=1500.0)),
+            ("jm", {"lam": 0.2},
+             lambda q: jelinek_mercer_search(idx, q, cfg, lam=0.2)),
+            ("classic", {},
+             lambda q: classic_search(idx, q, cfg)),
+        ]
+        for model, params, single_fn in cases:
+            single = single_fn(_qds()).to_pandas()
+            got = sharded.similarity_search(QUERIES, model, params)
+            assert len(got), model
+            for c in ("doc_id", "score"):
+                assert np.array_equal(
+                    _canon(got)[c].to_numpy().astype(np.float64),
+                    _canon(single)[c].to_numpy().astype(np.float64),
+                ), (model, c)
+        with pytest.raises(Exception, match="unknown similarity"):
+            sharded.similarity_search(QUERIES, "bm42")
+    finally:
+        sharded.shutdown()
