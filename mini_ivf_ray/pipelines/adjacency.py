@@ -23,7 +23,9 @@ reader as query terms, no sidecar, no broadcast beyond the filter
 term list.  The bucket matrix is ADDITIVE across disjoint doc ranges,
 so doc-sharded serving ships one k x k integer matrix per (query,
 shard) and the merge is a sum — the extstats.py moments argument,
-matrix-shaped (integer counts: exact in any order).
+matrix-shaped (integer counts: exact in any order).  WIRED:
+serving.ShardedIndex.adjacency_buckets / RangeSearcher.adjacency_batch,
+pytest-pinned bit-identical to this single-index path.
 
 Reference analogy: QueryObs' per-cluster hit histogram
 (index_ivfpq.cpp:412-470) — a per-query histogram over the match set,

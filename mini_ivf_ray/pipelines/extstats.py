@@ -209,7 +209,8 @@ class PercentileRanksSearcher(ExtStatsSearcher):
 
     Mergeable the same way: per-shard (n, count<=v per threshold)
     partials are additive, so the sharded analog ships (1 + k)
-    integers per (query, shard)."""
+    integers per (query, shard) — WIRED: ShardedIndex.pct_ranks /
+    RangeSearcher.pct_ranks_batch, pytest-pinned bit-identical."""
 
     def __init__(self, *args, thresholds=None, **kwargs):
         super().__init__(*args, **kwargs)

@@ -350,6 +350,114 @@ class RangeSearcher:
             out["doc_id"].append(int(d))
             out["score"].append(float(s))
 
+    def pct_ranks_batch(
+        self, queries: list[tuple[int, str]], thresholds: list[float]
+    ) -> pd.DataFrame:
+        """Per-shard percentile-rank PARTIALS: for each (query,
+        threshold), this shard's (count <= threshold, n) over its
+        slice of the match set's field values — 1 + k integers per
+        (query, shard), additive (extstats.py PercentileRanksSearcher's
+        sharded analog, wired)."""
+        t = np.asarray(thresholds, dtype=np.float64)
+        out = {"query_id": [], "value": [], "c": [], "n": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not self.val_ids.size:
+                continue
+            idx = np.searchsorted(self.val_ids, docs)
+            np.minimum(idx, self.val_ids.size - 1, out=idx)
+            hit = self.val_ids[idx] == docs
+            v = np.sort(self.vals[idx[hit]])
+            if not v.size:
+                continue
+            below = np.searchsorted(v, t, side="right")
+            for tv, c in zip(t.tolist(), below.tolist()):
+                out["query_id"].append(qid)
+                out["value"].append(tv)
+                out["c"].append(int(c))
+                out["n"].append(int(v.size))
+        return pd.DataFrame(out)
+
+    def grouped_metric_batch(
+        self, queries: list[tuple[int, str]]
+    ) -> pd.DataFrame:
+        """Per-shard grouped-metric PARTIALS: (query_id, code, n, s)
+        over docs in this shard's match-set slice carrying BOTH the
+        label sidecar (set_sidecar) and the value sidecar
+        (set_value_sidecar) — panel-sized rows, additive
+        (extstats.py GroupedMetricSearcher's sharded analog, wired)."""
+        out = {"query_id": [], "code": [], "n": [], "s": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not self.side_ids.size or not self.val_ids.size:
+                continue
+            li = np.searchsorted(self.side_ids, docs)
+            np.minimum(li, self.side_ids.size - 1, out=li)
+            has_l = self.side_ids[li] == docs
+            vi = np.searchsorted(self.val_ids, docs)
+            np.minimum(vi, self.val_ids.size - 1, out=vi)
+            has_v = self.val_ids[vi] == docs
+            both = has_l & has_v
+            if not both.any():
+                continue
+            codes = self.side_codes[li[both]]
+            vals = self.vals[vi[both]]
+            k = int(codes.max()) + 1
+            n = np.bincount(codes, minlength=k)
+            s = np.bincount(codes, weights=vals, minlength=k)
+            for code in np.flatnonzero(n):
+                out["query_id"].append(qid)
+                out["code"].append(int(code))
+                out["n"].append(int(n[code]))
+                out["s"].append(float(s[code]))
+        return pd.DataFrame(out)
+
+    def adjacency_batch(
+        self, queries: list[tuple[int, str]], filters: list[tuple[str, str]]
+    ) -> pd.DataFrame:
+        """Per-shard adjacency-bucket PARTIALS: the k x k membership
+        matmul over this shard's match-set slice, flattened to
+        (query_id, i, j, c) upper-triangle-with-diagonal rows —
+        additive integer matrices (adjacency.py's sharded analog,
+        wired).  Filter postings come from this shard's own
+        partition-selective reader."""
+        from mini_ivf_ray.pipelines.query import _allowed_mask
+
+        fd = []
+        for _name, term in filters:
+            if self.stats.df.get(term, 0) <= 0:
+                fd.append(np.empty(0, dtype=np.uint64))
+                continue
+            b = self._term_blocks_in_range(term)
+            if b is None or not b.n_blocks:
+                fd.append(np.empty(0, dtype=np.uint64))
+                continue
+            b.set_scoring(
+                bm25.idf(self.stats.df[term], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+            fd.append(b.all_postings()[0])
+        out = {"query_id": [], "i": [], "j": [], "c": []}
+        k = len(filters)
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not k:
+                continue
+            b = np.stack(
+                [_allowed_mask(docs, f).astype(np.int64) for f in fd]
+            )
+            mat = b @ b.T
+            for i in range(k):
+                for j in range(i, k):
+                    if mat[i, j]:
+                        out["query_id"].append(qid)
+                        out["i"].append(i)
+                        out["j"].append(j)
+                        out["c"].append(int(mat[i, j]))
+        return pd.DataFrame(out)
+
     def _in_range_scored(self, qtext: str, full: bool):
         """(docs, scores) of the query's match set restricted to THIS
         shard's [lo, hi].  Boundary payload blocks may carry docs outside
@@ -994,6 +1102,137 @@ class ShardedIndex:
             df["doc_id"] = df["doc_id"].astype(np.uint64)
             df["rank"] = df["rank"].astype(np.int32)
         return df
+
+    def pct_ranks(
+        self, queries: list[tuple[int, str]], thresholds: list[float],
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local percentile ranks -> (query_id, value, pct,
+        n_docs), identical to extstats.percentile_ranks_search: the
+        merge sums 1 + k integers per (query, shard), exact in any
+        order, then one (100.0 * c) / n per row."""
+        import ray
+
+        t = [float(x) for x in thresholds]
+        if not t:
+            raise ValueError("percentile_ranks needs >= 1 threshold value")
+        if not getattr(self, "_has_value_sidecar", False):
+            raise ValueError("attach_value_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.pct_ranks_batch.remote(part, t) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], "value": [], "pct": [], "n_docs": []}
+            )
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["query_id", "value"], sort=True, as_index=False)
+            .sum()
+        )
+        merged["pct"] = (100.0 * merged["c"].to_numpy().astype(np.float64)) / (
+            merged["n"].to_numpy().astype(np.float64)
+        )
+        out = merged[["query_id", "value", "pct"]].copy()
+        out["n_docs"] = merged["n"].astype(np.int64)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        return out.reset_index(drop=True)
+
+    def grouped_metric_top(
+        self, queries: list[tuple[int, str]], num_buckets: int = 3,
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local terms-agg-by-metric -> top num_buckets
+        (query_id, facet, n_docs, avg_v) by (avg desc, facet asc),
+        identical to extstats.grouped_metric_top: ALL groups' (n, sum)
+        partials survive to the ordering (the exactness ES gives up to
+        shard-local bucket pruning).  Needs BOTH sidecars attached."""
+        import ray
+
+        if num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
+        if not self.side_labels:
+            raise ValueError("attach_sidecar first")
+        if not getattr(self, "_has_value_sidecar", False):
+            raise ValueError("attach_value_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.grouped_metric_batch.remote(part) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        rows = []
+        if frames:
+            merged = (
+                pd.concat(frames, ignore_index=True)
+                .groupby(["query_id", "code"], sort=True, as_index=False)
+                .sum()
+            )
+            for qid, g in merged.groupby("query_id", sort=True):
+                n = g["n"].to_numpy().astype(np.float64)
+                s = g["s"].to_numpy().astype(np.float64)
+                avg = s / n
+                names = [self.side_labels[int(c)] for c in g["code"]]
+                order = sorted(
+                    range(len(names)), key=lambda i: (-avg[i], names[i])
+                )[:num_buckets]
+                for i in order:
+                    rows.append(
+                        (int(qid), names[i], int(n[i]), float(avg[i]))
+                    )
+        return pd.DataFrame(
+            rows, columns=["query_id", "facet", "n_docs", "avg_v"]
+        )
+
+    def adjacency_buckets(
+        self, queries: list[tuple[int, str]],
+        filters: list[tuple[str, str]], chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local adjacency matrix -> (query_id, key, n_docs),
+        identical to adjacency.adjacency_search: per-shard k x k
+        integer matrices merge by summation (exact in any order),
+        then one bucket_rows pass per query."""
+        import ray
+
+        from mini_ivf_ray.pipelines.adjacency import (
+            bucket_rows,
+            validate_filters,
+        )
+
+        filters = validate_filters(filters)
+        names = [n for n, _ in filters]
+        k = len(names)
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.adjacency_batch.remote(part, filters) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        out = {"query_id": [], "key": [], "n_docs": []}
+        if frames:
+            merged = (
+                pd.concat(frames, ignore_index=True)
+                .groupby(["query_id", "i", "j"], sort=True, as_index=False)
+                .sum()
+            )
+            for qid, g in merged.groupby("query_id", sort=True):
+                mat = np.zeros((k, k), dtype=np.int64)
+                ii = g["i"].to_numpy()
+                jj = g["j"].to_numpy()
+                cc = g["c"].to_numpy()
+                mat[ii, jj] = cc
+                mat[jj, ii] = cc
+                for key, c in bucket_rows(names, mat):
+                    out["query_id"].append(int(qid))
+                    out["key"].append(key)
+                    out["n_docs"].append(c)
+        return pd.DataFrame(out)
 
     def similarity_search(
         self, queries: list[tuple[int, str]], model: str,

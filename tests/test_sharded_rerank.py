@@ -129,3 +129,68 @@ def test_sharded_similarity_identity_all_models(tiny_index):
             sharded.similarity_search(QUERIES, "bm42")
     finally:
         sharded.shutdown()
+
+
+def test_sharded_agg_family_identity(tiny_index):
+    """pct_ranks / grouped_metric_top / adjacency_buckets served
+    doc-sharded == the single-index pipelines bit-exactly."""
+    from mini_ivf_ray.pipelines.adjacency import adjacency_search
+    from mini_ivf_ray.pipelines.extstats import (
+        grouped_metric_top,
+        percentile_ranks_search,
+    )
+
+    idx, cfg, docs = tiny_index
+    ids, vals = _field(docs)
+
+    def label_of(doc_id):
+        return ["red", "green", "blue", "teal"][int(doc_id) % 4]
+
+    labels = [label_of(d) for d in docs["doc_id"]]
+    filters = [("d", "data"), ("w", "web"), ("t", "the")]
+    thresholds = [float(np.min(vals)) - 1.0, float(np.median(vals)),
+                  float(np.max(vals))]
+    sharded = ShardedIndex(idx, cfg, num_shards=3)
+    try:
+        with pytest.raises(ValueError, match="attach_value_sidecar"):
+            sharded.pct_ranks(QUERIES, thresholds)
+        sharded.attach_value_sidecar(ids, vals)
+        with pytest.raises(ValueError, match="attach_sidecar"):
+            sharded.grouped_metric_top(QUERIES)
+        sharded.attach_sidecar(ids, labels)
+
+        single = (
+            percentile_ranks_search(idx, _qds(), ids, vals, thresholds, cfg)
+            .to_pandas()
+            .sort_values(["query_id", "value"])
+            .reset_index(drop=True)
+        )
+        got = sharded.pct_ranks(QUERIES, thresholds).sort_values(
+            ["query_id", "value"]
+        ).reset_index(drop=True)
+        assert list(got["query_id"]) == list(single["query_id"])
+        assert np.array_equal(got["pct"].to_numpy(), single["pct"].to_numpy())
+        assert list(got["n_docs"]) == list(single["n_docs"])
+
+        single = (
+            grouped_metric_top(
+                idx, _qds(), ids, labels, ids, vals, cfg, num_buckets=2
+            )
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        got = sharded.grouped_metric_top(QUERIES, num_buckets=2)
+        assert list(zip(got["facet"], got["n_docs"])) == list(
+            zip(single["facet"], single["n_docs"])
+        )
+        assert np.array_equal(
+            got["avg_v"].to_numpy(), single["avg_v"].to_numpy()
+        )
+
+        single = adjacency_search(idx, _qds(), filters, cfg).to_pandas()
+        got = sharded.adjacency_buckets(QUERIES, filters)
+        assert list(zip(got["query_id"], got["key"], got["n_docs"])) == list(
+            zip(single["query_id"], single["key"], single["n_docs"])
+        )
+    finally:
+        sharded.shutdown()
