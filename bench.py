@@ -263,6 +263,24 @@ def run_bench() -> dict:
     search(idx, qds, cfg).count()
     timings["query_topk_cold_1000"] = round(time.perf_counter() - t0, 3)
 
+    # docID-range-sharded serving (ShardedIndex): spinup + the same
+    # 2000-query workload — the per-node-decodes-1/R-of-the-index shape;
+    # rank-identity vs the pool path is pytest-pinned, this row tracks
+    # its COST (per-shard decode + fan-out/merge overhead)
+    from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+    t0 = time.perf_counter()
+    sharded = ShardedIndex(idx, cfg, num_shards=min(8, NUM_CPUS))
+    sharded.search(queries[:100])  # warm per-shard range caches
+    timings["sharded_spinup"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_sh = len(sharded.search(queries[:2000]))
+    w = time.perf_counter() - t0
+    timings["query_sharded_2000"] = round(w, 3)
+    timings["qps_sharded"] = round(2000 / w, 1)
+    sharded.shutdown()
+    assert n_sh > 0
+
     # ---- incremental append (reference: LoadIndex -> Populate) ----------
     # append 10% new docs to a COPY of the committed index: measures the
     # re-encode-without-re-tokenize path end-to-end
