@@ -250,3 +250,46 @@ def test_grouped_metric_top_matches_local(tiny_index):
         grouped_metric_top(
             idx, qds, ids, labels, ids, vals, cfg, num_buckets=0
         ).to_pandas()
+
+
+def test_merge_moments_property_random_partitions():
+    """Hypothesis: for integer-valued data, merging per-partition
+    moments over ANY partitioning equals the one-shot moments exactly
+    (the claim every sharded aggregation path rests on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=0, max_value=10_000),
+            min_size=1, max_size=200,
+        ),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        nparts=st.integers(min_value=1, max_value=7),
+    )
+    def check(vals, seed, nparts):
+        v = np.array(vals, dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        assign = rng.integers(0, nparts, v.size)
+        parts = []
+        for p in range(nparts):
+            pv = v[assign == p]
+            if not pv.size:
+                continue
+            parts.append(
+                (0, int(pv.size), float(np.sum(pv)),
+                 float(np.sum(pv * pv)), float(np.min(pv)),
+                 float(np.max(pv)))
+            )
+        merged = merge_moments(parts)[0]
+        want = (
+            int(v.size), float(np.sum(v)), float(np.sum(v * v)),
+            float(np.min(v)), float(np.max(v)),
+        )
+        assert merged == want  # bit-exact, any partitioning
+        a1, v1, s1 = derived_stats(*merged[:3])
+        a2, v2, s2 = derived_stats(*want[:3])
+        assert (a1, v1, s1) == (a2, v2, s2)
+
+    check()
