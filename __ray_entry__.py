@@ -1974,6 +1974,89 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def matrix_stats_q(sf_dir):
+        """Matrix stats aggregation (ES matrix_stats,
+        pipelines/matrix.py): per query, the joint second-order stats
+        of x = documents.n_chars (parquet sidecar) and y = the doc's
+        token count (one distributed tokenize pass — the doc_lengths
+        pipeline) over the FULL disjunctive match set: count, means,
+        population variances, covariance, Pearson correlation.
+        Mergeable co-moments shape: partials (n, sx, sy, sxx, syy,
+        sxy) combine by plain addition, so doc-sharded serving ships
+        one slim row per (query, shard) — ShardedIndex.matrix_stats,
+        pytest-pinned bit-identical to this single-index path.
+        Integer-valued fields -> co-moment sums below 2^53 exact ->
+        derived stats are the identical op sequence the SQL oracle
+        runs.  Docs with zero tokens carry no y field and are
+        excluded (the SQL dl CTE shape); skewness/kurtosis omitted
+        (documented divergence, module docstring)."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+        from mini_ivf_ray.pipelines.matrix import matrix_stats_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+
+        def dl(batch: pa.Table) -> pa.Table:
+            _, dls = tokenize_batch(batch["text"].to_pylist())
+            return pa.table(
+                {"doc_id": batch["doc_id"], "dl": pa.array(dls)}
+            )
+
+        dls = (
+            _documents(sf_dir)
+            .map_batches(dl, batch_format="pyarrow")
+            .to_pandas()
+        )
+        dls = dls[dls["dl"] > 0]
+        import ray.data
+
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = matrix_stats_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            dls["doc_id"].to_numpy(),
+            dls["dl"].to_numpy().astype(np.float64),
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "mean_x_r": pa.array(
+                    np.round(res["mean_x"].to_numpy(), 4), type=pa.float64()
+                ),
+                "mean_y_r": pa.array(
+                    np.round(res["mean_y"].to_numpy(), 4), type=pa.float64()
+                ),
+                "var_x_r": pa.array(
+                    np.round(res["var_x"].to_numpy(), 4), type=pa.float64()
+                ),
+                "var_y_r": pa.array(
+                    np.round(res["var_y"].to_numpy(), 4), type=pa.float64()
+                ),
+                "cov_r": pa.array(
+                    np.round(res["cov_xy"].to_numpy(), 4), type=pa.float64()
+                ),
+                "corr_r": pa.array(
+                    np.round(res["corr_xy"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def classic_topk(sf_dir):
         """Lucene ClassicSimilarity (pre-6.0 default TF-IDF VSM,
         pipelines/classic.py): score = sum_t sqrt(tf) * idf^2 /
@@ -5771,6 +5854,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match_extstats: ES extended_stats — mergeable-moments
         # aggregation over the match set (round-5 addition)
         "match_extstats": match_extstats,
+        # matrix_stats: ES matrix_stats — joint co-moments /
+        # covariance / correlation over the match set (round-5
+        # addition; sharded path wired + pytest-pinned)
+        "matrix_stats": matrix_stats_q,
         # classic_topk: Lucene ClassicSimilarity — TF-IDF VSM with
         # coord + queryNorm (round-5 addition, similarity family)
         "classic_topk": classic_topk,
@@ -5820,7 +5907,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase_suggest: ES phrase suggester / LM did-you-mean
         # (round-5 addition)
         "phrase_suggest": phrase_suggest_q,
-        "wildcard_search": wildcard_search_q,
         # explain_topk: Lucene/ES Explain API analog (round-5 addition)
         "explain_topk": explain_topk,
         "search_eval": search_eval_q,
@@ -5890,7 +5976,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketed pair-counting machinery transposed over out-links
         # instead of in-links, pytest gates shared;
         # salsa: link-analysis eigen family keeps hits + pagerank +
-        # ppr in-window; salsa shares hits' half-round machinery)
+        # ppr in-window; salsa shares hits' half-round machinery;
+        # wildcard_search: r4-green hash row — the trigram/expansion
+        # machinery stays pytest-gated and the expansion-union serving
+        # family stays exercised in-window by fuzzy-adjacent
+        # phrase_suggest; rotated to make room for matrix_stats)
+        "wildcard_search": wildcard_search_q,
         "top_hits": top_hits,
         "dup_collapsed_topk": dup_collapsed_topk,
         "coupling": coupling_q,
@@ -6898,6 +6989,38 @@ SELECT m.query_id,
                   / count(*)), 4) AS std_r
 FROM matches m JOIN documents d USING (doc_id)
 GROUP BY 1
+""",
+        # Matrix stats: joint co-moments of x = n_chars, y = token
+        # count (dl CTE — zero-token docs carry no y and are excluded)
+        # over the match set; derived expressions replay
+        # matrix.derived_matrix's float64 op order verbatim
+        "matrix_stats": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS y FROM tok GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+xy AS (SELECT d.doc_id, d.n_chars::DOUBLE AS x, dl.y AS y
+       FROM documents d JOIN dl USING (doc_id)),
+mom AS (SELECT m.query_id,
+               count(*)::BIGINT AS n,
+               sum(xy.x) AS sx, sum(xy.y) AS sy,
+               sum(xy.x * xy.x) AS sxx,
+               sum(xy.y * xy.y) AS syy,
+               sum(xy.x * xy.y) AS sxy
+        FROM matches m JOIN xy USING (doc_id)
+        GROUP BY 1)
+SELECT query_id, n AS n_docs,
+       round(sx / n, 4) AS mean_x_r,
+       round(sy / n, 4) AS mean_y_r,
+       round((sxx - sx * sx / n) / n, 4) AS var_x_r,
+       round((syy - sy * sy / n) / n, 4) AS var_y_r,
+       round((sxy - sx * sy / n) / n, 4) AS cov_r,
+       round(((sxy - sx * sy / n) / n)
+             / sqrt(((sxx - sx * sx / n) / n)
+                    * ((syy - sy * sy / n) / n)), 4) AS corr_r
+FROM mom
 """,
         # ClassicSimilarity: sum_t sqrt(tf) * idf^2 / sqrt(dl), scaled
         # by coord (LEFT JOIN keeps OOV terms in maxOverlap and in the

@@ -143,6 +143,54 @@ class RangeSearcher:
         self.vals = np.asarray(vals, dtype=np.float64)
         return int(ids.size)
 
+    def set_xy_sidecar(self, ref) -> int:
+        """Install this shard's (ids, x, y) joined slice (already
+        restricted to [lo, hi] by the driver) for joint-moment
+        aggregations (matrix.py).  Returns the slice length for
+        coverage asserts."""
+        import ray
+
+        ids, x, y = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ids = np.asarray(ids, dtype=np.uint64)
+        if ids.size and (int(ids[0]) < self.lo or int(ids[-1]) > self.hi):
+            raise ValueError(
+                f"xy-sidecar slice [{ids[0]}, {ids[-1]}] escapes "
+                f"shard range [{self.lo}, {self.hi}]"
+            )
+        if ids.size > 1 and not np.all(ids[:-1] < ids[1:]):
+            raise ValueError("xy-sidecar slice must be sorted by unique doc_id")
+        self.xy_ids = ids
+        self.xy_x = np.asarray(x, dtype=np.float64)
+        self.xy_y = np.asarray(y, dtype=np.float64)
+        return int(ids.size)
+
+    def matrix_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        """Per-shard matrix-stats PARTIALS: the additive co-moments
+        (n, sx, sy, sxx, syy, sxy) over this shard's slice of the
+        match set's both-fields docs — one slim row per (query,
+        shard), mergeable by plain addition (matrix.merge_comoments,
+        exact in any order for integer-valued fields below 2^53)."""
+        from mini_ivf_ray.pipelines.matrix import co_moments
+
+        cols = ["query_id", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        out = {c: [] for c in cols}
+        xy_ids = getattr(self, "xy_ids", np.empty(0, dtype=np.uint64))
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not xy_ids.size:
+                continue
+            idx = np.searchsorted(xy_ids, docs)
+            np.minimum(idx, xy_ids.size - 1, out=idx)
+            hit = xy_ids[idx] == docs
+            sel = idx[hit]
+            if not sel.size:
+                continue
+            m = co_moments(self.xy_x[sel], self.xy_y[sel])
+            out["query_id"].append(qid)
+            for c, v in zip(cols[1:], m):
+                out[c].append(v)
+        return pd.DataFrame(out)
+
     def extstats_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
         """Per query, this shard's PARTIAL moments (n, sum, sumsq, min,
         max) over its slice of the disjunctive match set — additive /
@@ -866,6 +914,81 @@ class ShardedIndex:
             )
         ray.get(futs)
         self._has_value_sidecar = True
+
+    def attach_xy_sidecar(self, doc_ids, x_vals, y_vals) -> None:
+        """Partition a joined doc -> (x, y) sidecar (matrix.join_xy
+        output: docs carrying BOTH fields) on this index's doc-shard
+        ranges for joint-moment aggregations (matrix_stats) — same
+        slicing contract as attach_sidecar: each actor receives ONLY
+        its range's slice, 1/R of the sidecar per node at scale."""
+        import ray
+
+        ids = np.asarray(doc_ids, dtype=np.uint64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = np.asarray(x_vals, dtype=np.float64)[order]
+        y = np.asarray(y_vals, dtype=np.float64)[order]
+        if np.isnan(x).any() or np.isnan(y).any():
+            raise ValueError(
+                "xy sidecar contains NaN; drop missing-field docs instead"
+            )
+        futs, total = [], 0
+        for s, a in enumerate(self.actors):
+            lo, hi = self.bounds[s], self.bounds[s + 1] - 1
+            i = int(np.searchsorted(ids, np.uint64(lo), side="left"))
+            j = int(np.searchsorted(ids, np.uint64(min(hi, 2**64 - 1)), side="right"))
+            futs.append(
+                a.set_xy_sidecar.remote(ray.put((ids[i:j], x[i:j], y[i:j])))
+            )
+            total += j - i
+        if total != ids.size:
+            raise AssertionError(
+                f"xy-sidecar slices cover {total} of {ids.size} docs"
+            )
+        ray.get(futs)
+        self._has_xy_sidecar = True
+
+    def matrix_stats(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local matrix stats -> one (query_id, n_docs, mean_x,
+        mean_y, var_x, var_y, cov_xy, corr_xy) row per query,
+        identical to pipelines.matrix.matrix_stats_search on
+        integer-valued fields (co-moment sums below 2^53 are exact in
+        any order, so the shard merge is bit-equal to the single
+        pass).  The merge combines (queries x shards) slim co-moment
+        rows — never doc-proportional."""
+        import ray
+
+        from mini_ivf_ray.pipelines.matrix import (
+            MATRIX_COLUMNS,
+            derived_matrix,
+            merge_comoments,
+        )
+
+        if not getattr(self, "_has_xy_sidecar", False):
+            raise ValueError("attach_xy_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(a.matrix_batch.remote(part) for a in self.actors)
+        frames = [f for f in ray.get(futs) if len(f)]
+        rows = []
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            merged = merge_comoments(
+                zip(
+                    allp["query_id"], allp["n"], allp["sx"], allp["sy"],
+                    allp["sxx"], allp["syy"], allp["sxy"],
+                )
+            )
+            for qid in sorted(merged):
+                m = merged[qid]
+                rows.append((qid, m[0], *derived_matrix(*m)))
+        out = pd.DataFrame(rows, columns=MATRIX_COLUMNS)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
 
     def ext_stats(
         self, queries: list[tuple[int, str]], chunk: int = 512
