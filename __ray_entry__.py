@@ -49,6 +49,16 @@ BM25_QUERIES: list[tuple[int, str]] = [
 # provably changes rankings (checked non-vacuous at sf0.01: 20/50
 # result slots differ from the ungated disjunction).  Classification
 # is corpus-dependent by design — exactly CommonTermsQuery semantics.
+# range-aggregation workload: named ranges over documents.n_chars —
+# DELIBERATELY overlapping (mid overlaps both neighbors) and
+# open-ended on both flanks, so the multi-membership semantics that
+# distinguish ES range from a histogram are visible in checked rows
+RANGE_AGG: list[tuple[str, float | None, float | None]] = [
+    ("short", None, 150),
+    ("mid", 100, 400),
+    ("long", 300, None),
+]
+
 COMMON_CUTOFF = 0.78
 COMMON_QUERIES: list[tuple[int, str]] = [
     (0, "dup vector spark hash"),
@@ -2053,6 +2063,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "corr_r": pa.array(
                     np.round(res["corr_xy"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def range_buckets_q(sf_dir):
+        """Range aggregation (ES range / date_range,
+        pipelines/rangeagg.py): per query, exact count + mean of
+        documents.n_chars over matched docs in each of the RANGE_AGG
+        named ranges — overlapping and open-ended by construction, so
+        a doc is counted in EVERY containing range (the semantics
+        that distinguish range from a histogram).  Additive (n, sum)
+        partials per (query, range) -> doc-sharded serving ships
+        (queries x ranges) slim rows per shard
+        (ShardedIndex.range_buckets, pytest-pinned bit-identical).
+        Zero buckets omitted (SQL GROUP BY shape; documented
+        divergence from ES's explicit empty buckets)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.rangeagg import range_buckets_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = range_buckets_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            RANGE_AGG,
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "range_key"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "range_key": pa.array(res["range_key"], type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "avg_r": pa.array(
+                    np.round(res["avg_v"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -5858,6 +5917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # covariance / correlation over the match set (round-5
         # addition; sharded path wired + pytest-pinned)
         "matrix_stats": matrix_stats_q,
+        # range_buckets: ES range agg — overlapping named ranges with
+        # a mean sub-metric (round-5 addition; sharded path wired)
+        "range_buckets": range_buckets_q,
         # classic_topk: Lucene ClassicSimilarity — TF-IDF VSM with
         # coord + queryNorm (round-5 addition, similarity family)
         "classic_topk": classic_topk,
@@ -5919,7 +5981,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_topk": rescore_topk,
         # common_topk: Lucene CommonTermsQuery (round-5 addition)
         "common_topk": common_topk,
-        "sig_terms": sig_terms,
         # ================= end of the 50-row driver window ==============
         # rotated out with green rows + pytest gates on record:
         # (match_histogram r4-green hash row + facet-machinery pytests;
@@ -5980,8 +6041,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # wildcard_search: r4-green hash row — the trigram/expansion
         # machinery stays pytest-gated and the expansion-union serving
         # family stays exercised in-window by fuzzy-adjacent
-        # phrase_suggest; rotated to make room for matrix_stats)
+        # phrase_suggest; rotated to make room for matrix_stats;
+        # sig_terms: r4-green hash row — the streamed-partials design
+        # and the round-5 distributed groupby combiner stay
+        # pytest-pinned (forced-distributed == driver-merge identity);
+        # rotated to make room for range_buckets)
         "wildcard_search": wildcard_search_q,
+        "sig_terms": sig_terms,
         "top_hits": top_hits,
         "dup_collapsed_topk": dup_collapsed_topk,
         "coupling": coupling_q,
@@ -6147,6 +6213,15 @@ def _bm25_values() -> str:
     for qid, text in BM25_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _range_values() -> str:
+    rows = []
+    for key, lo, hi in RANGE_AGG:
+        lo_s = "NULL::DOUBLE" if lo is None else str(float(lo))
+        hi_s = "NULL::DOUBLE" if hi is None else str(float(hi))
+        rows.append(f"('{key}', {lo_s}, {hi_s})")
     return ", ".join(rows)
 
 
@@ -7021,6 +7096,26 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # Range aggregation: overlapping named ranges (from inclusive,
+        # to exclusive, NULL = open) over the match set's n_chars — a
+        # doc joins EVERY containing range; zero buckets omitted by
+        # the GROUP BY shape
+        "range_buckets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+r(range_key, lo, hi) AS (VALUES {_range_values()})
+SELECT m.query_id, r.range_key,
+       count(*)::BIGINT AS n_docs,
+       round(sum(d.n_chars::DOUBLE) / count(*), 4) AS avg_r
+FROM matches m
+JOIN documents d USING (doc_id)
+JOIN r ON (r.lo IS NULL OR d.n_chars::DOUBLE >= r.lo)
+      AND (r.hi IS NULL OR d.n_chars::DOUBLE < r.hi)
+GROUP BY 1, 2
 """,
         # ClassicSimilarity: sum_t sqrt(tf) * idf^2 / sqrt(dl), scaled
         # by coord (LEFT JOIN keeps OOV terms in maxOverlap and in the

@@ -398,6 +398,31 @@ class RangeSearcher:
             out["doc_id"].append(int(d))
             out["score"].append(float(s))
 
+    def range_buckets_batch(
+        self, queries: list[tuple[int, str]], ranges
+    ) -> pd.DataFrame:
+        """Per-shard range-agg PARTIALS: for each named (possibly
+        overlapping) range, (n, sum) over this shard's slice of the
+        match set's field values — additive, (queries x ranges) slim
+        rows per shard (rangeagg.py's sharded analog, wired)."""
+        from mini_ivf_ray.pipelines.rangeagg import range_partials
+
+        out = {"query_id": [], "range_key": [], "n": [], "s": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not self.val_ids.size:
+                continue
+            idx = np.searchsorted(self.val_ids, docs)
+            np.minimum(idx, self.val_ids.size - 1, out=idx)
+            hit = self.val_ids[idx] == docs
+            v = self.vals[idx[hit]]
+            for key, n, s in range_partials(v, ranges):
+                out["query_id"].append(qid)
+                out["range_key"].append(key)
+                out["n"].append(n)
+                out["s"].append(s)
+        return pd.DataFrame(out)
+
     def pct_ranks_batch(
         self, queries: list[tuple[int, str]], thresholds: list[float]
     ) -> pd.DataFrame:
@@ -1225,6 +1250,44 @@ class ShardedIndex:
             df["doc_id"] = df["doc_id"].astype(np.uint64)
             df["rank"] = df["rank"].astype(np.int32)
         return df
+
+    def range_buckets(
+        self, queries: list[tuple[int, str]], ranges, chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local range aggregation -> (query_id, range_key,
+        n_docs, avg_v), identical to rangeagg.range_buckets_search on
+        integer-valued fields: the merge sums (n, s) pairs per
+        (query, range) — exact in any order — then one s / n per
+        surviving bucket."""
+        import ray
+
+        from mini_ivf_ray.pipelines.rangeagg import validate_ranges
+
+        r = validate_ranges(ranges)
+        if not getattr(self, "_has_value_sidecar", False):
+            raise ValueError("attach_value_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.range_buckets_batch.remote(part, r) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {"query_id": [], "range_key": [], "n_docs": [], "avg_v": []}
+            )
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["query_id", "range_key"], sort=True, as_index=False)
+            .sum()
+        )
+        merged["avg_v"] = merged["s"].to_numpy() / merged["n"].to_numpy()
+        out = merged[["query_id", "range_key"]].copy()
+        out["n_docs"] = merged["n"].astype(np.int64)
+        out["avg_v"] = merged["avg_v"].astype(np.float64)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        return out.reset_index(drop=True)
 
     def pct_ranks(
         self, queries: list[tuple[int, str]], thresholds: list[float],
