@@ -2067,6 +2067,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def weighted_avg_q(sf_dir):
+        """Weighted-average aggregation (ES weighted_avg,
+        pipelines/metricsagg.py): per query, sum(n_chars * dl) /
+        sum(dl) over the disjunctive match set — average document
+        char-length weighted by token count.  Additive (n, sum_w,
+        sum_vw) partials -> doc-sharded serving ships one slim row per
+        (query, shard) with NO new actor code (it derives from the
+        existing matrix co-moment partials; ShardedIndex.weighted_avg,
+        pytest-pinned bit-identical).  Integer-valued fields -> exact
+        float64 sums -> the one division is the op the SQL oracle
+        replays."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+        from mini_ivf_ray.pipelines.metricsagg import weighted_avg_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+
+        def dl(batch: pa.Table) -> pa.Table:
+            _, dls = tokenize_batch(batch["text"].to_pylist())
+            return pa.table({"doc_id": batch["doc_id"], "dl": pa.array(dls)})
+
+        dls = (
+            _documents(sf_dir)
+            .map_batches(dl, batch_format="pyarrow")
+            .to_pandas()
+        )
+        dls = dls[dls["dl"] > 0]
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = weighted_avg_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            dls["doc_id"].to_numpy(),
+            dls["dl"].to_numpy().astype(np.float64),
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "sum_w": pa.array(res["sum_w"].to_numpy(), type=pa.float64()),
+                "sum_vw": pa.array(
+                    res["sum_vw"].to_numpy(), type=pa.float64()
+                ),
+                "wavg_r": pa.array(
+                    np.round(res["weighted_avg"].to_numpy(), 4),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    def top_metrics_q(sf_dir):
+        """Top-metrics aggregation (ES top_metrics,
+        pipelines/metricsagg.py): per query, the 3 best matched docs
+        by (n_chars desc, doc_id asc) with their token-count metric —
+        'metrics of the top-sorted hits'.  Doc-sharded serving re-cuts
+        the shards' local tops under the identical key
+        (ShardedIndex.top_metrics, pytest-pinned bit-identical); the
+        exchange is (queries x shards x 3) slim rows.  Both-fields
+        contribution rule (module docstring); the SQL oracle replays
+        the cut as a row_number window."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.functions.tokenize import tokenize_batch
+        from mini_ivf_ray.pipelines.metricsagg import top_metrics_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+
+        def dl(batch: pa.Table) -> pa.Table:
+            _, dls = tokenize_batch(batch["text"].to_pylist())
+            return pa.table({"doc_id": batch["doc_id"], "dl": pa.array(dls)})
+
+        dls = (
+            _documents(sf_dir)
+            .map_batches(dl, batch_format="pyarrow")
+            .to_pandas()
+        )
+        dls = dls[dls["dl"] > 0]
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = top_metrics_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            dls["doc_id"].to_numpy(),
+            dls["dl"].to_numpy().astype(np.float64),
+            size=3,
+            cfg=_CFG,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "sort_v": pa.array(res["sort_v"].to_numpy(), type=pa.float64()),
+                "metric_v": pa.array(
+                    res["metric_v"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
     def range_buckets_q(sf_dir):
         """Range aggregation (ES range / date_range,
         pipelines/rangeagg.py): per query, exact count + mean of
@@ -6106,6 +6235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hdf5_roundtrip": hdf5_roundtrip,
         "append_roundtrip": append_roundtrip,
         "search_obs": search_obs,
+        # -- new this session (locally sf0.01-hash-verified; window
+        #    curation happens once at session end) ----------------------
+        "weighted_avg": weighted_avg_q,
+        "top_metrics": top_metrics_q,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7096,6 +7229,45 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # Weighted average: sum(n_chars * dl) / sum(dl) over the match
+        # set's both-fields docs — exact integer-valued sums, the one
+        # division replayed verbatim
+        "weighted_avg": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS w FROM tok GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       sum(dl.w) AS sum_w,
+       sum(d.n_chars::DOUBLE * dl.w) AS sum_vw,
+       round(sum(d.n_chars::DOUBLE * dl.w) / sum(dl.w), 4) AS wavg_r
+FROM matches m JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+GROUP BY 1
+""",
+        # Top metrics: the 3 best matched docs per query by (n_chars
+        # desc, doc_id asc) with their token-count metric — the
+        # identical deterministic cut the engine's lexsort applies
+        "top_metrics": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS y FROM tok GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+ranked AS (SELECT m.query_id, m.doc_id,
+                  d.n_chars::DOUBLE AS sort_v, dl.y AS metric_v,
+                  row_number() OVER (
+                      PARTITION BY m.query_id
+                      ORDER BY d.n_chars DESC, m.doc_id ASC) AS rnk
+           FROM matches m
+           JOIN documents d USING (doc_id) JOIN dl USING (doc_id))
+SELECT query_id, rnk::BIGINT AS rank, doc_id::BIGINT AS doc_id,
+       sort_v, metric_v
+FROM ranked WHERE rnk <= 3
 """,
         # Range aggregation: overlapping named ranges (from inclusive,
         # to exclusive, NULL = open) over the match set's n_chars — a

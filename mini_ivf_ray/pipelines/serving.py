@@ -191,6 +191,67 @@ class RangeSearcher:
                 out[c].append(v)
         return pd.DataFrame(out)
 
+    def weighted_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
+        """Per-shard weighted-avg PARTIALS (n, sw, svw) over this
+        shard's slice of the match set's both-fields docs (x = value,
+        y = weight of the xy sidecar) — additive, one slim row per
+        (query, shard).  Zero-weight handling happens at the DRIVER
+        after the merge (a shard-local zero sum says nothing about the
+        global sum)."""
+        out = {"query_id": [], "n": [], "sw": [], "svw": []}
+        xy_ids = getattr(self, "xy_ids", np.empty(0, dtype=np.uint64))
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not xy_ids.size:
+                continue
+            idx = np.searchsorted(xy_ids, docs)
+            np.minimum(idx, xy_ids.size - 1, out=idx)
+            hit = xy_ids[idx] == docs
+            sel = idx[hit]
+            if not sel.size:
+                continue
+            w = self.xy_y[sel]
+            out["query_id"].append(qid)
+            out["n"].append(int(sel.size))
+            out["sw"].append(float(np.sum(w)))
+            out["svw"].append(float(np.sum(self.xy_x[sel] * w)))
+        return pd.DataFrame(out)
+
+    def top_metrics_batch(
+        self, queries: list[tuple[int, str]], size: int
+    ) -> pd.DataFrame:
+        """Per query, this shard's LOCAL top-``size`` rows by (sort_v
+        desc, doc asc) over its slice of the match set's both-fields
+        docs (x = sort, y = metric of the xy sidecar).  Each doc lives
+        in exactly one shard's slice, so a global top row is its home
+        shard's local top row and the driver re-cut over (queries x
+        shards x size) slim rows is exact."""
+        from mini_ivf_ray.pipelines.metricsagg import top_metrics_rows
+
+        out = {"query_id": [], "doc_id": [], "sort_v": [], "metric_v": []}
+        xy_ids = getattr(self, "xy_ids", np.empty(0, dtype=np.uint64))
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size or not xy_ids.size:
+                continue
+            idx = np.searchsorted(xy_ids, docs)
+            np.minimum(idx, xy_ids.size - 1, out=idx)
+            hit = xy_ids[idx] == docs
+            sel = idx[hit]
+            if not sel.size:
+                continue
+            d, sv, mv = top_metrics_rows(
+                xy_ids[sel], self.xy_x[sel], self.xy_y[sel], size
+            )
+            out["query_id"].extend([qid] * d.size)
+            out["doc_id"].extend(d.tolist())
+            out["sort_v"].extend(sv.tolist())
+            out["metric_v"].extend(mv.tolist())
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+        return df
+
     def extstats_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
         """Per query, this shard's PARTIAL moments (n, sum, sumsq, min,
         max) over its slice of the disjunctive match set — additive /
@@ -1013,6 +1074,95 @@ class ShardedIndex:
         out = pd.DataFrame(rows, columns=MATRIX_COLUMNS)
         out["query_id"] = out["query_id"].astype(np.int64)
         out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def weighted_avg(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local weighted average -> one (query_id, n_docs,
+        sum_w, sum_vw, weighted_avg) row per query, identical to
+        pipelines.metricsagg.weighted_avg_search on integer-valued
+        fields (additive partials exact below 2^53).  Zero-total-weight
+        queries are dropped HERE, after the merge — the global rule the
+        single pass applies."""
+        import ray
+
+        from mini_ivf_ray.pipelines.metricsagg import (
+            WEIGHTED_COLUMNS,
+            derived_weighted,
+        )
+
+        if not getattr(self, "_has_xy_sidecar", False):
+            raise ValueError("attach_xy_sidecar first")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(a.weighted_batch.remote(part) for a in self.actors)
+        frames = [f for f in ray.get(futs) if len(f)]
+        rows = []
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            g = allp.groupby("query_id", sort=True).sum()
+            for qid, r in g.iterrows():
+                sw = float(r["sw"])
+                if sw == 0.0:
+                    continue
+                svw = float(r["svw"])
+                rows.append(
+                    (int(qid), int(r["n"]), sw, svw, derived_weighted(sw, svw))
+                )
+        out = pd.DataFrame(rows, columns=WEIGHTED_COLUMNS)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    def top_metrics(
+        self, queries: list[tuple[int, str]], size: int = 3, chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local top-metrics -> up to ``size`` (query_id, rank,
+        doc_id, sort_v, metric_v) rows per query, identical to
+        pipelines.metricsagg.top_metrics_search: each doc lives in
+        exactly one shard's sidecar slice, so the global (sort desc,
+        doc asc) top-``size`` is a re-cut of the shards' local tops —
+        (queries x shards x size) slim rows, never doc-proportional."""
+        import ray
+
+        from mini_ivf_ray.pipelines.metricsagg import (
+            TOP_METRICS_COLUMNS,
+            top_metrics_rows,
+        )
+
+        if not getattr(self, "_has_xy_sidecar", False):
+            raise ValueError("attach_xy_sidecar first")
+        if size < 1:
+            raise ValueError(f"size must be >= 1, got {size}")
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.top_metrics_batch.remote(part, size) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        rows = {c: [] for c in TOP_METRICS_COLUMNS}
+        if frames:
+            allp = pd.concat(frames, ignore_index=True)
+            for qid, g in allp.groupby("query_id", sort=True):
+                d, sv, mv = top_metrics_rows(
+                    g["doc_id"].to_numpy().astype(np.uint64),
+                    g["sort_v"].to_numpy(),
+                    g["metric_v"].to_numpy(),
+                    size,
+                )
+                for r in range(d.size):
+                    rows["query_id"].append(int(qid))
+                    rows["rank"].append(r + 1)
+                    rows["doc_id"].append(int(d[r]))
+                    rows["sort_v"].append(float(sv[r]))
+                    rows["metric_v"].append(float(mv[r]))
+        out = pd.DataFrame(rows)
+        out["query_id"] = out["query_id"].astype(np.int64)
+        out["rank"] = out["rank"].astype(np.int64)
+        out["doc_id"] = out["doc_id"].astype(np.uint64)
         return out
 
     def ext_stats(
