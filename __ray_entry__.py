@@ -40,6 +40,16 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (7, "data row column filter group batch"),
 ]
 
+# rare-terms workload: 'dup' is the synthetic corpus's one genuinely
+# rare term (df ~25 at sf0.01 vs 300-400 for everything else), so q0's
+# per-source tail has buckets on BOTH sides of max_doc_count=2 (the
+# filter provably bites); q1 matches most of the corpus, every bucket
+# is common, and the query emits zero rows — both pinned by the oracle
+RARE_AGG_QUERIES: list[tuple[int, str]] = [
+    (0, "dup"),
+    (1, "vector scan"),
+]
+
 # common-terms workload + cutoff: the synthetic vocab is FLAT (every
 # ordinary term sits at df/N ~ 0.75-0.80; the only outlier is the
 # duplicate marker 'dup' at 0.05), so a conventional cutoff like 0.10
@@ -2192,6 +2202,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "sort_v": pa.array(res["sort_v"].to_numpy(), type=pa.float64()),
                 "metric_v": pa.array(
                     res["metric_v"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
+    def rare_terms_q(sf_dir):
+        """Rare-terms aggregation (ES rare_terms,
+        pipelines/termsagg.py): per query, the source buckets matched
+        by AT MOST 2 docs of the disjunctive match set — the long-tail
+        panel.  Rarity is GLOBAL, so the cut (termsagg.rare_cut, the
+        kernel every path shares) runs after the facet merge; the
+        distributed stage is the proven facet machinery
+        (ShardedIndex.rare_terms pytest-pinned == single).  Exact
+        where ES's own rare_terms is CuckooFilter-approximate
+        (documented divergence).  Workload: 'dup' is the corpus's one
+        rare term (df 25 at sf0.01), so q0 emits a tail with its
+        biggest bucket provably dropped; q1's buckets are all common
+        and emit nothing."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.termsagg import rare_terms_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in RARE_AGG_QUERIES]
+        )
+        res = rare_terms_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["source"].to_pylist(),
+            max_doc_count=2,
+            cfg=_CFG,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def multi_terms_q(sf_dir):
+        """Multi-terms aggregation (ES multi_terms,
+        pipelines/termsagg.py): per query, the top-5 composite
+        (lang, source) buckets of the match set by (count desc, lang
+        asc, source asc) — exact over the fully-merged panel where
+        ES's shard_size heuristic can prune wrongly (documented
+        divergence).  Counting is byte-for-byte the facet machinery
+        over a SEP-joined composite label; the cut is
+        termsagg.multi_cut, the kernel the sharded path
+        (ShardedIndex.multi_terms, pytest-pinned == single) and the
+        SQL oracle's row_number window replay."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.termsagg import multi_terms_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = multi_terms_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            side["source"].to_pylist(),
+            num_buckets=5,
+            cfg=_CFG,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "key_a": pa.array(res["key_a"].tolist(), type=pa.string()),
+                "key_b": pa.array(res["key_b"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
             }
         )
@@ -6239,6 +6341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    curation happens once at session end) ----------------------
         "weighted_avg": weighted_avg_q,
         "top_metrics": top_metrics_q,
+        "rare_terms": rare_terms_q,
+        "multi_terms": multi_terms_q,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -6344,6 +6448,14 @@ _BM25F_TOK_CTE = (
 def _bm25_values() -> str:
     rows = []
     for qid, text in BM25_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _rare_values() -> str:
+    rows = []
+    for qid, text in RARE_AGG_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -7229,6 +7341,40 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # Rare terms: source buckets with GLOBAL match count <= 2 over
+        # the rare workload — the HAVING replays termsagg.rare_cut on
+        # the fully-merged panel
+        "rare_terms": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_rare_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id, d.source AS facet, count(*)::BIGINT AS n_docs
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+HAVING count(*) <= 2
+""",
+        # Multi terms: top-5 composite (lang, source) buckets per query
+        # by (count desc, lang asc, source asc) — the row_number window
+        # replays termsagg.multi_cut on the fully-merged panel
+        "multi_terms": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+panel AS (SELECT m.query_id, d.lang AS key_a, d.source AS key_b,
+                 count(*) AS c
+          FROM matches m JOIN documents d USING (doc_id)
+          GROUP BY 1, 2, 3),
+ranked AS (SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY c DESC, key_a ASC, key_b ASC) AS rnk
+           FROM panel)
+SELECT query_id, key_a, key_b, c::BIGINT AS n_docs
+FROM ranked WHERE rnk <= 5
 """,
         # Weighted average: sum(n_chars * dl) / sum(dl) over the match
         # set's both-fields docs — exact integer-valued sums, the one

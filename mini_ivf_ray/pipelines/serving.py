@@ -1242,6 +1242,40 @@ class ShardedIndex:
         out["n_docs"] = out["n_docs"].astype(np.int64)
         return out
 
+    def rare_terms(
+        self,
+        queries: list[tuple[int, str]],
+        max_doc_count: int,
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local rare-terms -> (query_id, facet, n_docs) buckets
+        with GLOBAL count <= max_doc_count, identical to
+        pipelines.termsagg.rare_terms_search.  Rarity is a global
+        property, so the cut (termsagg.rare_cut — the shared kernel)
+        runs strictly AFTER the additive facet merge; a shard-local
+        count could both over- and under-qualify a bucket."""
+        from mini_ivf_ray.pipelines.termsagg import rare_cut
+
+        return rare_cut(self.facet_search(queries, chunk), max_doc_count)
+
+    def multi_terms(
+        self,
+        queries: list[tuple[int, str]],
+        num_buckets: int,
+        chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local multi-terms -> each query's top ``num_buckets``
+        composite (key_a, key_b) buckets by (count desc, keys asc),
+        identical to pipelines.termsagg.multi_terms_search.  The
+        attached sidecar must carry the SEP-joined composite labels
+        (termsagg._composite_labels); counts merge additively and the
+        cut (termsagg.multi_cut — the shared kernel) runs on the
+        fully-merged panel, so no bucket is shard-pruned (exact where
+        ES's shard_size heuristic is not)."""
+        from mini_ivf_ray.pipelines.termsagg import multi_cut
+
+        return multi_cut(self.facet_search(queries, chunk), num_buckets)
+
     def collapsed_search(
         self, queries: list[tuple[int, str]], chunk: int = 512
     ) -> pd.DataFrame:
