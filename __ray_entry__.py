@@ -2206,6 +2206,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def match_boxplot(sf_dir):
+        """Boxplot + MAD aggregation (ES boxplot /
+        median_absolute_deviation, pipelines/robuststats.py): per
+        query, EXACT (count, min, q1, median, q3, max, mad) of
+        documents.n_chars over the disjunctive match set under the
+        pinned numpy-'linear' interpolation rule (== DuckDB
+        quantile_cont / mad — the oracle replays it verbatim), where
+        ES ships TDigest approximations.  Doc-sharded serving runs
+        exact distributed SELECTION (threshold-count bisection over
+        the additive percentile-ranks primitive,
+        ShardedIndex.boxplot) — pytest-pinned bit-identical to this
+        single-index path on integer-valued fields."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.robuststats import boxplot_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = boxplot_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "min_v": pa.array(res["min_v"].to_numpy(), type=pa.float64()),
+                "q1_r": pa.array(
+                    np.round(res["q1"].to_numpy(), 4), type=pa.float64()
+                ),
+                "q2_r": pa.array(
+                    np.round(res["q2"].to_numpy(), 4), type=pa.float64()
+                ),
+                "q3_r": pa.array(
+                    np.round(res["q3"].to_numpy(), 4), type=pa.float64()
+                ),
+                "max_v": pa.array(res["max_v"].to_numpy(), type=pa.float64()),
+                "mad_r": pa.array(
+                    np.round(res["mad"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def rare_terms_q(sf_dir):
         """Rare-terms aggregation (ES rare_terms,
         pipelines/termsagg.py): per query, the source buckets matched
@@ -6343,6 +6401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_metrics": top_metrics_q,
         "rare_terms": rare_terms_q,
         "multi_terms": multi_terms_q,
+        "match_boxplot": match_boxplot,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7341,6 +7400,26 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # Boxplot + MAD: exact quantile_cont / mad over the match
+        # set's n_chars — DuckDB's linear interpolation IS the pinned
+        # engine rule, so values agree bit-for-bit before the rounding
+        "match_boxplot": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_docs,
+       min(d.n_chars)::DOUBLE AS min_v,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.25), 4) AS q1_r,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.5), 4) AS q2_r,
+       round(quantile_cont(d.n_chars::DOUBLE, 0.75), 4) AS q3_r,
+       max(d.n_chars)::DOUBLE AS max_v,
+       round(mad(d.n_chars::DOUBLE), 4) AS mad_r
+FROM matches m JOIN documents d USING (doc_id)
+GROUP BY 1
 """,
         # Rare terms: source buckets with GLOBAL match count <= 2 over
         # the rare workload — the HAVING replays termsagg.rare_cut on

@@ -512,6 +512,41 @@ class RangeSearcher:
                 out["n"].append(int(v.size))
         return pd.DataFrame(out)
 
+    def count_le_probe(
+        self, gen: int, items: list[tuple[int, str, tuple]]
+    ) -> pd.DataFrame:
+        """Threshold-count primitive for exact distributed selection
+        (robuststats.py): for each (query, [t...]) item, this shard's
+        count(v <= t) over its slice of the match set's field values —
+        len(thresholds) integers per (query, shard), additive.  The
+        per-query sorted value slice is cached under ``gen`` so a
+        k-round bisection walks the postings ONCE, not once per round;
+        a new ``gen`` drops the previous selection's cache."""
+        if getattr(self, "_probe_gen", None) != gen:
+            self._probe_gen = gen
+            self._probe_cache: dict[str, np.ndarray] = {}
+        out = {"query_id": [], "ti": [], "c": [], "n": []}
+        for qid, qtext, ts in items:
+            v = self._probe_cache.get(qtext)
+            if v is None:
+                docs, _ = self._in_range_scored(qtext, full=False)
+                if docs.size and self.val_ids.size:
+                    idx = np.searchsorted(self.val_ids, docs)
+                    np.minimum(idx, self.val_ids.size - 1, out=idx)
+                    hit = self.val_ids[idx] == docs
+                    v = np.sort(self.vals[idx[hit]])
+                else:
+                    v = np.empty(0, dtype=np.float64)
+                self._probe_cache[qtext] = v
+            t = np.asarray(ts, dtype=np.float64)
+            below = np.searchsorted(v, t, side="right")
+            for j, c in enumerate(below.tolist()):
+                out["query_id"].append(qid)
+                out["ti"].append(j)
+                out["c"].append(int(c))
+                out["n"].append(int(v.size))
+        return pd.DataFrame(out)
+
     def grouped_metric_batch(
         self, queries: list[tuple[int, str]]
     ) -> pd.DataFrame:
@@ -1207,6 +1242,23 @@ class ShardedIndex:
         out["query_id"] = out["query_id"].astype(np.int64)
         out["n_docs"] = out["n_docs"].astype(np.int64)
         return out
+
+    def boxplot(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local EXACT boxplot + MAD -> one (query_id, n_docs,
+        min_v, q1, q2, q3, max_v, mad) row per query, identical to
+        pipelines.robuststats.boxplot_search on an integer-valued
+        field.  Quantiles are not mergeable moments, so this runs
+        exact distributed SELECTION: ceil(log2(span)) rounds of slim
+        (queries x ranks) threshold-count probes against the value
+        sidecar (RangeSearcher.count_le_probe; postings walked once
+        per shard, values never shipped) — see robuststats.py."""
+        from mini_ivf_ray.pipelines.robuststats import sharded_boxplot
+
+        if not getattr(self, "_has_value_sidecar", False):
+            raise ValueError("attach_value_sidecar first")
+        return sharded_boxplot(self, queries, chunk)
 
     def facet_search(
         self, queries: list[tuple[int, str]], chunk: int = 512
