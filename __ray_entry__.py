@@ -2206,6 +2206,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def t_test_q(sf_dir):
+        """T-test aggregation (ES t_test, pipelines/ttest.py): per
+        query, Welch's t statistic + Welch-Satterthwaite df for the
+        difference in mean documents.n_chars between matched docs
+        containing 'data' vs 'vector' — side membership is
+        INDEX-LOCAL (filter postings fetched once per actor, the
+        adjacency pattern; nothing broadcast but two strings).  Each
+        side's partial is the additive (n, sum, sumsq) triple, so
+        doc-sharded serving ships one slim 6-number row per (query,
+        shard) — the extstats shape twice.  Sample (ddof=1) variances;
+        guards (n >= 2 per side, denominator > 0) and the two
+        documented divergences (paired mode omitted; t + df instead of
+        the non-SQL-replayable p-value) in the module docstring.  The
+        SQL oracle replays the float64 op sequence verbatim."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.ttest import t_test_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = t_test_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            term_a="data",
+            term_b="vector",
+            cfg=_CFG,
+        ).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "na": pa.array(
+                    res["na"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "nb": pa.array(
+                    res["nb"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "mean_a_r": pa.array(
+                    np.round(res["mean_a"].to_numpy(), 4), type=pa.float64()
+                ),
+                "mean_b_r": pa.array(
+                    np.round(res["mean_b"].to_numpy(), 4), type=pa.float64()
+                ),
+                "t_r": pa.array(
+                    np.round(res["t"].to_numpy(), 4), type=pa.float64()
+                ),
+                "df_r": pa.array(
+                    np.round(res["df"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def match_boxplot(sf_dir):
         """Boxplot + MAD aggregation (ES boxplot /
         median_absolute_deviation, pipelines/robuststats.py): per
@@ -6402,6 +6465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rare_terms": rare_terms_q,
         "multi_terms": multi_terms_q,
         "match_boxplot": match_boxplot,
+        "t_test": t_test_q,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7400,6 +7464,42 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # T-test: Welch t + Welch-Satterthwaite df between the 'data'
+        # and 'vector' sides of each match set over n_chars — exact
+        # integer moments, derived by the engine's float64 op order
+        # (sample ddof=1 variances clamped at 0, then the two guards)
+        "t_test": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+fa AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'data'),
+fb AS (SELECT DISTINCT doc_id FROM postings WHERE term = 'vector'),
+ma AS (SELECT m.query_id, count(*)::BIGINT AS na,
+              sum(d.n_chars::DOUBLE) AS sa,
+              sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE) AS ssa
+       FROM matches m JOIN fa USING (doc_id)
+       JOIN documents d USING (doc_id) GROUP BY 1),
+mb AS (SELECT m.query_id, count(*)::BIGINT AS nb,
+              sum(d.n_chars::DOUBLE) AS sb,
+              sum(d.n_chars::DOUBLE * d.n_chars::DOUBLE) AS ssb
+       FROM matches m JOIN fb USING (doc_id)
+       JOIN documents d USING (doc_id) GROUP BY 1),
+v AS (SELECT query_id, na, nb, sa / na AS mean_a, sb / nb AS mean_b,
+             greatest((ssa - sa * sa / na) / (na - 1), 0.0) / na AS sea,
+             greatest((ssb - sb * sb / nb) / (nb - 1), 0.0) / nb AS seb
+      FROM ma JOIN mb USING (query_id)
+      WHERE na >= 2 AND nb >= 2)
+SELECT query_id, na, nb,
+       round(mean_a, 4) AS mean_a_r,
+       round(mean_b, 4) AS mean_b_r,
+       round((mean_a - mean_b) / sqrt(sea + seb), 4) AS t_r,
+       round((sea + seb) * (sea + seb)
+             / (sea * sea / (na - 1) + seb * seb / (nb - 1)), 4) AS df_r
+FROM v
+WHERE sea + seb > 0
 """,
         # Boxplot + MAD: exact quantile_cont / mad over the match
         # set's n_chars — DuckDB's linear interpolation IS the pinned
