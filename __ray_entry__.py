@@ -2206,6 +2206,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def string_stats_q(sf_dir):
+        """String stats aggregation (ES string_stats,
+        pipelines/stringstats.py): per query, (count, min_length,
+        max_length, avg_length, Shannon-log2 entropy of the character
+        distribution) of documents.source over the disjunctive match
+        set.  Every statistic derives from the ADDITIVE facet panel +
+        panel-sized label metadata, so the distributed stage is the
+        proven facet machinery (ShardedIndex.string_stats
+        pytest-pinned == single) and the string math is one shared
+        corpus-independent reduce kernel the SQL oracle replays
+        expression-for-expression (char explosion via
+        string_split(s, ''))."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.stringstats import string_stats_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "source"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = string_stats_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["source"].to_pylist(),
+            _CFG,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "min_len": pa.array(
+                    res["min_len"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "max_len": pa.array(
+                    res["max_len"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "avg_len_r": pa.array(
+                    np.round(res["avg_len"].to_numpy(), 4), type=pa.float64()
+                ),
+                "entropy_r": pa.array(
+                    np.round(res["entropy"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def t_test_q(sf_dir):
         """T-test aggregation (ES t_test, pipelines/ttest.py): per
         query, Welch's t statistic + Welch-Satterthwaite df for the
@@ -6466,6 +6521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_terms": multi_terms_q,
         "match_boxplot": match_boxplot,
         "t_test": t_test_q,
+        "string_stats": string_stats_q,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7464,6 +7520,33 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # String stats: count / min / max / avg length + Shannon-log2
+        # character entropy of documents.source over the match set —
+        # char explosion via string_split(s, '')
+        "string_stats": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+vals AS (SELECT m.query_id, d.source AS s
+         FROM matches m JOIN documents d USING (doc_id)),
+lens AS (SELECT query_id, count(*)::BIGINT AS n_docs,
+                min(length(s))::BIGINT AS min_len,
+                max(length(s))::BIGINT AS max_len,
+                round(sum(length(s)::DOUBLE) / count(*), 4) AS avg_len_r
+         FROM vals GROUP BY 1),
+chars AS (SELECT query_id, unnest(string_split(s, '')) AS ch FROM vals),
+dist AS (SELECT query_id, ch, count(*)::DOUBLE AS c
+         FROM chars GROUP BY 1, 2),
+tot AS (SELECT query_id, sum(c) AS tc FROM dist GROUP BY 1),
+ent AS (SELECT d.query_id,
+               round(sum(-(d.c / t.tc) * log2(d.c / t.tc)), 4) AS entropy_r
+        FROM dist d JOIN tot t USING (query_id) GROUP BY 1)
+SELECT l.query_id, l.n_docs, l.min_len, l.max_len, l.avg_len_r,
+       e.entropy_r
+FROM lens l JOIN ent e USING (query_id)
 """,
         # T-test: Welch t + Welch-Satterthwaite df between the 'data'
         # and 'vector' sides of each match set over n_chars — exact

@@ -1328,6 +1328,19 @@ class ShardedIndex:
 
         return multi_cut(self.facet_search(queries, chunk), num_buckets)
 
+    def string_stats(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local string stats -> one (query_id, n_docs, min_len,
+        max_len, avg_len, entropy) row per query, identical to
+        pipelines.stringstats.string_stats_search: every statistic is
+        a function of the ADDITIVE facet panel plus panel-sized label
+        metadata, so the distributed stage is facet_search verbatim
+        and the string math is the shared reduce kernel."""
+        from mini_ivf_ray.pipelines.stringstats import string_stats_reduce
+
+        return string_stats_reduce(self.facet_search(queries, chunk))
+
     def collapsed_search(
         self, queries: list[tuple[int, str]], chunk: int = 512
     ) -> pd.DataFrame:
