@@ -2206,6 +2206,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def div_sampler_facets(sf_dir):
+        """Diversified sampler + terms sub-agg (ES diversified_sampler,
+        pipelines/facets.py DiversifiedSamplerCounter): source facet
+        counts over the de-duplicated best-scoring sample — at most 2
+        docs per lang, then the top 30 overall.  ES's greedy walk in
+        its exact closed form (group-rank window, cap, overall rank
+        window — the two row_number windows the SQL oracle replays
+        verbatim over the pinned summed-BM25 scores).  With 5 langs
+        the cap binds at 10 = 2 x 5 docs per query, well under
+        sample_size — the diversity constraint provably dominates."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import diversified_sampler_facets
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "source"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = diversified_sampler_facets(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["source"].to_pylist(),
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            cfg=_CFG,
+            sample_size=30,
+            max_per=2,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "facet"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"].tolist(), type=pa.string()),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def string_stats_q(sf_dir):
         """String stats aggregation (ES string_stats,
         pipelines/stringstats.py): per query, (count, min_length,
@@ -6522,6 +6569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_boxplot": match_boxplot,
         "t_test": t_test_q,
         "string_stats": string_stats_q,
+        "div_sampler_facets": div_sampler_facets,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7520,6 +7568,45 @@ SELECT query_id, n AS n_docs,
              / sqrt(((sxx - sx * sx / n) / n)
                     * ((syy - sy * sy / n) / n)), 4) AS corr_r
 FROM mom
+""",
+        # Diversified sampler: at most 2 docs per lang in (score desc,
+        # doc asc) order, then the overall top 30 — the two row_number
+        # windows replay the closed-form greedy over the pinned
+        # summed-BM25 score CTE; facet = source over the sample
+        "div_sampler_facets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT sc.query_id, sc.doc_id, sc.score,
+                  row_number() OVER (PARTITION BY sc.query_id, d.lang
+                                     ORDER BY sc.score DESC,
+                                              sc.doc_id ASC) AS gr
+           FROM scores sc JOIN documents d USING (doc_id)),
+sample AS (SELECT query_id, doc_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC,
+                                              doc_id ASC) AS rn
+           FROM ranked WHERE gr <= 2)
+SELECT s.query_id, d.source AS facet, count(*)::BIGINT AS n_docs
+FROM sample s JOIN documents d USING (doc_id)
+WHERE s.rn <= 30
+GROUP BY 1, 2
 """,
         # String stats: count / min / max / avg length + Shannon-log2
         # character entropy of documents.source over the match set —

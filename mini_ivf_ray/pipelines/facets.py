@@ -207,11 +207,12 @@ class SamplerFacetCounter(FacetCounter):
             raise ValueError(f"sample_size must be >= 1, got {sample_size}")
         self.sample_size = int(sample_size)
 
-    def sampled_counts_for_text(self, qtext: str) -> np.ndarray:
+    def _scored_live_matches(self, qtext: str):
+        """(docs, scores) of the full accumulated match set with
+        tombstones masked — the shared walk under every sampler."""
         from mini_ivf_ray.pipelines.query import (
             _allowed_mask,
             _taat_accumulate,
-            _topk_exact,
         )
         from mini_ivf_ray.functions.tokenize import tokenize
 
@@ -234,9 +235,11 @@ class SamplerFacetCounter(FacetCounter):
                 self.cfg.b,
             )
             blocks.append(b)
-        n_labels = len(self.facet_labels)
         if not blocks:
-            return np.zeros(n_labels, dtype=np.int64)
+            return (
+                np.empty(0, dtype=np.uint64),
+                np.empty(0, dtype=np.float64),
+            )
         docs, scores, scored = _taat_accumulate(blocks)
         self.counters["searched_cnt"] = (
             self.counters.get("searched_cnt", 0) + scored
@@ -245,6 +248,13 @@ class SamplerFacetCounter(FacetCounter):
         if self.denied is not None and self.denied.size:
             keep = ~_allowed_mask(docs, self.denied)
             docs, scores = docs[keep], scores[keep]
+        return docs, scores
+
+    def sampled_counts_for_text(self, qtext: str) -> np.ndarray:
+        from mini_ivf_ray.pipelines.query import _topk_exact
+
+        n_labels = len(self.facet_labels)
+        docs, scores = self._scored_live_matches(qtext)
         if not docs.size:
             return np.zeros(n_labels, dtype=np.int64)
         top = _topk_exact(docs, scores, self.sample_size)
@@ -324,6 +334,160 @@ def sampler_facets(
             index_dir, cfg, shared, decoded, facet_ref, labels, denied_ref,
         ),
         fn_constructor_kwargs={"sample_size": sample_size},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )
+
+
+class DiversifiedSamplerCounter(SamplerFacetCounter):
+    """ES ``diversified_sampler`` + terms sub-aggregation: the sample
+    is the best-scoring matches with AT MOST ``max_per`` docs sharing
+    any one diversity-field value — the "don't let one domain swamp
+    the topical summary" sampler.  ES's greedy walk (admit in score
+    order unless the doc's group already holds max_per; stop at
+    sample_size) is replayed here in its CLOSED FORM, which is exact
+    because a pre-fullness rejection can only be a group-cap
+    rejection: rank docs within each group by (score desc, doc asc),
+    keep group_rank <= max_per, then cut the overall top sample_size
+    under the same order — two window functions the SQL oracle
+    replays verbatim.  Same global-not-shard-local divergence as
+    SamplerFacetCounter, documented there.
+
+    Two sidecars: the inherited facet sidecar (what the sub-agg
+    counts) and the diversity sidecar (what dedups).  A matched doc
+    missing the DIVERSITY field is excluded from the sample (this
+    repo's sidecar convention), pinned by pytest."""
+
+    def __init__(self, *args, div_ref=None, max_per: int = 1, **kwargs):
+        super().__init__(*args, **kwargs)
+        import ray
+
+        if max_per < 1:
+            raise ValueError(f"max_per must be >= 1, got {max_per}")
+        self.max_per = int(max_per)
+        ids, codes = (
+            ray.get(div_ref) if isinstance(div_ref, ray.ObjectRef) else div_ref
+        )
+        self.div_ids = np.asarray(ids, dtype=np.uint64)
+        self.div_codes = np.asarray(codes, dtype=np.int64)
+        if self.div_ids.size > 1 and not np.all(
+            self.div_ids[:-1] < self.div_ids[1:]
+        ):
+            raise ValueError("diversity sidecar must be sorted by unique id")
+
+    def sampled_counts_for_text(self, qtext: str) -> np.ndarray:
+        n_labels = len(self.facet_labels)
+        docs, scores = self._scored_live_matches(qtext)
+        if not docs.size or not self.div_ids.size:
+            return np.zeros(n_labels, dtype=np.int64)
+        di = np.searchsorted(self.div_ids, docs)
+        np.minimum(di, self.div_ids.size - 1, out=di)
+        has = self.div_ids[di] == docs
+        docs, scores = docs[has], scores[has]
+        gcodes = self.div_codes[di[has]]
+        if not docs.size:
+            return np.zeros(n_labels, dtype=np.int64)
+        # closed-form greedy: group-rank in (score desc, doc asc)
+        # order, cap, then the overall top cut under the same order
+        pos = np.lexsort((docs, -scores))
+        g_p = gcodes[pos]
+        o2 = np.lexsort((np.arange(pos.size), g_p))
+        g_s = g_p[o2]
+        first = np.ones(g_s.size, dtype=bool)
+        first[1:] = g_s[1:] != g_s[:-1]
+        starts = np.nonzero(first)[0]
+        run = np.cumsum(first) - 1
+        rank_in_group = np.arange(g_s.size) - starts[run]
+        gr = np.empty(pos.size, dtype=np.int64)
+        gr[o2] = rank_in_group
+        kept = pos[gr < self.max_per][: self.sample_size]
+        sample = np.sort(docs[kept])
+        idx = np.searchsorted(self.facet_ids, sample)
+        np.minimum(idx, self.facet_ids.size - 1, out=idx)
+        valid = self.facet_ids[idx] == sample
+        return np.bincount(self.facet_codes[idx[valid]], minlength=n_labels)
+
+
+def diversified_sampler_facets(
+    index_dir: str,
+    queries_ds,
+    facet_ids,
+    facet_values,
+    div_ids,
+    div_values,
+    cfg: PipelineConfig | None = None,
+    sample_size: int = 100,
+    max_per: int = 1,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> facet panel over the de-duplicated
+    best-scoring sample: at most ``max_per`` docs per diversity value,
+    then the top ``sample_size`` overall (ES diversified_sampler +
+    terms sub-agg; closed-form greedy, class docstring).  Per-query
+    counts sum to <= sample_size AND to <= max_per * |diversity
+    cardinality| — both caps pinned by pytest."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(facet_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = pa.array(
+        np.asarray(facet_values, dtype=object)[order], type=pa.string()
+    )
+    if vals.null_count:
+        raise ValueError(
+            f"facet_values contains {vals.null_count} null(s); "
+            "map nulls to a sentinel label before faceting"
+        )
+    enc = pa.compute.dictionary_encode(vals)
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    d_ids = np.asarray(div_ids, dtype=np.uint64)
+    d_order = np.argsort(d_ids, kind="stable")
+    d_ids = d_ids[d_order]
+    d_vals = pa.array(
+        np.asarray(div_values, dtype=object)[d_order], type=pa.string()
+    )
+    if d_vals.null_count:
+        raise ValueError(
+            f"div_values contains {d_vals.null_count} null(s); "
+            "map nulls to a sentinel label before sampling"
+        )
+    d_codes = (
+        pa.compute.dictionary_encode(d_vals)
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    facet_ref = ray.put((ids, codes))
+    div_ref = ray.put((d_ids, d_codes))
+    return queries_ds.map_batches(
+        DiversifiedSamplerCounter,
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, facet_ref, labels, denied_ref,
+        ),
+        fn_constructor_kwargs={
+            "sample_size": sample_size,
+            "div_ref": div_ref,
+            "max_per": max_per,
+        },
         batch_format="pyarrow",
         batch_size=64,
         concurrency=(1, cfg.query_concurrency),

@@ -153,3 +153,111 @@ def test_sampler_facets_matches_bruteforce_topn(tiny_index):
         sampler_facets(
             idx, qds, ids, labels, cfg, sample_size=0
         ).to_pandas()
+
+
+# diversified sampler (ES diversified_sampler + terms sub-agg)
+
+
+def test_diversified_sampler_matches_greedy_bruteforce(tiny_index):
+    import pytest
+
+    from mini_ivf_ray.pipelines.facets import diversified_sampler_facets
+    from mini_ivf_ray.pipelines.query import brute_force_topk
+
+    idx, cfg, docs = tiny_index
+
+    def facet_of(doc_id):
+        return ["even", "odd", "prime?"][int(doc_id) % 3]
+
+    def group_of(doc_id):
+        return f"g{int(doc_id) % 4}"
+
+    ids = docs["doc_id"].to_numpy()
+    labels = [facet_of(d) for d in docs["doc_id"]]
+    groups = [group_of(d) for d in docs["doc_id"]]
+    queries = [(0, "the data web"), (1, "w00042 w00100")]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    n, max_per = 6, 2
+    got = (
+        diversified_sampler_facets(
+            idx, qds, ids, labels, ids, groups, cfg,
+            sample_size=n, max_per=max_per,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    # ground truth: the LITERAL greedy walk over the full score order
+    import dataclasses
+
+    wide = dataclasses.replace(cfg, topk=10_000)
+    rows = []
+    for qid, qtext in queries:
+        top = brute_force_topk(docs, [(qid, qtext)], wide)
+        admitted, seen = [], {}
+        for d in top["doc_id"].to_numpy().astype(np.uint64):
+            g = group_of(int(d))
+            if seen.get(g, 0) >= max_per:
+                continue
+            seen[g] = seen.get(g, 0) + 1
+            admitted.append(int(d))
+            if len(admitted) == n:
+                break
+        counts: dict[str, int] = {}
+        for d in admitted:
+            f = facet_of(d)
+            counts[f] = counts.get(f, 0) + 1
+        for f, c in sorted(counts.items()):
+            rows.append((qid, f, c))
+    want = pd.DataFrame(rows, columns=["query_id", "facet", "n_docs"])
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # with 4 groups x max_per 2 >= n = 6, the SAMPLE cap binds; the
+    # diversity cap provably bit (the plain top-6 has a group over cap)
+    for qid, qtext in queries:
+        top = brute_force_topk(
+            docs, [(qid, qtext)], dataclasses.replace(cfg, topk=n)
+        )
+        gcounts: dict[str, int] = {}
+        for d in top["doc_id"].to_numpy().astype(np.uint64):
+            g = group_of(int(d))
+            gcounts[g] = gcounts.get(g, 0) + 1
+        if max(gcounts.values()) > max_per:
+            break
+    else:
+        raise AssertionError("diversity never bit: workload too uniform")
+    assert got.groupby("query_id")["n_docs"].sum().eq(n).all()
+
+
+def test_diversified_sampler_missing_div_field_and_contracts(tiny_index):
+    import pytest
+
+    from mini_ivf_ray.pipelines.facets import diversified_sampler_facets
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy()
+    labels = ["x"] * len(ids)
+    queries = [(0, "the data web")]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    # diversity sidecar covering only ONE doc: the sample can hold at
+    # most that doc (missing-diversity docs are excluded)
+    got = (
+        diversified_sampler_facets(
+            idx, qds, ids, labels, ids[:1], ["g0"], cfg,
+            sample_size=10, max_per=3,
+        )
+        .to_pandas()
+    )
+    assert got["n_docs"].sum() <= 1
+    with pytest.raises(Exception, match="max_per"):
+        diversified_sampler_facets(
+            idx, qds, ids, labels, ids, labels, cfg,
+            sample_size=5, max_per=0,
+        ).to_pandas()
+    with pytest.raises(ValueError, match="null"):
+        diversified_sampler_facets(
+            idx, qds, ids, labels, ids, [None] * len(ids), cfg,
+        )
