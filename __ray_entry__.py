@@ -4541,6 +4541,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return date_histogram_pipeline(ev, 3600, moving_window=3)
 
+    def events_pipeline2(sf_dir):
+        """The remaining ES pipeline-aggregation family
+        (pipelines/pipelineagg.py bucket_pipeline_extras): serial_diff
+        (lag-2), bucket_script (sv / n, NULL on densified gaps),
+        bucket_selector (n >= 2), bucket_sort (top-5 by rounded-sv
+        desc, bucket asc, 1-based rank) — applied in ES's
+        declaration order on the REDUCED hourly bucket table: the lag
+        operands see the FULL densified series, the selector drops
+        rows after, the sort ranks survivors.  The sort key is the
+        4-decimal ROUNDED metric by design (float-sum ulps are
+        combine-order-dependent; the published key is deterministic),
+        replayed identically by the SQL oracle's window."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import (
+            bucket_pipeline_extras,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return bucket_pipeline_extras(
+            ev, 3600, lag=2, min_count=2, size=5
+        )
+
     def events_distinct_users(sf_dir):
         """Exact per-hour distinct users: per-batch DISTINCT-pair
         combiner, one bucketed exchange, per-bucket nunique
@@ -6570,6 +6596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_test": t_test_q,
         "string_stats": string_stats_q,
         "div_sampler_facets": div_sampler_facets,
+        "events_pipeline2": events_pipeline2,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -8994,6 +9021,41 @@ SELECT event_type, window_start, n, round(sv, 4) AS sv_r,
        round(deriv, 4) AS deriv_r, CAST(cum_n AS BIGINT) AS cum_n,
        round(mavg, 4) AS mavg_r
 FROM w
+""",
+        # pipeline-agg family 2: lag-2 serial_diff + sv/n script on
+        # the FULL densified series, then selector n >= 2, then top-5
+        # by (round(sv,4) desc, bucket asc) with a 1-based rank — the
+        # window replays the engine's declaration-order contract
+        "events_pipeline2": """
+WITH RECURSIVE b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  count(*)::BIGINT AS n, sum(value) AS sv
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM b GROUP BY 1),
+series(ws) AS (SELECT min(lo) FROM ext
+               UNION ALL
+               SELECT ws + 3600 FROM series
+               WHERE ws + 3600 <= (SELECT max(hi) FROM ext)),
+dense AS (SELECT e.event_type, s.ws AS window_start
+          FROM ext e JOIN series s ON s.ws BETWEEN e.lo AND e.hi),
+filled AS (SELECT d.event_type, d.window_start,
+                  COALESCE(b.n, 0)::BIGINT AS n, COALESCE(b.sv, 0.0) AS sv
+           FROM dense d LEFT JOIN b ON b.event_type = d.event_type
+                                   AND b.window_start = d.window_start),
+w AS (SELECT event_type, window_start, n, sv,
+             sv - lag(sv, 2) OVER (PARTITION BY event_type
+                                   ORDER BY window_start) AS sdiff,
+             CASE WHEN n > 0 THEN sv / n ELSE NULL END AS ratio
+      FROM filled),
+sel AS (SELECT *, row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY round(sv, 4) DESC, window_start ASC) AS rnk
+        FROM w WHERE n >= 2)
+SELECT event_type, window_start, n, round(sv, 4) AS sv_r,
+       round(sdiff, 4) AS sdiff_r, round(ratio, 4) AS ratio_r,
+       rnk::BIGINT AS rank
+FROM sel WHERE rnk <= 5
 """,
         # phrase suggester: per-(query, position) levenshtein<=1
         # candidates under the engine's (lev, df desc, term) top-3

@@ -40,18 +40,12 @@ import pandas as pd
 import pyarrow as pa
 
 
-def date_histogram_pipeline(
-    events_ds,
-    window_sec: int = 3600,
-    moving_window: int = 3,
-) -> pa.Table:
-    """(event_type, window_start, n, sv_r, deriv_r, cum_n, mavg_r):
-    per-type densified time buckets with the three ES pipeline
-    aggregations computed on the reduced bucket table."""
-    if moving_window <= 0:
-        raise ValueError(f"moving_window must be > 0, got {moving_window}")
-    if window_sec <= 0:
-        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+def _dense_series(events_ds, window_sec: int) -> list[pd.DataFrame]:
+    """The shared distributed stage: ONE combiner-first histogram pass
+    (per-block (type, bucket) partials, one small groupby exchange)
+    followed by per-series densification between each series' own
+    extent — the reduced bucket tables every pipeline agg here runs
+    on.  Returns one sorted, zero-filled frame per event_type."""
     from mini_ivf_ray.pipelines.events import _window_partials
 
     from ray.data.aggregate import Sum
@@ -78,6 +72,24 @@ def date_histogram_pipeline(
         g["event_type"] = et
         g["n"] = g["n"].fillna(0).astype(np.int64)
         g["sv"] = g["sv"].fillna(0.0).astype(np.float64)
+        frames.append(g)
+    return frames
+
+
+def date_histogram_pipeline(
+    events_ds,
+    window_sec: int = 3600,
+    moving_window: int = 3,
+) -> pa.Table:
+    """(event_type, window_start, n, sv_r, deriv_r, cum_n, mavg_r):
+    per-type densified time buckets with the three ES pipeline
+    aggregations computed on the reduced bucket table."""
+    if moving_window <= 0:
+        raise ValueError(f"moving_window must be > 0, got {moving_window}")
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    frames = []
+    for g in _dense_series(events_ds, window_sec):
         sv = g["sv"].to_numpy()
         deriv = np.empty(len(g), dtype=np.float64)
         deriv[0] = np.nan
@@ -116,6 +128,102 @@ def date_histogram_pipeline(
             "mavg_r": pa.array(
                 np.round(out["mavg"].to_numpy(dtype=np.float64), 4),
                 type=pa.float64(),
+            ),
+        }
+    )
+
+
+def bucket_pipeline_extras(
+    events_ds,
+    window_sec: int = 3600,
+    lag: int = 2,
+    min_count: int = 2,
+    size: int = 5,
+) -> pa.Table:
+    """The remaining ES pipeline-aggregation family over the same
+    reduced bucket table: ``serial_diff`` (lag-k differencing),
+    ``bucket_script`` (a per-bucket computed metric), then
+    ``bucket_selector`` (drop buckets) and ``bucket_sort`` (order and
+    truncate the survivors) — applied in EXACTLY that order, ES's
+    declaration-order contract, pinned: serial_diff and the script see
+    the FULL densified series (a selector cannot change a lag
+    operand), the selector then drops rows, and the sort ranks only
+    the survivors.
+
+    Per event_type series:
+
+      * ``sdiff``  = sv - sv(lag buckets earlier); NULL on each
+        series' first ``lag`` buckets (ES serial_diff emits nothing
+        there).
+      * ``ratio``  = sv / n (bucket_script {sv, n -> sv / n});
+        NULL where n == 0 (a densified gap has no script value —
+        pinned rather than ES's script runtime error).
+      * selector: keep buckets with n >= ``min_count`` (integer
+        predicate — exact).
+      * sort: survivors ranked by (round(sv, 4) DESC, window_start
+        ASC), top ``size`` kept, 1-based ``rank`` emitted.  The sort
+        key is the ROUNDED metric by design: sv is a float sum whose
+        last ulp is combine-order-dependent, so the published sort
+        key is the 4-decimal value both the engine and the SQL oracle
+        rank on — determinism over ulp-luck.
+
+    Distributed shape: identical to date_histogram_pipeline — one
+    combiner-first histogram exchange; everything here is driver math
+    over (types x buckets) reduced rows, corpus-independent.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if min_count < 0:
+        raise ValueError(f"min_count must be >= 0, got {min_count}")
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    frames = []
+    for g in _dense_series(events_ds, window_sec):
+        sv = g["sv"].to_numpy()
+        n = g["n"].to_numpy()
+        sdiff = np.full(len(g), np.nan)
+        if len(g) > lag:
+            sdiff[lag:] = sv[lag:] - sv[:-lag]
+        g["sdiff"] = sdiff
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g["ratio"] = np.where(n > 0, sv / np.maximum(n, 1), np.nan)
+        g = g[g["n"] >= min_count].copy()
+        if not len(g):
+            continue
+        key = np.round(g["sv"].to_numpy(), 4)
+        order = np.lexsort((g["window_start"].to_numpy(), -key))[:size]
+        g = g.iloc[order].copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        frames.append(g)
+    cols = ["event_type", "window_start", "n", "sv", "sdiff", "ratio", "rank"]
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_start": pa.array(
+                out["window_start"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "sv_r": pa.array(
+                np.round(out["sv"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "sdiff_r": pa.array(
+                np.round(out["sdiff"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "ratio_r": pa.array(
+                np.round(out["ratio"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "rank": pa.array(
+                out["rank"].to_numpy(dtype=np.int64), type=pa.int64()
             ),
         }
     )

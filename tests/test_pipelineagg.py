@@ -127,3 +127,104 @@ def test_contracts(events):
         date_histogram_pipeline(ds, W, moving_window=0)
     with pytest.raises(ValueError, match="window_sec"):
         date_histogram_pipeline(ds, 0)
+
+
+# bucket_pipeline_extras: serial_diff / bucket_script / selector / sort
+
+
+def _truth_extras(df, w, lag, min_count, size):
+    df = df.copy()
+    df["window_start"] = (
+        df["ts"].astype("datetime64[s]").astype(np.int64) // w * w
+    )
+    rows = []
+    for et, g in df.groupby("event_type"):
+        b = (
+            g.groupby("window_start")
+            .agg(n=("value", "size"), sv=("value", "sum"))
+            .reset_index()
+            .sort_values("window_start")
+        )
+        full = pd.DataFrame(
+            {
+                "window_start": np.arange(
+                    b["window_start"].min(),
+                    b["window_start"].max() + 1,
+                    w,
+                    dtype=np.int64,
+                )
+            }
+        )
+        b = full.merge(b, on="window_start", how="left").fillna(
+            {"n": 0, "sv": 0.0}
+        )
+        b["event_type"] = et
+        b["sdiff"] = b["sv"] - b["sv"].shift(lag)
+        b["ratio"] = np.where(b["n"] > 0, b["sv"] / b["n"].clip(lower=1), np.nan)
+        b = b[b["n"] >= min_count].copy()
+        b["_key"] = np.round(b["sv"], 4)
+        b = b.sort_values(
+            ["_key", "window_start"], ascending=[False, True]
+        ).head(size)
+        b["rank"] = np.arange(1, len(b) + 1)
+        rows.append(b.drop(columns="_key"))
+    return pd.concat(rows, ignore_index=True)
+
+
+def test_extras_matches_pandas_replay(events):
+    from mini_ivf_ray.pipelines.pipelineagg import bucket_pipeline_extras
+
+    ds = ray.data.from_pandas(events)
+    got = (
+        bucket_pipeline_extras(ds, W, lag=2, min_count=2, size=5)
+        .to_pandas()
+        .sort_values(["event_type", "rank"])
+        .reset_index(drop=True)
+    )
+    want = _truth_extras(events, W, 2, 2, 5).sort_values(
+        ["event_type", "rank"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got["window_start"].tolist() == want["window_start"].tolist()
+    assert got["n"].tolist() == want["n"].astype(int).tolist()
+    assert np.allclose(got["sv_r"], np.round(want["sv"], 4))
+    assert np.allclose(
+        got["sdiff_r"], np.round(want["sdiff"], 4), equal_nan=True
+    )
+    assert np.allclose(got["ratio_r"], np.round(want["ratio"], 4))
+    assert got["rank"].tolist() == want["rank"].tolist()
+
+
+def test_extras_declaration_order_contract(events):
+    """The lag operand must see the FULL densified series: type 'a'
+    has empty hours (n=0, dropped by the selector) whose sv=0 still
+    feeds neighbours' sdiff — a post-selector lag would differ."""
+    from mini_ivf_ray.pipelines.pipelineagg import bucket_pipeline_extras
+
+    ds = ray.data.from_pandas(events)
+    got = bucket_pipeline_extras(ds, W, lag=2, min_count=2, size=12).to_pandas()
+    a = got[got["event_type"] == "a"].set_index("window_start")
+    base = int(
+        events["ts"].astype("datetime64[s]").astype(np.int64).min() // W * W
+    )
+    # hour 5's lag-2 operand is the EMPTY hour 3... hours 4 is empty:
+    # hour 6's lag-2 operand is hour 4 (sv == 0), so sdiff == sv(h6)
+    h6 = base + 6 * W
+    if h6 in a.index:
+        assert a.loc[h6, "sdiff_r"] == a.loc[h6, "sv_r"]
+    # selector really dropped the empty buckets
+    assert (got["n"] >= 2).all()
+
+
+def test_extras_contracts(events):
+    from mini_ivf_ray.pipelines.pipelineagg import bucket_pipeline_extras
+
+    ds = ray.data.from_pandas(events)
+    for kw, msg in (
+        ({"lag": 0}, "lag"),
+        ({"min_count": -1}, "min_count"),
+        ({"size": 0}, "size"),
+        ({"window_sec": 0}, "window_sec"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            bucket_pipeline_extras(ds, **{"window_sec": W, **kw})
