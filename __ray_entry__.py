@@ -50,6 +50,19 @@ RARE_AGG_QUERIES: list[tuple[int, str]] = [
     (1, "vector scan"),
 ]
 
+# match_phrase_prefix workload: the LAST token of each query is the
+# prefix.  At max_expansions=3 the 's' prefix expands to only the
+# first 3 of the vocab's six s-terms (scan, slow, small — sort, spark,
+# stream are beyond the cap), so the ES expansion cap provably bites;
+# 'd' expands inside the cap (data, dup) to cover the uncapped case.
+MPP_QUERIES: list[tuple[int, str]] = [
+    (0, "the s"),
+    (1, "data s"),
+    (2, "key value s"),
+    (3, "big d"),
+]
+MPP_MAX_EXPANSIONS = 3
+
 # common-terms workload + cutoff: the synthetic vocab is FLAT (every
 # ordinary term sits at df/N ~ 0.75-0.80; the only outlier is the
 # duplicate marker 'dup' at 0.05), so a conventional cutoff like 0.10
@@ -2202,6 +2215,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "sort_v": pa.array(res["sort_v"].to_numpy(), type=pa.float64()),
                 "metric_v": pa.array(
                     res["metric_v"].to_numpy(), type=pa.float64()
+                ),
+            }
+        )
+
+    def phrase_prefix_topk(sf_dir):
+        """Match-phrase-prefix search (ES match_phrase_prefix / Lucene
+        MatchPhrasePrefixQuery, pipelines/phraseprefix.py): fixed
+        tokens contiguous, final token a PREFIX expanding to the FIRST
+        max_expansions dictionary terms in term order (ES's
+        terms-index walk; the cap is pinned semantics shared by both
+        verify backends and the oracle — at 3 the 's' prefix provably
+        drops sort/spark/stream).  Served index-only from the
+        positions store when fresh (mode 'phrase_prefix': fixed chain
+        + union of the doc's expansion position lists), corpus-verify
+        otherwise — pytest-pinned identical.  Ranked by the FIXED
+        tokens' conjunctive BM25 (expansion gates matching, not
+        scoring — documented divergence from Lucene's de-weighted
+        blending)."""
+        from mini_ivf_ray.pipelines.phraseprefix import (
+            match_phrase_prefix_topk,
+        )
+
+        idx = _ensure_index(sf_dir)
+        res = match_phrase_prefix_topk(
+            idx,
+            _documents(sf_dir),
+            MPP_QUERIES,
+            _CFG,
+            max_expansions=MPP_MAX_EXPANSIONS,
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
                 ),
             }
         )
@@ -6597,6 +6654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_stats": string_stats_q,
         "div_sampler_facets": div_sampler_facets,
         "events_pipeline2": events_pipeline2,
+        "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
         "ann_bruteforce": ann_bruteforce,
@@ -7132,6 +7190,74 @@ verified AS (
   JOIN ph ON ph.query_id = scores.query_id
   JOIN docstr ON docstr.doc_id = scores.doc_id
   WHERE docstr.s LIKE '% ' || ph.phrase || ' %'),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM verified)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+"""
+
+
+def _mpp_sql() -> str:
+    # match_phrase_prefix: conjunctive BM25 over the FIXED tokens
+    # (identical formula to _phrase_sql), verified by the docstr LIKE
+    # trick with an EXISTS over the per-query CAPPED expansion set —
+    # first MPP_MAX_EXPANSIONS dictionary terms in term order, the
+    # engine's exact expansion rule
+    fixed_rows, phrase_rows, prefix_rows = [], [], []
+    for qid, text in MPP_QUERIES:
+        toks = text.split()
+        fixed, prefix = toks[:-1], toks[-1]
+        for t in sorted(set(fixed)):
+            fixed_rows.append(f"({qid}, '{t}')")
+        phrase_rows.append(f"({qid}, '{' '.join(fixed)}')")
+        prefix_rows.append(f"({qid}, '{prefix}')")
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {", ".join(fixed_rows)}),
+qn AS (SELECT query_id, count(*) AS n FROM q GROUP BY 1),
+ph(query_id, phrase) AS (VALUES {", ".join(phrase_rows)}),
+qpre(query_id, prefix) AS (VALUES {", ".join(prefix_rows)}),
+exp AS (SELECT query_id, term FROM (
+          SELECT qp.query_id, d.term,
+                 row_number() OVER (PARTITION BY qp.query_id
+                                    ORDER BY d.term ASC) AS rn
+          FROM qpre qp JOIN df d ON d.term LIKE qp.prefix || '%')
+        WHERE rn <= {MPP_MAX_EXPANSIONS}),
+docstr AS (SELECT doc_id,
+                  ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')
+                  || ' ' AS s
+           FROM documents),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score,
+         count(*) AS nm
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+verified AS (
+  SELECT scores.query_id, scores.doc_id, scores.score
+  FROM scores
+  JOIN qn ON qn.query_id = scores.query_id AND scores.nm = qn.n
+  JOIN ph ON ph.query_id = scores.query_id
+  JOIN docstr ON docstr.doc_id = scores.doc_id
+  WHERE EXISTS (SELECT 1 FROM exp e
+                WHERE e.query_id = scores.query_id
+                  AND docstr.s LIKE '% ' || ph.phrase || ' ' || e.term
+                                   || ' %')),
 ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
@@ -9766,6 +9892,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "phrase_topk": _phrase_sql(),
+        "phrase_prefix_topk": _mpp_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
         "exact_dedup": """

@@ -542,6 +542,10 @@ class _IndexPosVerifier:
         terms: set[str] = set()
         for it in items:
             terms.update(it[1])
+            if mode == "phrase_prefix":
+                # it[2] is the capped expansion list — its position
+                # rows feed the final phrase slot
+                terms.update(it[2])
         self.all_terms = sorted(terms)
         union = [v for v in self.cand.values() if v.size]
         self.union_cand = (
@@ -589,6 +593,27 @@ class _IndexPosVerifier:
                 cand_local = ids[np.isin(ids, here)]
                 for d in cand_local.tolist():
                     pls = [lut.get((int(d), t)) for t in it[1]]
+                    if self.mode == "phrase_prefix":
+                        # fixed chain + the UNION of the doc's
+                        # expansion position lists as the final slot
+                        if any(p is None for p in pls):
+                            continue
+                        eps = [
+                            lut[(int(d), e)]
+                            for e in it[2]
+                            if (int(d), e) in lut
+                        ]
+                        if not eps:
+                            continue
+                        union = (
+                            eps[0]
+                            if len(eps) == 1
+                            else np.unique(np.concatenate(eps))
+                        )
+                        if phrase_match_positions(pls + [union]):
+                            out_q.append(qid)
+                            out_d.append(int(d))
+                        continue
                     if self.mode == "not":
                         # SpanNot: candidates come from the include
                         # term's postings so pls[0] exists; a MISSING
