@@ -2927,6 +2927,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def has_child_topk(sf_dir):
+        """Parent-child join retrieval (ES has_child in a bool must,
+        pipelines/parentjoin.py): parents = documents, children =
+        events via the deterministic h60(event_id, 'hc-parent') % N
+        assignment (synth_edges convention).  A parent ranks iff it
+        matches the text query AND >= 2 'click' children; score =
+        BM25 + sum(child value) with child scores carried as integer
+        cents (order-independent sums, SQL-replayable).  One streamed
+        child pass + combiner-first groupby; slim qualifying-parent
+        sidecar broadcast once; full TAAT (additive contribution is
+        rank-unsafe for text bounds)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.parentjoin import has_child_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        children = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        res = has_child_search(
+            idx,
+            qds,
+            children,
+            docs,
+            _CFG,
+            child_type="click",
+            score_mode="sum",
+            min_children=2,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def has_parent_topk(sf_dir):
+        """Parent-child join, child direction (ES has_parent with
+        score=true, pipelines/parentjoin.py): top-20 EVENTS per query
+        ranked by their parent document's BM25 score (ties: event_id
+        asc).  Three streamed stages — child->parent projection, full
+        scored match sets emitted as a Dataset, ONE bucketed hash join
+        on doc_id + per-block partial top-k; the driver merges
+        (blocks x queries x k) slim candidate rows."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.parentjoin import has_parent_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        children = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+        )
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        res = has_parent_search(idx, qds, children, docs, _CFG, topk=20)
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "event_id": pa.array(
+                    res["event_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -6478,6 +6573,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank_feature_topk: ES rank_feature — bounded saturation
         # boost added to BM25 (round-5 addition)
         "rank_feature_topk": rank_feature_topk,
+        # has_child_topk / has_parent_topk: ES join-field queries —
+        # parent-child relevance joins across documents x events
+        "has_child_topk": has_child_topk,
+        "has_parent_topk": has_parent_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -8136,6 +8235,91 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # has_child: parent assignment h60(event_id,'hc-parent') % N
+        # replayed via the md5-substr UBIGINT form; child scores as
+        # integer cents (round(value*100)) so the sum is
+        # order-independent on both sides; HAVING >= 2 is the
+        # min_children must-gate; score = bm25 + cents/100.0
+        "has_child_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+ch AS (SELECT CAST(CAST(('0x' || substr(md5(event_id || ':hc-parent'), 1, 15))
+                        AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos,
+              CAST(round(value * 100) AS BIGINT) AS cents
+       FROM events WHERE event_type = 'click'),
+agg AS (SELECT o.doc_id, count(*)::BIGINT AS nch, sum(ch.cents)::BIGINT AS sm
+        FROM ch JOIN ord o ON o.pos = ch.pos
+        GROUP BY 1 HAVING count(*) >= 2),
+final AS (SELECT sc.query_id, sc.doc_id,
+                 sc.score + (a.sm::DOUBLE / 100.0) AS score
+          FROM scores sc JOIN agg a ON a.doc_id = sc.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # has_parent: every event of a matching parent inherits the
+        # parent's BM25 score (score=true); ties (score desc,
+        # event_id asc) make the top-20 cut deterministic
+        "has_parent_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+ch AS (SELECT e.event_id, o.doc_id
+       FROM events e
+       JOIN ord o ON o.pos =
+            CAST(CAST(('0x' || substr(md5(e.event_id || ':hc-parent'), 1, 15))
+                      AS UBIGINT) AS BIGINT) % (SELECT n FROM nn)),
+j AS (SELECT s.query_id, c.event_id, s.score
+      FROM scores s JOIN ch c ON c.doc_id = s.doc_id),
+ranked AS (SELECT query_id, event_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, event_id ASC) - 1 AS rank
+           FROM j)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, event_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 20
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the

@@ -324,6 +324,22 @@ class RangeSearcher:
                     else:
                         scores = scores * _np.where(hit, adjust[idx], 1.0)
                 self._emit_topk(out, qid, docs, scores, k)
+        elif mode == "has_child":
+            # parentjoin.HasChildSearcher shard-local: the value
+            # sidecar holds ONLY qualifying parents' contributions
+            # (min_children already applied driver-side), so the hit
+            # mask IS the must-gate — non-hits are DROPPED, hits add
+            for qid, qtext in queries:
+                docs, scores = self._in_range_scored(qtext, full=True)
+                if scores is None or not docs.size or not self.val_ids.size:
+                    continue
+                idx = _np.searchsorted(self.val_ids, docs)
+                _np.minimum(idx, self.val_ids.size - 1, out=idx)
+                hit = self.val_ids[idx] == docs
+                docs = docs[hit]
+                scores = scores[hit] + self.vals[idx[hit]]
+                if docs.size:
+                    self._emit_topk(out, qid, docs, scores, k)
         elif mode == "boosting":
             for qid, positive, negative, nb in queries:
                 nbf = float(nb)
@@ -359,7 +375,12 @@ class RangeSearcher:
                 self._emit_topk(out, qid, docs, scores, k)
         else:
             raise ValueError(f"unknown rerank mode {mode!r}")
-        return pd.DataFrame(out)
+        # explicit uint64: a mixed int64/uint64 pd.concat at the merge
+        # would promote to float64 and corrupt large hashed doc ids
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+        return df
 
     def similarity_batch(
         self, queries: list[tuple[int, str]], model: str, params: dict
@@ -449,7 +470,11 @@ class RangeSearcher:
                 uniq, scores = uniq[live], scores[live]
             if uniq.size:
                 self._emit_topk(out, qid, uniq, scores, k)
-        return pd.DataFrame(out)
+        # explicit uint64 (see rerank_batch: concat promotion hazard)
+        df = pd.DataFrame(out)
+        if len(df):
+            df["doc_id"] = df["doc_id"].astype(np.uint64)
+        return df
 
     def _emit_topk(self, out: dict, qid, docs, scores, k: int) -> None:
         from mini_ivf_ray.pipelines.query import _topk_exact
@@ -1456,19 +1481,23 @@ class ShardedIndex:
 
           mode "rank_feature" -> rankfeature.rank_feature_search
           mode "decay"        -> decay.decay_search
+          mode "has_child"    -> parentjoin.has_child_search
+                                 (sidecar = QUALIFYING parents'
+                                 contributions from has_child_contrib;
+                                 the hit mask is the must-gate)
           mode "boosting"     -> boosting.boosting_search
                                  (queries = (qid, positive, negative, nb);
                                  needs NO sidecar)
 
-        rank_feature/decay need ``attach_value_sidecar`` first (each
-        shard holds its corpus/R value slice).  Every doc is scored
+        rank_feature/decay/has_child need ``attach_value_sidecar``
+        first (each shard holds its corpus/R value slice).  Every doc is scored
         fully in exactly ONE shard (RangeSearcher.rerank_batch's range
         mask), so the merge is a plain (score desc, doc asc) top-k
         over shards x k slim candidate rows — never doc-proportional."""
         import ray
 
         params = dict(params or {})
-        if mode in ("rank_feature", "decay") and not getattr(
+        if mode in ("rank_feature", "decay", "has_child") and not getattr(
             self, "_has_value_sidecar", False
         ):
             raise ValueError("attach_value_sidecar first")

@@ -50,10 +50,11 @@ def test_sharded_rerank_identity_all_modes(tiny_index):
             idx, _qds(), ids, vals, cfg, **rf_kw
         ).to_pandas()
         got = sharded.rerank_search(QUERIES, "rank_feature", rf_kw)
-        for c in ("doc_id", "score"):
+        for c, dt in (("doc_id", np.uint64), ("score", np.float64)):
+            # exact: doc ids must never round-trip through float64
             assert np.array_equal(
-                _canon(got)[c].to_numpy().astype(np.float64),
-                _canon(single)[c].to_numpy().astype(np.float64),
+                _canon(got)[c].to_numpy().astype(dt),
+                _canon(single)[c].to_numpy().astype(dt),
             ), ("rank_feature", c)
 
         dc_kw = {
@@ -62,10 +63,11 @@ def test_sharded_rerank_identity_all_modes(tiny_index):
         }
         single = decay_search(idx, _qds(), ids, vals, cfg, **dc_kw).to_pandas()
         got = sharded.rerank_search(QUERIES, "decay", dc_kw)
-        for c in ("doc_id", "score"):
+        for c, dt in (("doc_id", np.uint64), ("score", np.float64)):
+            # exact: doc ids must never round-trip through float64
             assert np.array_equal(
-                _canon(got)[c].to_numpy().astype(np.float64),
-                _canon(single)[c].to_numpy().astype(np.float64),
+                _canon(got)[c].to_numpy().astype(dt),
+                _canon(single)[c].to_numpy().astype(dt),
             ), ("decay", c)
 
         bq = [(0, "the data web", "w00042", 0.25), (1, "a data", "web", 0.5)]
@@ -80,10 +82,11 @@ def test_sharded_rerank_identity_all_modes(tiny_index):
         )
         single = boosting_search(idx, bqs, cfg).to_pandas()
         got = sharded.rerank_search(bq, "boosting")
-        for c in ("doc_id", "score"):
+        for c, dt in (("doc_id", np.uint64), ("score", np.float64)):
+            # exact: doc ids must never round-trip through float64
             assert np.array_equal(
-                _canon(got)[c].to_numpy().astype(np.float64),
-                _canon(single)[c].to_numpy().astype(np.float64),
+                _canon(got)[c].to_numpy().astype(dt),
+                _canon(single)[c].to_numpy().astype(dt),
             ), ("boosting", c)
         # contracts
         with pytest.raises(Exception, match="unknown rerank mode|mode"):
@@ -120,10 +123,11 @@ def test_sharded_similarity_identity_all_models(tiny_index):
             single = single_fn(_qds()).to_pandas()
             got = sharded.similarity_search(QUERIES, model, params)
             assert len(got), model
-            for c in ("doc_id", "score"):
+            for c, dt in (("doc_id", np.uint64), ("score", np.float64)):
+                # exact: doc ids must never round-trip through float64
                 assert np.array_equal(
-                    _canon(got)[c].to_numpy().astype(np.float64),
-                    _canon(single)[c].to_numpy().astype(np.float64),
+                    _canon(got)[c].to_numpy().astype(dt),
+                    _canon(single)[c].to_numpy().astype(dt),
                 ), (model, c)
         with pytest.raises(Exception, match="unknown similarity"):
             sharded.similarity_search(QUERIES, "bm42")
