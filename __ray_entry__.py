@@ -116,6 +116,17 @@ PHRASE_QUERIES: list[tuple[int, str]] = [
     (8, "hash merge sort"),
 ]
 
+# Multi-phrase workload (Lucene MultiPhraseQuery): per slot a list of
+# alternatives; slot pairs chosen so BOTH variants occur as bigrams in
+# the synthetic corpus (the alternatives provably widen the match set)
+MP_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["data"], ["stream", "line"]]),
+    (1, [["merge", "table"], ["sort", "scan"]]),
+    (2, [["key"], ["value", "order"]]),
+    (3, [["big", "small"]]),  # 1-slot degenerate: plain disjunction
+    (4, [["data"], ["row"], ["column", "line"]]),
+]
+
 # SpanFirst workload: (query_id, term, first-window limit) — small
 # limits so the position filter visibly prunes the term's postings;
 # one OOV term (empty) and one zero window (empty by definition)
@@ -4214,6 +4225,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def multi_phrase_topk_q(sf_dir):
+        """Multi-phrase search (Lucene MultiPhraseQuery,
+        pipelines/multiphrase.py): each slot accepts any of several
+        alternatives; served INDEX-ONLY — per-slot union-of-postings
+        candidates, positional verify with per-slot position-list
+        unions from the positions store (docs_ds=None), ranked by the
+        disjunctive BM25 over the union of slot terms."""
+        from mini_ivf_ray.pipelines.multiphrase import multi_phrase_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = multi_phrase_topk(idx, None, MP_QUERIES, _CFG, positions="index")
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def bm25_exhaustive(sf_dir):
         """Same top-k via the distributed exhaustive scorer (the
         get_groundtruth analog) — no index involved."""
@@ -6524,6 +6563,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # phrase_topk re-enters the window: its verify backend changed
         # this round (index-only positional payload)
         "phrase_topk": phrase_topk_q,
+        # multi_phrase_topk: Lucene MultiPhraseQuery — per-slot
+        # alternative terms, index-only positional verify
+        "multi_phrase_topk": multi_phrase_topk_q,
         "ordered_prox": ordered_prox,
         # page2_filtered: search_after composed with the allowed mask
         # (round-5 boundary closure — the path used to raise)
@@ -7246,6 +7288,63 @@ def _phrase_values() -> tuple[str, str]:
             term_rows.append(f"({qid}, '{t}')")
         phrase_rows.append(f"({qid}, '{' '.join(toks)}')")
     return ", ".join(term_rows), ", ".join(phrase_rows)
+
+
+def _multi_phrase_sql() -> str:
+    # disjunctive BM25 over the union of slot terms (no conjunctive
+    # gate — the phrase EXISTS is the gate); the multi-phrase is
+    # replayed as the CARTESIAN expansion of the slots into plain
+    # phrases, matched with the docstr LIKE trick under EXISTS (small
+    # slot fan-outs make the expansion a handful of rows per query)
+    from itertools import product
+
+    trows, prows = [], []
+    for qid, slots in MP_QUERIES:
+        for t in sorted({t for s in slots for t in s}):
+            trows.append(f"({qid}, '{t}')")
+        for combo in product(*slots):
+            prows.append(f"({qid}, '{' '.join(combo)}')")
+    terms, phrases = ", ".join(trows), ", ".join(prows)
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {terms}),
+ph(query_id, phrase) AS (VALUES {phrases}),
+docstr AS (SELECT doc_id,
+                  ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')
+                  || ' ' AS s
+           FROM documents),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+verified AS (
+  SELECT sc.query_id, sc.doc_id, sc.score
+  FROM scores sc
+  JOIN docstr ds ON ds.doc_id = sc.doc_id
+  WHERE EXISTS (SELECT 1 FROM ph
+                WHERE ph.query_id = sc.query_id
+                  AND ds.s LIKE '% ' || ph.phrase || ' %')),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM verified)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+"""
 
 
 def _phrase_sql() -> str:
@@ -10076,6 +10175,7 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """,
         "phrase_topk": _phrase_sql(),
+        "multi_phrase_topk": _multi_phrase_sql(),
         "phrase_prefix_topk": _mpp_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",

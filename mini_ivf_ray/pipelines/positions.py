@@ -629,6 +629,31 @@ class _IndexPosVerifier:
                             out_q.append(qid)
                             out_d.append(int(d))
                         continue
+                    if self.mode == "multi_phrase":
+                        # it[2] = slots: per slot the UNION of the
+                        # doc's alternative position lists, then the
+                        # plain phrase positional intersection (the
+                        # phrase_prefix final-slot trick, every slot)
+                        slot_pls = []
+                        ok = True
+                        for slot in it[2]:
+                            lists = [
+                                lut[(int(d), t)]
+                                for t in slot
+                                if (int(d), t) in lut
+                            ]
+                            if not lists:
+                                ok = False
+                                break
+                            slot_pls.append(
+                                lists[0]
+                                if len(lists) == 1
+                                else np.unique(np.concatenate(lists))
+                            )
+                        if ok and phrase_match_positions(slot_pls):
+                            out_q.append(qid)
+                            out_d.append(int(d))
+                        continue
                     if any(p is None for p in pls):
                         continue
                     if self.mode == "phrase":
