@@ -3033,6 +3033,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def match_value_stats(sf_dir):
+        """Field-value metadata aggregations (ES cardinality /
+        value_count / missing, pipelines/valuestats.py) in ONE pass
+        over the facet-panel machinery: per query over the disjunctive
+        match set, the EXACT distinct count of documents.lang (exact
+        where ES ships HLL — documented divergence), the count of
+        matched docs carrying the field, and the count missing it.
+        The field is deliberately PARTIAL (docs with n_chars % 7 == 0
+        are out of the sidecar) so `missing` is non-vacuous."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.valuestats import value_stats_search
+
+        idx = _ensure_index(sf_dir)
+        import pyarrow.parquet as pqmod
+
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+        )
+        keep = (side["n_chars"].to_numpy() % 7) != 0
+        ids = side["doc_id"].to_numpy()[keep]
+        langs = np.asarray(side["lang"].to_pylist(), dtype=object)[keep]
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = value_stats_search(idx, qds, ids, langs, _CFG).to_pandas()
+        res = res.sort_values("query_id")
+        return pa.table(
+            {
+                c: pa.array(res[c].to_numpy().astype(np.int64), type=pa.int64())
+                for c in (
+                    "query_id", "n_matched", "value_count",
+                    "cardinality", "missing",
+                )
+            }
+        )
+
     def dict_topdf(sf_dir):
         """The BUILT index's global dictionary vs tokenize truth:
         top-100 terms by (df desc, term asc) read straight from
@@ -6619,6 +6657,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parent-child relevance joins across documents x events
         "has_child_topk": has_child_topk,
         "has_parent_topk": has_parent_topk,
+        # match_value_stats: ES cardinality (exact) + value_count +
+        # missing over the match set, one facet-panel pass
+        "match_value_stats": match_value_stats,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -8419,6 +8460,25 @@ ranked AS (SELECT query_id, event_id, score,
            FROM j)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, event_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 20
+""",
+        # match_value_stats: the disjunctive match set LEFT-joined to
+        # the partial (n_chars % 7 != 0) lang sidecar — count(*) =
+        # n_matched, count(s.lang) = value_count, count(DISTINCT
+        # s.lang) = exact cardinality, difference = missing
+        "match_value_stats": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+side AS (SELECT doc_id, lang FROM documents WHERE n_chars % 7 <> 0)
+SELECT m.query_id,
+       count(*)::BIGINT AS n_matched,
+       count(s.lang)::BIGINT AS value_count,
+       count(DISTINCT s.lang)::BIGINT AS cardinality,
+       (count(*) - count(s.lang))::BIGINT AS missing
+FROM matches m LEFT JOIN side s ON s.doc_id = m.doc_id
+GROUP BY 1
 """,
         # the built index's dictionary bookkeeping: top-100 by
         # (df desc, term asc) — row_number is deterministic under the

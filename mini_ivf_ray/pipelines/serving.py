@@ -713,6 +713,37 @@ class RangeSearcher:
                 out["n_docs"].append(int(counts[code]))
         return pd.DataFrame(out)
 
+    def value_stats_batch(
+        self, queries: list[tuple[int, str]], n_labels: int
+    ) -> pd.DataFrame:
+        """Per query, this shard's value-stats PARTIAL over its slice
+        of the disjunctive match set: sparse (query_id, code, n) panel
+        rows plus ONE code = -1 row carrying the shard's matched-doc
+        count.  Both are additive across disjoint doc ranges; the
+        driver derives cardinality/value_count/missing from the MERGED
+        panel (valuestats.py)."""
+        out = {"query_id": [], "code": [], "n": []}
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size:
+                continue
+            out["query_id"].append(qid)
+            out["code"].append(-1)
+            out["n"].append(int(docs.size))
+            if not self.side_ids.size:
+                continue
+            idx = np.searchsorted(self.side_ids, docs)
+            np.minimum(idx, self.side_ids.size - 1, out=idx)
+            valid = self.side_ids[idx] == docs
+            counts = np.bincount(
+                self.side_codes[idx[valid]], minlength=n_labels
+            )
+            for code in np.flatnonzero(counts):
+                out["query_id"].append(qid)
+                out["code"].append(int(code))
+                out["n"].append(int(counts[code]))
+        return pd.DataFrame(out)
+
     def collapse_batch(self, queries: list[tuple[int, str]]) -> pd.DataFrame:
         """Per query, this shard's per-group winner (score desc, doc
         asc) over its slice of the full accumulated match set ->
@@ -1318,6 +1349,58 @@ class ShardedIndex:
         out["query_id"] = out["query_id"].astype(np.int64)
         out["n_docs"] = out["n_docs"].astype(np.int64)
         return out
+
+    def value_stats(
+        self, queries: list[tuple[int, str]], chunk: int = 512
+    ) -> pd.DataFrame:
+        """Shard-local value-stats -> (query_id, n_matched,
+        value_count, cardinality, missing), identical to
+        valuestats.value_stats_search.  Per-shard partials are sparse
+        additive (code, n) panel rows + a matched-count row; the merge
+        is queries x (cardinality + 1) rows, corpus-independent, and
+        cardinality comes from the MERGED panel (a per-shard nonzero
+        count would overcount labels present in several shards)."""
+        import ray
+
+        if not self.side_labels:
+            raise ValueError("attach_sidecar first")
+        n_labels = len(self.side_labels)
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.value_stats_batch.remote(part, n_labels)
+                for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        cols = [
+            "query_id", "n_matched", "value_count", "cardinality", "missing",
+        ]
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(["query_id", "code"], sort=True, as_index=False)["n"]
+            .sum()
+        )
+        out = {c: [] for c in cols}
+        for qid, g in merged.groupby("query_id", sort=True):
+            matched = g[g["code"] == -1]["n"]
+            n_matched = int(matched.iloc[0]) if len(matched) else 0
+            if n_matched == 0:
+                continue
+            panel = g[g["code"] >= 0]
+            vc = int(panel["n"].sum())
+            out["query_id"].append(int(qid))
+            out["n_matched"].append(n_matched)
+            out["value_count"].append(vc)
+            out["cardinality"].append(int((panel["n"] > 0).sum()))
+            out["missing"].append(n_matched - vc)
+        df = pd.DataFrame(out)
+        if len(df):
+            for c in cols:
+                df[c] = df[c].astype(np.int64)
+        return df
 
     def rare_terms(
         self,
