@@ -127,6 +127,21 @@ MP_QUERIES: list[tuple[int, list[list[str]]]] = [
     (4, [["data"], ["row"], ["column", "line"]]),
 ]
 
+# Pinned-query workload (ES pinned): per query the curated doc ids to
+# promote, in order — ids chosen small so they exist at every sf; the
+# pins deliberately mix docs that also match organically (deduped from
+# the tail) with docs that don't (shown anyway, ES's contract)
+PINNED_BY_QID: dict[int, list[int]] = {
+    0: [7, 3],
+    1: [42],
+    2: [0, 11, 5],
+    3: [],
+    4: [99, 1],
+    5: [250],
+    6: [],
+    7: [13, 8],
+}
+
 # SpanFirst workload: (query_id, term, first-window limit) — small
 # limits so the position filter visibly prunes the term's postings;
 # one OOV term (empty) and one zero window (empty by definition)
@@ -3026,6 +3041,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ),
                 "event_id": pa.array(
                     res["event_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def pinned_topk(sf_dir):
+        """Pinned query (ES pinned, pipelines/pinned.py): curated doc
+        ids first in their given order at the documented stand-in
+        score PIN_BASE - rank, organic BM25 fills the remaining top-k
+        slots with pinned ids excluded.  The pin table rides inside
+        the query rows — nothing broadcast."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pinned import pinned_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {"query_id": q, "text": t, "pins": PINNED_BY_QID.get(q, [])}
+                for q, t in BM25_QUERIES
+            ]
+        )
+        res = pinned_search(idx, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def distance_topk(sf_dir):
+        """Distance-feature query (ES distance_feature, numeric form;
+        pipelines/rankfeature.py function='distance'): score = BM25 +
+        boost * pivot / (pivot + |n_chars - origin|) — bounded in
+        (0, boost], maximal at the origin.  Same scale shape as
+        rank_feature (sidecar broadcast once; corpus/R slices in
+        doc-sharded serving via the unchanged rerank machinery)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.rankfeature import rank_feature_search
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "n_chars"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = rank_feature_search(
+            idx,
+            qds,
+            side["doc_id"].to_numpy(),
+            side["n_chars"].to_numpy().astype(np.float64),
+            _CFG,
+            function="distance",
+            boost=3.0,
+            pivot=200.0,
+            origin=500.0,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
                 ),
                 "score_r": pa.array(
                     np.round(res["score"].to_numpy(), 4), type=pa.float64()
@@ -6660,6 +6760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match_value_stats: ES cardinality (exact) + value_count +
         # missing over the match set, one facet-panel pass
         "match_value_stats": match_value_stats,
+        # pinned_topk / distance_topk: ES pinned + distance_feature
+        "pinned_topk": pinned_topk,
+        "distance_topk": distance_topk,
         # -- window: new round-5 doc-sharded scale paths -------------------
         "bm25_facets_sharded": bm25_facets_sharded,
         "collapsed_sharded": collapsed_sharded,
@@ -7329,6 +7432,14 @@ def _phrase_values() -> tuple[str, str]:
             term_rows.append(f"({qid}, '{t}')")
         phrase_rows.append(f"({qid}, '{' '.join(toks)}')")
     return ", ".join(term_rows), ", ".join(phrase_rows)
+
+
+def _pinned_values() -> str:
+    rows = []
+    for qid, pins in PINNED_BY_QID.items():
+        for pos, d in enumerate(pins):
+            rows.append(f"({qid}, {pos}, {d})")
+    return ", ".join(rows)
 
 
 def _multi_phrase_sql() -> str:
@@ -8460,6 +8571,82 @@ ranked AS (SELECT query_id, event_id, score,
            FROM j)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, event_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 20
+""",
+        # pinned_topk: pins first (rank = pos, score = 1e9 - pos),
+        # organic disjunctive ranking fills the tail with pinned ids
+        # anti-joined out; the organic rank offsets by the query's pin
+        # count — replayed with a UNION ALL + coalesce'd offset
+        "pinned_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+pins(query_id, pos, doc_id) AS (VALUES {_pinned_values()}),
+pn AS (SELECT query_id, count(*) AS np FROM pins GROUP BY 1),
+organic AS (
+  SELECT s.query_id, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.doc_id ASC) - 1 AS orank
+  FROM scores s
+  WHERE NOT EXISTS (SELECT 1 FROM pins p
+                    WHERE p.query_id = s.query_id
+                      AND p.doc_id = s.doc_id)),
+all_rows AS (
+  SELECT query_id, pos AS rank, doc_id, 1000000000.0 - pos AS score
+  FROM pins
+  UNION ALL
+  SELECT o.query_id, coalesce(pn.np, 0) + o.orank AS rank, o.doc_id, o.score
+  FROM organic o LEFT JOIN pn ON pn.query_id = o.query_id)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM all_rows WHERE rank < 10
+""",
+        # distance_topk: ES distance_feature — the decay-free bounded
+        # proximity boost, replayed expression-for-expression
+        "distance_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+final AS (SELECT sc.query_id, sc.doc_id,
+                 sc.score + 3.0 * (200.0
+                   / (200.0 + abs(d.n_chars::DOUBLE - 500.0))) AS score
+          FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # match_value_stats: the disjunctive match set LEFT-joined to
         # the partial (n_chars % 7 != 0) lang sidecar — count(*) =

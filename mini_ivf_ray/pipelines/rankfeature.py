@@ -43,7 +43,7 @@ from mini_ivf_ray.pipelines.query import (
     _topk_exact,
 )
 
-FUNCTIONS = ("saturation", "log", "sigmoid")
+FUNCTIONS = ("saturation", "log", "sigmoid", "distance")
 
 
 def feature_contrib(
@@ -53,14 +53,28 @@ def feature_contrib(
     pivot: float = 1.0,
     scaling_factor: float = 1.0,
     exponent: float = 1.0,
+    origin: float = 0.0,
 ) -> np.ndarray:
     """ES rank_feature contribution per feature value; the exact op
-    sequence the SQL oracles replay — change both or neither."""
+    sequence the SQL oracles replay — change both or neither.
+
+    ``function="distance"`` is ES's sibling ``distance_feature`` query
+    (numeric/date form): contrib = boost * pivot / (pivot +
+    |value - origin|) — bounded in (0, boost], maximal AT the origin,
+    halved at distance == pivot.  Unlike the rank_feature shapes the
+    field may be ANY float (distance is taken from the origin), so the
+    non-negativity gate applies to the other three only."""
     if function not in FUNCTIONS:
         raise ValueError(f"function must be one of {FUNCTIONS}, got {function!r}")
     if boost < 0.0:
         raise ValueError(f"boost must be >= 0, got {boost}")
     v = np.asarray(values, dtype=np.float64)
+    if function == "distance":
+        if not pivot > 0.0:
+            raise ValueError(f"pivot must be > 0, got {pivot}")
+        return np.float64(boost) * (
+            np.float64(pivot) / (np.float64(pivot) + np.abs(v - np.float64(origin)))
+        )
     if v.size and float(np.min(v)) < 0.0:
         raise ValueError("rank_feature values must be non-negative")
     if function == "saturation":
@@ -98,6 +112,7 @@ class RankFeatureSearcher(BM25Searcher):
         pivot: float = 1.0,
         scaling_factor: float = 1.0,
         exponent: float = 1.0,
+        origin: float = 0.0,
         denied_ref=None,
     ):
         super().__init__(
@@ -113,7 +128,7 @@ class RankFeatureSearcher(BM25Searcher):
         self.feat_ids = np.asarray(ids, dtype=np.uint64)
         self.contrib = feature_contrib(
             np.asarray(vals, dtype=np.float64),
-            function, boost, pivot, scaling_factor, exponent,
+            function, boost, pivot, scaling_factor, exponent, origin,
         )
         if self.feat_ids.size > 1 and not np.all(
             self.feat_ids[:-1] < self.feat_ids[1:]
@@ -195,6 +210,7 @@ def rank_feature_search(
     pivot: float = 1.0,
     scaling_factor: float = 1.0,
     exponent: float = 1.0,
+    origin: float = 0.0,
     share: str | bool = "decoded",
     respect_deletes: bool = True,
 ):
@@ -208,7 +224,7 @@ def rank_feature_search(
     ids = ids[order]
     vals = np.asarray(features, dtype=np.float64)[order]
     # validate params + values driver-side before spawning actors
-    feature_contrib(vals, function, boost, pivot, scaling_factor, exponent)
+    feature_contrib(vals, function, boost, pivot, scaling_factor, exponent, origin)
 
     shared = decoded = None
     if share == "decoded":
@@ -233,6 +249,7 @@ def rank_feature_search(
             "boost": boost,
             "pivot": pivot,
             "scaling_factor": scaling_factor,
+            "origin": origin,
             "exponent": exponent,
             "denied_ref": denied_ref,
         },
