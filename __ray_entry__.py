@@ -6714,8 +6714,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_collapsed_sharded": dup_collapsed_sharded,
         # dismax_topk: Lucene DisjunctionMaxQuery (round-5 addition)
         "dismax_topk": dismax_topk,
-        # span_not: negative phrase context, positional family
-        "span_not": span_not,
         # span_containing: ordered big span must contain the little
         # term (round-5 addition, positional family)
         "span_containing": span_containing,
@@ -6769,14 +6767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hits_sharded": top_hits_sharded,
         "term_vectors": term_vectors_q,
         "pagerank": pagerank_q,
-        "ppr": ppr_q,
-        "hits": hits_q,
         # dict_topdf: the merge-stage dictionary bookkeeping vs SQL
         "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
         "triangles": triangles_q,
-        # blended_topk: BM25 + PageRank prior (the web-ranking formula)
-        "blended_topk": blended_topk,
         "clustering": clustering_q,
         # kcore: 3-core by BSP parallel peeling (round-5 addition)
         "kcore": kcore_q,
@@ -6784,7 +6778,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redirects": redirects_q,
         "cocitation": cocitation_q,
         "link_components": link_components_q,
-        "msm_topk": msm_topk,
         # events_pipeline: ES date_histogram + pipeline aggregations
         # (round-5 addition)
         "events_pipeline": events_pipeline,
@@ -6793,7 +6786,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_suggest": phrase_suggest_q,
         # explain_topk: Lucene/ES Explain API analog (round-5 addition)
         "explain_topk": explain_topk,
-        "search_eval": search_eval_q,
         # composite_page: ES composite agg / bucket keyset pagination
         # (round-5 addition)
         "composite_page": composite_page_q,
@@ -6804,7 +6796,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # common_topk: Lucene CommonTermsQuery (round-5 addition)
         "common_topk": common_topk,
         # ================= end of the 50-row driver window ==============
-        # rotated out with green rows + pytest gates on record:
+        # rotated out THIS session to fit the 6 new capability rows
+        # (has_child/has_parent/multi_phrase/match_value_stats/pinned/
+        # distance) into the 50 slots:
+        # span_not — the positional family keeps FOUR in-window rows
+        # (span_first, phrase_topk, multi_phrase_topk, ordered_prox,
+        # span_containing); the 'not' verifier mode stays pytest-gated;
+        # ppr — identical fixed-point integer machinery as in-window
+        # pagerank (only the teleport vector differs), pytest-pinned;
+        # hits — half-round machinery pytest-pinned (replay identity)
+        # and shared with below-line salsa; eigen family keeps
+        # pagerank in-window;
+        # blended_topk — superseded by in-window rank_feature_topk /
+        # distance_topk (the bounded forms of the same additive-prior
+        # accumulation); blend machinery pytest-gated;
+        # msm_topk — in-window terms_set_topk degenerates to msm
+        # BIT-identically under a constant field (pytest-pinned);
+        # search_eval — r4-GREEN hash row on record; the ADVICE qid
+        # fix only affects token-less queries the workload lacks.
+        "span_not": span_not,
+        "ppr": ppr_q,
+        "hits": hits_q,
+        "blended_topk": blended_topk,
+        "msm_topk": msm_topk,
+        "search_eval": search_eval_q,
+        # rotated out in earlier sessions with green rows + pytest
+        # gates on record:
         # (match_histogram r4-green hash row + facet-machinery pytests;
         # price_quantiles r4-green + exact multi-pass-histogram pytests;
         # regex_grep r4-green + trigram-prefilter pytests;
