@@ -4870,6 +4870,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return date_histogram_pipeline(ev, 3600, moving_window=3)
 
+    def events_bucket_stats(sf_dir):
+        """ES SIBLING bucket pipeline aggregations (stats_bucket —
+        subsuming min/max/avg/sum_bucket — and percentiles_bucket;
+        pipelines/pipelineagg.py bucket_sibling_stats): one row per
+        event_type over the densified hourly bucket series.  Bucket
+        metrics carried as INTEGER CENTS, so every statistic is
+        integer-derived — min/max keys (first + tie count),
+        quantile_disc percentiles, no rounding luck.  Same single
+        combiner-first histogram exchange; sibling math is
+        (types)-sized driver rows."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import bucket_sibling_stats
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return bucket_sibling_stats(ev, 3600, fractions=(0.25, 0.5, 0.75))
+
+    def events_normalized(sf_dir):
+        """ES normalize pipeline aggregation (percent_of_sum +
+        range_normalize / rescale_0_1; pipelines/pipelineagg.py
+        normalize_buckets) per densified hourly bucket — integer-cents
+        operands make both divisions bit-identical to the SQL replay;
+        zero-sum series -> NULL pct, constant series -> NULL rescale
+        (ES emits nothing there)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import normalize_buckets
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return normalize_buckets(ev, 3600)
+
     def events_pipeline2(sf_dir):
         """The remaining ES pipeline-aggregation family
         (pipelines/pipelineagg.py bucket_pipeline_extras): serial_diff
@@ -6956,6 +6993,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_stats": string_stats_q,
         "div_sampler_facets": div_sampler_facets,
         "events_pipeline2": events_pipeline2,
+        # events_bucket_stats / events_normalized: the ES SIBLING
+        # bucket aggs (stats_bucket + percentiles_bucket) and the
+        # normalize pipeline agg — below the line because the ONLY
+        # distributed stage (_dense_series' combiner-first histogram
+        # exchange) is exercised in-window by events_pipeline; these
+        # differ in corpus-independent driver math only
+        "events_bucket_stats": events_bucket_stats,
+        "events_normalized": events_normalized,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9729,6 +9774,88 @@ SELECT event_type, window_start, n, round(sv, 4) AS sv_r,
        round(sdiff, 4) AS sdiff_r, round(ratio, 4) AS ratio_r,
        rnk::BIGINT AS rank
 FROM sel WHERE rnk <= 5
+""",
+        # sibling bucket aggs: integer-cents bucket metrics over the
+        # densified series; min/max keys = first window_start + tie
+        # count; percentiles via quantile_disc (the repo's pinned
+        # exact-quantile rule)
+        "events_bucket_stats": """
+WITH RECURSIVE b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  CAST(round(sum(value) * 100) AS BIGINT) AS svc
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM b GROUP BY 1),
+series(ws) AS (SELECT min(lo) FROM ext
+               UNION ALL
+               SELECT ws + 3600 FROM series
+               WHERE ws + 3600 <= (SELECT max(hi) FROM ext)),
+dense AS (SELECT e.event_type, s.ws AS window_start
+          FROM ext e JOIN series s ON s.ws BETWEEN e.lo AND e.hi),
+filled AS (SELECT d.event_type, d.window_start,
+                  COALESCE(b.svc, 0)::BIGINT AS svc
+           FROM dense d LEFT JOIN b ON b.event_type = d.event_type
+                                   AND b.window_start = d.window_start),
+agg AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+               sum(svc)::BIGINT AS tot, min(svc) AS mn, max(svc) AS mx,
+               quantile_disc(svc, 0.25) AS q25,
+               quantile_disc(svc, 0.50) AS q50,
+               quantile_disc(svc, 0.75) AS q75
+        FROM filled GROUP BY 1),
+mins AS (SELECT f.event_type, min(f.window_start) AS min_key,
+                count(*)::BIGINT AS min_keys
+         FROM filled f JOIN agg a ON a.event_type = f.event_type
+                                 AND f.svc = a.mn GROUP BY 1),
+maxs AS (SELECT f.event_type, min(f.window_start) AS max_key,
+                count(*)::BIGINT AS max_keys
+         FROM filled f JOIN agg a ON a.event_type = f.event_type
+                                 AND f.svc = a.mx GROUP BY 1)
+SELECT a.event_type, a.n_buckets,
+       round(a.tot::DOUBLE / 100.0, 4) AS sum_v,
+       round((a.tot::DOUBLE / 100.0) / a.n_buckets::DOUBLE, 4) AS avg_v,
+       round(a.mn::DOUBLE / 100.0, 4) AS min_v,
+       mins.min_key, mins.min_keys,
+       round(a.mx::DOUBLE / 100.0, 4) AS max_v,
+       maxs.max_key, maxs.max_keys,
+       round(a.q25::DOUBLE / 100.0, 4) AS p25,
+       round(a.q50::DOUBLE / 100.0, 4) AS p50,
+       round(a.q75::DOUBLE / 100.0, 4) AS p75
+FROM agg a
+JOIN mins ON mins.event_type = a.event_type
+JOIN maxs ON maxs.event_type = a.event_type
+""",
+        # normalize pipeline agg: percent_of_sum + rescale_0_1 on the
+        # integer-cents bucket metrics; zero-sum -> NULL pct,
+        # constant series -> NULL rescale
+        "events_normalized": """
+WITH RECURSIVE b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  count(*)::BIGINT AS n,
+                  CAST(round(sum(value) * 100) AS BIGINT) AS svc
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM b GROUP BY 1),
+series(ws) AS (SELECT min(lo) FROM ext
+               UNION ALL
+               SELECT ws + 3600 FROM series
+               WHERE ws + 3600 <= (SELECT max(hi) FROM ext)),
+dense AS (SELECT e.event_type, s.ws AS window_start
+          FROM ext e JOIN series s ON s.ws BETWEEN e.lo AND e.hi),
+filled AS (SELECT d.event_type, d.window_start,
+                  COALESCE(b.n, 0)::BIGINT AS n,
+                  COALESCE(b.svc, 0)::BIGINT AS svc
+           FROM dense d LEFT JOIN b ON b.event_type = d.event_type
+                                   AND b.window_start = d.window_start),
+agg AS (SELECT event_type, sum(svc)::BIGINT AS tot,
+               min(svc) AS mn, max(svc) AS mx
+        FROM filled GROUP BY 1)
+SELECT f.event_type, f.window_start, f.n,
+       round(CASE WHEN a.tot <> 0
+                  THEN 100.0 * f.svc::DOUBLE / a.tot::DOUBLE END, 4) AS pct_r,
+       round(CASE WHEN a.mx <> a.mn
+                  THEN (f.svc - a.mn)::DOUBLE / (a.mx - a.mn)::DOUBLE END,
+             4) AS rescaled_r
+FROM filled f JOIN agg a ON a.event_type = f.event_type
 """,
         # phrase suggester: per-(query, position) levenshtein<=1
         # candidates under the engine's (lev, df desc, term) top-3

@@ -227,3 +227,134 @@ def bucket_pipeline_extras(
             ),
         }
     )
+
+
+def bucket_sibling_stats(
+    events_ds,
+    window_sec: int = 3600,
+    fractions: tuple = (0.25, 0.5, 0.75),
+) -> pa.Table:
+    """The ES SIBLING bucket pipeline aggregations — ``stats_bucket``
+    (count / min / max / avg / sum, subsuming ``min_bucket`` /
+    ``max_bucket`` / ``avg_bucket`` / ``sum_bucket``) and
+    ``percentiles_bucket`` — computed per event_type over the SAME
+    densified bucket series the per-bucket pipeline aggs consume
+    (min_doc_count=0 inside the series extent, the family's pinned
+    rendering).
+
+    Exactness design: the per-bucket metric is carried as INTEGER
+    CENTS (``round(sv * 100)`` — event values have two decimals, so
+    the bucket sum's true value does too and the rounding recovers it
+    exactly on both engine and SQL despite float ulp), making every
+    sibling statistic integer-derived: min/max/percentile selection
+    compares integers, sum is an int64 sum, and the only float ops
+    are the final /100.0 and the avg division — identical operand
+    sequences either side, no rounding luck anywhere.
+
+    * ``min_key`` / ``max_key``: ES min_bucket/max_bucket return ALL
+      keys achieving the extremum; pinned here to the FIRST
+      (window_start ascending) plus the tie count ``min_keys`` /
+      ``max_keys`` — the same information, hashable shape.
+    * percentiles: the repo-wide exact-quantile rule (DuckDB
+      quantile_disc — value at 1-indexed rank ceil(q*n) of the sorted
+      bucket metrics), NOT ES's interpolation-free nearest-rank
+      variant; documented divergence shared with price_quantiles.
+    """
+    import math
+
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    for q in fractions:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"fractions must be in (0, 1], got {q}")
+    out_rows = []
+    for g in _dense_series(events_ds, window_sec):
+        et = g["event_type"].iloc[0]
+        ws = g["window_start"].to_numpy()
+        cents = np.round(g["sv"].to_numpy() * 100.0).astype(np.int64)
+        nb = cents.size
+        mn, mx = int(cents.min()), int(cents.max())
+        row = {
+            "event_type": et,
+            "n_buckets": nb,
+            "sum_v": int(cents.sum()) / 100.0,
+            "avg_v": (int(cents.sum()) / 100.0) / float(nb),
+            "min_v": mn / 100.0,
+            "min_key": int(ws[cents == mn].min()),
+            "min_keys": int((cents == mn).sum()),
+            "max_v": mx / 100.0,
+            "max_key": int(ws[cents == mx].min()),
+            "max_keys": int((cents == mx).sum()),
+        }
+        s = np.sort(cents)
+        for q in fractions:
+            r = min(max(math.ceil(q * nb), 1), nb)
+            row[f"p{int(round(q * 100))}"] = int(s[r - 1]) / 100.0
+        out_rows.append(row)
+    out_rows.sort(key=lambda r: r["event_type"])
+    cols = {}
+    if out_rows:
+        for k in out_rows[0]:
+            vals = [r[k] for r in out_rows]
+            if k == "event_type":
+                cols[k] = pa.array(vals, type=pa.string())
+            elif k in ("n_buckets", "min_key", "min_keys", "max_key", "max_keys"):
+                cols[k] = pa.array(vals, type=pa.int64())
+            else:
+                cols[k] = pa.array(
+                    np.round(np.array(vals, dtype=np.float64), 4),
+                    type=pa.float64(),
+                )
+    return pa.table(cols) if cols else pa.table({"event_type": pa.array([], type=pa.string())})
+
+
+def normalize_buckets(events_ds, window_sec: int = 3600) -> pa.Table:
+    """The ES ``normalize`` pipeline aggregation, two shipped methods
+    per densified bucket: ``percent_of_sum`` (100 * v / series sum)
+    and ``range_normalize`` aka rescale_0_1 ((v - min) / (max - min)).
+    Integer-cents operands (bucket_sibling_stats' design) make both
+    divisions bit-identical either side.  Degenerate series are
+    pinned: a zero series sum -> percent_of_sum NULL, a constant
+    series (max == min) -> rescale NULL (ES emits nothing there)."""
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    frames = []
+    for g in _dense_series(events_ds, window_sec):
+        cents = np.round(g["sv"].to_numpy() * 100.0).astype(np.int64)
+        total = int(cents.sum())
+        mn, mx = int(cents.min()), int(cents.max())
+        g = g[["event_type", "window_start", "n"]].copy()
+        g["pct_of_sum"] = (
+            100.0 * cents.astype(np.float64) / float(total)
+            if total != 0
+            else np.nan
+        )
+        g["rescaled"] = (
+            (cents - mn).astype(np.float64) / float(mx - mn)
+            if mx != mn
+            else np.nan
+        )
+        frames.append(g)
+    cols = ["event_type", "window_start", "n", "pct_of_sum", "rescaled"]
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "window_start": pa.array(
+                out["window_start"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+            "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+            "pct_r": pa.array(
+                np.round(out["pct_of_sum"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+            "rescaled_r": pa.array(
+                np.round(out["rescaled"].to_numpy(dtype=np.float64), 4),
+                type=pa.float64(),
+            ),
+        }
+    )

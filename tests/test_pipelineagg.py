@@ -228,3 +228,127 @@ def test_extras_contracts(events):
     ):
         with pytest.raises(ValueError, match=msg):
             bucket_pipeline_extras(ds, **{"window_sec": W, **kw})
+
+
+def _dense_cents(df, w):
+    """Pandas replay of the densified integer-cents bucket series."""
+    df = df.copy()
+    df["window_start"] = (
+        df["ts"].astype("datetime64[s]").astype(np.int64) // w * w
+    )
+    out = {}
+    for et, g in df.groupby("event_type"):
+        b = (
+            g.groupby("window_start")
+            .agg(n=("value", "size"), sv=("value", "sum"))
+            .reset_index()
+            .sort_values("window_start")
+        )
+        full = pd.DataFrame(
+            {
+                "window_start": np.arange(
+                    b["window_start"].min(),
+                    b["window_start"].max() + 1,
+                    w,
+                    dtype=np.int64,
+                )
+            }
+        )
+        b = full.merge(b, on="window_start", how="left").fillna(
+            {"n": 0, "sv": 0.0}
+        )
+        cents = np.round(b["sv"].to_numpy() * 100.0).astype(np.int64)
+        out[et] = (b["window_start"].to_numpy(), b["n"].to_numpy().astype(np.int64), cents)
+    return out
+
+
+def test_sibling_stats_matches_pandas_replay(events):
+    import math
+
+    from mini_ivf_ray.pipelines.pipelineagg import bucket_sibling_stats
+
+    got = bucket_sibling_stats(
+        ray.data.from_pandas(events), W, fractions=(0.25, 0.5, 0.75)
+    ).to_pandas().set_index("event_type")
+    truth = _dense_cents(events, W)
+    assert set(got.index) == set(truth)
+    for et, (ws, n, cents) in truth.items():
+        r = got.loc[et]
+        nb = cents.size
+        assert int(r["n_buckets"]) == nb
+        assert r["sum_v"] == round(int(cents.sum()) / 100.0, 4)
+        assert r["avg_v"] == round((int(cents.sum()) / 100.0) / nb, 4)
+        mn, mx = int(cents.min()), int(cents.max())
+        assert r["min_v"] == round(mn / 100.0, 4)
+        assert r["max_v"] == round(mx / 100.0, 4)
+        assert int(r["min_key"]) == int(ws[cents == mn].min())
+        assert int(r["min_keys"]) == int((cents == mn).sum())
+        assert int(r["max_key"]) == int(ws[cents == mx].min())
+        assert int(r["max_keys"]) == int((cents == mx).sum())
+        s = np.sort(cents)
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            rk = min(max(math.ceil(q * nb), 1), nb)
+            assert r[col] == round(int(s[rk - 1]) / 100.0, 4), (et, col)
+    # the planted gaps make the min a ZERO bucket with a tie — the
+    # min_keys tie-count path is non-vacuous
+    assert int(got.loc["a", "min_keys"]) >= 2
+    assert got.loc["a", "min_v"] == 0.0
+
+
+def test_normalize_matches_pandas_replay_and_degenerates(events):
+    from mini_ivf_ray.pipelines.pipelineagg import normalize_buckets
+
+    got = normalize_buckets(ray.data.from_pandas(events), W).to_pandas()
+    truth = _dense_cents(events, W)
+    for et, (ws, n, cents) in truth.items():
+        g = got[got["event_type"] == et].sort_values("window_start")
+        assert np.array_equal(g["window_start"].to_numpy(), ws)
+        assert np.array_equal(g["n"].to_numpy(), n)
+        total, mn, mx = int(cents.sum()), int(cents.min()), int(cents.max())
+        exp_pct = np.round(100.0 * cents.astype(np.float64) / float(total), 4)
+        exp_rs = np.round((cents - mn).astype(np.float64) / float(mx - mn), 4)
+        assert np.array_equal(g["pct_r"].to_numpy(), exp_pct)
+        assert np.array_equal(g["rescaled_r"].to_numpy(), exp_rs)
+        # rescale bounds: exactly 0 at the min bucket, 1 at the max
+        assert g["rescaled_r"].min() == 0.0 and g["rescaled_r"].max() == 1.0
+    # degenerate pins: constant series -> NULL rescale; the pct of a
+    # one-bucket series is exactly 100
+    one = pd.DataFrame(
+        {
+            "ts": [np.datetime64("2024-03-01T00:10:00", "us")] * 3,
+            "event_type": ["c"] * 3,
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    g = normalize_buckets(ray.data.from_pandas(one), W).to_pandas()
+    assert len(g) == 1
+    assert g.loc[0, "pct_r"] == 100.0
+    assert np.isnan(g.loc[0, "rescaled_r"])  # max == min: ES emits nothing
+    # zero-sum series -> NULL pct
+    zero = one.copy()
+    zero["value"] = [1.0, -2.0, 1.0]
+    g = normalize_buckets(ray.data.from_pandas(zero), W).to_pandas()
+    assert np.isnan(g.loc[0, "pct_r"])
+
+
+def test_sibling_contracts():
+    from mini_ivf_ray.pipelines.pipelineagg import (
+        bucket_sibling_stats,
+        normalize_buckets,
+    )
+
+    ds = ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "ts": [np.datetime64("2024-03-01T00:10:00", "us")],
+                "event_type": ["a"],
+                "value": [1.0],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="window_sec"):
+        bucket_sibling_stats(ds, 0)
+    with pytest.raises(ValueError, match="fractions"):
+        bucket_sibling_stats(ds, W, fractions=(0.0,))
+    with pytest.raises(ValueError, match="window_sec"):
+        normalize_buckets(ds, -1)
