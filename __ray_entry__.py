@@ -127,6 +127,17 @@ MP_QUERIES: list[tuple[int, list[list[str]]]] = [
     (4, [["data"], ["row"], ["column", "line"]]),
 ]
 
+# simple_query_string workload (default_operator="and",
+# max_expansions=3): phrases, capped prefix, grouping, negation, OOV
+SQS_QUERIES: list[tuple[int, str]] = [
+    (0, '"data stream" | "data line"'),
+    (1, "key + s*"),
+    (2, "merge sort -window"),
+    (3, "(big | small) + table"),
+    (4, '"hash merge" -batch'),
+    (5, "zzqq | vector"),
+]
+
 # Pinned-query workload (ES pinned): per query the curated doc ids to
 # promote, in order — ids chosen small so they exist at every sf; the
 # pins deliberately mix docs that also match organically (deduped from
@@ -4363,6 +4374,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def simple_qs(sf_dir):
+        """simple_query_string (ES / Lucene SimpleQueryParser,
+        pipelines/sqs.py): the lenient end-user query language —
+        + | - \"phrase\" prefix* ( ) — compiled onto the existing
+        primitives: boolquery's lazy-complement set algebra, the
+        phrase family's positional verify (served INDEX-ONLY here,
+        one batched pass for all phrase leaves), and phrase_prefix's
+        capped dictionary expansion (max_expansions=3 — the 's*'
+        workload provably drops sort/spark/stream).  Ranked by the
+        positive term/phrase tokens' BM25 sum; prefix leaves gate but
+        score 0 (the pinned weight-to-zero rule)."""
+        from mini_ivf_ray.pipelines.sqs import simple_query_string_topk
+
+        idx = _ensure_positions(sf_dir)
+        res = simple_query_string_topk(
+            idx,
+            None,
+            SQS_QUERIES,
+            _CFG,
+            default_operator="and",
+            max_expansions=3,
+            positions="index",
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def multi_phrase_topk_q(sf_dir):
         """Multi-phrase search (Lucene MultiPhraseQuery,
         pipelines/multiphrase.py): each slot accepts any of several
@@ -6741,6 +6793,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi_phrase_topk: Lucene MultiPhraseQuery — per-slot
         # alternative terms, index-only positional verify
         "multi_phrase_topk": multi_phrase_topk_q,
+        # simple_qs: ES simple_query_string / Lucene SimpleQueryParser
+        # — the lenient end-user query language over the boolean +
+        # phrase + prefix primitives
+        "simple_qs": simple_qs,
         "ordered_prox": ordered_prox,
         # page2_filtered: search_after composed with the allowed mask
         # (round-5 boundary closure — the path used to raise)
@@ -6808,7 +6864,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_topdf": dict_topdf,
         "bfs_hops": bfs_hops_q,
         "triangles": triangles_q,
-        "clustering": clustering_q,
         # kcore: 3-core by BSP parallel peeling (round-5 addition)
         "kcore": kcore_q,
         "anchor_topk": anchor_topk,
@@ -6850,7 +6905,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # msm_topk — in-window terms_set_topk degenerates to msm
         # BIT-identically under a constant field (pytest-pinned);
         # search_eval — r4-GREEN hash row on record; the ADVICE qid
-        # fix only affects token-less queries the workload lacks.
+        # fix only affects token-less queries the workload lacks;
+        # clustering — the kmeans machinery it drives (similarity.py
+        # Lloyd training) is exercised in-window by the IVF entries
+        # (ann_obs probes a kmeans-trained coarse index, ann_sq8
+        # serves the same trained-quantizer path), and the Lloyd
+        # kernel stays pytest-gated.
+        "clustering": clustering_q,
         "span_not": span_not,
         "ppr": ppr_q,
         "hits": hits_q,
@@ -10567,6 +10628,84 @@ FROM events GROUP BY event_type
 """,
         "phrase_topk": _phrase_sql(),
         "multi_phrase_topk": _multi_phrase_sql(),
+        # simple_qs: per-query hand-replayed set algebra (the
+        # bool_search convention) — phrases via the docstr LIKE trick,
+        # the capped prefix via the row_number expansion CTE (first 3
+        # dictionary 's' terms in term order), scores = disjunctive
+        # BM25 over each query's positive term/phrase tokens (prefix
+        # leaves weight-0), LEFT-joined so structure-only matches
+        # score 0
+        "simple_qs": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'data'), (0, 'line'), (0, 'stream'),
+  (1, 'key'),
+  (2, 'merge'), (2, 'sort'),
+  (3, 'big'), (3, 'small'), (3, 'table'),
+  (4, 'hash'), (4, 'merge'),
+  (5, 'vector')),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+m AS (SELECT DISTINCT term, doc_id FROM tok),
+docstr AS (SELECT doc_id,
+                  ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')
+                  || ' ' AS s
+           FROM documents),
+sexp AS (SELECT term FROM (
+           SELECT term, row_number() OVER (ORDER BY term) AS rn
+           FROM (SELECT DISTINCT term FROM tok WHERE term LIKE 's%'))
+         WHERE rn <= 3),
+match(query_id, doc_id) AS (
+  SELECT 0, ds.doc_id FROM docstr ds
+  WHERE ds.s LIKE '% data stream %' OR ds.s LIKE '% data line %'
+  UNION ALL
+  SELECT 1, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'key')
+    AND d.doc_id IN (SELECT doc_id FROM m JOIN sexp USING (term))
+  UNION ALL
+  SELECT 2, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'merge')
+    AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'sort')
+    AND d.doc_id NOT IN (SELECT doc_id FROM m WHERE term = 'window')
+  UNION ALL
+  SELECT 3, d.doc_id FROM documents d
+  WHERE (d.doc_id IN (SELECT doc_id FROM m WHERE term = 'big')
+         OR d.doc_id IN (SELECT doc_id FROM m WHERE term = 'small'))
+    AND d.doc_id IN (SELECT doc_id FROM m WHERE term = 'table')
+  UNION ALL
+  SELECT 4, ds.doc_id FROM docstr ds
+  WHERE ds.s LIKE '% hash merge %'
+    AND ds.doc_id NOT IN (SELECT doc_id FROM m WHERE term = 'batch')
+  UNION ALL
+  SELECT 5, d.doc_id FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM m WHERE term = 'vector')),
+final AS (SELECT mt.query_id, mt.doc_id,
+                 coalesce(s.score, 0.0) AS score
+          FROM match mt LEFT JOIN scores s
+            ON s.query_id = mt.query_id AND s.doc_id = mt.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         "phrase_prefix_topk": _mpp_sql(),
         "bm25_exhaustive": _bm25_sql(),
         "extract_roundtrip": "SELECT doc_id, text FROM documents",
