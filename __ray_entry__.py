@@ -4959,6 +4959,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return normalize_buckets(ev, 3600)
 
+    def rs_facets(sf_dir):
+        """ES random_sampler aggregation (8.x;
+        pipelines/facets.py RandomSamplerFacetCounter): facet counts
+        over a DETERMINISTIC permille-gated sample of the match set
+        (split_bucket's md5 permille — documented divergence from
+        ES's per-shard RNG: reproducible and SQL-replayable), with
+        scaled estimates n_est = n_sampled * 1000/permille."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import random_sampler_facets
+
+        idx = _ensure_index(sf_dir)
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = random_sampler_facets(
+            idx, qds, side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(), _CFG, permille=300,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "facet"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "facet": pa.array(res["facet"], type=pa.string()),
+                "n_sampled": pa.array(
+                    res["n_sampled"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "n_est_r": pa.array(
+                    np.round(res["n_est"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def events_auto_histogram(sf_dir):
+        """ES auto_date_histogram (pipelines/pipelineagg.py): the
+        interval is CHOSEN, not given — the smallest rung of the
+        pinned fixed-second ladder whose aligned global bucket count
+        fits target_buckets=20 (documented divergence: ES's calendar
+        rungs 1M/3M/1y are variable-length; the fixed ladder keeps the
+        choice a pure function of two integers).  Two streamed passes:
+        a slim (min, max) epoch combiner, then the family's
+        combiner-first histogram exchange at the chosen interval."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import auto_date_histogram
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return auto_date_histogram(ev, target_buckets=20)
+
     def events_pipeline2(sf_dir):
         """The remaining ES pipeline-aggregation family
         (pipelines/pipelineagg.py bucket_pipeline_extras): serial_diff
@@ -7062,6 +7122,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # differ in corpus-independent driver math only
         "events_bucket_stats": events_bucket_stats,
         "events_normalized": events_normalized,
+        # events_auto_histogram: ES auto_date_histogram — same family
+        # rationale (histogram exchange in-window via events_pipeline;
+        # the ladder choice adds one slim min/max combiner)
+        "events_auto_histogram": events_auto_histogram,
+        # rs_facets: ES random_sampler agg — the facet-panel machinery
+        # is in-window via bm25_facets_sharded; the md5 permille gate
+        # is the salted-hash split family (stable_split's SQL replay)
+        "rs_facets": rs_facets,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9884,6 +9952,39 @@ SELECT a.event_type, a.n_buckets,
 FROM agg a
 JOIN mins ON mins.event_type = a.event_type
 JOIN maxs ON maxs.event_type = a.event_type
+""",
+        # random_sampler agg: the deterministic md5 permille gate
+        # (split_bucket's SQL form) over the match set, counts scaled
+        # by 1000/permille
+        "rs_facets": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+samp AS (SELECT query_id, doc_id FROM matches
+         WHERE CAST(CAST(('0x' || substr(md5(doc_id || ':rs-agg'), 1, 15))
+                         AS UBIGINT) AS BIGINT) % 1000 < 300)
+SELECT s.query_id, d.lang AS facet, count(*)::BIGINT AS n_sampled,
+       round(count(*)::DOUBLE * (1000.0 / 300), 4) AS n_est_r
+FROM samp s JOIN documents d ON d.doc_id = s.doc_id
+GROUP BY 1, 2
+""",
+        # auto_date_histogram: the ladder pick is a pure function of
+        # (min epoch, max epoch, target) replayed by the lad/pick CTEs
+        "events_auto_histogram": """
+WITH mm AS (SELECT CAST(floor(min(epoch(ts))) AS BIGINT) AS lo,
+                   CAST(floor(max(epoch(ts))) AS BIGINT) AS hi
+            FROM events),
+lad(i) AS (VALUES (1), (5), (10), (30), (60), (300), (600), (1800),
+                  (3600), (10800), (43200), (86400), (604800)),
+pick AS (SELECT coalesce(min(i), 604800)::BIGINT AS iv
+         FROM lad, mm WHERE (hi // i) - (lo // i) + 1 <= 20)
+SELECT p.iv AS interval_sec, e.event_type,
+       (CAST(floor(epoch(e.ts)) AS BIGINT) // p.iv) * p.iv AS window_start,
+       count(*)::BIGINT AS n
+FROM events e CROSS JOIN pick p
+GROUP BY 1, 2, 3
 """,
         # normalize pipeline agg: percent_of_sum + rescale_0_1 on the
         # integer-cents bucket metrics; zero-sum -> NULL pct,

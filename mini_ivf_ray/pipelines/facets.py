@@ -519,3 +519,128 @@ def faceted_search_sharded(
         return sharded.facet_search(queries)
     finally:
         sharded.shutdown()
+
+
+class RandomSamplerFacetCounter(FacetCounter):
+    """ES ``random_sampler`` aggregation (8.x): the facet
+    sub-aggregation runs over a PROBABILITY-gated subset of the match
+    set and reports counts scaled back by 1/p.  The gate is the
+    repo's deterministic permille hash (sampling.split_bucket —
+    ``h60(doc_id, salt) % 1000 < permille``), so unlike ES's
+    per-shard RNG the sample is reproducible and SQL-replayable:
+    documented divergence, same shape as the sampler agg's
+    global-not-shard-local pin.  Scale note: the gate applies AFTER
+    the match-set walk here (counting is already panel-cheap); at ES
+    scale the point of random_sampler is skipping doc visits — this
+    engine's equivalent lever is the sampled stats pass in
+    build.py."""
+
+    def __init__(self, *args, permille: int = 100, salt: str = "rs-agg", **kw):
+        super().__init__(*args, **kw)
+        if not 1 <= int(permille) <= 1000:
+            raise ValueError(
+                f"permille must be in [1, 1000], got {permille}"
+            )
+        self.permille = int(permille)
+        self.salt = salt
+
+    def sampled_panel_for_text(self, qtext: str) -> np.ndarray:
+        from mini_ivf_ray.pipelines.sampling import split_bucket
+
+        docs = self.disjunctive_matches_for_text(qtext)
+        if not docs.size:
+            return np.zeros(len(self.facet_labels), dtype=np.int64)
+        gate = split_bucket(docs, self.salt) < self.permille
+        docs = docs[gate]
+        if not docs.size:
+            return np.zeros(len(self.facet_labels), dtype=np.int64)
+        idx = np.searchsorted(self.facet_ids, docs)
+        np.minimum(idx, max(self.facet_ids.size - 1, 0), out=idx)
+        valid = (
+            self.facet_ids[idx] == docs
+            if self.facet_ids.size
+            else np.zeros(docs.size, dtype=bool)
+        )
+        return np.bincount(
+            self.facet_codes[idx[valid]], minlength=len(self.facet_labels)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        scale = 1000.0 / self.permille
+        qids, facets, counts, ests = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = self.sampled_panel_for_text(qtext)
+            for code in np.flatnonzero(c):
+                qids.append(qid)
+                facets.append(self.facet_labels[code])
+                counts.append(int(c[code]))
+                ests.append(float(c[code]) * scale)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "facet": pa.array(facets, type=pa.string()),
+                "n_sampled": pa.array(counts, type=pa.int64()),
+                "n_est": pa.array(ests, type=pa.float64()),
+            }
+        )
+
+
+def random_sampler_facets(
+    index_dir: str,
+    queries_ds,
+    facet_ids,
+    facet_values,
+    cfg: PipelineConfig | None = None,
+    permille: int = 100,
+    salt: str = "rs-agg",
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> (query_id, facet, n_sampled,
+    n_est): facet counts over the deterministic permille-gated sample
+    of the match set, scaled estimates n_est = n_sampled * 1000/p
+    (ES random_sampler).  Deployment identical to faceted_search."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(facet_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = pa.array(
+        np.asarray(facet_values, dtype=object)[order], type=pa.string()
+    )
+    if vals.null_count:
+        raise ValueError(
+            f"facet_values contains {vals.null_count} null(s); "
+            "map nulls to a sentinel label before faceting"
+        )
+    enc = pa.compute.dictionary_encode(vals)
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    import ray
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    facet_ref = ray.put((ids, codes))
+    return queries_ds.map_batches(
+        RandomSamplerFacetCounter,
+        fn_constructor_args=(
+            index_dir, cfg, shared, decoded, facet_ref, labels, denied_ref,
+        ),
+        fn_constructor_kwargs={"permille": permille, "salt": salt},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

@@ -358,3 +358,98 @@ def normalize_buckets(events_ds, window_sec: int = 3600) -> pa.Table:
             ),
         }
     )
+
+
+# ES auto_date_histogram's interval ladder, pinned to FIXED-second
+# steps (ES mixes calendar units — 1M/3M/1y have variable lengths and
+# would make the bucket arithmetic engine-dependent; the fixed ladder
+# keeps the choice a pure function of two integers, SQL-replayable)
+AUTO_LADDER = (
+    1, 5, 10, 30, 60, 300, 600, 1800,
+    3600, 10800, 43200, 86400, 604800,
+)
+
+
+def choose_auto_interval(min_epoch: int, max_epoch: int, target: int) -> int:
+    """The SMALLEST ladder interval whose aligned bucket count
+    (floor(max/i) - floor(min/i) + 1) fits ``target`` — ES
+    auto_date_histogram's rounding-aware walk up the ladder; the top
+    rung is used even when it still overflows (ES caps there too)."""
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
+    for i in AUTO_LADDER:
+        if (max_epoch // i) - (min_epoch // i) + 1 <= target:
+            return i
+    return AUTO_LADDER[-1]
+
+
+def auto_date_histogram(events_ds, target_buckets: int = 20) -> pa.Table:
+    """ES ``auto_date_histogram``: pick the interval from the ladder
+    so the GLOBAL aligned bucket count fits ``target_buckets``, then
+    histogram (event_type, window_start, n) at that interval.
+
+    Two streamed passes: a (min, max) epoch combiner (slim per-block
+    partials), then the family's combiner-first histogram exchange at
+    the chosen interval.  The interval is a pure function of
+    (min, max, target) — deterministic, replayed by the SQL oracle's
+    ladder CASE.  Empty input returns an empty table."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from mini_ivf_ray.pipelines.events import _window_partials
+
+    def mm_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        if not ts.size:
+            return pa.table(
+                {"lo": pa.array([], type=pa.int64()),
+                 "hi": pa.array([], type=pa.int64())}
+            )
+        return pa.table(
+            {"lo": pa.array([int(ts.min())], type=pa.int64()),
+             "hi": pa.array([int(ts.max())], type=pa.int64())}
+        )
+
+    mm = (
+        events_ds.map_batches(mm_partial, batch_format="pyarrow")
+        .aggregate(Min("lo", alias_name="lo"), Max("hi", alias_name="hi"))
+    )
+    if mm["lo"] is None:
+        return pa.table(
+            {
+                "interval_sec": pa.array([], type=pa.int64()),
+                "event_type": pa.array([], type=pa.string()),
+                "window_start": pa.array([], type=pa.int64()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+    interval = choose_auto_interval(
+        int(mm["lo"]), int(mm["hi"]), target_buckets
+    )
+    partials = events_ds.map_batches(
+        _window_partials,
+        fn_kwargs={"window_sec": interval},
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    buckets = (
+        partials.groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "window_start"])
+    )
+    return pa.table(
+        {
+            "interval_sec": pa.array(
+                np.full(len(buckets), interval, dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "event_type": pa.array(buckets["event_type"], type=pa.string()),
+            "window_start": pa.array(
+                buckets["window_start"].to_numpy(dtype=np.int64),
+                type=pa.int64(),
+            ),
+            "n": pa.array(
+                buckets["n"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )

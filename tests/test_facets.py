@@ -261,3 +261,74 @@ def test_diversified_sampler_missing_div_field_and_contracts(tiny_index):
         diversified_sampler_facets(
             idx, qds, ids, labels, ids, [None] * len(ids), cfg,
         )
+
+
+def test_random_sampler_facets(tiny_index):
+    """ES random_sampler agg: brute replay of the deterministic
+    permille gate, scale-factor law, full-permille == faceted_search,
+    contracts."""
+    import pytest
+
+    from mini_ivf_ray.pipelines.facets import (
+        faceted_search,
+        random_sampler_facets,
+    )
+    from mini_ivf_ray.pipelines.sampling import split_bucket
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    facet_of = dict(
+        zip(map(int, ids), (docs["doc_id"] % 3).map(str))
+    )
+    vals = [facet_of[int(d)] for d in ids]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in QUERIES]
+    )
+    permille = 400
+    got = (
+        random_sampler_facets(
+            idx, qds, ids, vals, cfg, permille=permille, salt="rs-agg"
+        )
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    # brute gate replay
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    gate = dict(zip(map(int, ids), split_bucket(ids, "rs-agg") < permille))
+    rows = {}
+    for qid, qtext in QUERIES:
+        terms = set(tokenize(qtext))
+        for did, ts in zip(map(int, ids), toks):
+            if ts & terms and gate[did]:
+                rows[(qid, facet_of[did])] = rows.get(
+                    (qid, facet_of[did]), 0
+                ) + 1
+    assert len(got) == len(rows) > 0
+    for q, f, n, est in zip(
+        got["query_id"], got["facet"], got["n_sampled"], got["n_est"]
+    ):
+        assert rows[(int(q), f)] == int(n)
+        assert est == float(n) * (1000.0 / permille)
+    # the gate bites: sampled counts strictly below the full panel sum
+    full = faceted_search(idx, qds, ids, vals, cfg).to_pandas()
+    assert got["n_sampled"].sum() < full["n_docs"].sum()
+    # permille=1000 degenerates to the exact panel
+    all_in = (
+        random_sampler_facets(idx, qds, ids, vals, cfg, permille=1000)
+        .to_pandas()
+        .sort_values(["query_id", "facet"])
+        .reset_index(drop=True)
+    )
+    full = full.sort_values(["query_id", "facet"]).reset_index(drop=True)
+    assert np.array_equal(
+        all_in["n_sampled"].to_numpy(), full["n_docs"].to_numpy()
+    )
+    assert np.array_equal(
+        all_in["n_est"].to_numpy(),
+        full["n_docs"].to_numpy().astype(np.float64),
+    )
+    with pytest.raises(Exception, match="permille"):
+        random_sampler_facets(
+            idx, qds, ids, vals, cfg, permille=0
+        ).to_pandas()

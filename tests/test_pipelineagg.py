@@ -352,3 +352,55 @@ def test_sibling_contracts():
         bucket_sibling_stats(ds, W, fractions=(0.0,))
     with pytest.raises(ValueError, match="window_sec"):
         normalize_buckets(ds, -1)
+
+
+def test_auto_interval_choice_units():
+    from mini_ivf_ray.pipelines.pipelineagg import (
+        AUTO_LADDER,
+        choose_auto_interval,
+    )
+
+    # 0..11 hours span, target 20 -> 1h fits (12 buckets), 30m doesn't
+    lo, hi = 0, 11 * 3600
+    assert choose_auto_interval(lo, hi, 20) == 3600
+    assert choose_auto_interval(lo, hi, 12) == 3600
+    assert choose_auto_interval(lo, hi, 11) == 10800
+    # alignment matters: [59, 61] is 3 one-second buckets but only 2
+    # five-second buckets (floor(59/5)=11, floor(61/5)=12)
+    assert choose_auto_interval(59, 61, 3) == 1
+    assert choose_auto_interval(59, 61, 2) == 5
+    # a 1-bucket fit must clear the 60s boundary at 59->61: 300s is
+    # the first rung putting both endpoints in one aligned bucket
+    assert choose_auto_interval(59, 61, 1) == 300
+    # overflow: even the top rung used when it can't fit
+    assert choose_auto_interval(0, 604800 * 1000, 2) == AUTO_LADDER[-1]
+    with pytest.raises(ValueError, match="target"):
+        choose_auto_interval(0, 1, 0)
+
+
+def test_auto_histogram_matches_pandas_replay(events):
+    from mini_ivf_ray.pipelines.pipelineagg import (
+        auto_date_histogram,
+        choose_auto_interval,
+    )
+
+    target = 6  # forces a rung ABOVE 1h for the 12-hour fixture span
+    got = auto_date_histogram(
+        ray.data.from_pandas(events), target_buckets=target
+    ).to_pandas()
+    ep = events["ts"].astype("datetime64[s]").astype(np.int64)
+    iv = choose_auto_interval(int(ep.min()), int(ep.max()), target)
+    assert iv == 10800  # non-vacuous: the picker climbed the ladder
+    assert (got["interval_sec"] == iv).all()
+    exp = (
+        events.assign(window_start=ep // iv * iv)
+        .groupby(["event_type", "window_start"])
+        .size()
+        .reset_index(name="n")
+        .sort_values(["event_type", "window_start"])
+    )
+    assert len(got) == len(exp) <= target * events["event_type"].nunique()
+    assert np.array_equal(
+        got["window_start"].to_numpy(), exp["window_start"].to_numpy()
+    )
+    assert np.array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
