@@ -3519,6 +3519,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ktruss_q(sf_dir):
+        """3-truss of the undirected simple link graph (Cohen 2008):
+        the maximal subgraph where every EDGE closes >= 1 triangle —
+        the edge-level strengthening of k-core, bulk-synchronous edge
+        peeling with ONE degree-oriented triangle enumeration per
+        round (the Schank-Wagner machinery shared with
+        triangle_counts) + one support groupby + one semi-join
+        (pipelines/graph.py ktruss; adaptive at this scale,
+        distributed path forced in tests).  max_rounds=8 matches the
+        oracle's unroll depth."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.graph import ktruss, synth_edges
+
+        docs = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        edges = synth_edges(docs, max_deg=3).materialize()
+        res = ktruss(edges, 3, num_buckets=16, max_rounds=8).to_pandas()
+        res = res.sort_values(["id_a", "id_b"])
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    res["id_a"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "id_b": pa.array(
+                    res["id_b"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "support": pa.array(
+                    res["support"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def salsa_q(sf_dir):
         """SALSA hubs & authorities (Lempel & Moran 2000) over the
         deterministic link graph: HITS with the random-walk degree
@@ -7130,6 +7165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via bm25_facets_sharded; the md5 permille gate
         # is the salted-hash split family (stable_split's SQL replay)
         "rs_facets": rs_facets,
+        # ktruss: edge-level k-core strengthening (Cohen 2008) — below
+        # the line because BOTH machinery halves are in-window: the
+        # per-round triangle enumeration via triangles, the peel loop
+        # via kcore; the composition is oracle- and pytest-gated
+        "ktruss": ktruss_q,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -7470,6 +7510,56 @@ e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS 
 SELECT n AS doc_id, count(*)::BIGINT AS deg
 FROM (SELECT u AS n FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
 GROUP BY 1
+"""
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled parallel edge-peeling replay of graph.ktruss: each
+    round one per-edge triangle-support count (two adjacency joins —
+    for edge (u,v), count w with both (u,w) and (v,w) present) + an
+    inner support join that keeps edges with support >= k-2.  The
+    peel is idempotent once converged, so unrolling MORE rounds than
+    the peel depth is exact (the engine raises if depth exceeds its
+    max_rounds).  Zero-support edges vanish from the support join,
+    which IS the k>=3 filter (graph.ktruss's k>=3 contract)."""
+    steps = []
+    for i in range(rounds):
+        steps.append(
+            f"d{i} AS MATERIALIZED (SELECT u AS x, v AS y FROM e{i} "
+            f"UNION ALL SELECT v, u FROM e{i})"
+        )
+        steps.append(
+            f"s{i} AS MATERIALIZED (SELECT e.u, e.v, count(*)::BIGINT AS sup "
+            f"FROM e{i} e JOIN d{i} n1 ON n1.x = e.u "
+            f"JOIN d{i} n2 ON n2.x = e.v AND n2.y = n1.y "
+            f"GROUP BY 1, 2)"
+        )
+        steps.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT s.u, s.v FROM s{i} s "
+            f"WHERE s.sup >= {k - 2})"
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+sdeg AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM sdeg d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       FROM edges),
+{unrolled}
+SELECT u AS id_a, v AS id_b, sup AS support
+FROM s{rounds - 1}
+WHERE sup >= {k - 2}
 """
 
 
@@ -10205,6 +10295,7 @@ WHERE nd.deg >= 2
         # 3-core: unrolled parallel peeling (16 rounds, idempotent once
         # converged; engine raises past 16 instead of mismatching)
         "kcore": _kcore_sql(3, 16),
+        "ktruss": _ktruss_sql(3, 8),
         # per-node triangle counts: canonical undirected simple pairs
         # (u < v), triangles enumerated once as ordered chains
         # a<b (e1), b<c (e2), closure a<c (e3); each corner counted

@@ -954,71 +954,17 @@ def _triangles_local(src: np.ndarray, dst: np.ndarray) -> pa.Table:
     )
 
 
-def triangle_counts(edges_ds, num_buckets: int | None = None,
-                    driver_threshold: int = 2_000_000):
-    """Per-node triangle counts over the UNDIRECTED simple graph
-    derived from the link multigraph (parallel edges collapse, self
-    loops drop): (doc_id, triangles int64) for every node in at least
-    one triangle — the local community-structure / clustering signal
-    (global triangle total = sum // 3).
-
-    Distributed shape (node-iterator++ with degree ordering, Schank &
-    Wagner 2005): canonical pair dedup (ONE bucketed groupby), degree
-    counts (ONE groupby), degrees attached to both endpoints (two
-    bucketed joins), edges ORIENTED low->high in (degree, id) order —
-    the classic bound that caps any node's forward fan-out at
-    O(sqrt(m)) so hub skew cannot blow up the wedge join — then ONE
-    bucketed self-join on the wedge pivot and ONE bucketed semi-join of
-    wedge endpoints against the oriented edge set (exact string pair
-    keys, never hashes), and a final per-node groupby-sum.  Every
-    triangle is generated exactly once (its unique (deg,id)-minimal
-    pivot), so per-node counts need no dedup.
-
-    Graphs at or below ``driver_threshold`` edges take the
-    driver-replay shortcut (connected_components_ds convention; 0
-    forces distributed — tests do)."""
-    import ray
-    import ray.data
-
+def _enumerate_triangles(und, num_buckets=None):
+    """Canonical triangle Dataset (pivot, b, c) from a CANONICAL unique
+    edge Dataset (id_a < id_b): the Schank & Wagner 2005 degree
+    orientation — degrees attached by two bucketed joins, edges
+    oriented low->high in (degree, id) order so any node's forward
+    fan-out is O(sqrt(m)), ONE bucketed wedge self-join on the pivot,
+    ONE bucketed semi-join of wedge endpoints against the oriented
+    edge set.  Every triangle appears exactly ONCE (its unique
+    (deg,id)-minimal pivot).  Shared by triangle_counts (per-node
+    credit) and ktruss (per-edge credit, re-run per peel round)."""
     from mini_ivf_ray.pipelines.relational import bucketed_hash_join
-
-    raw = edges_ds.select_columns(["src", "dst"]).materialize()
-    empty = pa.table(
-        {
-            "doc_id": pa.array([], type=pa.int64()),
-            "triangles": pa.array([], type=pa.int64()),
-        }
-    )
-    if raw.count() == 0:
-        return ray.data.from_arrow(empty)
-    if raw.count() <= driver_threshold:
-        e = raw.to_pandas()
-        return ray.data.from_arrow(
-            _triangles_local(
-                e["src"].to_numpy().astype(np.int64),
-                e["dst"].to_numpy().astype(np.int64),
-            )
-        )
-
-    def _canon(batch: pa.Table) -> pa.Table:
-        s = batch["src"].to_numpy().astype(np.int64)
-        d = batch["dst"].to_numpy().astype(np.int64)
-        lo = np.minimum(s, d)
-        hi = np.maximum(s, d)
-        keep = lo != hi
-        return pa.table(
-            {
-                "id_a": pa.array(lo[keep], type=pa.int64()),
-                "id_b": pa.array(hi[keep], type=pa.int64()),
-            }
-        )
-
-    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
-
-    und = dedup_pairs_ds(
-        raw.map_batches(_canon, batch_format="pyarrow"),
-        num_buckets=num_buckets,
-    ).materialize()
 
     def _explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy().astype(np.int64)
@@ -1126,6 +1072,77 @@ def triangle_counts(edges_ds, num_buckets: int | None = None,
     closed = bucketed_hash_join(
         wedges, ekeys, on="key", num_buckets=num_buckets
     )
+
+    return closed
+
+
+def triangle_counts(edges_ds, num_buckets: int | None = None,
+                    driver_threshold: int = 2_000_000):
+    """Per-node triangle counts over the UNDIRECTED simple graph
+    derived from the link multigraph (parallel edges collapse, self
+    loops drop): (doc_id, triangles int64) for every node in at least
+    one triangle — the local community-structure / clustering signal
+    (global triangle total = sum // 3).
+
+    Distributed shape (node-iterator++ with degree ordering, Schank &
+    Wagner 2005): canonical pair dedup (ONE bucketed groupby), degree
+    counts (ONE groupby), degrees attached to both endpoints (two
+    bucketed joins), edges ORIENTED low->high in (degree, id) order —
+    the classic bound that caps any node's forward fan-out at
+    O(sqrt(m)) so hub skew cannot blow up the wedge join — then ONE
+    bucketed self-join on the wedge pivot and ONE bucketed semi-join of
+    wedge endpoints against the oriented edge set (exact string pair
+    keys, never hashes), and a final per-node groupby-sum.  Every
+    triangle is generated exactly once (its unique (deg,id)-minimal
+    pivot), so per-node counts need no dedup.
+
+    Graphs at or below ``driver_threshold`` edges take the
+    driver-replay shortcut (connected_components_ds convention; 0
+    forces distributed — tests do)."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    raw = edges_ds.select_columns(["src", "dst"]).materialize()
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], type=pa.int64()),
+            "triangles": pa.array([], type=pa.int64()),
+        }
+    )
+    if raw.count() == 0:
+        return ray.data.from_arrow(empty)
+    if raw.count() <= driver_threshold:
+        e = raw.to_pandas()
+        return ray.data.from_arrow(
+            _triangles_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+            )
+        )
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+            }
+        )
+
+    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
+
+    und = dedup_pairs_ds(
+        raw.map_batches(_canon, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    closed = _enumerate_triangles(und, num_buckets)
 
     def _tri_nodes(batch: pa.Table) -> pa.Table:
         p = batch["pivot"].to_numpy().astype(np.int64)
@@ -1456,5 +1473,190 @@ def kcore(edges_ds, k: int, num_buckets: int | None = None,
         ).materialize()
     raise RuntimeError(
         f"k-core did not converge within {max_rounds} peeling rounds — "
+        f"raise max_rounds for deeper graphs"
+    )
+
+
+def _ktruss_local(src: np.ndarray, dst: np.ndarray, k: int) -> pa.Table:
+    """Driver-side k-truss: the identical parallel edge-peeling
+    recurrence over neighbor-set intersections."""
+    lo = np.minimum(src, dst)
+    hi = np.maximum(src, dst)
+    keep = lo != hi
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "support": pa.array([], type=pa.int64()),
+        }
+    )
+    if not keep.any():
+        return empty
+    pairs = {
+        (int(a), int(b))
+        for a, b in np.unique(
+            np.stack([lo[keep], hi[keep]], axis=1), axis=0
+        )
+    }
+    while pairs:
+        adj: dict[int, set[int]] = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in pairs}
+        bad = {e for e, s in sup.items() if s < k - 2}
+        if not bad:
+            es = sorted(pairs)
+            return pa.table(
+                {
+                    "id_a": pa.array([a for a, _ in es], type=pa.int64()),
+                    "id_b": pa.array([b for _, b in es], type=pa.int64()),
+                    "support": pa.array(
+                        [sup[e] for e in es], type=pa.int64()
+                    ),
+                }
+            )
+        pairs -= bad
+    return empty
+
+
+def ktruss(edges_ds, k: int, num_buckets: int | None = None,
+           driver_threshold: int = 2_000_000, max_rounds: int = 32):
+    """k-truss decomposition (Cohen 2008): the maximal subgraph of the
+    undirected simple graph in which every EDGE closes at least k-2
+    triangles within the subgraph — the edge-level strengthening of
+    k-core (a k-truss is always inside the (k-1)-core) used for
+    cohesive web-community extraction.  Returns canonical edges
+    (id_a < id_b, support int64) with ``support`` the IN-TRUSS
+    triangle count (>= k-2 on every row); an empty truss returns an
+    empty Dataset.
+
+    Distributed as bulk-synchronous parallel peeling: each round ONE
+    triangle enumeration over the surviving edge set
+    (_enumerate_triangles — the degree-oriented wedge join shared with
+    triangle_counts, O(m^1.5) wedges regardless of hub skew), each
+    triangle crediting its THREE canonical edges (one groupby-sum),
+    then one bucketed semi-join keeps edges with support >= k-2.  ALL
+    under-supported edges drop simultaneously; the k-truss is the
+    greatest fixed point of the peel operator (order-independent), so
+    the driver shortcut and the SQL oracle's unrolled replay agree
+    exactly.
+
+    ``k >= 3`` required: the k=2 "truss" is every edge (support >= 0
+    constrains nothing) and its zero-support rows would also break the
+    oracle's inner-join replay.  ``max_rounds`` exceeded raises loudly
+    (the kcore convention — a silent truncation could hash-mismatch
+    the unrolled oracle)."""
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.dedup import dedup_pairs_ds
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+
+    raw = edges_ds.select_columns(["src", "dst"]).materialize()
+    empty = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "support": pa.array([], type=pa.int64()),
+        }
+    )
+    if raw.count() == 0:
+        return ray.data.from_arrow(empty)
+    if raw.count() <= driver_threshold:
+        e = raw.to_pandas()
+        return ray.data.from_arrow(
+            _ktruss_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                k,
+            )
+        )
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        keep = lo != hi
+        return pa.table(
+            {
+                "id_a": pa.array(lo[keep], type=pa.int64()),
+                "id_b": pa.array(hi[keep], type=pa.int64()),
+            }
+        )
+
+    und = dedup_pairs_ds(
+        raw.map_batches(_canon, batch_format="pyarrow"),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _tri_edges(batch: pa.Table) -> pa.Table:
+        p = batch["pivot"].to_numpy().astype(np.int64)
+        b = batch["b"].to_numpy().astype(np.int64)
+        c = batch["c"].to_numpy().astype(np.int64)
+        # the three canonical (lo:hi) edge keys of each triangle
+        e1a, e1b = np.minimum(p, b), np.maximum(p, b)
+        e2a, e2b = np.minimum(p, c), np.maximum(p, c)
+        e3a, e3b = np.minimum(b, c), np.maximum(b, c)
+        ea = np.concatenate([e1a, e2a, e3a])
+        eb = np.concatenate([e1b, e2b, e3b])
+        key = np.char.add(
+            np.char.add(ea.astype("U20"), ":"), eb.astype("U20")
+        )
+        return pa.table(
+            {
+                "ekey": pa.array(key.tolist(), type=pa.string()),
+                "t": pa.array(np.ones(ea.size, dtype=np.int64),
+                              type=pa.int64()),
+            }
+        )
+
+    def _sup_named(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ekey": pa.compute.cast(batch["ekey"], pa.string()),
+                "support": pa.compute.cast(batch["sum(t)"], pa.int64()),
+            }
+        )
+
+    def _und_keyed(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy().astype(np.int64)
+        b = batch["id_b"].to_numpy().astype(np.int64)
+        key = np.char.add(
+            np.char.add(a.astype("U20"), ":"), b.astype("U20")
+        )
+        return pa.table(
+            {
+                "ekey": pa.array(key.tolist(), type=pa.string()),
+                "id_a": pa.array(a, type=pa.int64()),
+                "id_b": pa.array(b, type=pa.int64()),
+            }
+        )
+
+    for _ in range(max_rounds):
+        n_edges = und.count()
+        if n_edges == 0:
+            return ray.data.from_arrow(empty)
+        closed = _enumerate_triangles(und, num_buckets)
+        sup = (
+            closed.map_batches(_tri_edges, batch_format="pyarrow")
+            .groupby("ekey")
+            .sum("t")
+            .map_batches(_sup_named, batch_format="pyarrow")
+        )
+        keyed = und.map_batches(_und_keyed, batch_format="pyarrow")
+        scored = bucketed_hash_join(
+            keyed, sup, on="ekey", num_buckets=num_buckets
+        ).materialize()
+        good = scored.filter(expr=f"support >= {int(k) - 2}").materialize()
+        if good.count() == n_edges:
+            return good.select_columns(["id_a", "id_b", "support"])
+        und = good.select_columns(["id_a", "id_b"]).materialize()
+    raise RuntimeError(
+        f"k-truss did not converge within {max_rounds} peeling rounds — "
         f"raise max_rounds for deeper graphs"
     )

@@ -573,3 +573,95 @@ def test_kcore_partitioning_invariance():
         )
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _ktruss_brute(src, dst, k):
+    """Set-based reference peel."""
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(src, dst)
+        if a != b
+    }
+    while True:
+        adj = {}
+        for a, b in pairs:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in pairs}
+        bad = {e for e, s in sup.items() if s < k - 2}
+        if not bad:
+            return {e: sup[e] for e in pairs}
+        pairs -= bad
+
+
+def test_ktruss_modes_match_bruteforce():
+    import pyarrow as pa
+    import pytest
+
+    from mini_ivf_ray.pipelines.graph import ktruss
+
+    rng = np.random.default_rng(41)
+    n = 50
+    src = rng.integers(0, n, size=300).astype(np.int64)
+    dst = rng.integers(0, n, size=300).astype(np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+
+    def canon(df):
+        df = df.copy()
+        for c in ("id_a", "id_b", "support"):
+            df[c] = df[c].astype("int64")
+        return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    for k in (3, 4):
+        want = _ktruss_brute(src, dst, k)
+        auto = canon(ktruss(edges, k).to_pandas())
+        if k == 3:
+            # forced-distributed once (every peel round spawns the full
+            # oriented-wedge join cascade — k=3 keeps the round count
+            # and wall time bounded); small num_buckets for test speed
+            forced = canon(
+                ktruss(
+                    edges, k, num_buckets=8, driver_threshold=0
+                ).to_pandas()
+            )
+            assert auto.equals(forced)  # adaptive == forced bit-identical
+        got = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(auto["id_a"], auto["id_b"], auto["support"])
+        }
+        assert got == want, k
+        # truss property: every surviving edge closes >= k-2 in-truss
+        # triangles, and the 3-truss is non-empty on this graph
+        assert all(s >= k - 2 for s in got.values())
+    assert len(_ktruss_brute(src, dst, 3)) > 0
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        ktruss(edges, 2)
+
+
+def test_ktruss_planted_clique_peels_the_tail():
+    """A 5-clique with pendant tail edges: the 4-truss is EXACTLY the
+    clique (support 3 on every edge) and the peel provably removes
+    edges (the tails die, and so do triangle-free chords)."""
+    import pyarrow as pa
+
+    from mini_ivf_ray.pipelines.graph import ktruss
+
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    tails = [(0, 10), (10, 11), (1, 12), (12, 13), (2, 14)]
+    src = np.array([a for a, _ in clique + tails], dtype=np.int64)
+    dst = np.array([b for _, b in clique + tails], dtype=np.int64)
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    got = ktruss(edges, 4, num_buckets=8, driver_threshold=0).to_pandas()
+    assert len(got) == len(clique)
+    assert set(zip(map(int, got["id_a"]), map(int, got["id_b"]))) == set(
+        clique
+    )
+    assert (got["support"].astype(int) == 3).all()
+    # k-truss lives inside the (k-1)-core (Cohen 2008)
+    from mini_ivf_ray.pipelines.graph import kcore
+
+    core = kcore(edges, 3, driver_threshold=0).to_pandas()
+    core_nodes = set(map(int, core["doc_id"]))
+    assert {int(x) for x in got["id_a"]} | {
+        int(x) for x in got["id_b"]
+    } <= core_nodes
