@@ -4994,6 +4994,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return normalize_buckets(ev, 3600)
 
+    def late_interaction(sf_dir):
+        """Late-interaction multi-vector retrieval (ColBERT MaxSim,
+        Khattab & Zaharia 2020; ES rank_vectors' scoring —
+        pipelines/colbert.py): documents are bags of 5 token vectors
+        (vec_id // 5, the deterministic grouping convention),
+        score(q, d) = sum_i max_j dot(q_i, d_j).  One streamed matmul
+        pass with per-batch max-mergeable partials, a (docs x Q x 5)
+        groupby-max exchange, fixed-order per-query sums, per-block
+        partial top-k — nothing doc-proportional on the driver."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.colbert import late_interaction_topk
+
+        emb = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["vec_id", "embedding"],
+        )
+        res = late_interaction_topk(
+            emb, query_docs=[0, 7, 23], group_size=5, topk=10
+        )
+        res = res.sort_values(["query_doc", "rank"])
+        return pa.table(
+            {
+                "query_doc": pa.array(
+                    res["query_doc"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc": pa.array(
+                    res["doc"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def rs_facets(sf_dir):
         """ES random_sampler aggregation (8.x;
         pipelines/facets.py RandomSamplerFacetCounter): facet counts
@@ -7165,6 +7204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via bm25_facets_sharded; the md5 permille gate
         # is the salted-hash split family (stable_split's SQL replay)
         "rs_facets": rs_facets,
+        # late_interaction: ColBERT MaxSim multi-vector retrieval —
+        # the vector-similarity machinery is in-window via the ANN
+        # family; MaxSim adds max-mergeable partials over the same
+        # streamed matmul shape
+        "late_interaction": late_interaction,
         # ktruss: edge-level k-core strengthening (Cohen 2008) — below
         # the line because BOTH machinery halves are in-window: the
         # per-round triangle enumeration via triangles, the peel loop
@@ -10042,6 +10086,29 @@ SELECT a.event_type, a.n_buckets,
 FROM agg a
 JOIN mins ON mins.event_type = a.event_type
 JOIN maxs ON maxs.event_type = a.event_type
+""",
+        # late interaction / MaxSim: per (query token, doc) the max
+        # dot over the doc's token vectors, summed per query — dots in
+        # DOUBLE, the ann-family round-4 convention
+        "late_interaction": """
+WITH d AS (SELECT vec_id, vec_id // 5 AS did,
+                  CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+q AS (SELECT vec_id AS qtok, vec_id // 5 AS qd,
+             CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id // 5 IN (0, 7, 23)),
+dots AS (SELECT q.qd, q.qtok, d.did,
+                list_dot_product(q.e, d.e) AS dp
+         FROM q CROSS JOIN d),
+mx AS (SELECT qd, qtok, did, max(dp) AS m FROM dots GROUP BY 1, 2, 3),
+sc AS (SELECT qd, did, sum(m) AS score FROM mx GROUP BY 1, 2),
+ranked AS (SELECT qd, did, score,
+                  row_number() OVER (PARTITION BY qd
+                                     ORDER BY score DESC, did ASC) - 1 AS rank
+           FROM sc)
+SELECT qd AS query_doc, CAST(rank AS BIGINT) AS rank, did AS doc,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # random_sampler agg: the deterministic md5 permille gate
         # (split_bucket's SQL form) over the match set, counts scaled
