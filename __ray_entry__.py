@@ -4994,6 +4994,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return normalize_buckets(ev, 3600)
 
+    def snapshot_restore_topk(sf_dir):
+        """Snapshot & restore (ES snapshot API analog,
+        state/snapshot.py): the built index is snapshotted into a
+        content-addressed blob repository (atomic manifest commit,
+        md5-verified), restored into a FRESH directory, and the
+        flagship BM25 workload is served from the RESTORED index —
+        hash-matching the unchanged _bm25_sql oracle proves the
+        roundtrip byte-equivalence end-to-end, not just file-by-file."""
+        import tempfile
+
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+        from mini_ivf_ray.state.snapshot import (
+            restore_index,
+            snapshot_index,
+        )
+
+        idx = _ensure_index(sf_dir)
+        repo = tempfile.mkdtemp(prefix="graft_snaprepo_")
+        snapshot_index(idx, repo, "driver")
+        dest = os.path.join(repo, "restored")
+        restore_index(repo, "driver", dest)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(dest, qds, _CFG).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def late_interaction(sf_dir):
         """Late-interaction multi-vector retrieval (ColBERT MaxSim,
         Khattab & Zaharia 2020; ES rank_vectors' scoring —
@@ -7204,6 +7249,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via bm25_facets_sharded; the md5 permille gate
         # is the salted-hash split family (stable_split's SQL replay)
         "rs_facets": rs_facets,
+        # snapshot_restore_topk: ES snapshot/restore — flagship search
+        # served from a restored snapshot against the unchanged
+        # _bm25_sql oracle (search machinery in-window via bm25_topk)
+        "snapshot_restore_topk": snapshot_restore_topk,
         # late_interaction: ColBERT MaxSim multi-vector retrieval —
         # the vector-similarity machinery is in-window via the ANN
         # family; MaxSim adds max-mergeable partials over the same
@@ -9019,6 +9068,8 @@ FROM documents
 """,
         "top_terms": term_df_sql + " ORDER BY df DESC, term ASC LIMIT 20",
         "bm25_topk": _bm25_sql(),
+        # served from a restored snapshot; identical ranking contract
+        "snapshot_restore_topk": _bm25_sql(),
         "bm25_facets": f"""
 WITH {_TOK_CTE},
 postings AS (SELECT DISTINCT doc_id, term FROM tok),

@@ -1,0 +1,190 @@
+"""Index snapshot & restore — the Elasticsearch snapshot/restore API
+analog over a content-addressed snapshot REPOSITORY.
+
+Layout of a repository directory:
+
+    repo/
+      blobs/<md5>           one blob per distinct file CONTENT
+      snap-<name>.json      snapshot manifest: [(relpath, md5, size)]
+
+Properties, pinned by tests:
+
+  * **Incremental by segment** (ES's behavior, for ES's reason): the
+    engine's segment files are immutable — an incremental append adds
+    NEW per-partition files and compaction rewrites them, but existing
+    blobs never change — so successive snapshots of a growing index
+    re-store only the new/changed files; unchanged content is shared
+    through the blob store by md5.
+  * **Atomic**: the snapshot manifest is written tmp + rename AFTER
+    every blob has landed; a torn snapshot (crash mid-copy) leaves
+    only orphan blobs, never a listed-but-incomplete snapshot.
+    Restore likewise materializes into a temp dir and renames.
+  * **Verified**: restore re-hashes every blob before install
+    (``verify=False`` to skip); ``verify_snapshot`` audits a snapshot
+    in place.  A corrupted blob fails loudly with the offending path.
+  * **Point-in-time**: restoring snap A after later snapshots /
+    appends reproduces A's file set byte-for-byte.
+
+Scale shape: blobs are independent, so hashing + copying fan out as
+plain Ray tasks when a session is live and the file count warrants it
+(``_PARALLEL_MIN``); the repository itself is just files, so at real
+scale it lives on the shared store the index already uses.  Snapshot
+cost is proportional to NEW content, restore to the snapshot size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+_PARALLEL_MIN = 16
+
+
+def _md5_file(path: str) -> str:
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _walk_files(root: str) -> list[str]:
+    out = []
+    for base, _, names in os.walk(root):
+        for n in names:
+            out.append(
+                os.path.relpath(os.path.join(base, n), root)
+            )
+    return sorted(out)
+
+
+def _hash_many(root: str, rels: list[str]) -> list[str]:
+    """md5 per file — Ray-parallel above _PARALLEL_MIN files."""
+    paths = [os.path.join(root, r) for r in rels]
+    try:
+        import ray
+
+        use_ray = ray.is_initialized() and len(paths) >= _PARALLEL_MIN
+    except Exception:  # pragma: no cover - ray always importable here
+        use_ray = False
+    if not use_ray:
+        return [_md5_file(p) for p in paths]
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def h(p):
+        return _md5_file(p)
+
+    return ray.get([h.remote(p) for p in paths])
+
+
+def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
+    """Snapshot ``index_dir`` into the repository as ``name``.
+    Returns {files, bytes, new_blobs, shared_blobs}."""
+    if not name or "/" in name or name.startswith("snap-"):
+        raise ValueError(f"bad snapshot name {name!r}")
+    mpath = os.path.join(repo_dir, f"snap-{name}.json")
+    if os.path.exists(mpath):
+        raise FileExistsError(f"snapshot {name!r} already exists")
+    blob_dir = os.path.join(repo_dir, "blobs")
+    os.makedirs(blob_dir, exist_ok=True)
+    rels = _walk_files(index_dir)
+    if not rels:
+        raise ValueError(f"nothing to snapshot under {index_dir}")
+    hashes = _hash_many(index_dir, rels)
+    entries, new, shared, total = [], 0, 0, 0
+    for rel, md5 in zip(rels, hashes):
+        src = os.path.join(index_dir, rel)
+        size = os.path.getsize(src)
+        total += size
+        blob = os.path.join(blob_dir, md5)
+        if os.path.exists(blob):
+            shared += 1
+        else:
+            tmp = blob + ".tmp"
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, blob)
+            new += 1
+        entries.append({"path": rel, "md5": md5, "size": size})
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"name": name, "files": entries}, f, indent=1)
+    os.replace(tmp, mpath)  # the commit point
+    return {
+        "files": len(entries),
+        "bytes": total,
+        "new_blobs": new,
+        "shared_blobs": shared,
+    }
+
+
+def list_snapshots(repo_dir: str) -> list[str]:
+    if not os.path.isdir(repo_dir):
+        return []
+    return sorted(
+        f[len("snap-"):-len(".json")]
+        for f in os.listdir(repo_dir)
+        if f.startswith("snap-") and f.endswith(".json")
+    )
+
+
+def _load_manifest(repo_dir: str, name: str) -> list[dict]:
+    mpath = os.path.join(repo_dir, f"snap-{name}.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
+    with open(mpath) as f:
+        return json.load(f)["files"]
+
+
+def verify_snapshot(repo_dir: str, name: str) -> dict:
+    """Re-hash every referenced blob; returns {files, bad} with the
+    offending relpaths in ``bad``."""
+    files = _load_manifest(repo_dir, name)
+    blob_dir = os.path.join(repo_dir, "blobs")
+    rels = [e["md5"] for e in files]
+    bad = []
+    present = [
+        os.path.exists(os.path.join(blob_dir, m)) for m in rels
+    ]
+    got = _hash_many(
+        blob_dir, [m for m, ok in zip(rels, present) if ok]
+    )
+    it = iter(got)
+    for e, ok in zip(files, present):
+        if not ok or next(it) != e["md5"]:
+            bad.append(e["path"])
+    return {"files": len(files), "bad": bad}
+
+
+def restore_index(
+    repo_dir: str, name: str, dest_dir: str, verify: bool = True
+) -> dict:
+    """Materialize snapshot ``name`` at ``dest_dir`` (must not exist).
+    With ``verify`` every blob is re-hashed first; a mismatch raises
+    before anything is installed.  Install is tmp-dir + rename."""
+    files = _load_manifest(repo_dir, name)
+    if os.path.exists(dest_dir):
+        raise FileExistsError(f"restore target {dest_dir} exists")
+    if verify:
+        audit = verify_snapshot(repo_dir, name)
+        if audit["bad"]:
+            raise RuntimeError(
+                f"snapshot {name!r} failed verification: "
+                f"{audit['bad'][:5]}{'...' if len(audit['bad']) > 5 else ''}"
+            )
+    blob_dir = os.path.join(repo_dir, "blobs")
+    tmp = dest_dir.rstrip("/") + ".restoring"
+    shutil.rmtree(tmp, ignore_errors=True)
+    total = 0
+    try:
+        for e in files:
+            dst = os.path.join(tmp, e["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(os.path.join(blob_dir, e["md5"]), dst)
+            total += e["size"]
+        os.replace(tmp, dest_dir)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {"files": len(files), "bytes": total}

@@ -1,0 +1,112 @@
+"""Index snapshot/restore: byte-identity roundtrip, segment-level
+incrementality across an append, point-in-time restore, corruption
+detection, torn-snapshot invisibility, restored-search bit-identity."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import ray.data
+from mini_ivf_ray.config import PipelineConfig
+from mini_ivf_ray.pipelines.query import search
+from mini_ivf_ray.state.snapshot import (
+    list_snapshots,
+    restore_index,
+    snapshot_index,
+    verify_snapshot,
+)
+
+
+def _file_hashes(root):
+    from mini_ivf_ray.state.snapshot import _md5_file, _walk_files
+
+    return {r: _md5_file(os.path.join(root, r)) for r in _walk_files(root)}
+
+
+@pytest.fixture(scope="module")
+def snap_env(tmp_path_factory):
+    from mini_ivf_ray.pipelines.build import build_index
+    from mini_ivf_ray.sources.pages import generate_pages
+
+    cfg = PipelineConfig(num_partitions=3, topk=10)
+    tbl = generate_pages(360, seed=43, vocab_size=250, dup_frac=0.0)
+    base = tmp_path_factory.mktemp("snapenv")
+    idx = str(base / "idx")
+    build_index(lambda: ray.data.from_arrow(tbl.slice(0, 300)), idx, cfg)
+    repo = str(base / "repo")
+    return idx, cfg, repo, str(base), tbl
+
+
+def test_roundtrip_and_point_in_time(snap_env):
+    from mini_ivf_ray.pipelines.append import append_index
+
+    idx, cfg, repo, base, tbl = snap_env
+    before = _file_hashes(idx)
+    s1 = snapshot_index(idx, repo, "s1")
+    assert s1["files"] == len(before) and s1["shared_blobs"] == 0
+    assert list_snapshots(repo) == ["s1"]
+    assert verify_snapshot(repo, "s1")["bad"] == []
+
+    # mutate the index: incremental append adds new segment files
+    append_index(lambda: ray.data.from_arrow(tbl.slice(300)), idx, cfg)
+    after = _file_hashes(idx)
+    assert after != before
+    s2 = snapshot_index(idx, repo, "s2")
+    # segment-level incrementality: unchanged immutable files are
+    # SHARED blobs, only the appended/updated files are new
+    assert s2["shared_blobs"] > 0
+    assert s2["new_blobs"] < s2["files"]
+
+    # point-in-time: restoring s1 reproduces the PRE-append bytes
+    dest1 = os.path.join(base, "restore1")
+    restore_index(repo, "s1", dest1)
+    assert _file_hashes(dest1) == before
+    dest2 = os.path.join(base, "restore2")
+    restore_index(repo, "s2", dest2)
+    assert _file_hashes(dest2) == after
+
+    # restored index serves bit-identically to the live one
+    qds = ray.data.from_items(
+        [{"query_id": 0, "text": "the data web"}]
+    )
+    live = search(idx, qds, cfg).to_pandas().sort_values("rank")
+    rest = search(dest2, qds, cfg).to_pandas().sort_values("rank")
+    assert np.array_equal(
+        live["doc_id"].to_numpy().astype(np.uint64),
+        rest["doc_id"].to_numpy().astype(np.uint64),
+    )
+    assert np.array_equal(
+        live["score"].to_numpy(), rest["score"].to_numpy()
+    )
+
+
+def test_corruption_detected_and_torn_snapshot_invisible(snap_env):
+    idx, cfg, repo, base, _ = snap_env
+    snapshot_index(idx, repo, "c1")
+    m = json.load(open(os.path.join(repo, "snap-c1.json")))
+    victim = m["files"][0]["md5"]
+    path = os.path.join(repo, "blobs", victim)
+    blob = open(path, "rb").read()
+    open(path, "wb").write(bytes([blob[0] ^ 0xFF]) + blob[1:])
+    audit = verify_snapshot(repo, "c1")
+    assert audit["bad"], "corruption must be flagged"
+    with pytest.raises(RuntimeError, match="failed verification"):
+        restore_index(repo, "c1", os.path.join(base, "nope"))
+    assert not os.path.exists(os.path.join(base, "nope"))
+    open(path, "wb").write(blob)  # heal for other tests
+    assert verify_snapshot(repo, "c1")["bad"] == []
+
+    # a torn snapshot (blobs landed, manifest missing) is invisible
+    assert "torn" not in list_snapshots(repo)
+    with pytest.raises(FileNotFoundError):
+        restore_index(repo, "torn", os.path.join(base, "nope2"))
+
+    # contracts
+    with pytest.raises(FileExistsError):
+        snapshot_index(idx, repo, "c1")
+    with pytest.raises(ValueError, match="bad snapshot name"):
+        snapshot_index(idx, repo, "a/b")
+    with pytest.raises(FileExistsError):
+        restore_index(repo, "c1", idx)
