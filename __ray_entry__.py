@@ -344,6 +344,7 @@ STOPWORDS_PY = frozenset(("the", "a", "of", "and", "to", "in"))
 _CFG = PipelineConfig(num_partitions=8, topk=10, doc_id_from_url=False)
 
 _index_cache: dict[str, str] = {}
+_half_index_cache: dict[str, list[str]] = {}
 _ivf_cache: dict[str, str] = {}
 
 
@@ -4994,6 +4995,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return normalize_buckets(ev, 3600)
 
+    def dfs_multi_topk(sf_dir):
+        """Federated multi-index search with global DFS statistics
+        (ES dfs_query_then_fetch across indices / cross-cluster
+        scoring; pipelines/federated.py): TWO indices built
+        INDEPENDENTLY over the even/odd doc_id halves of the corpus, a
+        pre-query statistics exchange combines their term stats, each
+        index scores its own postings under the GLOBAL values, and the
+        merged ranking hash-matches the UNCHANGED whole-corpus
+        _bm25_sql oracle — the bit-identity that query_then_fetch
+        (local stats) provably lacks (pytest-pinned divergence)."""
+        import pyarrow.compute as pc_mod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.federated import dfs_multi_search
+
+        if sf_dir not in _half_index_cache:
+            from mini_ivf_ray.pipelines.build import build_index
+            from mini_ivf_ray.sources.pages import documents_as_pages
+
+            halves = []
+            for parity in (0, 1):
+
+                def keep(batch, p=parity):
+                    return batch.filter(
+                        pc_mod.equal(
+                            pc_mod.bit_wise_and(batch["doc_id"], 1), p
+                        )
+                    )
+
+                idx = tempfile.mkdtemp(prefix=f"graft_half{parity}_")
+                build_index(
+                    lambda p=parity: documents_as_pages(sf_dir).map_batches(
+                        keep, batch_format="pyarrow"
+                    ),
+                    idx,
+                    _CFG,
+                    dedup=False,
+                    lineage_extra={"source": sf_dir, "half": parity},
+                )
+                halves.append(idx)
+            _half_index_cache[sf_dir] = halves
+        res = dfs_multi_search(
+            _half_index_cache[sf_dir], BM25_QUERIES, _CFG, dfs=True
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def snapshot_restore_topk(sf_dir):
         """Snapshot & restore (ES snapshot API analog,
         state/snapshot.py): the built index is snapshotted into a
@@ -7249,6 +7312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via bm25_facets_sharded; the md5 permille gate
         # is the salted-hash split family (stable_split's SQL replay)
         "rs_facets": rs_facets,
+        # dfs_multi_topk: ES dfs_query_then_fetch federation — two
+        # independent half-indices, global-stats merge == whole-corpus
+        # ranking (search machinery in-window via bm25_topk)
+        "dfs_multi_topk": dfs_multi_topk,
         # snapshot_restore_topk: ES snapshot/restore — flagship search
         # served from a restored snapshot against the unchanged
         # _bm25_sql oracle (search machinery in-window via bm25_topk)
@@ -9070,6 +9137,8 @@ FROM documents
         "bm25_topk": _bm25_sql(),
         # served from a restored snapshot; identical ranking contract
         "snapshot_restore_topk": _bm25_sql(),
+        # two half-indices under global DFS stats == the whole corpus
+        "dfs_multi_topk": _bm25_sql(),
         "bm25_facets": f"""
 WITH {_TOK_CTE},
 postings AS (SELECT DISTINCT doc_id, term FROM tok),
