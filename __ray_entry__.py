@@ -4995,6 +4995,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return normalize_buckets(ev, 3600)
 
+    def disk_usage(sf_dir):
+        """ES _disk_usage analog (pipelines/diskusage.py): per-TERM
+        exact ENCODED posting bytes (vectorized binary_length over the
+        payload column — never decoded; the codec-output size, i.e.
+        what decode reads, not the post-parquet-compression file
+        footprint) in one streamed pass with combiner-first merge,
+        top-20.  Rows-only by nature (byte counts are codec facts);
+        self-check pins the accounting: each term's n_postings must
+        equal the dictionary's df bookkeeping."""
+        import pyarrow.parquet as pqmod
+
+        from mini_ivf_ray.pipelines.diskusage import (
+            component_bytes,
+            term_disk_usage,
+        )
+
+        idx = _ensure_index(sf_dir)
+        top = term_disk_usage(idx, _CFG, top_n=20)
+        comp = component_bytes(idx)
+        d = pqmod.read_table(
+            os.path.join(idx, "dictionary.parquet"), columns=["term", "df"]
+        )
+        df_map = dict(zip(d["term"].to_pylist(), d["df"].to_pylist()))
+        assert comp["segments"] > 0 and comp["dictionary"] > 0
+        for t, p in zip(
+            top["term"].to_pylist(), top["n_postings"].to_pylist()
+        ):
+            assert df_map[t] == p, (t, df_map[t], p)
+        return top
+
     def dfs_multi_topk(sf_dir):
         """Federated multi-index search with global DFS statistics
         (ES dfs_query_then_fetch across indices / cross-cluster
@@ -7312,6 +7342,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via bm25_facets_sharded; the md5 permille gate
         # is the salted-hash split family (stable_split's SQL replay)
         "rs_facets": rs_facets,
+        # disk_usage: ES _disk_usage — rows-only (codec facts), with
+        # in-query self-checks against the dictionary bookkeeping
+        "disk_usage": disk_usage,
         # dfs_multi_topk: ES dfs_query_then_fetch federation — two
         # independent half-indices, global-stats merge == whole-corpus
         # ranking (search machinery in-window via bm25_topk)

@@ -110,3 +110,66 @@ def test_corruption_detected_and_torn_snapshot_invisible(snap_env):
         snapshot_index(idx, repo, "a/b")
     with pytest.raises(FileExistsError):
         restore_index(repo, "c1", idx)
+
+
+def test_disk_usage_accounting(snap_env):
+    """_disk_usage analog: per-term payload bytes reconcile with a
+    direct pyarrow scan; n_postings == dictionary df; component totals
+    bound the payload sum; contracts."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mini_ivf_ray.pipelines.diskusage import (
+        component_bytes,
+        term_disk_usage,
+    )
+
+    idx, cfg, repo, base, _ = snap_env
+    top = term_disk_usage(idx, cfg, top_n=10_000)  # untruncated
+    # direct reference scan
+    ref_bytes: dict[str, int] = {}
+    ref_posts: dict[str, int] = {}
+    ref_blocks: dict[str, int] = {}
+    for f in glob.glob(os.path.join(idx, "segments", "part=*", "*.parquet")):
+        t = pq.read_table(f, columns=["term", "count", "payload"])
+        for term, cnt, pay in zip(
+            t["term"].to_pylist(), t["count"].to_pylist(),
+            t["payload"].to_pylist(),
+        ):
+            ref_bytes[term] = ref_bytes.get(term, 0) + len(pay)
+            ref_posts[term] = ref_posts.get(term, 0) + int(cnt)
+            ref_blocks[term] = ref_blocks.get(term, 0) + 1
+    assert len(top) == len(ref_bytes)
+    for term, b, k, p in zip(
+        top["term"].to_pylist(), top["payload_bytes"].to_pylist(),
+        top["n_blocks"].to_pylist(), top["n_postings"].to_pylist(),
+    ):
+        assert ref_bytes[term] == b, term
+        assert ref_blocks[term] == k, term
+        assert ref_posts[term] == p, term
+    # the ordering contract: (payload_bytes desc, term asc)
+    rows = list(
+        zip(top["payload_bytes"].to_pylist(), top["term"].to_pylist())
+    )
+    assert rows == sorted(rows, key=lambda x: (-x[0], x[1]))
+    # dictionary df bookkeeping agrees
+    d = pq.read_table(
+        os.path.join(idx, "dictionary.parquet"), columns=["term", "df"]
+    )
+    df_map = dict(zip(d["term"].to_pylist(), d["df"].to_pylist()))
+    for term, p in zip(
+        top["term"].to_pylist(), top["n_postings"].to_pylist()
+    ):
+        assert df_map[term] == p
+    comp = component_bytes(idx)
+    # payload_bytes is the CODEC-output size; parquet page compression
+    # can put the FILE below it — both layers must simply be positive
+    # and the component walk must cover the segments
+    assert comp["segments"] > 0
+    assert sum(ref_bytes.values()) > 0
+    assert comp["dictionary"] > 0 and comp["manifest"] > 0
+    with pytest.raises(ValueError, match="top_n"):
+        term_disk_usage(idx, cfg, top_n=0)
+    with pytest.raises(FileNotFoundError):
+        term_disk_usage(os.path.join(base, "nowhere"), cfg)
