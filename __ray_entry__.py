@@ -127,6 +127,15 @@ MP_QUERIES: list[tuple[int, list[list[str]]]] = [
     (4, [["data"], ["row"], ["column", "line"]]),
 ]
 
+# synonym-graph workload: multi-word expansions must bite (docs with
+# the phrase but not the original token join the match set)
+SYN_GRAPH_QUERIES: list[tuple[int, str]] = [
+    (0, "vector window"),
+    (1, "big filter"),
+    (2, "dup group"),
+    (3, "vector zzqq"),  # AND with an OOV slot: empty
+]
+
 # simple_query_string workload (default_operator="and",
 # max_expansions=3): phrases, capped prefix, grouping, negation, OOV
 SQS_QUERIES: list[tuple[int, str]] = [
@@ -4451,6 +4460,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def synonym_graph(sf_dir):
+        """Multi-word synonym graph at query time (ES synonym_graph
+        token filter / Lucene's token-graph analysis —
+        pipelines/sqs.py synonym_graph_query): a rule
+        token => "multi word" rewrites the query slot into
+        (token | "multi word") with the alternative PHRASE-gated
+        (contiguity is the whole reason the *graph* filter exists),
+        evaluated through the simple_query_string machinery —
+        index-only batched positional verify, positive-token BM25,
+        AND across slots."""
+        from mini_ivf_ray.pipelines.sqs import synonym_graph_topk
+
+        idx = _ensure_positions(sf_dir)
+        rules = {
+            "vector": ["data stream"],
+            "big": ["huge", "table scan"],
+            "dup": ["key value"],
+        }
+        res = synonym_graph_topk(
+            idx, None, SYN_GRAPH_QUERIES, rules, _CFG,
+            default_operator="and", positions="index",
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def multi_phrase_topk_q(sf_dir):
         """Multi-phrase search (Lucene MultiPhraseQuery,
         pipelines/multiphrase.py): each slot accepts any of several
@@ -7358,6 +7407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family; MaxSim adds max-mergeable partials over the same
         # streamed matmul shape
         "late_interaction": late_interaction,
+        # synonym_graph: ES multi-word synonym_graph filter — a
+        # rewrite onto the sqs evaluator (the full evaluation
+        # machinery is in-window via simple_qs)
+        "synonym_graph": synonym_graph,
         # ktruss: edge-level k-core strengthening (Cohen 2008) — below
         # the line because BOTH machinery halves are in-window: the
         # per-round triangle enumeration via triangles, the peel loop
@@ -11040,6 +11093,65 @@ FROM events GROUP BY event_type
 """,
         "phrase_topk": _phrase_sql(),
         "multi_phrase_topk": _multi_phrase_sql(),
+        # synonym_graph: per-slot (token OR phrase-alternative) AND'd
+        # across slots (the sqs hand-replay convention); scoring =
+        # disjunctive BM25 over original + alternative tokens
+        "synonym_graph": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES
+  (0, 'vector'), (0, 'data'), (0, 'stream'), (0, 'window'),
+  (1, 'big'), (1, 'huge'), (1, 'table'), (1, 'scan'), (1, 'filter'),
+  (2, 'dup'), (2, 'key'), (2, 'value'), (2, 'group')),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+m AS (SELECT DISTINCT term, doc_id FROM tok),
+docstr AS (SELECT doc_id,
+                  ' ' || array_to_string(
+                    regexp_extract_all(lower(text), '{TOKEN_RE_SQL}'), ' ')
+                  || ' ' AS s
+           FROM documents),
+match(query_id, doc_id) AS (
+  SELECT 0, ds.doc_id FROM docstr ds
+  WHERE (ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'vector')
+         OR ds.s LIKE '% data stream %')
+    AND ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'window')
+  UNION ALL
+  SELECT 1, ds.doc_id FROM docstr ds
+  WHERE (ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'big')
+         OR ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'huge')
+         OR ds.s LIKE '% table scan %')
+    AND ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'filter')
+  UNION ALL
+  SELECT 2, ds.doc_id FROM docstr ds
+  WHERE (ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'dup')
+         OR ds.s LIKE '% key value %')
+    AND ds.doc_id IN (SELECT doc_id FROM m WHERE term = 'group')),
+final AS (SELECT mt.query_id, mt.doc_id,
+                 coalesce(s.score, 0.0) AS score
+          FROM match mt LEFT JOIN scores s
+            ON s.query_id = mt.query_id AND s.doc_id = mt.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
         # simple_qs: per-query hand-replayed set algebra (the
         # bool_search convention) — phrases via the docstr LIKE trick,
         # the capped prefix via the row_number expansion CTE (first 3

@@ -291,6 +291,25 @@ def simple_query_string_topk(
     ranked by the positive term/phrase tokens' BM25 sum (score desc,
     doc asc).  ``positions`` as in phrase_topk (phrase-leaf verify
     backend)."""
+    parsed: list[tuple[int, Node | None]] = [
+        (qid, parse_sqs(text, default_operator)) for qid, text in queries
+    ]
+    return _evaluate_trees(
+        index_dir, docs_ds, parsed, cfg, positions, max_expansions
+    )
+
+
+def _evaluate_trees(
+    index_dir: str,
+    docs_ds,
+    parsed: list[tuple[int, "Node | None"]],
+    cfg: PipelineConfig | None = None,
+    positions: str = "auto",
+    max_expansions: int = 50,
+) -> pd.DataFrame:
+    """Shared evaluator for pre-built query trees (simple_query_string
+    and the synonym-graph rewrite): leaf sets, one batched phrase
+    verify, lazy-complement combine, positive-token scoring, top-k."""
     import ray
 
     from mini_ivf_ray.pipelines.phrase import (
@@ -304,10 +323,6 @@ def simple_query_string_topk(
     use_index = _resolve_positions_mode(index_dir, positions)
     searcher = BM25Searcher(index_dir, cfg)
     dict_terms = sorted(searcher.stats.df)
-
-    parsed: list[tuple[int, Node | None]] = [
-        (qid, parse_sqs(text, default_operator)) for qid, text in queries
-    ]
 
     # fetch every referenced token (term/phrase leaves + prefix
     # expansions) once per query set
@@ -449,3 +464,74 @@ def simple_query_string_topk(
     if len(df):
         df["doc_id"] = df["doc_id"].astype(np.uint64)
     return df
+
+
+def synonym_graph_query(
+    text: str, rules: dict[str, list[str]], default_operator: str = "and"
+) -> Node | None:
+    """ES ``synonym_graph`` token-filter semantics at query time,
+    expressed as a rewrite onto this module's tree: each query token
+    with a synonym rule becomes an OR of alternatives, where a
+    MULTI-WORD alternative is a phrase node — exactly the token graph
+    Lucene builds (the reason multi-word synonyms need the *graph*
+    filter: "ml" => "machine learning" must match as a contiguous
+    phrase, not a bag).  The rewritten query is
+
+        AND/OR over slots of  (token | "alt one" | alt2 ...)
+
+    joined by ``default_operator`` like any analyzed match query.
+    Rule keys are single analyzed tokens; alternatives may be multi
+    word.  Evaluation, scoring and leniency are inherited verbatim
+    from simple_query_string_topk (positive tokens = the original
+    token plus every alternative's tokens — ES scores expanded
+    synonyms at full weight in the blended term-frequency model; the
+    phrase-gating keeps multi-word alternatives contiguous)."""
+    norm_rules: dict[str, list[list[str]]] = {}
+    for k, alts in rules.items():
+        kt = tokenize(k)
+        if len(kt) != 1:
+            raise ValueError(
+                f"synonym rule key {k!r} must analyze to one token"
+            )
+        outs = []
+        for a in alts:
+            at = tokenize(a)
+            if not at:
+                raise ValueError(f"synonym alternative {a!r} is empty")
+            outs.append(at)
+        norm_rules[kt[0]] = outs
+    slots: list[Node] = []
+    for tok in tokenize(text):
+        alts: list[Node] = [Node("term", payload=[tok])]
+        for at in norm_rules.get(tok, []):
+            if len(at) == 1:
+                alts.append(Node("term", payload=at))
+            else:
+                alts.append(Node("phrase", payload=at))
+        slots.append(alts[0] if len(alts) == 1 else Node("or", alts))
+    if not slots:
+        return None
+    if len(slots) == 1:
+        return slots[0]
+    op = "and" if default_operator == "and" else "or"
+    return Node(op, slots)
+
+
+def synonym_graph_topk(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str]],
+    rules: dict[str, list[str]],
+    cfg: PipelineConfig | None = None,
+    default_operator: str = "and",
+    positions: str = "auto",
+) -> pd.DataFrame:
+    """Match query under a multi-word synonym graph: rewrite each
+    query with ``synonym_graph_query`` and evaluate through the
+    simple_query_string machinery (same candidates / batched phrase
+    verify / scoring / top-k)."""
+    trees = [
+        (qid, synonym_graph_query(text, rules, default_operator))
+        for qid, text in queries
+    ]
+    return _evaluate_trees(index_dir, docs_ds, trees, cfg, positions)

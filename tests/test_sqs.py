@@ -261,3 +261,61 @@ def test_prefix_cap_bites_and_default_operator(sqs_index):
         simple_query_string_topk(
             idx, None, [(0, "-data")], cfg, positions="index"
         )
+
+
+def test_synonym_graph_rewrite_and_equivalence(sqs_index):
+    """Multi-word synonym graph: the rewrite equals the hand-written
+    sqs expression bit-identically; the expansion provably widens the
+    match set; contracts."""
+    from mini_ivf_ray.pipelines.sqs import (
+        synonym_graph_query,
+        synonym_graph_topk,
+    )
+
+    idx, cfg, docs = sqs_index
+    rules = {"web": ["the data"], "zz": ["a b"]}
+    # rewrite shape: slot OR of term + phrase alternative
+    t = synonym_graph_query("web page", rules, "and")
+    assert _shape(t) == (
+        "and",
+        ("or", ("term", ("web",)), ("phrase", ("the", "data"))),
+        ("term", ("page",)),
+    )
+    # equivalence with the explicit sqs expression
+    big = PipelineConfig(**{**cfg.__dict__, "topk": 10_000})
+    got = synonym_graph_topk(
+        idx, None, [(0, "web page")], rules, big,
+        default_operator="and", positions="index",
+    ).sort_values("rank").reset_index(drop=True)
+    exp = simple_query_string_topk(
+        idx, None, [(0, '(web | "the data") + page')], big,
+        default_operator="and", positions="index",
+    ).sort_values("rank").reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    assert np.array_equal(
+        got["doc_id"].to_numpy().astype(np.uint64),
+        exp["doc_id"].to_numpy().astype(np.uint64),
+    )
+    assert np.array_equal(got["score"].to_numpy(), exp["score"].to_numpy())
+    # the multi-word expansion bites: strict superset of the no-rules
+    # match set, and some matched doc lacks the original token
+    plain = simple_query_string_topk(
+        idx, None, [(0, "web + page")], big,
+        default_operator="and", positions="index",
+    )
+    got_set = set(map(int, got["doc_id"]))
+    plain_set = set(map(int, plain["doc_id"]))
+    assert plain_set < got_set
+    from mini_ivf_ray.functions.tokenize import tokenize as tok
+
+    by_id = dict(zip(map(int, docs["doc_id"]), docs["text"]))
+    extra = next(iter(got_set - plain_set))
+    assert "web" not in tok(by_id[extra])
+    # contracts
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="one token"):
+        synonym_graph_query("x", {"two words": ["y"]})
+    with _pt.raises(ValueError, match="empty"):
+        synonym_graph_query("x", {"x": ["!!"]})
+    assert synonym_graph_query("", rules) is None
