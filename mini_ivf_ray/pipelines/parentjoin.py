@@ -376,13 +376,15 @@ def has_child_search(
 class _MatchEmitter(BM25Searcher):
     """Actor-pool stage: (query_id, text) -> the FULL scored match set
     (query_id, doc_id, score) — the has_parent join's parent side.
-    Output is match-set-proportional; Ray's dynamic block splitting
-    keeps blocks bounded."""
+    Output is match-set-proportional, so ``__call__`` is a GENERATOR
+    yielding bounded chunks: a 100-TB query's match set streams
+    through the object store instead of assembling in one actor heap
+    (Ray treats each yielded table as its own output block)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        qids: list[np.ndarray] = []
-        docs: list[np.ndarray] = []
-        scores: list[np.ndarray] = []
+    CHUNK = 65536
+
+    def __call__(self, batch: pa.Table):
+        emitted = False
         for qid, qtext in zip(
             batch["query_id"].to_pylist(), batch["text"].to_pylist()
         ):
@@ -413,28 +415,30 @@ class _MatchEmitter(BM25Searcher):
             if self.denied is not None and self.denied.size:
                 keep = ~_allowed_mask(d, self.denied)
                 d, s = d[keep], s[keep]
-            if not d.size:
-                continue
-            qids.append(np.full(d.size, qid, dtype=np.int64))
-            docs.append(d)
-            scores.append(s)
-        if not qids:
-            return pa.table(
+            for i in range(0, d.size, self.CHUNK):
+                dj = d[i : i + self.CHUNK]
+                sj = s[i : i + self.CHUNK]
+                emitted = True
+                yield pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(dj.size, qid, dtype=np.int64),
+                            type=pa.int64(),
+                        ),
+                        "doc_id": pa.array(
+                            dj.astype(np.uint64), type=pa.uint64()
+                        ),
+                        "score": pa.array(sj, type=pa.float64()),
+                    }
+                )
+        if not emitted:
+            yield pa.table(
                 {
                     "query_id": pa.array([], type=pa.int64()),
                     "doc_id": pa.array([], type=pa.uint64()),
                     "score": pa.array([], type=pa.float64()),
                 }
             )
-        return pa.table(
-            {
-                "query_id": pa.array(np.concatenate(qids), type=pa.int64()),
-                "doc_id": pa.array(
-                    np.concatenate(docs).astype(np.uint64), type=pa.uint64()
-                ),
-                "score": pa.array(np.concatenate(scores), type=pa.float64()),
-            }
-        )
 
 
 def has_parent_search(
