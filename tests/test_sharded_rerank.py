@@ -57,6 +57,22 @@ def test_sharded_rerank_identity_all_modes(tiny_index):
                 _canon(single)[c].to_numpy().astype(dt),
             ), ("rank_feature", c)
 
+        # distance mode rides the same rank_feature machinery: the
+        # origin param must thread through the sharded path too
+        df_kw = {
+            "function": "distance", "boost": 3.0,
+            "pivot": 10.0, "origin": float(np.median(vals)),
+        }
+        single = rank_feature_search(
+            idx, _qds(), ids, vals, cfg, **df_kw
+        ).to_pandas()
+        got = sharded.rerank_search(QUERIES, "rank_feature", df_kw)
+        for c, dt in (("doc_id", np.uint64), ("score", np.float64)):
+            assert np.array_equal(
+                _canon(got)[c].to_numpy().astype(dt),
+                _canon(single)[c].to_numpy().astype(dt),
+            ), ("distance", c)
+
         dc_kw = {
             "mode": "gauss", "origin": float(np.median(vals)),
             "scale": 5.0, "offset": 1.0, "decay": 0.5,
