@@ -188,3 +188,45 @@ def restore_index(
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return {"files": len(files), "bytes": total}
+
+
+def delete_snapshot(repo_dir: str, name: str) -> None:
+    """Remove a snapshot's manifest.  Blobs are left in place — they
+    may be shared with other snapshots; reclaim space with
+    ``gc_repository`` (ES's snapshot-delete + cleanup split)."""
+    mpath = os.path.join(repo_dir, f"snap-{name}.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"no snapshot {name!r} in {repo_dir}")
+    os.remove(mpath)
+
+
+def gc_repository(repo_dir: str) -> dict:
+    """Delete every blob referenced by NO remaining snapshot manifest.
+    Returns {kept, removed, removed_bytes}.  Safe with concurrent
+    snapshot CREATION only if callers serialize gc against snapshot
+    (the ES repository-cleanup contract); a torn snapshot's orphan
+    blobs are exactly what this reclaims."""
+    blob_dir = os.path.join(repo_dir, "blobs")
+    if not os.path.isdir(blob_dir):
+        return {"kept": 0, "removed": 0, "removed_bytes": 0}
+    live: set[str] = set()
+    for name in list_snapshots(repo_dir):
+        for e in _load_manifest(repo_dir, name):
+            live.add(e["md5"])
+    kept = removed = removed_bytes = 0
+    for b in os.listdir(blob_dir):
+        if b.endswith(".tmp"):
+            # a torn copy: never referenced, always reclaimable
+            path = os.path.join(blob_dir, b)
+            removed_bytes += os.path.getsize(path)
+            os.remove(path)
+            removed += 1
+            continue
+        if b in live:
+            kept += 1
+        else:
+            path = os.path.join(blob_dir, b)
+            removed_bytes += os.path.getsize(path)
+            os.remove(path)
+            removed += 1
+    return {"kept": kept, "removed": removed, "removed_bytes": removed_bytes}

@@ -173,3 +173,44 @@ def test_disk_usage_accounting(snap_env):
         term_disk_usage(idx, cfg, top_n=0)
     with pytest.raises(FileNotFoundError):
         term_disk_usage(os.path.join(base, "nowhere"), cfg)
+
+
+def test_delete_and_gc(snap_env, tmp_path_factory):
+    """Snapshot deletion + repository GC: shared blobs survive while
+    any referencing snapshot lives, orphans (and torn .tmp copies)
+    are reclaimed, and the surviving snapshot still restores
+    byte-identically after GC."""
+    from mini_ivf_ray.state.snapshot import (
+        delete_snapshot,
+        gc_repository,
+    )
+
+    idx, cfg, _, base, _ = snap_env
+    repo = str(tmp_path_factory.mktemp("gcrepo"))
+    before = _file_hashes(idx)
+    snapshot_index(idx, repo, "a")
+    snapshot_index(idx, repo, "b")  # fully shared with a
+    n_blobs = len(os.listdir(os.path.join(repo, "blobs")))
+    # plant a torn copy
+    open(os.path.join(repo, "blobs", "deadbeef.tmp"), "wb").write(b"x")
+
+    delete_snapshot(repo, "b")
+    assert list_snapshots(repo) == ["a"]
+    stats = gc_repository(repo)
+    # everything is still referenced by a; only the torn copy goes
+    assert stats["kept"] == n_blobs and stats["removed"] == 1
+    dest = os.path.join(base, "gc_restore")
+    restore_index(repo, "a", dest)
+    assert _file_hashes(dest) == before
+
+    delete_snapshot(repo, "a")
+    stats = gc_repository(repo)
+    assert stats["kept"] == 0 and stats["removed"] == n_blobs
+    assert os.listdir(os.path.join(repo, "blobs")) == []
+    with pytest.raises(FileNotFoundError):
+        delete_snapshot(repo, "a")
+    # gc on a repo with no blob dir is a no-op
+    empty = str(tmp_path_factory.mktemp("gcempty"))
+    assert gc_repository(empty) == {
+        "kept": 0, "removed": 0, "removed_bytes": 0,
+    }
