@@ -60,16 +60,19 @@ def _walk_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def _hash_many(root: str, rels: list[str]) -> list[str]:
-    """md5 per file — Ray-parallel above _PARALLEL_MIN files."""
-    paths = [os.path.join(root, r) for r in rels]
+def _use_ray(n: int) -> bool:
     try:
         import ray
 
-        use_ray = ray.is_initialized() and len(paths) >= _PARALLEL_MIN
+        return ray.is_initialized() and n >= _PARALLEL_MIN
     except Exception:  # pragma: no cover - ray always importable here
-        use_ray = False
-    if not use_ray:
+        return False
+
+
+def _hash_many(root: str, rels: list[str]) -> list[str]:
+    """md5 per file — Ray-parallel above _PARALLEL_MIN files."""
+    paths = [os.path.join(root, r) for r in rels]
+    if not _use_ray(len(paths)):
         return [_md5_file(p) for p in paths]
     import ray
 
@@ -78,6 +81,30 @@ def _hash_many(root: str, rels: list[str]) -> list[str]:
         return _md5_file(p)
 
     return ray.get([h.remote(p) for p in paths])
+
+
+def _copy_atomic(src: str, dst: str) -> None:
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + ".tmp"
+    shutil.copyfile(src, tmp)
+    os.replace(tmp, dst)
+
+
+def _copy_many(pairs: list[tuple[str, str]]) -> None:
+    """Atomic (tmp + rename) copies — Ray-parallel above
+    _PARALLEL_MIN files; blobs/files are independent so the fan-out
+    is embarrassingly parallel."""
+    if not _use_ray(len(pairs)):
+        for src, dst in pairs:
+            _copy_atomic(src, dst)
+        return
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    def c(src, dst):
+        _copy_atomic(src, dst)
+
+    ray.get([c.remote(s, d) for s, d in pairs])
 
 
 def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
@@ -94,20 +121,20 @@ def snapshot_index(index_dir: str, repo_dir: str, name: str) -> dict:
     if not rels:
         raise ValueError(f"nothing to snapshot under {index_dir}")
     hashes = _hash_many(index_dir, rels)
-    entries, new, shared, total = [], 0, 0, 0
+    entries, shared, total = [], 0, 0
+    to_copy: dict[str, str] = {}  # blob path -> src (dedup identical content)
     for rel, md5 in zip(rels, hashes):
         src = os.path.join(index_dir, rel)
         size = os.path.getsize(src)
         total += size
         blob = os.path.join(blob_dir, md5)
-        if os.path.exists(blob):
+        if os.path.exists(blob) or blob in to_copy:
             shared += 1
         else:
-            tmp = blob + ".tmp"
-            shutil.copyfile(src, tmp)
-            os.replace(tmp, blob)
-            new += 1
+            to_copy[blob] = src
         entries.append({"path": rel, "md5": md5, "size": size})
+    _copy_many([(src, blob) for blob, src in to_copy.items()])
+    new = len(to_copy)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump({"name": name, "files": entries}, f, indent=1)
@@ -177,17 +204,17 @@ def restore_index(
     blob_dir = os.path.join(repo_dir, "blobs")
     tmp = dest_dir.rstrip("/") + ".restoring"
     shutil.rmtree(tmp, ignore_errors=True)
-    total = 0
     try:
-        for e in files:
-            dst = os.path.join(tmp, e["path"])
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            shutil.copyfile(os.path.join(blob_dir, e["md5"]), dst)
-            total += e["size"]
+        _copy_many(
+            [
+                (os.path.join(blob_dir, e["md5"]), os.path.join(tmp, e["path"]))
+                for e in files
+            ]
+        )
         os.replace(tmp, dest_dir)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return {"files": len(files), "bytes": total}
+    return {"files": len(files), "bytes": sum(e["size"] for e in files)}
 
 
 def delete_snapshot(repo_dir: str, name: str) -> None:

@@ -214,3 +214,19 @@ def test_delete_and_gc(snap_env, tmp_path_factory):
     assert gc_repository(empty) == {
         "kept": 0, "removed": 0, "removed_bytes": 0,
     }
+
+
+def test_parallel_fanout_paths(snap_env, tmp_path_factory, monkeypatch):
+    """Force the Ray-task fan-out (hash + copy) by dropping the
+    parallelism threshold to 1: snapshot and restore must produce the
+    identical byte set through the parallel path."""
+    from mini_ivf_ray.state import snapshot as snap
+
+    idx, cfg, _, base, _ = snap_env
+    monkeypatch.setattr(snap, "_PARALLEL_MIN", 1)
+    repo = str(tmp_path_factory.mktemp("parrepo"))
+    s = snap.snapshot_index(idx, repo, "par")
+    assert s["new_blobs"] > 0
+    dest = os.path.join(base, "par_restore")
+    snap.restore_index(repo, "par", dest)
+    assert _file_hashes(dest) == _file_hashes(idx)
