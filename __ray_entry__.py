@@ -1614,6 +1614,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def search_err(sf_dir):
+        """Expected Reciprocal Rank (Chapelle et al. 2009 — the
+        cascade-model metric trec_eval ships alongside NDCG;
+        pipelines/evaluation.py eval_err): the user stops at rank r
+        with probability R_r = (2^g - 1)/2^g_max, ERR = expected
+        reciprocal stopping rank over the engine's own BM25 run.
+        Same one-pass streamed qrels machinery as search_eval; the
+        cascade product runs in rank order, replayed by the oracle's
+        product() window."""
+        from mini_ivf_ray.pipelines.evaluation import eval_err
+        from mini_ivf_ray.stages.prepare import assign_doc_ids
+
+        idx = _ensure_index(sf_dir)
+        docs = assign_doc_ids(_documents(sf_dir), _CFG)
+        res = eval_err(idx, docs, BM25_QUERIES, _CFG, k=10)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "g_max": pa.array(
+                    res["g_max"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "err_r": pa.array(
+                    np.round(res["err"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def fuzzy_search_q(sf_dir):
         """Typo-tolerant retrieval (Lucene FuzzyQuery): each query term
         expands to vocab terms within Levenshtein distance 2 (SymSpell
@@ -7239,6 +7268,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blended_topk": blended_topk,
         "msm_topk": msm_topk,
         "search_eval": search_eval_q,
+        # search_err: ERR (cascade model) — shares search_eval's
+        # streamed qrels machinery; only the metric formula differs
+        "search_err": search_err,
         # rotated out in earlier sessions with green rows + pytest
         # gates on record:
         # (match_histogram r4-green hash row + facet-machinery pytests;
@@ -9859,6 +9891,60 @@ FROM qids qi
 LEFT JOIN perq p ON p.query_id = qi.query_id
 LEFT JOIN nrel n ON n.query_id = qi.query_id
 LEFT JOIN idcg i ON i.query_id = qi.query_id
+""",
+        # ERR: cascade stop probabilities R = (2^g - 1)/2^gmax over
+        # the replayed run; the prefix product via product() window in
+        # rank order (the engine's np.cumprod order)
+        "search_err": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+run AS (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id ASC) - 1 AS rank
+        FROM scores QUALIFY rank < 10),
+rel AS (SELECT q.query_id, p.doc_id, count(DISTINCT q.term) AS rel
+        FROM q JOIN postings p ON p.term = q.term GROUP BY 1, 2),
+gmax AS (SELECT query_id, max(rel) AS g FROM rel GROUP BY 1),
+terms AS (SELECT r.query_id, r.rank,
+                 (pow(2, coalesce(rel.rel, 0)) - 1.0)
+                   / pow(2, gm.g) AS rr
+          FROM run r
+          JOIN gmax gm ON gm.query_id = r.query_id
+          LEFT JOIN rel ON rel.query_id = r.query_id
+                       AND rel.doc_id = r.doc_id),
+casc AS (SELECT query_id, rank, rr,
+                coalesce(product(1.0 - rr) OVER (
+                    PARTITION BY query_id ORDER BY rank
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 1.0) AS prior
+         FROM terms),
+perq AS (SELECT query_id,
+                sum(rr * prior / (rank + 1.0)) AS err
+         FROM casc GROUP BY 1),
+qids(query_id) AS (VALUES {_bm25_qids()})
+SELECT qi.query_id,
+       CAST(coalesce(gm.g, 0) AS BIGINT) AS g_max,
+       round(coalesce(p.err, 0.0), 4) AS err_r
+FROM qids qi
+LEFT JOIN gmax gm ON gm.query_id = qi.query_id
+LEFT JOIN perq p ON p.query_id = qi.query_id
 """,
         # fuzzy: per query TERM, vocab within levenshtein<=2 capped at 8
         # (lev asc, df desc, term asc — the engine's deterministic cap),

@@ -158,3 +158,75 @@ def eval_search_quality(
     return pd.DataFrame(
         rows, columns=["query_id", "n_rel", "hits", "ndcg", "mrr", "recall"]
     )
+
+
+def eval_err(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str]],
+    cfg: PipelineConfig | None = None,
+    k: int = 10,
+) -> pd.DataFrame:
+    """(query_id, g_max, err): Expected Reciprocal Rank at cutoff
+    ``k`` (Chapelle et al. 2009) for the engine's own BM25 run — the
+    cascade-model metric: a user scans ranks top-down, stops at rank
+    r with probability R_r = (2^g_r - 1) / 2^g_max, and ERR is the
+    expected reciprocal stopping rank:
+
+        ERR@k = sum_r (1/r) * R_r * prod_{i<r} (1 - R_i)
+
+    Same streamed qrels machinery as eval_search_quality (one
+    documents pass, per-block partials); ``g_max`` is the query's
+    global maximum term-overlap grade (recovered exactly from the
+    merged per-block top grades).  The cascade product runs in rank
+    order (np.cumprod), replayed by the oracle's product() window;
+    a query with no relevant documents has ERR 0."""
+    import ray.data
+
+    from mini_ivf_ray.pipelines.query import search
+
+    import dataclasses
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    run_cfg = dataclasses.replace(cfg, topk=k) if k > cfg.topk else cfg
+    qterms = [(qid, sorted(set(tokenize(text)))) for qid, text in queries]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    run = search(index_dir, qds, run_cfg).to_pandas()
+    run_docs: dict[int, np.ndarray] = {}
+    if len(run):
+        run = run[run["rank"] < k]
+        run_docs = {
+            int(q): g.sort_values("rank")["doc_id"].to_numpy().astype(np.uint64)
+            for q, g in run.groupby("query_id")
+        }
+    parts = docs_ds.map_batches(
+        _grade_partials(qterms, run_docs, k), batch_format="pyarrow"
+    ).to_pandas()
+
+    rows = []
+    for qid, _ in queries:
+        g = parts[parts["query_id"] == qid]
+        top = np.sort(g.loc[g["kind"] == 1, "val"].to_numpy())[::-1]
+        gmax = int(top[0]) if top.size else 0
+        grades = dict(
+            zip(
+                g.loc[g["kind"] == 2, "doc_id"].to_numpy().astype(np.uint64),
+                g.loc[g["kind"] == 2, "val"].to_numpy(),
+            )
+        )
+        docs = run_docs.get(qid, np.empty(0, dtype=np.uint64))
+        if gmax == 0 or not docs.size:
+            rows.append((qid, gmax, 0.0))
+            continue
+        rel_at = np.array(
+            [int(grades.get(d, 0)) for d in docs], dtype=np.int64
+        )
+        rr = (np.power(2.0, rel_at) - 1.0) / np.float64(2.0**gmax)
+        prior = np.concatenate([[1.0], np.cumprod(1.0 - rr)[:-1]])
+        err = float(
+            np.sum(rr * prior / (np.arange(rel_at.size) + 1.0))
+        )
+        rows.append((qid, gmax, err))
+    return pd.DataFrame(rows, columns=["query_id", "g_max", "err"])

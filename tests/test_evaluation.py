@@ -74,3 +74,49 @@ def test_k_beyond_cfg_topk_widens_the_run(tiny_index):
     assert int(row["hits"]) == 20
     assert int(row["n_rel"]) == n_rel
     assert row["recall"] == 20 / n_rel
+
+
+def test_err_matches_closed_form(tiny_index):
+    """ERR replay: the engine's eval_err equals a direct cascade
+    computation over brute-graded runs; perfect-single-relevant and
+    all-irrelevant degenerate pins."""
+    import numpy as np
+    import pytest
+
+    import ray.data
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.evaluation import eval_err
+    from mini_ivf_ray.pipelines.query import search
+
+    idx, cfg, docs = tiny_index
+    queries = [(0, "the data web"), (1, "w00042 of"), (2, "zzqq")]
+    docs_ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    got = eval_err(idx, docs_ds, queries, cfg, k=10).set_index("query_id")
+    # brute replay
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    run = search(idx, qds, cfg).to_pandas()
+    for qid, qtext in queries:
+        terms = set(tokenize(qtext))
+        grades = {
+            int(d): len(ts & terms)
+            for d, ts in zip(ids, toks)
+            if ts & terms
+        }
+        gmax = max(grades.values()) if grades else 0
+        assert int(got.loc[qid, "g_max"]) == gmax
+        g = run[run["query_id"] == qid].sort_values("rank")
+        if gmax == 0:
+            assert got.loc[qid, "err"] == 0.0
+            continue
+        err, prior = 0.0, 1.0
+        for r, d in enumerate(g["doc_id"]):
+            rr = (2.0 ** grades.get(int(d), 0) - 1.0) / 2.0**gmax
+            err += rr * prior / (r + 1.0)
+            prior *= 1.0 - rr
+        assert got.loc[qid, "err"] == pytest.approx(err, rel=0, abs=1e-12)
+        # cascade bound: ERR <= 1, and > 0 when anything relevant ranked
+        assert 0.0 < got.loc[qid, "err"] <= 1.0
