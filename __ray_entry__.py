@@ -5309,6 +5309,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return auto_date_histogram(ev, target_buckets=20)
 
+    def events_moving_pct(sf_dir):
+        """ES moving_percentiles pipeline agg
+        (pipelines/pipelineagg.py moving_percentiles_buckets): per
+        densified hourly bucket, p25/p50/p75 of the integer-cents
+        metric over the trailing 3 buckets — EXACT order statistics
+        where ES wraps a TDigest (each window <= 3 integers), under
+        the pinned quantile_disc rule the oracle's WINDOWED
+        quantile_disc shares."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.pipelineagg import (
+            moving_percentiles_buckets,
+        )
+
+        ev = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+        )
+        return moving_percentiles_buckets(
+            ev, 3600, moving_window=3, fractions=(0.25, 0.5, 0.75)
+        )
+
     def events_pipeline2(sf_dir):
         """The remaining ES pipeline-aggregation family
         (pipelines/pipelineagg.py bucket_pipeline_extras): serial_diff
@@ -7415,6 +7437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # differ in corpus-independent driver math only
         "events_bucket_stats": events_bucket_stats,
         "events_normalized": events_normalized,
+        # events_moving_pct: ES moving_percentiles — same family
+        # rationale (one histogram exchange; windowed driver math)
+        "events_moving_pct": events_moving_pct,
         # events_auto_histogram: ES auto_date_histogram — same family
         # rationale (histogram exchange in-window via events_pipeline;
         # the ladder choice adds one slim min/max combiner)
@@ -10418,6 +10443,35 @@ SELECT s.query_id, d.lang AS facet, count(*)::BIGINT AS n_sampled,
        round(count(*)::DOUBLE * (1000.0 / 300), 4) AS n_est_r
 FROM samp s JOIN documents d ON d.doc_id = s.doc_id
 GROUP BY 1, 2
+""",
+        # moving_percentiles: windowed quantile_disc over the
+        # integer-cents densified buckets (trailing 3 incl. current)
+        "events_moving_pct": """
+WITH RECURSIVE b AS (SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                  count(*)::BIGINT AS n,
+                  CAST(round(sum(value) * 100) AS BIGINT) AS svc
+           FROM events GROUP BY 1, 2),
+ext AS (SELECT event_type, min(window_start) AS lo, max(window_start) AS hi
+        FROM b GROUP BY 1),
+series(ws) AS (SELECT min(lo) FROM ext
+               UNION ALL
+               SELECT ws + 3600 FROM series
+               WHERE ws + 3600 <= (SELECT max(hi) FROM ext)),
+dense AS (SELECT e.event_type, s.ws AS window_start
+          FROM ext e JOIN series s ON s.ws BETWEEN e.lo AND e.hi),
+filled AS (SELECT d.event_type, d.window_start,
+                  COALESCE(b.n, 0)::BIGINT AS n,
+                  COALESCE(b.svc, 0)::BIGINT AS svc
+           FROM dense d LEFT JOIN b ON b.event_type = d.event_type
+                                   AND b.window_start = d.window_start)
+SELECT event_type, window_start, n,
+       round(quantile_disc(svc, 0.25) OVER w::DOUBLE / 100.0, 4) AS p25,
+       round(quantile_disc(svc, 0.50) OVER w::DOUBLE / 100.0, 4) AS p50,
+       round(quantile_disc(svc, 0.75) OVER w::DOUBLE / 100.0, 4) AS p75
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
         # auto_date_histogram: the ladder pick is a pure function of
         # (min epoch, max epoch, target) replayed by the lad/pick CTEs

@@ -453,3 +453,69 @@ def auto_date_histogram(events_ds, target_buckets: int = 20) -> pa.Table:
             ),
         }
     )
+
+
+def moving_percentiles_buckets(
+    events_ds,
+    window_sec: int = 3600,
+    moving_window: int = 3,
+    fractions: tuple = (0.25, 0.5, 0.75),
+) -> pa.Table:
+    """The ES ``moving_percentiles`` pipeline aggregation — per
+    densified bucket, percentiles of the metric over the TRAILING
+    ``moving_window`` buckets including the current one (the
+    moving_fn frame), EXACT where ES wraps a TDigest sketch: bucket
+    metrics are integer cents (bucket_sibling_stats' design) and each
+    window holds <= moving_window integers, so the percentile is a
+    direct order statistic under the repo's pinned quantile_disc rule
+    (1-indexed rank ceil(q*n)) — replayed by the oracle's windowed
+    quantile_disc, which DuckDB implements with the same rule.
+
+    Same distributed shape as the rest of the family: ONE
+    combiner-first histogram exchange; the windowed selection is
+    (types x buckets x fractions) driver math, corpus-independent."""
+    import math
+
+    if moving_window <= 0:
+        raise ValueError(f"moving_window must be > 0, got {moving_window}")
+    if window_sec <= 0:
+        raise ValueError(f"window_sec must be > 0, got {window_sec}")
+    for q in fractions:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"fractions must be in (0, 1], got {q}")
+    frames = []
+    for g in _dense_series(events_ds, window_sec):
+        cents = np.round(g["sv"].to_numpy() * 100.0).astype(np.int64)
+        out = {f"p{int(round(q * 100))}": [] for q in fractions}
+        for i in range(cents.size):
+            w = np.sort(cents[max(0, i - moving_window + 1): i + 1])
+            n = w.size
+            for q in fractions:
+                r = min(max(math.ceil(q * n), 1), n)
+                out[f"p{int(round(q * 100))}"].append(int(w[r - 1]) / 100.0)
+        g = g[["event_type", "window_start", "n"]].copy()
+        for k, v in out.items():
+            g[k] = v
+        frames.append(g)
+    cols = ["event_type", "window_start", "n"] + [
+        f"p{int(round(q * 100))}" for q in fractions
+    ]
+    out = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
+    tbl = {
+        "event_type": pa.array(out["event_type"], type=pa.string()),
+        "window_start": pa.array(
+            out["window_start"].to_numpy(dtype=np.int64), type=pa.int64()
+        ),
+        "n": pa.array(out["n"].to_numpy(dtype=np.int64), type=pa.int64()),
+    }
+    for q in fractions:
+        k = f"p{int(round(q * 100))}"
+        tbl[k] = pa.array(
+            np.round(out[k].to_numpy(dtype=np.float64), 4),
+            type=pa.float64(),
+        )
+    return pa.table(tbl)

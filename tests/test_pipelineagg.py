@@ -404,3 +404,36 @@ def test_auto_histogram_matches_pandas_replay(events):
         got["window_start"].to_numpy(), exp["window_start"].to_numpy()
     )
     assert np.array_equal(got["n"].to_numpy(), exp["n"].to_numpy())
+
+
+def test_moving_percentiles_matches_pandas_replay(events):
+    import math
+
+    from mini_ivf_ray.pipelines.pipelineagg import (
+        moving_percentiles_buckets,
+    )
+
+    mw = 3
+    got = moving_percentiles_buckets(
+        ray.data.from_pandas(events), W, moving_window=mw,
+        fractions=(0.25, 0.5, 0.75),
+    ).to_pandas()
+    truth = _dense_cents(events, W)
+    for et, (ws, n, cents) in truth.items():
+        g = got[got["event_type"] == et].sort_values("window_start")
+        assert np.array_equal(g["window_start"].to_numpy(), ws)
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            exp = []
+            for i in range(cents.size):
+                w = np.sort(cents[max(0, i - mw + 1): i + 1])
+                r = min(max(math.ceil(q * w.size), 1), w.size)
+                exp.append(round(int(w[r - 1]) / 100.0, 4))
+            assert np.array_equal(
+                g[col].to_numpy(), np.array(exp)
+            ), (et, col)
+        # head-of-series degeneracy: a 1-bucket window's every
+        # percentile IS that bucket's metric
+        first = round(int(cents[0]) / 100.0, 4)
+        assert g.iloc[0][["p25", "p50", "p75"]].tolist() == [first] * 3
+    with pytest.raises(ValueError, match="moving_window"):
+        moving_percentiles_buckets(ray.data.from_pandas(events), W, 0)
