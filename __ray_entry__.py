@@ -40,6 +40,17 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (7, "data row column filter group batch"),
 ]
 
+# sparse-vector (ES sparse_vector / text_expansion) workload: per-query
+# term->weight maps over the corpus vocabulary; weights are dyadic
+# rationals so w * tf products and their sums are float64-exact in any
+# order (engine == SQL bit-for-bit before the 4-dp rounding)
+SPARSE_QUERIES: list[tuple[int, dict[str, float]]] = [
+    (0, {"key": 3.0, "value": 1.5, "scan": 0.5}),
+    (1, {"spark": 2.0, "join": 1.0, "table": 0.25}),
+    (2, {"window": 1.75, "agg": 1.0, "stream": 0.5, "batch": 0.125}),
+    (3, {"dup": 4.0, "vector": 0.5}),
+]
+
 # rare-terms workload: 'dup' is the synthetic corpus's one genuinely
 # rare term (df ~25 at sf0.01 vs 300-400 for everything else), so q0's
 # per-source tail has buckets on BOTH sides of max_doc_count=2 (the
@@ -1021,6 +1032,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
         )
         res = jelinek_mercer_search(idx, qds, _CFG, lam=0.1).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def sparse_topk(sf_dir):
+        """Sparse-vector retrieval (ES ``sparse_vector`` /
+        ``text_expansion``, the ELSER/SPLADE learned-sparse primitive):
+        score = sum over matched terms of w_q(t) * tf(t, d) — a pure
+        impact dot product, no idf or length normalization; doc-side
+        weight := the stored per-posting tf (pipelines/sparse.py).
+        Dyadic query weights make every product and sum float64-exact,
+        so engine == SQL bit-for-bit pre-rounding."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.sparse import sparse_vector_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [
+                {
+                    "query_id": q,
+                    "terms": sorted(w),
+                    "weights": [w[t] for t in sorted(w)],
+                }
+                for q, w in SPARSE_QUERIES
+            ]
+        )
+        res = sparse_vector_search(idx, qds, _CFG).to_pandas()
         res = res.sort_values(["query_id", "rank"])
         return pa.table(
             {
@@ -7473,6 +7526,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-round triangle enumeration via triangles, the peel loop
         # via kcore; the composition is oracle- and pytest-gated
         "ktruss": ktruss_q,
+        # sparse_topk: ES sparse_vector / text_expansion — the
+        # raw-payload accumulation machinery is in-window via
+        # classic_topk (pluggable-similarity family); the dot product
+        # adds per-term query weights only, sharded==single pytest
+        "sparse_topk": sparse_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -7582,6 +7640,14 @@ def _bm25_values() -> str:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
+
+
+def _sparse_values() -> str:
+    return ", ".join(
+        f"({q}, '{t}', {w!r})"
+        for q, wm in SPARSE_QUERIES
+        for t, w in sorted(wm.items())
+    )
 
 
 def _rare_values() -> str:
@@ -8870,6 +8936,25 @@ JOIN documents d USING (doc_id)
 JOIN r ON (r.lo IS NULL OR d.n_chars::DOUBLE >= r.lo)
       AND (r.hi IS NULL OR d.n_chars::DOUBLE < r.hi)
 GROUP BY 1, 2
+""",
+        # sparse_vector dot product: score = sum w_q * tf over matched
+        # terms — dyadic weights x integer tf, every sum float64-exact
+        "sparse_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+             FROM tok GROUP BY 1, 2),
+q(query_id, term, w) AS (VALUES {_sparse_values()}),
+scores AS (SELECT q.query_id, p.doc_id, sum(q.w * p.tf) AS score
+           FROM q JOIN postings p ON p.term = q.term
+           GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC,
+                                              doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(doc_id AS BIGINT) AS doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # ClassicSimilarity: sum_t sqrt(tf) * idf^2 / sqrt(dl), scaled
         # by coord (LEFT JOIN keeps OOV terms in maxOverlap and in the

@@ -391,11 +391,16 @@ class RangeSearcher:
           model "dirichlet": LM Dirichlet (lm_dirichlet.py formula)
           model "jm":        LM Jelinek-Mercer
           model "classic":   Lucene ClassicSimilarity (classic.py)
+          model "sparse":    sparse-vector dot product (sparse.py);
+                             per-query weight maps arrive in
+                             ``params["weights_by_query"][qid]`` and
+                             the query text is ignored
 
         Exactness uses search_batch's max-merge argument, which holds
-        for all three: per-term contributions are >= 0 (Dirichlet
+        for all four: per-term contributions are >= 0 (Dirichlet
         clips, JM's log1p of a positive is positive, classic's factors
-        are positive), and classic's coord shrinks with partial
+        are positive, sparse weights are validated > 0 and tf > 0 by
+        construction), and classic's coord shrinks with partial
         overlap — so a boundary shard's partial score is <= the home
         shard's full score and the driver's max-dedup keeps the full
         one.  Collection statistics are GLOBAL (stats.df / stats.cf /
@@ -404,14 +409,18 @@ class RangeSearcher:
         single-index searchers'."""
         from mini_ivf_ray.pipelines.synonyms import _raw_postings
 
-        if model not in ("dirichlet", "jm", "classic"):
+        if model not in ("dirichlet", "jm", "classic", "sparse"):
             raise ValueError(f"unknown similarity model {model!r}")
         out = {"query_id": [], "doc_id": [], "score": []}
         k = self.cfg.topk
         total = float(self.stats.total_tokens)
         n = float(self.stats.n_docs)
         for qid, qtext in queries:
-            terms = sorted(set(tokenize(qtext)))
+            if model == "sparse":
+                wmap = params["weights_by_query"][qid]
+                terms = sorted(wmap)
+            else:
+                terms = sorted(set(tokenize(qtext)))
             if not terms:
                 continue
             if model == "classic":
@@ -448,6 +457,9 @@ class RangeSearcher:
                     c = np.log1p(
                         ((1.0 - lam) / lam) * (tfs / dls) / (cf / total)
                     )
+                elif model == "sparse":
+                    # sparse.SparseVectorSearcher per-term contribution
+                    c = np.float64(wmap[t]) * tfs
                 else:
                     # classic.ClassicSearcher per-term contribution
                     c = np.sqrt(tfs) * (idf[t] * idf[t]) / np.sqrt(dls)
@@ -1788,10 +1800,13 @@ class ShardedIndex:
         """Doc-sharded serving for the pluggable-similarity family —
         bit-identical to the single-index pipelines (pytest-pinned):
         model "dirichlet" -> lm_dirichlet.dirichlet_search, "jm" ->
-        jelinek_mercer_search, "classic" -> classic.classic_search.
+        jelinek_mercer_search, "classic" -> classic.classic_search,
+        "sparse" -> sparse.sparse_vector_search (weight maps in
+        ``params["weights_by_query"]``, pre-validated via
+        sparse.validate_weights; query text is ignored).
         No sidecar needed; collection stats are global per shard.  The
         merge is search()'s max-dedup (partial boundary scores are <=
-        the home shard's full score for all three models)."""
+        the home shard's full score for all four models)."""
         import ray
 
         params = dict(params or {})
