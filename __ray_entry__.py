@@ -289,6 +289,18 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
     (4, "zzzzzzzz merg"),
 ]
 
+# Damerau-fuzzy workload (ES fuzziness transpositions:true) at
+# max_edits=1: every typo below is an ADJACENT SWAP — DL = 1 but
+# Levenshtein = 2 — so the transposition metric provably bites (the
+# plain-Levenshtein expansion at 1 edit would miss every one of them);
+# q3 is all-exact (the DL = 0 degenerate)
+DAMERAU_QUERIES: list[tuple[int, str]] = [
+    (0, "saprk tabel"),
+    (1, "jion stream"),
+    (2, "windwo agg"),
+    (3, "merge sort"),
+]
+
 # significant-terms workload: topical, structural, and stopword sets
 SIG_QUERIES: list[tuple[int, str]] = [
     (0, "customer order"),
@@ -1706,6 +1718,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         idx = _ensure_index(sf_dir)
         res = fuzzy_search(idx, FUZZY_QUERIES, _CFG, max_edits=2, per_term=8)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
+    def fuzzy_damerau(sf_dir):
+        """Transposition-aware fuzzy retrieval (ES ``fuzziness`` with
+        ``transpositions: true``, the default): expansion under the
+        FULL Damerau-Levenshtein metric at max_edits=1 — every
+        workload typo is an adjacent swap (DL 1, Levenshtein 2), so
+        the transposition edit provably carries the match
+        (pipelines/fuzzy.py transpositions=True; full-DL-vs-OSA
+        divergence from Lucene's automaton documented there)."""
+        from mini_ivf_ray.pipelines.fuzzy import fuzzy_search
+
+        idx = _ensure_index(sf_dir)
+        res = fuzzy_search(
+            idx, DAMERAU_QUERIES, _CFG, max_edits=1, per_term=8,
+            transpositions=True,
+        )
         return pa.table(
             {
                 "query_id": pa.array(
@@ -7531,6 +7575,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # classic_topk (pluggable-similarity family); the dot product
         # adds per-term query weights only, sharded==single pytest
         "sparse_topk": sparse_topk,
+        # fuzzy_damerau: ES fuzziness transpositions:true — the
+        # SymSpell expansion + BM25 machinery is the fuzzy family
+        # (fuzzy_search green r4 + below-line); only the verify metric
+        # (full DL, DuckDB-pinned) differs, and the workload makes the
+        # transposition edit carry every match
+        "fuzzy_damerau": fuzzy_damerau,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -7744,6 +7794,14 @@ def _syn_values() -> str:
 def _fuzzy_values() -> str:
     rows = []
     for qid, text in FUZZY_QUERIES:
+        for t in sorted(set(text.split())):
+            rows.append(f"({qid}, '{t}')")
+    return ", ".join(rows)
+
+
+def _damerau_values() -> str:
+    rows = []
+    for qid, text in DAMERAU_QUERIES:
         for t in sorted(set(text.split())):
             rows.append(f"({qid}, '{t}')")
     return ", ".join(rows)
@@ -10073,6 +10131,42 @@ expanded AS (SELECT q0.query_id, d.term,
                                        ORDER BY levenshtein(q0.qterm, d.term) ASC,
                                                 d.df DESC, d.term ASC) AS rn
              FROM q0 JOIN df d ON levenshtein(q0.qterm, d.term) <= 2),
+q AS (SELECT DISTINCT query_id, term FROM expanded WHERE rn <= 8),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # Damerau fuzzy: identical shape to fuzzy_search but the
+        # expansion metric is damerau_levenshtein at <= 1 — the
+        # workload's adjacent-swap typos match ONLY via transposition
+        "fuzzy_damerau": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q0(query_id, qterm) AS (VALUES {_damerau_values()}),
+expanded AS (SELECT q0.query_id, d.term,
+                    row_number() OVER (PARTITION BY q0.query_id, q0.qterm
+                                       ORDER BY damerau_levenshtein(q0.qterm, d.term) ASC,
+                                                d.df DESC, d.term ASC) AS rn
+             FROM q0 JOIN df d ON damerau_levenshtein(q0.qterm, d.term) <= 1),
 q AS (SELECT DISTINCT query_id, term FROM expanded WHERE rn <= 8),
 scores AS (
   SELECT q.query_id, p.doc_id,

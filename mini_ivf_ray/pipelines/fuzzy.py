@@ -39,11 +39,21 @@ def fuzzy_search(
     cfg: PipelineConfig | None = None,
     max_edits: int = 2,
     per_term: int = 8,
+    transpositions: bool = False,
 ) -> pd.DataFrame:
     """(query_id, rank, doc_id, score) — top cfg.topk BM25 results per
     query, scoring the disjunction of each query term's fuzzy
     expansion (vocab terms within ``max_edits``, capped at
-    ``per_term`` by lev asc / df desc / term asc)."""
+    ``per_term`` by lev asc / df desc / term asc).
+
+    ``transpositions=True`` expands under the full Damerau-Levenshtein
+    metric instead (adjacent swap = ONE edit) — ES fuzziness'
+    ``transpositions: true`` default.  Documented divergence: Lucene's
+    FuzzyQuery automaton implements the restricted (OSA) variant,
+    which differs from full DL only when an edit lands inside a
+    transposed pair (e.g. 'ca'->'abc': DL 2, OSA 3); full DL is what
+    DuckDB's ``damerau_levenshtein()`` computes, keeping the operator
+    SQL-replayable."""
     import ray.data
 
     from mini_ivf_ray.pipelines.query import search
@@ -63,6 +73,7 @@ def fuzzy_search(
         all_terms,
         max_edits=max_edits,
         topn=per_term,
+        transpositions=transpositions,
     )
     expansions: dict[str, list[str]] = (
         {q: list(g["suggestion"]) for q, g in sug.groupby("query")}

@@ -82,16 +82,68 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     return int(prev[lb])
 
 
+def damerau_levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Full (unrestricted) Damerau-Levenshtein distance — the
+    Lowrance-Wagner 1975 DP with the per-character last-seen table,
+    the same metric DuckDB's ``damerau_levenshtein()`` computes
+    (pytest-pinned against it on random pairs; e.g. DL('ca','abc')=2
+    where the restricted/OSA variant gives 3).  ``cap`` short-circuits
+    once a full DP row exceeds it."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    inf = la + lb
+    d = np.empty((la + 2, lb + 2), dtype=np.int64)
+    d[0, :] = inf
+    d[:, 0] = inf
+    d[1, 1:] = np.arange(lb + 1)
+    d[2:, 1] = np.arange(2, la + 2) - 1
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1, j + 1] = min(
+                d[i, j] + cost,  # substitution / match
+                d[i + 1, j] + 1,  # insertion
+                d[i, j + 1] + 1,  # deletion
+                # transposition across the gap since the chars last met
+                d[i1, j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        da[a[i - 1]] = i
+        if cap is not None and d[i + 1, 1:].min() > cap:
+            return cap + 1
+    return int(d[la + 1, lb + 1])
+
+
 def suggest_terms(
     dictionary_ds,
     queries: list[str],
     max_edits: int = 2,
     topn: int = 3,
+    transpositions: bool = False,
 ) -> pd.DataFrame:
     """(query, suggestion, lev, df, rank) for each query term: the
     ``topn`` vocabulary terms within ``max_edits``, ranked
     (lev asc, df desc, term asc).  ``dictionary_ds`` is a Ray Dataset
-    with (term, df) — e.g. the index dictionary."""
+    with (term, df) — e.g. the index dictionary.
+
+    ``transpositions=True`` switches the verify metric to the full
+    Damerau-Levenshtein (adjacent transposition = one edit — ES
+    fuzziness' default behavior; the ``lev`` column then holds DL).
+    Candidate generation is unchanged: a transposition pair shares a
+    depth-1 deletion variant ('ab'/'ba' -> 'a'), and in general
+    DL <= e pairs share a delete of depth <= e (SymSpell's Damerau
+    guarantee, Garbe 2012), and every DL edit changes length by at
+    most 1 so the length prefilter stays exact."""
     import ray
 
     queries = list(dict.fromkeys(queries))  # de-dup, keep order
@@ -134,14 +186,12 @@ def suggest_terms(
         probe, batch_format="pyarrow"
     ).to_pandas()
     rows = []
+    dist = damerau_levenshtein if transpositions else levenshtein
     if len(cands):
         cands = cands.drop_duplicates(["query", "term"])
         for q, g in cands.groupby("query", sort=True):
             g = g.assign(
-                lev=[
-                    levenshtein(q, t, cap=max_edits)
-                    for t in g["term"]
-                ]
+                lev=[dist(q, t, cap=max_edits) for t in g["term"]]
             )
             g = g[g["lev"] <= max_edits]
             g = g.sort_values(
