@@ -1735,6 +1735,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def terms_enum_q(sf_dir):
+        """Terms enumeration (ES ``_terms_enum`` / Lucene TermsEnum
+        seekCeil): first-5 dictionary terms per (prefix, search_after)
+        request, term-ascending with exclusive cursor, df straight
+        from the index dictionary's BOOKKEEPING (the dict_topdf pin);
+        one streamed dictionary pass, per-block ascending partials
+        (pipelines/termsenum.py)."""
+        from mini_ivf_ray.pipelines.termsenum import terms_enum_for_index
+
+        idx = _ensure_index(sf_dir)
+        res = terms_enum_for_index(
+            idx,
+            [(0, "s", None), (1, "s", "small"), (2, "w", None),
+             (3, "da", None)],
+            size=5,
+        )
+        return pa.table(
+            {
+                "request_id": pa.array(
+                    res["request_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "pos": pa.array(
+                    res["pos"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].tolist(), type=pa.string()),
+                "df": pa.array(
+                    res["df"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def fuzzy_damerau(sf_dir):
         """Transposition-aware fuzzy retrieval (ES ``fuzziness`` with
         ``transpositions: true``, the default): expansion under the
@@ -7581,6 +7613,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (full DL, DuckDB-pinned) differs, and the workload makes the
         # transposition edit carry every match
         "fuzzy_damerau": fuzzy_damerau,
+        # terms_enum: ES _terms_enum — dictionary streaming machinery
+        # is in-window via dict_topdf (bookkeeping pin); this adds the
+        # prefix/cursor enumeration contract, pagination pytest-pinned
+        "terms_enum": terms_enum_q,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10149,6 +10185,24 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM scores)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # terms_enum: ascending prefix enumeration with exclusive
+        # cursor; df recomputed from tokenize truth (the dictionary
+        # bookkeeping equals it — the dict_topdf pin)
+        "terms_enum": f"""
+WITH {_TOK_CTE},
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM tok GROUP BY 1),
+r(request_id, prefix, after) AS (VALUES
+    (0, 's', NULL), (1, 's', 'small'), (2, 'w', NULL), (3, 'da', NULL)),
+hits AS (SELECT r.request_id, d.term, d.df,
+                row_number() OVER (PARTITION BY r.request_id
+                                   ORDER BY d.term ASC) - 1 AS pos
+         FROM r JOIN df d ON d.term LIKE r.prefix || '%'
+                         AND (r.after IS NULL OR d.term > r.after))
+SELECT CAST(request_id AS BIGINT) AS request_id,
+       CAST(pos AS BIGINT) AS pos, term, df
+FROM hits WHERE pos < 5
 """,
         # Damerau fuzzy: identical shape to fuzzy_search but the
         # expansion metric is damerau_levenshtein at <= 1 — the
