@@ -1735,6 +1735,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def mbp_topk(sf_dir):
+        """Search-as-you-type bool variant (ES ``match_bool_prefix``):
+        every token an independent should clause, the LAST a prefix
+        expanded to the first-3 dictionary terms (the MPP cap rule —
+        provably biting on the vocab's six s-terms), prefix clause
+        rewritten SCORING_BOOLEAN so the whole query is disjunctive
+        BM25 over the fixed+expansion union (pipelines/boolprefix.py;
+        q3's dead prefix leaves the fixed token scoring alone)."""
+        from mini_ivf_ray.pipelines.boolprefix import match_bool_prefix_topk
+
+        idx = _ensure_index(sf_dir)
+        res = match_bool_prefix_topk(
+            idx,
+            [(0, "key value sc"), (1, "data s"), (2, "hash jo"),
+             (3, "merge zz")],
+            _CFG,
+            max_expansions=3,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def terms_enum_q(sf_dir):
         """Terms enumeration (ES ``_terms_enum`` / Lucene TermsEnum
         seekCeil): first-5 dictionary terms per (prefix, search_after)
@@ -7617,6 +7652,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is in-window via dict_topdf (bookkeeping pin); this adds the
         # prefix/cursor enumeration contract, pagination pytest-pinned
         "terms_enum": terms_enum_q,
+        # mbp_topk: ES match_bool_prefix — the expansion rule is
+        # in-window via phrase_prefix machinery (simple_qs) and the
+        # scored tail is the plain BM25 stack; the bool (non-phrase)
+        # composition + dead-prefix degenerate are what's new
+        "mbp_topk": mbp_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10168,6 +10208,47 @@ expanded AS (SELECT q0.query_id, d.term,
                                                 d.df DESC, d.term ASC) AS rn
              FROM q0 JOIN df d ON levenshtein(q0.qterm, d.term) <= 2),
 q AS (SELECT DISTINCT query_id, term FROM expanded WHERE rn <= 8),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # match_bool_prefix: fixed tokens UNION first-3 term-order
+        # prefix expansion, scored as plain disjunctive BM25 (the
+        # SCORING_BOOLEAN rewrite); q1's 's' cap provably bites
+        "mbp_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+f(query_id, term) AS (VALUES
+    (0, 'key'), (0, 'value'), (1, 'data'), (2, 'hash'), (3, 'merge')),
+pr(query_id, prefix) AS (VALUES
+    (0, 'sc'), (1, 's'), (2, 'jo'), (3, 'zz')),
+expd AS (SELECT pr.query_id, d.term,
+                row_number() OVER (PARTITION BY pr.query_id
+                                   ORDER BY d.term ASC) AS rn
+         FROM pr JOIN df d ON d.term LIKE pr.prefix || '%'),
+q AS (SELECT DISTINCT query_id, term FROM (
+        SELECT query_id, term FROM f
+        UNION ALL
+        SELECT query_id, term FROM expd WHERE rn <= 3)),
 scores AS (
   SELECT q.query_id, p.doc_id,
          sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
