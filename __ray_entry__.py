@@ -5801,6 +5801,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def hybrid_linear(sf_dir):
+        """Hybrid retrieval #2 — ES ``linear`` retriever (the
+        weighted-sum companion of hybrid_rrf): each system's top-20
+        minmax-normalized over its own retrieved list (all-equal list
+        -> 1.0, the pinned degenerate), fused 0.75 * lexical +
+        0.25 * semantic, final top-10 (pipelines/fusion.py).  Same
+        two sub-rankings as hybrid_rrf; the fusion reads raw SCORES
+        where RRF reads ranks."""
+        import dataclasses
+        import re
+
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.fusion import linear_fuse
+        from mini_ivf_ray.pipelines.query import search
+        from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+        idx = _ensure_index(sf_dir)
+        docs = (
+            pqmod.read_table(
+                os.path.join(sf_dir, "documents.parquet"),
+                columns=["doc_id", "text"],
+                filters=[("doc_id", "<", N_ANN_QUERIES)],
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        queries = [
+            (int(d), " ".join(re.findall("[a-z0-9]+", t.lower())[:5]))
+            for d, t in zip(docs["doc_id"], docs["text"])
+        ]
+        cfg20 = dataclasses.replace(_CFG, topk=20)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in queries]
+        )
+        bm = search(idx, qds, cfg20).to_pandas()[
+            ["query_id", "doc_id", "score"]
+        ]
+        bm["doc_id"] = bm["doc_id"].astype(np.int64)
+        qids, Q = _ann_queries(sf_dir)
+        ann = brute_force_ann(_embeddings(sf_dir), Q, qids, k=20)[
+            ["query_id", "vec_id", "cosine"]
+        ].rename(columns={"vec_id": "doc_id"})
+        fused = linear_fuse(
+            [(bm, "score", 0.75), (ann, "cosine", 0.25)], topk=10
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    fused["query_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    fused["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    fused["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(fused["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def ann_bruteforce(sf_dir):
         from mini_ivf_ray.pipelines.similarity import brute_force_ann
 
@@ -7657,6 +7722,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # scored tail is the plain BM25 stack; the bool (non-phrase)
         # composition + dead-prefix degenerate are what's new
         "mbp_topk": mbp_topk,
+        # hybrid_linear: ES linear retriever — both sub-rankings are
+        # independently green families (bm25_topk in-window,
+        # ann_bruteforce below-line, hybrid_rrf r4-green); the minmax
+        # fusion is new driver math, unit-pytest-pinned
+        "hybrid_linear": hybrid_linear,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -8455,6 +8525,75 @@ ranked AS (SELECT query_id, doc_id, rrf,
                                      ORDER BY rrf DESC, doc_id ASC) - 1 AS rank
            FROM fused)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf
+FROM ranked WHERE rank < 10
+"""
+
+
+def _hybrid_linear_sql() -> str:
+    # linear/minmax fusion of the same two sub-rankings as
+    # _hybrid_sql, reading raw SCORES: per (query, system) list,
+    # norm = (s - min)/(max - min) with the all-equal list pinned to
+    # 1.0; fused = 0.75 * lex + 0.25 * sem (absent -> 0), round(4)
+    # absorbing last-ulp numpy-vs-DuckDB float differences in the raw
+    # sub-scores
+    return f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q AS (SELECT DISTINCT doc_id AS query_id, unnest(tk[1:5]) AS term
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+            FROM documents WHERE doc_id < {N_ANN_QUERIES})),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+bm AS (SELECT query_id, doc_id, score,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, doc_id ASC) - 1 AS rank_bm
+       FROM scores QUALIFY rank_bm < 20),
+bmn AS (SELECT query_id, doc_id,
+               CASE WHEN max(score) OVER w = min(score) OVER w THEN 1.0
+                    ELSE (score - min(score) OVER w)
+                         / (max(score) OVER w - min(score) OVER w) END AS nrm
+        FROM bm WINDOW w AS (PARTITION BY query_id)),
+qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+       WHERE vec_id < {N_ANN_QUERIES}),
+sims AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(CAST(qv.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[])) AS cos
+         FROM qv CROSS JOIN embeddings e),
+ann AS (SELECT query_id, doc_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, doc_id ASC) - 1 AS rank_ann
+        FROM sims QUALIFY rank_ann < 20),
+annn AS (SELECT query_id, doc_id,
+                CASE WHEN max(cos) OVER w = min(cos) OVER w THEN 1.0
+                     ELSE (cos - min(cos) OVER w)
+                          / (max(cos) OVER w - min(cos) OVER w) END AS nrm
+         FROM ann WINDOW w AS (PARTITION BY query_id)),
+fused AS (
+  SELECT coalesce(b.query_id, a.query_id) AS query_id,
+         coalesce(b.doc_id, a.doc_id) AS doc_id,
+         0.75 * coalesce(b.nrm, 0.0) + 0.25 * coalesce(a.nrm, 0.0) AS score
+  FROM bmn b FULL OUTER JOIN annn a
+    ON b.query_id = a.query_id AND b.doc_id = a.doc_id),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM fused)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """
 
@@ -11909,6 +12048,7 @@ FROM documents
             exclude_pred=f"vec_id % 10 = 3 AND vec_id >= {N_ANN_QUERIES}"
         ),
         "hybrid_rrf": _hybrid_sql(),
+        "hybrid_linear": _hybrid_linear_sql(),
         "hdf5_roundtrip": """
 SELECT vec_id,
        unnest(generate_series(0, len(embedding) - 1)) AS pos,
