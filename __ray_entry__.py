@@ -5801,6 +5801,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def children_agg(sf_dir):
+        """ES ``children`` aggregation (join-field bucket + terms
+        sub-agg): per query, switch from the TEXT-matched parent
+        documents to their child events and bucket those by
+        event_type with (n_children, cents_sum) — integer cents keep
+        every partial order-independent.  The has_parent join plan
+        with an aggregate tail: streamed match sets, one bucketed
+        hash join, per-block partial groupbys, (queries x labels)
+        driver merge (pipelines/parentjoin.children_terms_agg)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.parentjoin import children_terms_agg
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        events = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type", "value"],
+        )
+        res = children_terms_agg(
+            idx, qds, events, _documents(sf_dir), _CFG
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "label": pa.array(res["label"].tolist(), type=pa.string()),
+                "n_children": pa.array(
+                    res["n_children"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "cents_sum": pa.array(
+                    res["cents_sum"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def hybrid_linear(sf_dir):
         """Hybrid retrieval #2 — ES ``linear`` retriever (the
         weighted-sum companion of hybrid_rrf): each system's top-20
@@ -7727,6 +7768,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_bruteforce below-line, hybrid_rrf r4-green); the minmax
         # fusion is new driver math, unit-pytest-pinned
         "hybrid_linear": hybrid_linear,
+        # children_agg: ES children aggregation — the parent-child
+        # relation + match-emitter + bucketed-join machinery is
+        # in-window via has_child_topk / has_parent_topk; the terms
+        # sub-agg tail is the facet-panel shape
+        "children_agg": children_agg,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9473,6 +9519,31 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # children aggregation: matched parents -> their children
+        # bucketed by event_type; the h60 pos->doc_id parent relation
+        # and integer-cents rule replay has_child's expressions
+        "children_agg": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+ch AS (SELECT CAST(CAST(('0x' || substr(md5(event_id || ':hc-parent'), 1, 15))
+                        AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos,
+              event_type AS label,
+              CAST(round(value * 100) AS BIGINT) AS cents
+       FROM events),
+cj AS (SELECT o.doc_id, ch.label, ch.cents
+       FROM ch JOIN ord o ON o.pos = ch.pos)
+SELECT m.query_id, c.label,
+       count(*)::BIGINT AS n_children,
+       sum(c.cents)::BIGINT AS cents_sum
+FROM matches m JOIN cj c USING (doc_id)
+GROUP BY 1, 2
 """,
         # has_parent: every event of a matching parent inherits the
         # parent's BM25 score (score=true); ties (score desc,

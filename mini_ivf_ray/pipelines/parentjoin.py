@@ -528,3 +528,131 @@ def has_parent_search(
     cand = cand.groupby("query_id", sort=False).head(topk).reset_index(drop=True)
     cand["rank"] = cand.groupby("query_id", sort=False).cumcount()
     return cand[["query_id", "rank", "event_id", "score"]]
+
+
+def children_terms_agg(
+    index_dir: str,
+    queries_ds,
+    children_ds,
+    docs_ds,
+    cfg: PipelineConfig | None = None,
+    label_col: str = "event_type",
+    value_col: str = "value",
+    salt: str = PARENT_SALT,
+    num_buckets: int | None = None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """ES ``children`` aggregation with a terms + metric sub-agg: per
+    query, switch from the TEXT-matched parents to their CHILDREN and
+    bucket those by ``label_col`` -> (query_id, label, n_children,
+    cents_sum), labels ascending per query.
+
+    The inverse direction of has_child (parents scored by a child
+    aggregate): here the match set selects parents, and the numbers
+    come from the child side.  Child values travel as INTEGER CENTS
+    (``round(value * 100)`` — has_child's rule), so every partial sum
+    is order-independent and the merge is exact.
+
+    Scale shape (the has_parent plan with an aggregate tail): the
+    parents' full match sets stream from the _MatchEmitter actor pool
+    (match-set-proportional, chunked); the child->parent map is a
+    stateless projection; ONE bucketed hash join on doc_id aligns
+    them; per-block partial groupbys reduce to (queries x labels)
+    slim rows which the driver merges — the child table itself never
+    materializes anywhere.  A matched parent with zero children
+    simply contributes no rows (ES: empty buckets are absent)."""
+    import pandas as pd
+    import ray
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    matches = queries_ds.map_batches(
+        _MatchEmitter,
+        fn_constructor_args=(index_dir, cfg, shared, decoded),
+        fn_constructor_kwargs={"denied_ref": denied_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    ).select_columns(["query_id", "doc_id"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "label": batch[label_col],
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    cmap = child_parent_map(
+        children_ds.select_columns(["event_id", label_col, value_col])
+        .map_batches(to_cents, batch_format="pyarrow"),
+        docs_ds,
+        salt=salt,
+    ).map_batches(
+        lambda b: b.rename_columns(["event_id", "label", "cents", "doc_id"]),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_hash_join(
+        cmap, matches, on="doc_id", num_buckets=num_buckets
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["query_id", "label", "cents"]).to_pandas()
+        g = (
+            df.groupby(["query_id", "label"], as_index=False)
+            .agg(pn=("cents", "size"), ps=("cents", "sum"))
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    g["query_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "label": pa.array(g["label"].tolist(), type=pa.string()),
+                "pn": pa.array(
+                    g["pn"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "ps": pa.array(
+                    g["ps"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype=np.int64),
+                "label": pd.Series([], dtype=object),
+                "n_children": pd.Series([], dtype=np.int64),
+                "cents_sum": pd.Series([], dtype=np.int64),
+            }
+        )
+    out = (
+        parts.groupby(["query_id", "label"], as_index=False)
+        .agg(n_children=("pn", "sum"), cents_sum=("ps", "sum"))
+        .sort_values(["query_id", "label"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    for c in ("query_id", "n_children", "cents_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out

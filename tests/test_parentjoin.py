@@ -289,3 +289,67 @@ def test_child_parent_map_is_total_and_deterministic(tiny_index):
         _children().select_columns(["event_id"]), _docs_ds(docs)
     ).to_pandas()
     assert m.sort_values("event_id").equals(m2.sort_values("event_id"))
+
+
+def test_children_terms_agg_matches_local_replay(tiny_index):
+    """children agg (terms sub-agg): engine == a brute local replay
+    over (matched parents -> their children grouped by type)."""
+    from mini_ivf_ray.pipelines.parentjoin import children_terms_agg
+
+    idx, cfg, docs = tiny_index
+    got = children_terms_agg(
+        idx, _qds(), _children(), _docs_ds(docs), cfg
+    )
+    # local replay
+    ids = np.sort(docs["doc_id"].to_numpy().astype(np.uint64))
+    ev = np.arange(N_EVENTS, dtype=np.int64)
+    parent = ids[salt_hash60(ev, PARENT_SALT) % ids.size]
+    etype = np.array([["click", "view", "error"][i % 3] for i in range(N_EVENTS)])
+    cents = np.array([(i * 37) % 1000 for i in range(N_EVENTS)], dtype=np.int64)
+    for qid, qtext in QUERIES:
+        matched = set(
+            int(d) for d, s in zip(*_match_set(docs, idx, qtext))
+        )
+        rows = {}
+        for p, t, c in zip(parent, etype, cents):
+            if int(p) in matched:
+                n, s = rows.get(t, (0, 0))
+                rows[t] = (n + 1, s + int(c))
+        g = got[got["query_id"] == qid]
+        want = {
+            t: (int(n), int(s))
+            for t, (n, s) in sorted(rows.items())
+        }
+        have = {
+            r["label"]: (int(r["n_children"]), int(r["cents_sum"]))
+            for _, r in g.iterrows()
+        }
+        assert have == want, qid
+        assert list(g["label"]) == sorted(g["label"])
+
+
+def _match_set(docs, idx, qtext):
+    """(doc_ids, scores) full disjunctive match set — local truth."""
+    stats = CorpusStats.load(idx)
+    toks = [tokenize(t) for t in docs["text"]]
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    scores = np.zeros(len(ids))
+    hit = np.zeros(len(ids), dtype=bool)
+    for t in sorted(set(tokenize(qtext))):
+        if stats.df.get(t, 0) <= 0:
+            continue
+        tf = np.array([tk.count(t) for tk in toks], dtype=np.float64)
+        hit |= tf > 0
+        dl = np.array([len(tk) for tk in toks], dtype=np.float64)
+        idf = bm25.idf(stats.df[t], stats.n_docs)
+        scores += idf * bm25.tf_norm(tf, dl, stats.avgdl, 1.2, 0.75)
+    return ids[hit], scores[hit]
+
+
+def test_children_terms_agg_unmatched_query_empty(tiny_index):
+    from mini_ivf_ray.pipelines.parentjoin import children_terms_agg
+
+    idx, cfg, docs = tiny_index
+    qds = ray.data.from_items([{"query_id": 0, "text": "zz9999qq"}])
+    out = children_terms_agg(idx, qds, _children(), _docs_ds(docs), cfg)
+    assert len(out) == 0
