@@ -5801,6 +5801,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def categorize(sf_dir):
+        """Text categorization (ES ``categorize_text``, deterministic
+        token-template variant — documented divergence from the
+        drain-style clusterer): category = first-3 tokens with
+        digit-bearing tokens masked '#', top-20 by (count desc, key
+        asc); per-block partial counts -> one groupby exchange ->
+        per-block partial top-N (pipelines/categorize.py)."""
+        from mini_ivf_ray.pipelines.categorize import categorize_text
+
+        res = categorize_text(_documents(sf_dir), max_tokens=3, topn=20)
+        return pa.table(
+            {
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "category": pa.array(
+                    res["category"].tolist(), type=pa.string()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def children_agg(sf_dir):
         """ES ``children`` aggregation (join-field bucket + terms
         sub-agg): per query, switch from the TEXT-matched parent
@@ -7773,6 +7797,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window via has_child_topk / has_parent_topk; the terms
         # sub-agg tail is the facet-panel shape
         "children_agg": children_agg,
+        # categorize: ES categorize_text (deterministic template
+        # variant) — the partial-count + groupby + partial-topN shape
+        # is the heavy_hitters/facet family; the template key is new
+        "categorize": categorize,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9519,6 +9547,27 @@ ranked AS (SELECT query_id, doc_id, score,
            FROM final)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
+""",
+        # categorize_text: first-3-token template with digit-bearing
+        # tokens masked '#'; tokenless docs land in the '' bucket
+        # (lossless — counts total the corpus)
+        "categorize": f"""
+WITH keys AS (
+  SELECT array_to_string(
+           list_transform(tk[1:3],
+             t -> CASE WHEN regexp_matches(t, '[0-9]')
+                       THEN '#' ELSE t END),
+           ' ') AS category
+  FROM (SELECT regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+        FROM documents)),
+counts AS (SELECT category, count(*)::BIGINT AS n_docs
+           FROM keys GROUP BY 1),
+ranked AS (SELECT category, n_docs,
+                  row_number() OVER (ORDER BY n_docs DESC,
+                                              category ASC) - 1 AS rank
+           FROM counts)
+SELECT CAST(rank AS BIGINT) AS rank, category, n_docs
+FROM ranked WHERE rank < 20
 """,
         # children aggregation: matched parents -> their children
         # bucketed by event_type; the h60 pos->doc_id parent relation
