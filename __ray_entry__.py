@@ -5801,6 +5801,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geohash_grid(sf_dir):
+        """Geo-grid aggregation (ES ``geohash_grid``): exact per-query
+        match counts per precision-2 geohash cell over deterministic
+        synthesized micro-degree coordinates (pipelines/geo.py —
+        integer-exact Niemeyer interleave, pinned to the classic test
+        vector and bit-identical to the SQL replay).  The counting /
+        tombstone machinery is the facet panel, reused verbatim with
+        the cell string as the attribute."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import faceted_search
+        from mini_ivf_ray.pipelines.geo import (
+            geohash_cells,
+            synth_coords_e6,
+        )
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        cells = geohash_cells(lat, lon, 2)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = faceted_search(idx, qds, ids, cells, _CFG).to_pandas()
+        res = res.rename(columns={"facet": "cell"})
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "cell": pa.array(res["cell"].tolist(), type=pa.string()),
+                "n_docs": pa.array(res["n_docs"].to_numpy(), type=pa.int64()),
+            }
+        )
+
+    def geo_bbox_topk(sf_dir):
+        """Geo-filtered retrieval (ES ``geo_bounding_box`` inside a
+        bool filter): BM25 top-10 restricted to documents whose
+        synthesized coordinates fall in the half-open box
+        lat [-30e6, 30e6) x lon [0, 90e6) micro-degrees — integer
+        comparisons, no trig; the whitelist rides the bm25_filtered
+        machinery (mask before the top-k cut, corpus-wide stats, so
+        surviving docs score bit-identically to bm25_topk)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.geo import bbox_mask, synth_coords_e6
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        allowed = ids[
+            bbox_mask(lat, lon, (-30_000_000, 30_000_000, 0, 90_000_000))
+        ]
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(idx, qds, _CFG, allowed_docs=allowed).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def categorize(sf_dir):
         """Text categorization (ES ``categorize_text``, deterministic
         token-template variant — documented divergence from the
@@ -7801,6 +7882,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # variant) — the partial-count + groupby + partial-topN shape
         # is the heavy_hitters/facet family; the template key is new
         "categorize": categorize,
+        # geohash_grid / geo_bbox_topk: ES geo surface over
+        # deterministic synthesized integer micro-degree coords — the
+        # panel and whitelist machinery are in-window via
+        # bm25_facets_sharded / page2_filtered; the exact integer
+        # geohash kernel is new and pinned to the classic test vector
+        "geohash_grid": geohash_grid,
+        "geo_bbox_topk": geo_bbox_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -8835,6 +8923,17 @@ d AS (SELECT doc_id, pos FROM r WHERE rn > 1)
 
 
 def oracle_sql() -> dict[str, str]:
+    from mini_ivf_ray.pipelines.geo import (
+        coords_sql_cte,
+        geohash_sql_stages,
+    )
+
+    _ggx, _ggy, _ggz, _gcell = geohash_sql_stages(2)
+    geo_cells_ctes = f"""
+coords AS ({coords_sql_cte()}),
+gxy AS (SELECT doc_id, {_ggx} AS gx, {_ggy} AS gy FROM coords),
+gzt AS (SELECT doc_id, {_ggz} AS gz FROM gxy),
+cells AS (SELECT doc_id, {_gcell} AS cell FROM gzt)"""
     postings_sql = f"""
 WITH {_TOK_CTE}
 SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, term
@@ -9545,6 +9644,54 @@ ranked AS (SELECT query_id, doc_id, score,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id ASC) - 1 AS rank
            FROM final)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # geohash_grid: match set x exact integer geohash cells (the
+        # staged gx/gy/gz/cell CTEs mirror geohash_cells bit for bit)
+        "geohash_grid": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+{geo_cells_ctes}
+SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
+FROM matches m JOIN cells c USING (doc_id)
+GROUP BY 1, 2
+""",
+        # geo_bounding_box filtered retrieval: corpus-wide stats, the
+        # result set restricted to the half-open integer box (the
+        # bm25_filtered semantics with a coords join)
+        "geo_bbox_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+coords AS ({coords_sql_cte()}),
+boxed AS (SELECT doc_id FROM coords
+          WHERE lat_e6 >= -30000000 AND lat_e6 < 30000000
+            AND lon_e6 >= 0 AND lon_e6 < 90000000),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT sc.query_id, sc.doc_id, sc.score,
+                  row_number() OVER (PARTITION BY sc.query_id
+                                     ORDER BY sc.score DESC,
+                                              sc.doc_id ASC) - 1 AS rank
+           FROM scores sc JOIN boxed b ON b.doc_id = sc.doc_id)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
 FROM ranked WHERE rank < 10
 """,

@@ -1,0 +1,151 @@
+"""Geo query surface over integer micro-degree coordinates:
+Elasticsearch's ``geohash_grid`` aggregation and ``geo_bounding_box``
+filter, exact and SQL-replayable.
+
+Coordinates.  The testdata carries no geo columns, so each document
+gets deterministic synthesized coordinates (the synth_edges /
+hc-parent convention — md5-derived, engine == any-SQL-engine):
+
+    lat_e6 = h60(doc_id, 'geo-lat') % 180_000_001 - 90_000_000
+    lon_e6 = h60(doc_id, 'geo-lon') % 360_000_001 - 180_000_000
+
+held as INTEGER micro-degrees throughout.  At real scale lat/lon are
+real columns and ``synth_coords_e6`` degenerates to a projection
+(scaled by 1e6) — everything downstream is unchanged.
+
+Geohash (Niemeyer 2008, the public base32 interleave): micro-degree
+integers make the cell computation EXACT —
+
+    x = ((lon_e6 + 180e6) << ceil(5p/2)) // 360e6    (clamped)
+    y = ((lat_e6 +  90e6) << floor(5p/2)) // 180e6   (clamped)
+
+then bit-interleave (longitude first) and emit base32 groups of 5.
+This is the textbook float interval-halving algorithm with the
+halving replaced by integer division — no float ever touches a cell
+boundary, so engine and SQL replay agree bit-for-bit (the pytest pins
+the classic (57.64911, 10.40744) -> 'u4pru...' vector and an
+independent interval-halving reference).
+
+geohash_grid = the facet panel over the cell attribute: the counting,
+tombstone, and doc-sharding machinery is facets.py's, reused verbatim
+— this module only supplies the (doc_id -> cell) sidecar columns.
+
+geo_bounding_box = filtered retrieval: the box predicate over the
+integer coordinates yields the allowed-docs set for
+``query.search(allowed_docs=...)`` (the bm25_filtered machinery).
+Half-open box edges [lo, hi) keep the predicate integer-exact and
+unambiguous at boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mini_ivf_ray.pipelines.sampling import salt_hash60
+
+GEO_LAT_SALT = "geo-lat"
+GEO_LON_SALT = "geo-lon"
+BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+LAT_SPAN = 180_000_000
+LON_SPAN = 360_000_000
+
+
+def synth_coords_e6(doc_ids) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (lat_e6, lon_e6) int64 micro-degrees per doc id."""
+    ids = np.asarray(doc_ids)
+    lat = salt_hash60(ids, GEO_LAT_SALT) % (LAT_SPAN + 1) - LAT_SPAN // 2
+    lon = salt_hash60(ids, GEO_LON_SALT) % (LON_SPAN + 1) - LON_SPAN // 2
+    return lat.astype(np.int64), lon.astype(np.int64)
+
+
+def geohash_cells(lat_e6, lon_e6, precision: int) -> np.ndarray:
+    """Vectorized exact geohash strings at ``precision`` chars."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in [1, 12], got {precision}")
+    lat_e6 = np.asarray(lat_e6, dtype=np.int64)
+    lon_e6 = np.asarray(lon_e6, dtype=np.int64)
+    if (np.abs(lat_e6) > LAT_SPAN // 2).any() or (
+        np.abs(lon_e6) > LON_SPAN // 2
+    ).any():
+        raise ValueError("coordinates out of range")
+    bits = 5 * precision
+    lonbits = (bits + 1) // 2
+    latbits = bits // 2
+    x = ((lon_e6 + LON_SPAN // 2) << lonbits) // LON_SPAN
+    y = ((lat_e6 + LAT_SPAN // 2) << latbits) // LAT_SPAN
+    np.minimum(x, (1 << lonbits) - 1, out=x)
+    np.minimum(y, (1 << latbits) - 1, out=y)
+    z = np.zeros(x.shape, dtype=np.int64)
+    # interleave msb-first, longitude taking the even (leading) slots
+    for j in range(lonbits):
+        z |= ((x >> (lonbits - 1 - j)) & 1) << (bits - 1 - 2 * j)
+    for j in range(latbits):
+        z |= ((y >> (latbits - 1 - j)) & 1) << (bits - 2 - 2 * j)
+    alpha = np.frombuffer(BASE32.encode(), dtype=np.uint8)
+    chars = np.empty((precision, z.size), dtype=np.uint8)
+    for g in range(precision):
+        chars[g] = alpha[(z >> (5 * (precision - 1 - g))) & 31]
+    return (
+        chars.T.copy().view(f"S{precision}").reshape(z.size).astype(str)
+    )
+
+
+def geohash_sql_stages(
+    precision: int, lat: str = "lat_e6", lon: str = "lon_e6"
+) -> tuple[str, str, str, str]:
+    """(gx_expr, gy_expr, gz_expr, cell_expr) — DuckDB expressions
+    mirroring ``geohash_cells`` bit for bit (integer ops only), meant
+    for CTE staging: gx/gy read the coordinate columns, gz reads
+    gx/gy, cell reads gz."""
+    bits = 5 * precision
+    lonbits = (bits + 1) // 2
+    latbits = bits // 2
+    gx = (f"LEAST((({lon} + {LON_SPAN // 2}) * {1 << lonbits})"
+          f" // {LON_SPAN}, {(1 << lonbits) - 1})")
+    gy = (f"LEAST((({lat} + {LAT_SPAN // 2}) * {1 << latbits})"
+          f" // {LAT_SPAN}, {(1 << latbits) - 1})")
+    terms = []
+    for j in range(lonbits):
+        terms.append(
+            f"(((gx >> {lonbits - 1 - j}) & 1) << {bits - 1 - 2 * j})"
+        )
+    for j in range(latbits):
+        terms.append(
+            f"(((gy >> {latbits - 1 - j}) & 1) << {bits - 2 - 2 * j})"
+        )
+    gz = " + ".join(terms)
+    cell = " || ".join(
+        f"substr('{BASE32}', CAST(((gz >> {5 * (precision - 1 - g)}) & 31)"
+        " AS INTEGER) + 1, 1)"
+        for g in range(precision)
+    )
+    return gx, gy, gz, cell
+
+
+def coords_sql_cte(table: str = "documents") -> str:
+    """CTE body computing (doc_id, lat_e6, lon_e6) — the h60 replay."""
+    h = (
+        "CAST(CAST(('0x' || substr(md5(doc_id || ':{salt}'), 1, 15)) "
+        "AS UBIGINT) AS BIGINT)"
+    )
+    return (
+        f"SELECT doc_id, "
+        f"{h.format(salt=GEO_LAT_SALT)} % {LAT_SPAN + 1}"
+        f" - {LAT_SPAN // 2} AS lat_e6, "
+        f"{h.format(salt=GEO_LON_SALT)} % {LON_SPAN + 1}"
+        f" - {LON_SPAN // 2} AS lon_e6 FROM {table}"
+    )
+
+
+def bbox_mask(lat_e6, lon_e6, box: tuple[int, int, int, int]) -> np.ndarray:
+    """Half-open [lat_lo, lat_hi) x [lon_lo, lon_hi) membership."""
+    lat_lo, lat_hi, lon_lo, lon_hi = box
+    if not (lat_lo < lat_hi and lon_lo < lon_hi):
+        raise ValueError(f"empty bounding box {box}")
+    return (
+        (lat_e6 >= lat_lo)
+        & (lat_e6 < lat_hi)
+        & (lon_e6 >= lon_lo)
+        & (lon_e6 < lon_hi)
+    )
