@@ -5882,6 +5882,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_sort_topk(sf_dir):
+        """Distance-sorted retrieval (ES sort-by-``_geo_distance``):
+        each query's disjunctive match set ranked by EXACT integer
+        squared planar distance to the origin, (dist2 asc, doc asc)
+        top-10 (pipelines/geo.py GeoSortSearcher — the facet-panel
+        deployment with a value sidecar; planar-vs-haversine
+        divergence documented at planar_dist2_e6)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.geo import (
+            geo_distance_search,
+            planar_dist2_e6,
+            synth_coords_e6,
+        )
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        d2 = planar_dist2_e6(lat, lon, (0, 0))
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = geo_distance_search(idx, qds, ids, d2, _CFG, topk=10).to_pandas()
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "dist2": pa.array(
+                    res["dist2"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def categorize(sf_dir):
         """Text categorization (ES ``categorize_text``, deterministic
         token-template variant — documented divergence from the
@@ -7889,6 +7933,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geohash kernel is new and pinned to the classic test vector
         "geohash_grid": geohash_grid,
         "geo_bbox_topk": geo_bbox_topk,
+        # geo_sort_topk: ES _geo_distance sort — the match-set +
+        # value-sidecar deployment is the facet/top_hits family;
+        # planar integer kernel divergence documented in geo.py
+        "geo_sort_topk": geo_sort_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9659,6 +9707,26 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # geo-distance sort: match set ranked by the exact integer
+        # squared planar distance to the origin
+        "geo_sort_topk": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+coords AS ({coords_sql_cte()}),
+d2 AS (SELECT doc_id,
+              lat_e6 * lat_e6 + lon_e6 * lon_e6 AS dist2
+       FROM coords),
+ranked AS (SELECT m.query_id, m.doc_id, d.dist2,
+                  row_number() OVER (PARTITION BY m.query_id
+                                     ORDER BY d.dist2 ASC,
+                                              m.doc_id ASC) - 1 AS rank
+           FROM matches m JOIN d2 d USING (doc_id))
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, dist2
+FROM ranked WHERE rank < 10
 """,
         # geo_bounding_box filtered retrieval: corpus-wide stats, the
         # result set restricted to the half-open integer box (the

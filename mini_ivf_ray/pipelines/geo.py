@@ -149,3 +149,117 @@ def bbox_mask(lat_e6, lon_e6, box: tuple[int, int, int, int]) -> np.ndarray:
         & (lon_e6 >= lon_lo)
         & (lon_e6 < lon_hi)
     )
+
+
+def planar_dist2_e6(lat_e6, lon_e6, origin: tuple[int, int]) -> np.ndarray:
+    """EXACT integer squared planar distance (micro-degrees^2) to
+    ``origin`` — the engine's pinned geo-distance ordering key.
+
+    Documented divergence from ES's ``_geo_distance`` sort: ES orders
+    by haversine meters; planar micro-degrees ignore latitude
+    shrinkage and the antimeridian wrap, so orderings can differ away
+    from the origin's neighborhood.  The integer form is what keeps
+    the operator bit-exact and SQL-replayable; at real scale the
+    kernel swaps for haversine and everything around it (match set,
+    sidecar gather, partial top-k) is unchanged."""
+    lat0, lon0 = int(origin[0]), int(origin[1])
+    dlat = np.asarray(lat_e6, dtype=np.int64) - lat0
+    dlon = np.asarray(lon_e6, dtype=np.int64) - lon0
+    return dlat * dlat + dlon * dlon
+
+
+class GeoSortSearcher:
+    """Actor-pool stage: (query_id, text) -> the query's top-k matched
+    docs by (dist2 asc, doc asc) — ES sort-by-_geo_distance over the
+    disjunctive match set.  Reuses FacetCounter's match-set + sorted
+    (doc_id -> int64 value) sidecar machinery with the squared
+    distance as the code column."""
+
+    def __init__(self, *args, topk: int = 10, **kwargs):
+        from mini_ivf_ray.pipelines.facets import FacetCounter
+
+        self._fc = FacetCounter(*args, **kwargs)
+        self.topk = int(topk)
+
+    def __call__(self, batch):
+        import pyarrow as pa_
+
+        fc = self._fc
+        qids, ranks, docs_out, dists = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs = fc.disjunctive_matches_for_text(qtext)
+            if not docs.size:
+                continue
+            idx = np.searchsorted(fc.facet_ids, docs)
+            np.minimum(idx, fc.facet_ids.size - 1, out=idx)
+            valid = fc.facet_ids[idx] == docs
+            docs = docs[valid]
+            d2 = fc.facet_codes[idx[valid]]
+            order = np.argsort(docs, kind="stable")
+            order = order[np.argsort(d2[order], kind="stable")][: self.topk]
+            for r, i in enumerate(order):
+                qids.append(qid)
+                ranks.append(r)
+                docs_out.append(int(docs[i]))
+                dists.append(int(d2[i]))
+        return pa_.table(
+            {
+                "query_id": pa_.array(qids, type=pa_.int64()),
+                "rank": pa_.array(ranks, type=pa_.int32()),
+                "doc_id": pa_.array(
+                    np.array(docs_out, dtype=np.uint64), type=pa_.uint64()
+                ),
+                "dist2": pa_.array(dists, type=pa_.int64()),
+            }
+        )
+
+
+def geo_distance_search(
+    index_dir: str,
+    queries_ds,
+    doc_ids,
+    dist2,
+    cfg=None,
+    topk: int = 10,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> (query_id, rank, doc_id, dist2):
+    matched docs by squared planar distance ascending.  The
+    (doc_id -> dist2) sidecar is broadcast once (the facet-panel
+    deployment, value column instead of dictionary codes)."""
+    import ray
+
+    from mini_ivf_ray.config import PipelineConfig
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    vals = np.asarray(dist2, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, vals = ids[order], vals[order]
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    side_ref = ray.put((ids, vals))
+    return queries_ds.map_batches(
+        GeoSortSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, side_ref, []),
+        fn_constructor_kwargs={
+            "denied_ref": denied_ref, "topk": topk,
+        },
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

@@ -101,3 +101,41 @@ def test_bbox_mask_contract():
         geohash_cells([95_000_000], [0], 3)
     with pytest.raises(ValueError, match="precision"):
         geohash_cells([0], [0], 0)
+
+
+def test_geo_sort_matches_local_replay(tiny_index):
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.geo import (
+        geo_distance_search,
+        planar_dist2_e6,
+    )
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    lat, lon = synth_coords_e6(ids)
+    d2 = planar_dist2_e6(lat, lon, (10_000_000, -20_000_000))
+    qds = ray.data.from_items(
+        [{"query_id": 0, "text": "the data"}, {"query_id": 1, "text": "zz9q"}]
+    )
+    res = (
+        geo_distance_search(idx, qds, ids, d2, cfg, topk=7)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    assert set(res["query_id"]) == {0}  # OOV query empty
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    cand = [
+        (int(dd), int(i))
+        for i, dd, tk in zip(ids, d2, toks)
+        if {"the", "data"} & tk
+    ]
+    want = sorted(cand)[:7]
+    got = list(
+        zip(
+            (int(x) for x in res["dist2"]),
+            (int(x) for x in res["doc_id"].astype(np.uint64)),
+        )
+    )
+    assert got == want
+    # distances are nonnegative and ascending
+    assert res["dist2"].is_monotonic_increasing
