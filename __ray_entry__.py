@@ -5882,6 +5882,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def filters_agg(sf_dir):
+        """ES ``filters`` aggregation with ``other_bucket: true``: per
+        query, the match-set count under every named single-term
+        filter PLUS the ``_other_`` bucket (matched docs passing NO
+        filter); named buckets emitted even at 0, bucket order =
+        filter order then _other_ (pipelines/adjacency.py
+        FiltersAggSearcher — the adjacency machinery's fetched-once
+        filter postings, index-local, additive under doc-sharding)."""
+        import ray.data
+
+        from mini_ivf_ray.pipelines.adjacency import filters_agg_search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = filters_agg_search(
+            idx,
+            qds,
+            [("spark", "spark"), ("join", "join"), ("rare", "dup")],
+            _CFG,
+        ).to_pandas()
+        res = res.sort_values(["query_id", "key"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "key": pa.array(res["key"].tolist(), type=pa.string()),
+                "n_docs": pa.array(res["n_docs"].to_numpy(), type=pa.int64()),
+            }
+        )
+
     def geo_sort_topk(sf_dir):
         """Distance-sorted retrieval (ES sort-by-``_geo_distance``):
         each query's disjunctive match set ranked by EXACT integer
@@ -7937,6 +7970,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-sidecar deployment is the facet/top_hits family;
         # planar integer kernel divergence documented in geo.py
         "geo_sort_topk": geo_sort_topk,
+        # filters_agg: ES filters agg + other_bucket — the
+        # fetched-once filter postings are the adjacency machinery
+        # (in-window via adjacency_buckets); the _other_ complement
+        # and emit-zeros contract are what's new
+        "filters_agg": filters_agg,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9707,6 +9745,33 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # filters agg: named per-filter counts over the match set
+        # (zeros kept via the qids x f scaffold) + the _other_
+        # no-filter complement
+        "filters_agg": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+f(key, fterm) AS (VALUES ('spark', 'spark'), ('join', 'join'),
+                         ('rare', 'dup')),
+qids AS (SELECT DISTINCT query_id FROM q),
+named AS (
+  SELECT qi.query_id, f.key,
+         (SELECT count(*) FROM matches m
+          JOIN postings p ON p.doc_id = m.doc_id AND p.term = f.fterm
+          WHERE m.query_id = qi.query_id)::BIGINT AS n_docs
+  FROM qids qi CROSS JOIN f),
+other AS (
+  SELECT qi.query_id, '_other_' AS key,
+         count(m.doc_id) FILTER (WHERE NOT EXISTS (
+             SELECT 1 FROM f JOIN postings p
+             ON p.term = f.fterm AND p.doc_id = m.doc_id))::BIGINT AS n_docs
+  FROM qids qi LEFT JOIN matches m ON m.query_id = qi.query_id
+  GROUP BY 1, 2)
+SELECT * FROM named UNION ALL SELECT * FROM other
 """,
         # geo-distance sort: match set ranked by the exact integer
         # squared planar distance to the origin

@@ -189,3 +189,90 @@ def adjacency_search(
         concurrency=(1, cfg.query_concurrency),
         num_cpus=1,
     )
+
+
+OTHER_BUCKET_KEY = "_other_"
+
+
+class FiltersAggSearcher(AdjacencySearcher):
+    """ES ``filters`` aggregation with ``other_bucket: true``: per
+    query, the match-set count under EVERY named single-term filter PLUS
+    the ``_other_`` bucket (matched docs passing NO named filter).
+
+    ES semantics pinned: every named bucket is emitted even at count
+    0 (unlike the GROUP-BY-shaped adjacency matrix, which omits
+    zeros), and ``_other_`` is always present; bucket order is filter
+    order then ``_other_``.  Counts are one boolean mask + bincount
+    per filter off the same fetched-once filter postings the
+    adjacency searcher holds — no sidecar, fully index-local, so the
+    per-shard (k+1)-vector is additive under doc-sharding exactly
+    like the adjacency matrix."""
+
+    def filters_counts_for_text(self, qtext: str) -> np.ndarray:
+        docs = self.disjunctive_matches_for_text(qtext)
+        k = len(self.filters)
+        counts = np.zeros(k + 1, dtype=np.int64)
+        if docs.size:
+            any_mask = np.zeros(docs.size, dtype=bool)
+            for i, fd in enumerate(self.filter_docs):
+                m = _allowed_mask(docs, fd)
+                counts[i] = int(m.sum())
+                any_mask |= m
+            counts[k] = int(docs.size - any_mask.sum())
+        return counts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = [n for n, _ in self.filters] + [OTHER_BUCKET_KEY]
+        qids, keys, counts = [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            c = self.filters_counts_for_text(qtext)
+            for name, ci in zip(names, c):
+                qids.append(qid)
+                keys.append(name)
+                counts.append(int(ci))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "key": pa.array(keys, type=pa.string()),
+                "n_docs": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def filters_agg_search(
+    index_dir: str,
+    queries_ds,
+    filters: list[tuple[str, str]],
+    cfg: PipelineConfig | None = None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> (query_id, key, n_docs): the ES
+    filters aggregation — every named bucket (zeros included) plus
+    the ``_other_`` matched-by-no-filter bucket, per query."""
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    validate_filters(filters)
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    return queries_ds.map_batches(
+        FiltersAggSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, filters),
+        fn_constructor_kwargs={"denied_ref": denied_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

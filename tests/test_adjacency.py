@@ -112,3 +112,77 @@ def test_adjacency_contracts_and_oov(tiny_index):
     )
     assert set(res["key"]) == {"d"}
     assert len(_run(idx, cfg, [(0, "zzqq9999xx")])) == 0
+
+
+def test_filters_agg_matches_local_replay(tiny_index):
+    """filters agg: named counts + _other_ complement == brute local
+    replay; all named buckets emitted even at 0."""
+    from mini_ivf_ray.pipelines.adjacency import (
+        OTHER_BUCKET_KEY,
+        filters_agg_search,
+    )
+
+    idx, cfg, docs = tiny_index
+    filters = FILTERS + [("dead", "zz9999qq")]  # a filter matching nothing
+    queries = [(0, "the data"), (1, "w00042")]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    res = filters_agg_search(idx, qds, filters, cfg).to_pandas()
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    for qid, qtext in queries:
+        qterms = set(tokenize(qtext))
+        match = {d for d, tk in toks.items() if qterms & tk}
+        want = {}
+        covered = set()
+        for name, text in filters:
+            s = {d for d in match if tokenize(text)[0] in toks[d]}
+            want[name] = len(s)
+            covered |= s
+        want[OTHER_BUCKET_KEY] = len(match - covered)
+        g = res[res["query_id"] == qid]
+        got = dict(zip(g["key"], (int(x) for x in g["n_docs"])))
+        assert got == want, qid
+        assert got["dead"] == 0  # zero bucket present
+        # buckets partition nothing beyond the match set: named counts
+        # can overlap, but other + union == |match|
+        assert got[OTHER_BUCKET_KEY] <= len(match)
+
+
+def test_filters_agg_additive_over_doc_splits(tiny_index):
+    """The (k+1)-vector is additive across disjoint doc-id halves —
+    the doc-sharding merge argument."""
+    from mini_ivf_ray.pipelines.adjacency import (
+        OTHER_BUCKET_KEY,
+        FiltersAggSearcher,
+    )
+
+    idx, cfg, docs = tiny_index
+    s = FiltersAggSearcher(idx, cfg, None, None, FILTERS)
+    c_all = s.filters_counts_for_text("the data")
+    docs_m = s.disjunctive_matches_for_text("the data")
+    mid = docs_m[len(docs_m) // 2]
+    # simulate two shards by tombstone-style masking
+    import numpy as _np
+
+    lo = docs_m[docs_m < mid]
+    hi = docs_m[docs_m >= mid]
+
+    def count_subset(sub):
+        k = len(s.filters)
+        counts = _np.zeros(k + 1, dtype=_np.int64)
+        if sub.size:
+            any_mask = _np.zeros(sub.size, dtype=bool)
+            from mini_ivf_ray.pipelines.query import _allowed_mask
+
+            for i, fd in enumerate(s.filter_docs):
+                m = _allowed_mask(sub, fd)
+                counts[i] = int(m.sum())
+                any_mask |= m
+            counts[k] = int(sub.size - any_mask.sum())
+        return counts
+
+    assert _np.array_equal(count_subset(lo) + count_subset(hi), c_all)
