@@ -204,9 +204,10 @@ class FiltersAggSearcher(AdjacencySearcher):
     zeros), and ``_other_`` is always present; bucket order is filter
     order then ``_other_``.  Counts are one boolean mask + bincount
     per filter off the same fetched-once filter postings the
-    adjacency searcher holds — no sidecar, fully index-local, so the
+    adjacency searcher holds — no sidecar, fully index-local, and the
     per-shard (k+1)-vector is additive under doc-sharding exactly
-    like the adjacency matrix."""
+    like the adjacency matrix (WIRED: ShardedIndex.filters_agg over
+    RangeSearcher.filters_batch, pytest-pinned sharded == single)."""
 
     def filters_counts_for_text(self, qtext: str) -> np.ndarray:
         docs = self.disjunctive_matches_for_text(qtext)

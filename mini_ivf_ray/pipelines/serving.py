@@ -664,6 +664,54 @@ class RangeSearcher:
                         out["c"].append(int(mat[i, j]))
         return pd.DataFrame(out)
 
+    def filters_batch(
+        self, queries: list[tuple[int, str]], filters: list[tuple[str, str]]
+    ) -> pd.DataFrame:
+        """Per-shard filters-agg PARTIALS: the (k+1) counts vector
+        (named filters + the _other_ complement) over this shard's
+        match-set slice, as (query_id, bi, c) rows — additive integer
+        vectors (adjacency.FiltersAggSearcher's sharded analog,
+        wired).  bi == k is the _other_ slot."""
+        from mini_ivf_ray.pipelines.query import _allowed_mask
+
+        fd = []
+        for _name, term in filters:
+            if self.stats.df.get(term, 0) <= 0:
+                fd.append(np.empty(0, dtype=np.uint64))
+                continue
+            b = self._term_blocks_in_range(term)
+            if b is None or not b.n_blocks:
+                fd.append(np.empty(0, dtype=np.uint64))
+                continue
+            b.set_scoring(
+                bm25.idf(self.stats.df[term], self.stats.n_docs),
+                self.stats.avgdl,
+                self.cfg.k1,
+                self.cfg.b,
+            )
+            fd.append(b.all_postings()[0])
+        out = {"query_id": [], "bi": [], "c": []}
+        k = len(filters)
+        for qid, qtext in queries:
+            docs, _ = self._in_range_scored(qtext, full=False)
+            if not docs.size:
+                continue
+            any_mask = np.zeros(docs.size, dtype=bool)
+            for i, f in enumerate(fd):
+                m = _allowed_mask(docs, f)
+                c = int(m.sum())
+                any_mask |= m
+                if c:
+                    out["query_id"].append(qid)
+                    out["bi"].append(i)
+                    out["c"].append(c)
+            other = int(docs.size - any_mask.sum())
+            if other:
+                out["query_id"].append(qid)
+                out["bi"].append(k)
+                out["c"].append(other)
+        return pd.DataFrame(out)
+
     def _in_range_scored(self, qtext: str, full: bool):
         """(docs, scores) of the query's match set restricted to THIS
         shard's [lo, hi].  Boundary payload blocks may carry docs outside
@@ -1791,6 +1839,53 @@ class ShardedIndex:
                     out["query_id"].append(int(qid))
                     out["key"].append(key)
                     out["n_docs"].append(c)
+        return pd.DataFrame(out)
+
+    def filters_agg(
+        self, queries: list[tuple[int, str]],
+        filters: list[tuple[str, str]], chunk: int = 512,
+    ) -> pd.DataFrame:
+        """Shard-local filters aggregation -> (query_id, key, n_docs),
+        identical to adjacency.filters_agg_search: per-shard (k+1)
+        integer count vectors merge by summation; every named bucket
+        plus _other_ is emitted per query even at 0 (the single-index
+        contract)."""
+        import ray
+
+        from mini_ivf_ray.pipelines.adjacency import (
+            OTHER_BUCKET_KEY,
+            validate_filters,
+        )
+
+        filters = validate_filters(filters)
+        names = [n for n, _ in filters] + [OTHER_BUCKET_KEY]
+        k1 = len(names)
+        futs = []
+        for i in range(0, len(queries), chunk):
+            part = queries[i : i + chunk]
+            futs.extend(
+                a.filters_batch.remote(part, filters) for a in self.actors
+            )
+        frames = [f for f in ray.get(futs) if len(f)]
+        totals: dict[int, np.ndarray] = {
+            int(qid): np.zeros(k1, dtype=np.int64) for qid, _ in queries
+        }
+        if frames:
+            merged = (
+                pd.concat(frames, ignore_index=True)
+                .groupby(["query_id", "bi"], sort=True, as_index=False)
+                .sum()
+            )
+            for qid, bi, c in zip(
+                merged["query_id"], merged["bi"], merged["c"]
+            ):
+                totals[int(qid)][int(bi)] += int(c)
+        out = {"query_id": [], "key": [], "n_docs": []}
+        for qid, _ in queries:
+            for name, c in zip(names, totals[int(qid)]):
+                out["query_id"].append(int(qid))
+                out["key"].append(name)
+                out["n_docs"].append(int(c))
         return pd.DataFrame(out)
 
     def similarity_search(

@@ -186,3 +186,38 @@ def test_filters_agg_additive_over_doc_splits(tiny_index):
         return counts
 
     assert _np.array_equal(count_subset(lo) + count_subset(hi), c_all)
+
+
+def test_sharded_filters_agg_identity(tiny_index):
+    """ShardedIndex.filters_agg == the single-index filters agg
+    bit-for-bit (3 shards), incl. zero buckets."""
+    from mini_ivf_ray.pipelines.adjacency import filters_agg_search
+    from mini_ivf_ray.pipelines.serving import ShardedIndex
+
+    idx, cfg, docs = tiny_index
+    filters = FILTERS + [("dead", "zz9999qq")]
+    queries = [(0, "the data"), (1, "w00042")]
+    qds = ray.data.from_items(
+        [{"query_id": q, "text": t} for q, t in queries]
+    )
+    single = (
+        filters_agg_search(idx, qds, filters, cfg)
+        .to_pandas()
+        .sort_values(["query_id", "key"])
+        .reset_index(drop=True)
+    )
+    sharded = ShardedIndex(idx, cfg, num_shards=3)
+    try:
+        got = (
+            sharded.filters_agg(queries, filters)
+            .sort_values(["query_id", "key"])
+            .reset_index(drop=True)
+        )
+    finally:
+        sharded.shutdown()
+    assert len(got) == len(single) == len(queries) * (len(filters) + 1)
+    assert got["key"].tolist() == single["key"].tolist()
+    assert np.array_equal(
+        got["n_docs"].to_numpy().astype(np.int64),
+        single["n_docs"].to_numpy().astype(np.int64),
+    )
