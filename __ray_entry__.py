@@ -5882,6 +5882,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_centroid(sf_dir):
+        """Geo-centroid aggregation (ES ``geo_centroid``): per query,
+        the arithmetic mean coordinate of the match set — computed
+        from the mergeable (n, sum_lat_e6, sum_lon_e6) integer triple
+        (pipelines/geo.py GeoCentroidSearcher; the extstats additive-
+        moments shape), centroid division at the edge only."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.geo import (
+            geo_centroid_search,
+            synth_coords_e6,
+        )
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = geo_centroid_search(idx, qds, ids, lat, lon, _CFG).to_pandas()
+        res = res.sort_values("query_id")
+        n = res["n_docs"].to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "n_docs": pa.array(
+                    res["n_docs"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "lat_r": pa.array(
+                    np.round(
+                        (res["sum_lat_e6"].to_numpy() / n) / 1e6, 4
+                    ),
+                    type=pa.float64(),
+                ),
+                "lon_r": pa.array(
+                    np.round(
+                        (res["sum_lon_e6"].to_numpy() / n) / 1e6, 4
+                    ),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
     def filters_agg(sf_dir):
         """ES ``filters`` aggregation with ``other_bucket: true``: per
         query, the match-set count under every named single-term
@@ -7975,6 +8023,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (in-window via adjacency_buckets); the _other_ complement
         # and emit-zeros contract are what's new
         "filters_agg": filters_agg,
+        # geo_centroid: ES geo_centroid — the additive-moments shape
+        # is in-window via match_extstats; only the dual integer
+        # coordinate carrier is new (no kernel divergence: ES means
+        # lat/lon arithmetically too)
+        "geo_centroid": geo_centroid,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9745,6 +9798,21 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # geo_centroid: arithmetic mean coordinate of the match set,
+        # derived from integer sums exactly as the engine does
+        "geo_centroid": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+coords AS ({coords_sql_cte()})
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       round((sum(c.lat_e6)::DOUBLE / count(*)) / 1000000, 4) AS lat_r,
+       round((sum(c.lon_e6)::DOUBLE / count(*)) / 1000000, 4) AS lon_r
+FROM matches m JOIN coords c USING (doc_id)
+GROUP BY 1
 """,
         # filters agg: named per-filter counts over the match set
         # (zeros kept via the qids x f scaffold) + the _other_

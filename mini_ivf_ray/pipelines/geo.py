@@ -263,3 +263,118 @@ def geo_distance_search(
         concurrency=(1, cfg.query_concurrency),
         num_cpus=1,
     )
+
+
+class GeoCentroidSearcher:
+    """Actor-pool stage: (query_id, text) -> ONE row per query with
+    the match set's size and INTEGER coordinate sums — ES's
+    ``geo_centroid`` aggregation in its mergeable form.
+
+    The (n, sum_lat_e6, sum_lon_e6) triple is the textbook additive
+    partial (the extstats moments argument): disjoint doc ranges sum
+    component-wise, so doc-sharding ships a 3-integer row per
+    (query, shard).  The centroid itself (sum / n, scaled to degrees)
+    is derived at the edge — division never enters the mergeable
+    state.  ES's geo_centroid is the same arithmetic lat/lon mean
+    (it does not great-circle-average), so unlike the distance sort
+    this carries no kernel divergence — only the e6 integer carrier
+    is ours.  Sum bounds: |sum| <= n_docs * 1.8e8, int64-safe to
+    ~5e10 matched docs per query."""
+
+    def __init__(self, index_dir, cfg=None, shared_tables=None,
+                 decoded_refs=None, side_ref=None, denied_ref=None):
+        import ray
+
+        from mini_ivf_ray.pipelines.facets import FacetCounter
+
+        ids, lat, lon = (
+            ray.get(side_ref)
+            if isinstance(side_ref, ray.ObjectRef)
+            else side_ref
+        )
+        # reuse FacetCounter's match-set kernel with lat as the code
+        # column (codes are opaque int64 there); lon rides alongside
+        self._fc = FacetCounter(
+            index_dir, cfg, shared_tables, decoded_refs,
+            facet_ref=(ids, lat), facet_labels=[], denied_ref=denied_ref,
+        )
+        self.geo_lon = np.asarray(lon, dtype=np.int64)
+        if self.geo_lon.size != self._fc.facet_ids.size:
+            raise ValueError("lat/lon sidecars must align with doc ids")
+
+    def __call__(self, batch):
+        import pyarrow as pa_
+
+        fc = self._fc
+        qids, ns, slats, slons = [], [], [], []
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs = fc.disjunctive_matches_for_text(qtext)
+            if not docs.size:
+                continue
+            idx = np.searchsorted(fc.facet_ids, docs)
+            np.minimum(idx, fc.facet_ids.size - 1, out=idx)
+            valid = fc.facet_ids[idx] == docs
+            hit = idx[valid]
+            if not hit.size:
+                continue
+            qids.append(qid)
+            ns.append(int(hit.size))
+            slats.append(int(fc.facet_codes[hit].sum()))
+            slons.append(int(self.geo_lon[hit].sum()))
+        return pa_.table(
+            {
+                "query_id": pa_.array(qids, type=pa_.int64()),
+                "n_docs": pa_.array(ns, type=pa_.int64()),
+                "sum_lat_e6": pa_.array(slats, type=pa_.int64()),
+                "sum_lon_e6": pa_.array(slons, type=pa_.int64()),
+            }
+        )
+
+
+def geo_centroid_search(
+    index_dir: str,
+    queries_ds,
+    doc_ids,
+    lat_e6,
+    lon_e6,
+    cfg=None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> (query_id, n_docs, sum_lat_e6,
+    sum_lon_e6): the mergeable geo_centroid state per query (empty
+    match sets emit no row, ES's absent-agg rule)."""
+    import ray
+
+    from mini_ivf_ray.config import PipelineConfig
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    lat = np.asarray(lat_e6, dtype=np.int64)
+    lon = np.asarray(lon_e6, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, lat, lon = ids[order], lat[order], lon[order]
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    side_ref = ray.put((ids, lat, lon))
+    return queries_ds.map_batches(
+        GeoCentroidSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, side_ref),
+        fn_constructor_kwargs={"denied_ref": denied_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

@@ -139,3 +139,27 @@ def test_geo_sort_matches_local_replay(tiny_index):
     assert got == want
     # distances are nonnegative and ascending
     assert res["dist2"].is_monotonic_increasing
+
+
+def test_geo_centroid_matches_local_replay_and_is_additive(tiny_index):
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.geo import geo_centroid_search
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    lat, lon = synth_coords_e6(ids)
+    qds = ray.data.from_items(
+        [{"query_id": 0, "text": "the data"}, {"query_id": 1, "text": "zz9q"}]
+    )
+    res = geo_centroid_search(idx, qds, ids, lat, lon, cfg).to_pandas()
+    assert set(res["query_id"]) == {0}  # empty match set -> no row
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    m = np.array([bool({"the", "data"} & tk) for tk in toks])
+    row = res.iloc[0]
+    assert int(row["n_docs"]) == int(m.sum())
+    assert int(row["sum_lat_e6"]) == int(lat[m].sum())
+    assert int(row["sum_lon_e6"]) == int(lon[m].sum())
+    # additivity of the mergeable triple over a doc split
+    half = ids < np.median(ids)
+    a = (m & half, m & ~half)
+    assert int(lat[a[0]].sum()) + int(lat[a[1]].sum()) == int(lat[m].sum())
