@@ -5930,6 +5930,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_bounds(sf_dir):
+        """Geo-bounds aggregation (ES ``geo_bounds``,
+        wrap_longitude=false): per query the match set's exact integer
+        bounding box — mergeable min/max state, same deployment and
+        sidecar as geo_centroid (pipelines/geo.py GeoBoundsSearcher)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.geo import (
+            geo_bounds_search,
+            synth_coords_e6,
+        )
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = geo_bounds_search(idx, qds, ids, lat, lon, _CFG).to_pandas()
+        res = res.sort_values("query_id")
+        cols = {"query_id": pa.array(res["query_id"].to_numpy(), type=pa.int64())}
+        for c in ("n_docs", "min_lat_e6", "max_lat_e6", "min_lon_e6",
+                  "max_lon_e6"):
+            cols[c] = pa.array(
+                res[c].to_numpy().astype(np.int64), type=pa.int64()
+            )
+        return pa.table(cols)
+
     def filters_agg(sf_dir):
         """ES ``filters`` aggregation with ``other_bucket: true``: per
         query, the match-set count under every named single-term
@@ -8028,6 +8059,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # coordinate carrier is new (no kernel divergence: ES means
         # lat/lon arithmetically too)
         "geo_centroid": geo_centroid,
+        # geo_bounds: ES geo_bounds — min/max mergeable state on the
+        # centroid's deployment; wrap_longitude=false pinned
+        "geo_bounds": geo_bounds,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9798,6 +9832,22 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # geo_bounds: exact integer bounding box of the match set
+        "geo_bounds": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+coords AS ({coords_sql_cte()})
+SELECT m.query_id, count(*)::BIGINT AS n_docs,
+       min(c.lat_e6)::BIGINT AS min_lat_e6,
+       max(c.lat_e6)::BIGINT AS max_lat_e6,
+       min(c.lon_e6)::BIGINT AS min_lon_e6,
+       max(c.lon_e6)::BIGINT AS max_lon_e6
+FROM matches m JOIN coords c USING (doc_id)
+GROUP BY 1
 """,
         # geo_centroid: arithmetic mean coordinate of the match set,
         # derived from integer sums exactly as the engine does

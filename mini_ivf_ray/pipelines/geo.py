@@ -378,3 +378,98 @@ def geo_centroid_search(
         concurrency=(1, cfg.query_concurrency),
         num_cpus=1,
     )
+
+
+class GeoBoundsSearcher(GeoCentroidSearcher):
+    """ES ``geo_bounds`` aggregation: the match set's bounding box —
+    per query ONE row (n_docs, min/max lat_e6, min/max lon_e6).
+    Same deployment and sidecar as the centroid; the mergeable state
+    swaps additive sums for min/max (idempotent, order-free, equally
+    shardable).  ES's wrap_longitude=false box (plain min/max, no
+    dateline wrapping) — the wrapping variant is a driver-side
+    post-pass over the same per-shard state and is not implemented."""
+
+    def __call__(self, batch):
+        import pyarrow as pa_
+
+        fc = self._fc
+        out = {k: [] for k in (
+            "query_id", "n_docs", "min_lat_e6", "max_lat_e6",
+            "min_lon_e6", "max_lon_e6",
+        )}
+        for qid, qtext in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            docs = fc.disjunctive_matches_for_text(qtext)
+            if not docs.size:
+                continue
+            idx = np.searchsorted(fc.facet_ids, docs)
+            np.minimum(idx, fc.facet_ids.size - 1, out=idx)
+            valid = fc.facet_ids[idx] == docs
+            hit = idx[valid]
+            if not hit.size:
+                continue
+            la = fc.facet_codes[hit]
+            lo = self.geo_lon[hit]
+            out["query_id"].append(qid)
+            out["n_docs"].append(int(hit.size))
+            out["min_lat_e6"].append(int(la.min()))
+            out["max_lat_e6"].append(int(la.max()))
+            out["min_lon_e6"].append(int(lo.min()))
+            out["max_lon_e6"].append(int(lo.max()))
+        return pa_.table(
+            {
+                "query_id": pa_.array(out["query_id"], type=pa_.int64()),
+                "n_docs": pa_.array(out["n_docs"], type=pa_.int64()),
+                "min_lat_e6": pa_.array(out["min_lat_e6"], type=pa_.int64()),
+                "max_lat_e6": pa_.array(out["max_lat_e6"], type=pa_.int64()),
+                "min_lon_e6": pa_.array(out["min_lon_e6"], type=pa_.int64()),
+                "max_lon_e6": pa_.array(out["max_lon_e6"], type=pa_.int64()),
+            }
+        )
+
+
+def geo_bounds_search(
+    index_dir: str,
+    queries_ds,
+    doc_ids,
+    lat_e6,
+    lon_e6,
+    cfg=None,
+    share: str | bool = "decoded",
+    respect_deletes: bool = True,
+):
+    """queries (query_id, text) -> per query the match set's exact
+    integer bounding box (empty match sets emit no row)."""
+    import ray
+
+    from mini_ivf_ray.config import PipelineConfig
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    ids = np.asarray(doc_ids, dtype=np.uint64)
+    lat = np.asarray(lat_e6, dtype=np.int64)
+    lon = np.asarray(lon_e6, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, lat, lon = ids[order], lat[order], lon[order]
+    shared = decoded = None
+    if share == "decoded":
+        from mini_ivf_ray.sources.decoded import share_decoded_index
+
+        decoded = share_decoded_index(index_dir, cfg)
+    elif share:
+        from mini_ivf_ray.pipelines.query import share_segments
+
+        shared = share_segments(index_dir, cfg.num_partitions)
+    from mini_ivf_ray.pipelines.serving import _tombstone_ref
+
+    denied_ref = _tombstone_ref(index_dir) if respect_deletes else None
+    side_ref = ray.put((ids, lat, lon))
+    return queries_ds.map_batches(
+        GeoBoundsSearcher,
+        fn_constructor_args=(index_dir, cfg, shared, decoded, side_ref),
+        fn_constructor_kwargs={"denied_ref": denied_ref},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, cfg.query_concurrency),
+        num_cpus=1,
+    )

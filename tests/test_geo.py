@@ -163,3 +163,29 @@ def test_geo_centroid_matches_local_replay_and_is_additive(tiny_index):
     half = ids < np.median(ids)
     a = (m & half, m & ~half)
     assert int(lat[a[0]].sum()) + int(lat[a[1]].sum()) == int(lat[m].sum())
+
+
+def test_geo_bounds_matches_local_replay(tiny_index):
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.geo import geo_bounds_search
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    lat, lon = synth_coords_e6(ids)
+    qds = ray.data.from_items(
+        [{"query_id": 0, "text": "the data"}, {"query_id": 1, "text": "zz9q"}]
+    )
+    res = geo_bounds_search(idx, qds, ids, lat, lon, cfg).to_pandas()
+    assert set(res["query_id"]) == {0}
+    toks = [set(tokenize(t)) for t in docs["text"]]
+    m = np.array([bool({"the", "data"} & tk) for tk in toks])
+    r = res.iloc[0]
+    assert int(r["n_docs"]) == int(m.sum())
+    assert int(r["min_lat_e6"]) == int(lat[m].min())
+    assert int(r["max_lat_e6"]) == int(lat[m].max())
+    assert int(r["min_lon_e6"]) == int(lon[m].min())
+    assert int(r["max_lon_e6"]) == int(lon[m].max())
+    # min/max merge over a split == global (the sharding argument)
+    half = ids < np.median(ids)
+    lo, hi = m & half, m & ~half
+    assert min(lat[lo].min(), lat[hi].min()) == lat[m].min()
