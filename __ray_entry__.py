@@ -6168,6 +6168,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ann_threshold(sf_dir):
+        """kNN with a similarity cutoff (ES ``knn`` ``similarity``
+        parameter): exact-cosine top-20 with results below
+        cosine 0.28 DROPPED — the workload's top-20 lists straddle
+        the cutoff, so per-query result counts vary (the parameter
+        provably bites).  Because the candidate list is
+        cosine-descending, the cutoff removes a suffix, so ranks stay
+        dense with no renumbering; at scale each block's partial
+        top-k applies the same filter before the merge (equivalent by
+        the prefix argument), shipping strictly fewer rows."""
+        from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+        qids, Q = _ann_queries(sf_dir)
+        res = brute_force_ann(_embeddings(sf_dir), Q, qids, k=20)
+        res = res[res["cosine"].to_numpy() >= 0.28]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "vec_id": pa.array(res["vec_id"].to_numpy(), type=pa.int64()),
+                "cosine_r": pa.array(
+                    np.round(res["cosine"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def ann_bruteforce(sf_dir):
         from mini_ivf_ray.pipelines.similarity import brute_force_ann
 
@@ -8062,6 +8092,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo_bounds: ES geo_bounds — min/max mergeable state on the
         # centroid's deployment; wrap_longitude=false pinned
         "geo_bounds": geo_bounds,
+        # ann_threshold: ES knn similarity cutoff — the brute-force
+        # cosine machinery is below-line green (ann_bruteforce); the
+        # suffix-cut filter + dense-rank argument are what's new
+        "ann_threshold": ann_threshold,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -8934,7 +8968,8 @@ FROM ranked WHERE rank < 10
 
 
 def _ann_sql(
-    exclude_pred: str | None = None, allowed_lang: str | None = None
+    exclude_pred: str | None = None, allowed_lang: str | None = None,
+    k: int = 10, min_cos: float | None = None,
 ) -> str:
     # exclude_pred: tombstone masking (delete_vectors semantics) — the
     # corpus side drops matching rows before ranking.  allowed_lang:
@@ -8949,6 +8984,9 @@ def _ann_sql(
             "(SELECT e.* FROM embeddings e JOIN documents d "
             f"ON d.doc_id = e.vec_id WHERE d.lang = '{allowed_lang}' {tomb})"
         )
+    # ES knn similarity cutoff: rank-then-filter == filter-then-rank
+    # because cos-desc ordering makes the cut a pure suffix removal
+    cos_filter = f" AND cos >= {min_cos!r}" if min_cos is not None else ""
     return f"""
 WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
            WHERE vec_id < {N_ANN_QUERIES}),
@@ -8961,7 +8999,7 @@ ranked AS (SELECT query_id, vec_id, cos,
                                      ORDER BY cos DESC, vec_id ASC) - 1 AS rank
            FROM sims)
 SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, round(cos, 4) AS cosine_r
-FROM ranked WHERE rank < 10
+FROM ranked WHERE rank < {k}{cos_filter}
 """
 
 
@@ -12558,6 +12596,7 @@ SELECT doc_id,
 FROM documents
 """,
         "ann_bruteforce": _ann_sql(),
+        "ann_threshold": _ann_sql(k=20, min_cos=0.28),
         "ann_filtered": _ann_sql(allowed_lang="en"),
         "ann_ivf_full": _ann_sql(),
         "ann_append": _ann_sql(),

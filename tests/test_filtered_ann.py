@@ -46,3 +46,34 @@ def test_singleton_whitelist():
     assert len(res) == 3
     assert set(res["vec_id"]) == {17}
     assert (res["rank"] == 0).all()
+
+
+def test_similarity_threshold_is_suffix_cut(ray_session):
+    """ES knn similarity cutoff: filtering a cosine-desc top-k by
+    cos >= t removes a pure suffix, so ranks stay dense with no
+    renumbering — pinned on the synthetic embeddings."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+    rng = np.random.RandomState(3)
+    emb = rng.randn(400, 16).astype(np.float32)
+    ds = ray.data.from_items(
+        [
+            {"vec_id": i, "embedding": emb[i].tolist()}
+            for i in range(400)
+        ]
+    )
+    q = emb[:3]
+    res = brute_force_ann(ds, q, [0, 1, 2], k=15)
+    t = float(np.quantile(res["cosine"], 0.5))
+    kept = res[res["cosine"].to_numpy() >= t]
+    for qid, g in kept.groupby("query_id"):
+        r = g["rank"].to_numpy()
+        assert np.array_equal(np.sort(r), np.arange(r.size)), qid
+        # every dropped row of this query ranked BELOW every kept row
+        dropped = res[(res["query_id"] == qid)
+                      & (res["cosine"].to_numpy() < t)]
+        if len(dropped):
+            assert dropped["rank"].min() > r.max()
