@@ -320,6 +320,16 @@ BOOST_QUERIES: list[tuple[int, str]] = [
 ]
 
 # percolation workload: stored conjunctive routing rules
+# phrase-percolation workload: rules 0 and 1 are the SAME bigram
+# reversed (order sensitivity visible in the checked rows); rule 3 is
+# a trigram (rare); rule 2 a common-ish bigram
+PERC_PHRASES: list[tuple[int, str]] = [
+    (0, "key value"),
+    (1, "value key"),
+    (2, "data stream"),
+    (3, "hash join sort"),
+]
+
 PERC_RULES: list[tuple[int, str]] = [
     (0, "data table"),
     (1, "customer order"),
@@ -5930,6 +5940,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def percolate_phrases_q(sf_dir):
+        """Phrase percolation (ES percolator with stored match_phrase
+        rules): which stored PHRASES occur contiguously in each
+        document — the shared conjunctive candidate kernel + a
+        positional verify on only the plausible (doc, rule) pairs
+        (pipelines/percolate.percolate_phrases).  The workload pins
+        order sensitivity: rules 0/1 are the same bigram reversed, so
+        their match sets provably differ."""
+        from mini_ivf_ray.pipelines.percolate import percolate_phrases
+
+        res = percolate_phrases(_documents(sf_dir), PERC_PHRASES)
+        res = res.sort_values(["doc_id", "query_id"])
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def geo_bounds(sf_dir):
         """Geo-bounds aggregation (ES ``geo_bounds``,
         wrap_longitude=false): per query the match set's exact integer
@@ -8096,6 +8130,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cosine machinery is below-line green (ann_bruteforce); the
         # suffix-cut filter + dense-rank argument are what's new
         "ann_threshold": ann_threshold,
+        # percolate_phrases: ES percolator with match_phrase rules —
+        # the candidate CSR kernel is shared with below-line-green
+        # percolate_docs; the positional verify is the phrase kernel
+        # (in-window via phrase_topk); order-reversed rule pair pins
+        # the phrase gate
+        "percolate_phrases": percolate_phrases_q,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9133,6 +9173,32 @@ d AS (SELECT doc_id, pos FROM r WHERE rn > 1)
 """
 
 
+def _percolate_phrases_sql() -> str:
+    parts = []
+    for qid, text in PERC_PHRASES:
+        toks = [t for t in text.split()]
+        joins = []
+        for i, t in enumerate(toks[1:], 1):
+            joins.append(
+                f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id "
+                f"AND p{i}.p = p0.p + {i} AND p{i}.term = '{t}'"
+            )
+        parts.append(
+            f"SELECT DISTINCT p0.doc_id, {qid} AS query_id "
+            f"FROM pos p0 {' '.join(joins)} WHERE p0.term = '{toks[0]}'"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE_SQL}') AS tk
+           FROM documents),
+pos AS (SELECT doc_id, unnest(tk) AS term,
+               generate_subscripts(tk, 1) - 1 AS p
+        FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(query_id AS BIGINT) AS query_id
+FROM ({body})
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from mini_ivf_ray.pipelines.geo import (
         coords_sql_cte,
@@ -9871,6 +9937,9 @@ SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
 """,
+        # phrase percolation: per rule an adjacency join chain over
+        # the positional token CTE (the phrase-oracle machinery)
+        "percolate_phrases": _percolate_phrases_sql(),
         # geo_bounds: exact integer bounding box of the match set
         "geo_bounds": f"""
 WITH {_TOK_CTE},
