@@ -5940,6 +5940,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def geo_rings(sf_dir):
+        """Geo-distance aggregation (ES ``geo_distance`` ring
+        buckets): per query, match counts per concentric distance
+        ring around the origin — rings assigned driver-side from the
+        exact integer planar dist2 (geo.planar_dist2_e6; the
+        planar-vs-haversine divergence documented there), then
+        counted by the UNCHANGED facet panel with the ring label as
+        the attribute (zero new distributed code — the composition
+        IS the point: any derived doc attribute rides the panel)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.facets import faceted_search
+        from mini_ivf_ray.pipelines.geo import (
+            planar_dist2_e6,
+            synth_coords_e6,
+        )
+
+        idx = _ensure_index(sf_dir)
+        ids = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        lat, lon = synth_coords_e6(ids)
+        d2 = planar_dist2_e6(lat, lon, (0, 0))
+        # ring edges at 60 and 120 degrees (micro-degree^2 integers)
+        e1, e2 = 3_600_000_000_000_000, 14_400_000_000_000_000
+        rings = np.where(
+            d2 < e1, "-60", np.where(d2 < e2, "60-120", "120-")
+        )
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = faceted_search(idx, qds, ids, rings, _CFG).to_pandas()
+        res = res.rename(columns={"facet": "ring"})
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "ring": pa.array(res["ring"].tolist(), type=pa.string()),
+                "n_docs": pa.array(res["n_docs"].to_numpy(), type=pa.int64()),
+            }
+        )
+
     def percolate_phrases_q(sf_dir):
         """Phrase percolation (ES percolator with stored match_phrase
         rules): which stored PHRASES occur contiguously in each
@@ -8136,6 +8180,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (in-window via phrase_topk); order-reversed rule pair pins
         # the phrase gate
         "percolate_phrases": percolate_phrases_q,
+        # geo_rings: ES geo_distance agg — pure composition: the
+        # derived ring attribute rides the in-window facet panel
+        "geo_rings": geo_rings,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9935,6 +9982,26 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 {geo_cells_ctes}
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
+GROUP BY 1, 2
+""",
+        # geo_distance rings: CASE over the exact integer dist2,
+        # counted by the match-set GROUP BY
+        "geo_rings": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT DISTINCT doc_id, term FROM tok),
+q(query_id, term) AS (VALUES {_bm25_values()}),
+matches AS (SELECT DISTINCT q.query_id, p.doc_id
+            FROM q JOIN postings p ON p.term = q.term),
+coords AS ({coords_sql_cte()}),
+rings AS (SELECT doc_id,
+                 CASE WHEN lat_e6 * lat_e6 + lon_e6 * lon_e6
+                           < 3600000000000000 THEN '-60'
+                      WHEN lat_e6 * lat_e6 + lon_e6 * lon_e6
+                           < 14400000000000000 THEN '60-120'
+                      ELSE '120-' END AS ring
+          FROM coords)
+SELECT m.query_id, r.ring, count(*)::BIGINT AS n_docs
+FROM matches m JOIN rings r USING (doc_id)
 GROUP BY 1, 2
 """,
         # phrase percolation: per rule an adjacency join chain over
