@@ -323,6 +323,12 @@ BOOST_QUERIES: list[tuple[int, str]] = [
 # phrase-percolation workload: rules 0 and 1 are the SAME bigram
 # reversed (order sensitivity visible in the checked rows); rule 3 is
 # a trigram (rare); rule 2 a common-ish bigram
+# fuzzy-completion workload (ES completion suggester, fuzzy e=1,
+# min_length=3): 'spa' exact, 'sap' its adjacent-swap typo (DL 1 via
+# transposition only), 'xat' one substitution off 'dat' (data), 'zzz'
+# matches nothing even fuzzily
+FUZZY_COMPLETE_PREFIXES: list[str] = ["spa", "sap", "xat", "zzz"]
+
 PERC_PHRASES: list[tuple[int, str]] = [
     (0, "key value"),
     (1, "value key"),
@@ -5940,6 +5946,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def fuzzy_complete(sf_dir):
+        """Fuzzy completion (ES completion suggester with ``fuzzy``):
+        dictionary completions within 1 Damerau edit OF THE TYPED
+        PREFIX — metric min_k DL(prefix, term[:k]) over the 2e+1
+        qualifying k — ranked (dl asc, df desc, term asc) so exact
+        completions always outrank fuzzy ones (ES's non-fuzzy boost
+        as a hard key); ES min_length=3 exact-below gate pinned
+        (pipelines/autocomplete.fuzzy_suggest)."""
+        from mini_ivf_ray.pipelines.autocomplete import (
+            fuzzy_suggest_for_index,
+        )
+
+        idx = _ensure_index(sf_dir)
+        res = fuzzy_suggest_for_index(
+            idx, FUZZY_COMPLETE_PREFIXES, topn=5, max_edits=1
+        )
+        return pa.table(
+            {
+                "prefix": pa.array(res["prefix"].tolist(), type=pa.string()),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].tolist(), type=pa.string()),
+                "df": pa.array(
+                    res["df"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "dl": pa.array(
+                    res["dl"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def geo_rings(sf_dir):
         """Geo-distance aggregation (ES ``geo_distance`` ring
         buckets): per query, match counts per concentric distance
@@ -8183,6 +8221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geo_rings: ES geo_distance agg — pure composition: the
         # derived ring attribute rides the in-window facet panel
         "geo_rings": geo_rings,
+        # fuzzy_complete: ES fuzzy completion suggester — dictionary
+        # streaming is the autocomplete family (prefix_suggest
+        # below-line green); the prefix-DL metric + min_length gate
+        # are new, DuckDB-pinned like fuzzy_damerau
+        "fuzzy_complete": fuzzy_complete,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9220,6 +9263,37 @@ d AS (SELECT doc_id, pos FROM r WHERE rn > 1)
 """
 
 
+def _fuzzy_complete_sql(topn: int = 5) -> str:
+    # per prefix: dl = min over the qualifying k of
+    # damerau_levenshtein(prefix, substr(term, 1, k)); substr clamps
+    # past the term end exactly like the python hi = min(len, lp+1)
+    parts = []
+    for p in FUZZY_COMPLETE_PREFIXES:
+        lp = len(p)
+        ks = ", ".join(
+            f"damerau_levenshtein('{p}', substr(term, 1, {k}))"
+            for k in range(max(0, lp - 1), lp + 2)
+        )
+        parts.append(
+            f"SELECT '{p}' AS prefix, term, df, LEAST({ks}) AS dl "
+            f"FROM df_t WHERE length(term) >= {lp - 1}"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH {_TOK_CTE},
+df_t AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+         FROM tok GROUP BY 1),
+cand AS ({body}),
+ranked AS (SELECT prefix, term, df, dl,
+                  row_number() OVER (PARTITION BY prefix
+                                     ORDER BY dl ASC, df DESC,
+                                              term ASC) - 1 AS rank
+           FROM cand WHERE dl <= 1)
+SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df, CAST(dl AS BIGINT) AS dl
+FROM ranked WHERE rank < {topn}
+"""
+
+
 def _percolate_phrases_sql() -> str:
     parts = []
     for qid, text in PERC_PHRASES:
@@ -9984,6 +10058,9 @@ SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
 """,
+        # fuzzy completion: LEAST over the qualifying substr DLs,
+        # ranked (dl, df desc, term) — exact completions first
+        "fuzzy_complete": _fuzzy_complete_sql(),
         # geo_distance rings: CASE over the exact integer dist2,
         # counted by the match-set GROUP BY
         "geo_rings": f"""

@@ -63,3 +63,41 @@ def test_prefix_suggest_empty_and_no_match():
     got = prefix_suggest(ray.data.from_arrow(tbl), ["zzzz"], topn=5)
     assert len(got) == 0
     assert list(got.columns) == ["prefix", "rank", "term", "df"]
+
+
+def test_fuzzy_suggest_metric_and_ranking(ray_session):
+    """prefix_dl == brute min over ALL term prefixes; exact-first
+    hard key; min_length exact gate; planted transposition."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.autocomplete import (
+        fuzzy_suggest,
+        prefix_dl,
+    )
+    from mini_ivf_ray.pipelines.spell import damerau_levenshtein
+
+    vocab = ["spark", "scan", "small", "sort", "apark", "park", "xq"]
+    # brute metric check over every prefix length (not just the 2e+1)
+    for p in ("spa", "sap", "par", "sp"):
+        for t in vocab:
+            brute = min(
+                damerau_levenshtein(p, t[:k]) for k in range(len(t) + 1)
+            )
+            assert prefix_dl(p, t, 1) == min(brute, 2), (p, t)
+    ds = ray.data.from_items(
+        [{"term": t, "df": 100 - i} for i, t in enumerate(vocab)]
+    )
+    out = fuzzy_suggest(ds, ["spa", "sap", "sp"], topn=10, max_edits=1)
+    g = out[out["prefix"] == "spa"]
+    # exact completion (spark, dl 0) first even if fuzzy ones exist
+    assert g.iloc[0]["term"] == "spark" and g.iloc[0]["dl"] == 0
+    # 'apark'/'park' reachable at dl 1 (deletion/insertion at front)
+    assert {"apark", "park"} <= set(g["term"])
+    # transposed prefix: 'sap' completes spark via the swap
+    g2 = out[out["prefix"] == "sap"]
+    assert "spark" in set(g2["term"])
+    # min_length: 2-char prefix is exact-only (dl column all 0)
+    g3 = out[out["prefix"] == "sp"]
+    assert (g3["dl"] == 0).all()
+    assert set(g3["term"]) == {"spark"}
