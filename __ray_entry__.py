@@ -5946,6 +5946,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def parent_agg(sf_dir):
+        """ES ``parent`` aggregation (inverse of children_agg): the
+        DISTINCT parent documents of the filtered child events
+        (event_type='click'), bucketed by the parent's lang —
+        child-table streaming end to end, one combiner-first distinct
+        exchange, broadcast attribute sidecar
+        (pipelines/parentjoin.parent_terms_agg)."""
+        import pyarrow.parquet as pqmod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.parentjoin import parent_terms_agg
+
+        side = pqmod.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang"],
+        )
+        events = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "event_type"],
+        )
+        res = parent_terms_agg(
+            events,
+            _documents(sf_dir),
+            side["doc_id"].to_numpy(),
+            side["lang"].to_pylist(),
+            child_type="click",
+        )
+        return pa.table(
+            {
+                "label": pa.array(res["label"].tolist(), type=pa.string()),
+                "n_parents": pa.array(
+                    res["n_parents"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def fuzzy_complete(sf_dir):
         """Fuzzy completion (ES completion suggester with ``fuzzy``):
         dictionary completions within 1 Damerau edit OF THE TYPED
@@ -8226,6 +8263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # below-line green); the prefix-DL metric + min_length gate
         # are new, DuckDB-pinned like fuzzy_damerau
         "fuzzy_complete": fuzzy_complete,
+        # parent_agg: ES parent aggregation — the h60 relation and
+        # integer-key conventions are in-window via has_child_topk;
+        # the distinct-parents exchange direction is what's new
+        "parent_agg": parent_agg,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10057,6 +10098,20 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # parent aggregation: distinct parents of the filtered
+        # children, bucketed by the parent's lang
+        "parent_agg": f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, lang, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+ch AS (SELECT CAST(CAST(('0x' || substr(md5(event_id || ':hc-parent'), 1, 15))
+                        AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+       FROM events WHERE event_type = 'click'),
+parents AS (SELECT DISTINCT o.doc_id, o.lang
+            FROM ch JOIN ord o ON o.pos = ch.pos)
+SELECT lang AS label, count(*)::BIGINT AS n_parents
+FROM parents GROUP BY 1
 """,
         # fuzzy completion: LEAST over the qualifying substr DLs,
         # ranked (dl, df desc, term) — exact completions first

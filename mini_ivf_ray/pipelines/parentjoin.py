@@ -656,3 +656,98 @@ def children_terms_agg(
     for c in ("query_id", "n_children", "cents_sum"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def parent_terms_agg(
+    children_ds,
+    docs_ds,
+    attr_ids,
+    attr_labels,
+    child_type: str | None = None,
+    salt: str = PARENT_SALT,
+):
+    """ES ``parent`` aggregation (the inverse of children_terms_agg):
+    bucket the DISTINCT PARENTS of the filtered children by a parent
+    attribute -> (label, n_parents), labels ascending.
+
+    Distributed shape, child-table-streaming end to end: (1) one
+    stateless pass filters children and projects each to its parent
+    key (int64 bit-view, the has_child convention), deduplicating
+    per block; (2) ONE combiner-first ``groupby(parent_key).count()``
+    exchange yields the exact distinct-parent set (matched-parents-
+    sized, never child-proportional past the exchange); (3) a second
+    streamed pass gathers each parent's attribute code from the
+    broadcast-once sorted sidecar and emits per-block partial counts;
+    the driver merges a label-cardinality panel.  A parent with
+    children in several blocks is counted ONCE (the groupby dedups);
+    a child whose h60 parent fell on a tombstoned/unknown id would
+    surface as a sidecar miss and is dropped loudly via the valid
+    mask."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    ids = np.asarray(attr_ids, dtype=np.uint64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    vals = pa.array(
+        np.asarray(attr_labels, dtype=object)[order], type=pa.string()
+    )
+    if vals.null_count:
+        raise ValueError("attr_labels contains nulls; map to a sentinel")
+    enc = pa.compute.dictionary_encode(vals)
+    labels = enc.dictionary.to_pylist()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    lut = _parent_lut(docs_ds)
+    n = lut.size
+    bundle_ref = ray.put((lut, ids, codes))
+
+    def to_parent(batch: pa.Table) -> pa.Table:
+        if child_type is not None:
+            batch = batch.filter(pc.equal(batch["event_type"], child_type))
+        if not batch.num_rows:
+            return pa.table({"parent_key": pa.array([], type=pa.int64())})
+        table, _ids, _codes = ray.get(bundle_ref)
+        ev = batch["event_id"].to_numpy().astype(np.int64)
+        parent = table[salt_hash60(ev, salt) % n]
+        return pa.table(
+            {
+                "parent_key": pa.array(
+                    np.unique(parent).view(np.int64), type=pa.int64()
+                )
+            }
+        )
+
+    distinct = (
+        children_ds.map_batches(to_parent, batch_format="pyarrow")
+        .groupby("parent_key")
+        .count()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _table, s_ids, s_codes = ray.get(bundle_ref)
+        keys = batch["parent_key"].to_numpy().astype(np.int64).view(np.uint64)
+        idx = np.searchsorted(s_ids, keys)
+        np.minimum(idx, s_ids.size - 1, out=idx)
+        valid = s_ids[idx] == keys
+        c = np.bincount(s_codes[idx[valid]], minlength=len(labels))
+        nz = np.flatnonzero(c)
+        return pa.table(
+            {
+                "code": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "pn": pa.array(c[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    parts = distinct.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    if len(parts):
+        g = parts.groupby("code", as_index=False)["pn"].sum()
+        for code, pn in zip(g["code"], g["pn"]):
+            out_rows.append((labels[int(code)], int(pn)))
+    out = pd.DataFrame(out_rows, columns=["label", "n_parents"])
+    out = out.sort_values("label", kind="mergesort").reset_index(drop=True)
+    if len(out):
+        out["n_parents"] = out["n_parents"].astype(np.int64)
+    return out

@@ -353,3 +353,35 @@ def test_children_terms_agg_unmatched_query_empty(tiny_index):
     qds = ray.data.from_items([{"query_id": 0, "text": "zz9999qq"}])
     out = children_terms_agg(idx, qds, _children(), _docs_ds(docs), cfg)
     assert len(out) == 0
+
+
+def test_parent_terms_agg_matches_local_replay(tiny_index):
+    """parent agg: distinct parents of filtered children bucketed by
+    a parent attribute == brute replay; cross-block dedup pinned by
+    a many-partition child table."""
+    from mini_ivf_ray.pipelines.parentjoin import parent_terms_agg
+
+    idx, cfg, docs = tiny_index
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    labels = np.array(
+        ["g{}".format(int(d) % 3) for d in ids], dtype=object
+    )
+    children = _children().repartition(11)  # force cross-block parents
+    got = parent_terms_agg(
+        children, _docs_ds(docs), ids, labels, child_type="click"
+    )
+    # local replay
+    sids = np.sort(ids)
+    ev = np.arange(N_EVENTS, dtype=np.int64)
+    etype = np.array([["click", "view", "error"][i % 3] for i in range(N_EVENTS)])
+    parent = sids[salt_hash60(ev, PARENT_SALT) % sids.size]
+    label_by_id = {int(d): l for d, l in zip(ids, labels)}
+    want = {}
+    for p in set(int(x) for x in parent[etype == "click"]):
+        l = label_by_id[p]
+        want[l] = want.get(l, 0) + 1
+    have = dict(zip(got["label"], (int(x) for x in got["n_parents"])))
+    assert have == want
+    assert list(got["label"]) == sorted(got["label"])
+    # sanity: distinct-parent counts are bounded by the corpus
+    assert sum(have.values()) <= len(ids)
