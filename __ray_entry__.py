@@ -393,6 +393,7 @@ _CFG = PipelineConfig(num_partitions=8, topk=10, doc_id_from_url=False)
 
 _index_cache: dict[str, str] = {}
 _half_index_cache: dict[str, list[str]] = {}
+_datastream_cache: dict[str, str] = {}
 _ivf_cache: dict[str, str] = {}
 
 
@@ -5946,6 +5947,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def datastream_topk(sf_dir):
+        """Data stream + ILM rollover (ES data streams;
+        pipelines/datastream.py): the corpus arrives as three
+        doc_id%3 crawl batches appended under a rollover policy sized
+        to seal mid-stream (>= 2 immutable generations; the condition
+        TRAILS the write, ES's trailing rollover), then the flagship
+        query set is served by the federated DFS plan over every
+        generation — hash-matching the UNCHANGED whole-corpus
+        _bm25_sql oracle proves rollover is invisible to ranking."""
+        import pyarrow.compute as pc_mod
+        import ray.data
+
+        from mini_ivf_ray.pipelines.datastream import (
+            append_datastream,
+            create_datastream,
+            datastream_generations,
+            datastream_search,
+        )
+        from mini_ivf_ray.sources.pages import documents_as_pages
+
+        if sf_dir not in _datastream_cache:
+            ds_dir = tempfile.mkdtemp(prefix="graft_stream_") + "/s"
+            create_datastream(ds_dir)
+            n_total = len(
+                _documents(sf_dir).select_columns(["doc_id"]).to_pandas()
+            )
+            for part in (0, 1, 2):
+
+                def keep(batch, p=part):
+                    import pyarrow.compute as _pc
+
+                    return batch.filter(
+                        _pc.equal(_pc.subtract(
+                            batch["doc_id"],
+                            _pc.multiply(
+                                _pc.divide(batch["doc_id"], 3), 3
+                            ),
+                        ), p)
+                    )
+
+                append_datastream(
+                    ds_dir,
+                    lambda p=part: documents_as_pages(sf_dir).map_batches(
+                        keep, batch_format="pyarrow"
+                    ),
+                    _CFG,
+                    # ~2/3 of the corpus: batch 1 stays open, batch 2
+                    # crosses and seals, batch 3 opens generation 2
+                    max_docs_per_gen=max(1, (2 * n_total) // 3 - 1),
+                )
+            assert len(datastream_generations(ds_dir)) >= 2
+            _datastream_cache[sf_dir] = ds_dir
+        res = datastream_search(
+            _datastream_cache[sf_dir], BM25_QUERIES, _CFG
+        )
+        res = res.sort_values(["query_id", "rank"])
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def parent_agg(sf_dir):
         """ES ``parent`` aggregation (inverse of children_agg): the
         DISTINCT parent documents of the filtered child events
@@ -8267,6 +8342,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # integer-key conventions are in-window via has_child_topk;
         # the distinct-parents exchange direction is what's new
         "parent_agg": parent_agg,
+        # datastream_topk: ES data streams + rollover — generations
+        # are ordinary indices (build/append in-window via bm25_topk
+        # machinery), reads are the dfs_multi plan (below-line green);
+        # the rollover policy + stream state are what is new, and the
+        # oracle stays the whole-corpus _bm25_sql
+        "datastream_topk": datastream_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10464,6 +10545,7 @@ FROM documents
         "snapshot_restore_topk": _bm25_sql(),
         # two half-indices under global DFS stats == the whole corpus
         "dfs_multi_topk": _bm25_sql(),
+        "datastream_topk": _bm25_sql(),
         "bm25_facets": f"""
 WITH {_TOK_CTE},
 postings AS (SELECT DISTINCT doc_id, term FROM tok),
