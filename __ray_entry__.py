@@ -394,6 +394,7 @@ _CFG = PipelineConfig(num_partitions=8, topk=10, doc_id_from_url=False)
 _index_cache: dict[str, str] = {}
 _half_index_cache: dict[str, list[str]] = {}
 _datastream_cache: dict[str, str] = {}
+_dbq_index_cache: dict[str, str] = {}
 _ivf_cache: dict[str, str] = {}
 
 
@@ -5947,6 +5948,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def delete_by_query_topk(sf_dir):
+        """ES ``_delete_by_query``: every document matching the term
+        query 'dup' is tombstoned on a COPY of the flagship index
+        (maintenance.delete_by_query — match set from the index's own
+        postings, Lucene live-docs model), then the flagship query
+        set is served from it: statistics keep counting the victims,
+        so survivors score bit-identically to bm25_topk while every
+        'dup'-bearing doc vanishes from the results."""
+        import shutil
+
+        import ray.data
+
+        from mini_ivf_ray.pipelines.maintenance import delete_by_query
+        from mini_ivf_ray.pipelines.query import search
+
+        if sf_dir not in _dbq_index_cache:
+            src_idx = _ensure_index(sf_dir)
+            idx = tempfile.mkdtemp(prefix="graft_dbq_") + "/i"
+            shutil.copytree(src_idx, idx)
+            info = delete_by_query(idx, "dup", _CFG, mode="or")
+            assert info["deleted"] > 0  # the workload term must bite
+            _dbq_index_cache[sf_dir] = idx
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        res = search(_dbq_index_cache[sf_dir], qds, _CFG).to_pandas()
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def datastream_topk(sf_dir):
         """Data stream + ILM rollover (ES data streams;
         pipelines/datastream.py): the corpus arrives as three
@@ -8348,6 +8392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the rollover policy + stream state are what is new, and the
         # oracle stays the whole-corpus _bm25_sql
         "datastream_topk": datastream_topk,
+        # delete_by_query_topk: ES _delete_by_query — composes the
+        # disjunctive match kernel with the tombstone machinery
+        # (bm25_deleted family, below-line green); the query-derived
+        # victim set is what is new
+        "delete_by_query_topk": delete_by_query_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10546,6 +10595,10 @@ FROM documents
         # two half-indices under global DFS stats == the whole corpus
         "dfs_multi_topk": _bm25_sql(),
         "datastream_topk": _bm25_sql(),
+        "delete_by_query_topk": _bm25_sql(
+            exclude_pred="EXISTS (SELECT 1 FROM tok tk "
+            "WHERE tk.doc_id = tomb.doc_id AND tk.term = 'dup')"
+        ),
         "bm25_facets": f"""
 WITH {_TOK_CTE},
 postings AS (SELECT DISTINCT doc_id, term FROM tok),

@@ -512,3 +512,42 @@ def maybe_compact(
         "epochs_after": index_epochs(index_dir, cfg),
         "manifest": meta,
     }
+
+
+def delete_by_query(
+    index_dir: str,
+    query_text: str,
+    cfg=None,
+    mode: str = "or",
+) -> dict:
+    """ES ``_delete_by_query``: tombstone every document matching the
+    term query (``mode="or"`` disjunctive — any term; ``"and"``
+    conjunctive — all terms), returning ``{"deleted": n}``.
+
+    The match set comes from the index's own postings (the
+    disjunctive/conjunctive kernels search uses), so the operation is
+    index-local and postings-proportional; the resulting id set is
+    match-proportional — the same size class as a tombstone array,
+    which is exactly what it becomes (``delete_docs``; statistics
+    keep counting the victims until ``compact_index``, the Lucene
+    live-docs model ES's delete-by-query also follows).  Idempotent:
+    re-running the same query re-deletes an already-tombstoned set
+    (delete_docs no-ops on tombstoned ids)."""
+    import numpy as np
+
+    from mini_ivf_ray.config import PipelineConfig
+    from mini_ivf_ray.pipelines.facets import FacetCounter
+    from mini_ivf_ray.pipelines.query import BM25Searcher
+
+    cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
+    if mode not in ("or", "and"):
+        raise ValueError(f"mode must be 'or' or 'and', got {mode!r}")
+    s = BM25Searcher(index_dir, cfg)
+    if mode == "or":
+        docs = FacetCounter.disjunctive_matches_for_text(s, query_text)
+    else:
+        docs, _scores = s.conjunctive_matches_for_text(query_text)
+    docs = np.asarray(docs, dtype=np.uint64)
+    if docs.size:
+        delete_docs(index_dir, docs.tolist(), on_missing="error")
+    return {"deleted": int(docs.size)}

@@ -210,3 +210,42 @@ def test_tombstones_survive_append(built, tmp_path):
     assert not np.isin(
         got["doc_id"].to_numpy().astype(np.uint64), victims
     ).any()
+
+
+def test_delete_by_query_matches_manual_tombstones(tiny_index, tmp_path):
+    """delete_by_query == delete_docs over the brute match set; AND
+    vs OR modes differ when terms co-occur partially; idempotent."""
+    import shutil
+
+    import ray.data
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.maintenance import delete_by_query
+    from mini_ivf_ray.pipelines.query import search
+
+    idx, cfg, docs = tiny_index
+    toks = {
+        int(d): set(tokenize(t))
+        for d, t in zip(
+            docs["doc_id"].to_numpy().astype(np.uint64), docs["text"]
+        )
+    }
+    for mode, pred in (
+        ("or", lambda tk: bool({"data", "web"} & tk)),
+        ("and", lambda tk: {"data", "web"} <= tk),
+    ):
+        idx2 = str(tmp_path / f"dbq_{mode}")
+        shutil.copytree(idx, idx2)
+        info = delete_by_query(idx2, "data web", cfg, mode=mode)
+        want = {d for d, tk in toks.items() if pred(tk)}
+        assert info["deleted"] == len(want), mode
+        # idempotent
+        info2 = delete_by_query(idx2, "data web", cfg, mode=mode)
+        assert info2["deleted"] == len(want)
+        qds = ray.data.from_items([{"query_id": 0, "text": "the data"}])
+        res = search(idx2, qds, cfg).to_pandas()
+        got_ids = set(int(x) for x in res["doc_id"].astype(np.uint64))
+        assert not (got_ids & want), mode
+    # or deletes a strict superset of and (partial co-occurrence)
+    n_or = sum(1 for tk in toks.values() if {"data", "web"} & tk)
+    n_and = sum(1 for tk in toks.values() if {"data", "web"} <= tk)
+    assert n_or > n_and
