@@ -5948,6 +5948,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def ingest_sim(sf_dir):
+        """Ingest pipeline simulation (ES _ingest/pipeline/_simulate;
+        pipelines/ingest.py): the ordered processor chain lowercase ->
+        gsub(digits -> '#') -> set(src) -> fingerprint(text|lang, md5)
+        applied in ONE stateless map_batches pass — the fingerprint
+        hashes the PROCESSED text, pinning chain order against the
+        nested-expression SQL replay."""
+        from mini_ivf_ray.pipelines.ingest import run_pipeline
+
+        out = run_pipeline(
+            _documents_full(sf_dir),
+            [
+                {"op": "lowercase", "field": "text"},
+                {"op": "gsub", "field": "text", "pattern": "[0-9]+",
+                 "replacement": "#"},
+                {"op": "set", "field": "src", "value": "crawl"},
+                {"op": "fingerprint", "fields": ["text", "lang"],
+                 "target": "fp"},
+            ],
+        ).to_pandas()
+        out = out.sort_values("doc_id")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    out["doc_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "text": pa.array(out["text"].tolist(), type=pa.string()),
+                "lang": pa.array(out["lang"].tolist(), type=pa.string()),
+                "src": pa.array(out["src"].tolist(), type=pa.string()),
+                "fp": pa.array(out["fp"].tolist(), type=pa.string()),
+            }
+        )
+
     def delete_by_query_topk(sf_dir):
         """ES ``_delete_by_query``: every document matching the term
         query 'dup' is tombstoned on a COPY of the flagship index
@@ -8397,6 +8431,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (bm25_deleted family, below-line green); the query-derived
         # victim set is what is new
         "delete_by_query_topk": delete_by_query_topk,
+        # ingest_sim: ES ingest pipelines — the stateless vectorized
+        # ETL map family (scrub/pii below-line green); the ordered
+        # processor-chain API + md5 fingerprint are what is new
+        "ingest_sim": ingest_sim,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10228,6 +10266,17 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # ingest pipeline: nested expressions replay the ordered
+        # chain; fp = md5 of the PROCESSED text || '|' || lang
+        "ingest_sim": """
+SELECT doc_id,
+       regexp_replace(lower(text), '[0-9]+', '#', 'g') AS text,
+       lang,
+       'crawl' AS src,
+       md5(regexp_replace(lower(text), '[0-9]+', '#', 'g')
+           || '|' || lang) AS fp
+FROM documents
 """,
         # parent aggregation: distinct parents of the filtered
         # children, bucketed by the parent's lang
