@@ -5948,6 +5948,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def context_suggest_q(sf_dir):
+        """Context-filtered completion (ES completion suggester
+        contexts): per (prefix, lang-context) request the top-5
+        completions ranked by the term's df WITHIN that language's
+        documents — one tokenize pass of context+prefix-bounded
+        partials, one groupby exchange
+        (pipelines/autocomplete.context_suggest)."""
+        from mini_ivf_ray.pipelines.autocomplete import context_suggest
+
+        res = context_suggest(
+            _documents_full(sf_dir),
+            [(0, "s", "en"), (1, "s", "de"), (2, "da", "en"),
+             (3, "qqq", "en")],
+            topn=5,
+        )
+        return pa.table(
+            {
+                "request_id": pa.array(
+                    res["request_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].tolist(), type=pa.string()),
+                "df": pa.array(
+                    res["df"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
     def ingest_sim(sf_dir):
         """Ingest pipeline simulation (ES _ingest/pipeline/_simulate;
         pipelines/ingest.py): the ordered processor chain lowercase ->
@@ -8435,6 +8466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ETL map family (scrub/pii below-line green); the ordered
         # processor-chain API + md5 fingerprint are what is new
         "ingest_sim": ingest_sim,
+        # context_suggest: ES completion contexts — the per-lang df
+        # machinery is top_terms_by_lang's (below-line green); the
+        # context-conditioned ranking contract is what is new
+        "context_suggest": context_suggest_q,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10266,6 +10301,23 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # context suggester: df within the context's docs only
+        "context_suggest": f"""
+WITH {_TOK_CTE},
+d AS (SELECT DISTINCT t.doc_id, t.term, doc.lang
+      FROM tok t JOIN documents doc USING (doc_id)),
+dfc AS (SELECT lang, term, count(*)::BIGINT AS df FROM d GROUP BY 1, 2),
+r(request_id, prefix, ctx) AS (VALUES
+    (0, 's', 'en'), (1, 's', 'de'), (2, 'da', 'en'), (3, 'qqq', 'en')),
+hits AS (SELECT r.request_id, f.term, f.df,
+                row_number() OVER (PARTITION BY r.request_id
+                                   ORDER BY f.df DESC, f.term ASC) AS rn
+         FROM r JOIN dfc f ON f.lang = r.ctx
+                          AND f.term LIKE r.prefix || '%')
+SELECT CAST(request_id AS BIGINT) AS request_id,
+       CAST(rn - 1 AS BIGINT) AS rank, term, df
+FROM hits WHERE rn <= 5
 """,
         # ingest pipeline: nested expressions replay the ordered
         # chain; fp = md5 of the PROCESSED text || '|' || lang

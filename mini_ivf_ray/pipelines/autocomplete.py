@@ -244,3 +244,86 @@ def fuzzy_suggest_for_index(
         topn=topn,
         max_edits=max_edits,
     )
+
+
+def context_suggest(
+    docs_ds,
+    requests: list[tuple[int, str, str]],
+    topn: int = 5,
+    context_col: str = "lang",
+) -> pd.DataFrame:
+    """ES completion-suggester CONTEXTS (category context): for each
+    (request_id, prefix, context) the ``topn`` completions ranked by
+    the term's document frequency WITHIN the context's documents
+    (df desc, term asc) — "suggest 's...' for German users" ranks by
+    German df, not global df.
+
+    Shape: ONE streamed tokenize pass emits per-block PARTIAL
+    (context, term, n) counts restricted to the requested contexts
+    and to terms carrying any requested prefix (both prefilters keep
+    partial rows context-and-prefix-bounded, never vocabulary-sized);
+    ONE ``groupby(context, term).sum`` exchange makes the counts
+    exact; the driver ranks the per-request windows over the summed
+    panel.  Per-doc DISTINCT terms (df semantics, not cf)."""
+    import ray
+
+    if topn < 1:
+        raise ValueError(f"topn must be >= 1, got {topn}")
+    reqs = [(int(r), p, c) for r, p, c in requests]
+    ctxs = sorted({c for _, _, c in reqs})
+    prefs = sorted({p for _, p, _ in reqs})
+    bundle_ref = ray.put((ctxs, tuple(prefs)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from mini_ivf_ray.functions.tokenize import tokenize as _tok
+
+        ctx_l, pref_l = ray.get(bundle_ref)
+        counts: dict[tuple[str, str], int] = {}
+        for ctx, text in zip(
+            batch[context_col].to_pylist(), batch["text"].to_pylist()
+        ):
+            if ctx not in ctx_l:
+                continue
+            for t in set(_tok(text)):
+                if t.startswith(pref_l):
+                    counts[(ctx, t)] = counts.get((ctx, t), 0) + 1
+        if not counts:
+            return pa.table(
+                {
+                    "ctx": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        cs, ts = zip(*counts.keys())
+        return pa.table(
+            {
+                "ctx": pa.array(list(cs), type=pa.string()),
+                "term": pa.array(list(ts), type=pa.string()),
+                "n": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["ctx", "term"])
+        .sum("n")
+        .to_pandas()
+    )
+    rows = []
+    if len(merged):
+        merged = merged.rename(columns={"sum(n)": "df"})
+        for rid, p, c in sorted(reqs):
+            g = merged[
+                (merged["ctx"] == c)
+                & merged["term"].str.startswith(p)
+            ]
+            g = g.sort_values(
+                ["df", "term"], ascending=[False, True], kind="mergesort"
+            ).head(topn)
+            for r, (_, row) in enumerate(g.iterrows()):
+                rows.append((rid, r, row["term"], int(row["df"])))
+    out = pd.DataFrame(rows, columns=["request_id", "rank", "term", "df"])
+    for col in ("request_id", "rank", "df"):
+        out[col] = out[col].astype(np.int64) if len(out) else out[col]
+    return out

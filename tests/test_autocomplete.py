@@ -101,3 +101,39 @@ def test_fuzzy_suggest_metric_and_ranking(ray_session):
     g3 = out[out["prefix"] == "sp"]
     assert (g3["dl"] == 0).all()
     assert set(g3["term"]) == {"spark"}
+
+
+def test_context_suggest_ranks_within_context(ray_session):
+    """Context df ranking: the same prefix ranks differently in two
+    contexts; dead prefix/context empty; df counts are per-doc
+    distinct (not cf)."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.autocomplete import context_suggest
+
+    docs = ray.data.from_items(
+        [
+            {"lang": "en", "text": "sun sun sun sand"},
+            {"lang": "en", "text": "sun sand"},
+            {"lang": "en", "text": "sand"},
+            {"lang": "de", "text": "sand sonne"},
+            {"lang": "de", "text": "sand salz"},
+        ]
+    )
+    out = context_suggest(
+        docs,
+        [(0, "s", "en"), (1, "s", "de"), (2, "zz", "en"),
+         (3, "s", "fr")],
+        topn=3,
+    )
+    en = out[out["request_id"] == 0]
+    # en: sand df 3 > sun df 2 (repetition inside a doc counts once)
+    assert en["term"].tolist() == ["sand", "sun"]
+    assert en["df"].tolist() == [3, 2]
+    de = out[out["request_id"] == 1]
+    # de: sand df 2, then salz/sonne df 1 each (term asc ties)
+    assert de["term"].tolist() == ["sand", "salz", "sonne"]
+    assert de["df"].tolist() == [2, 1, 1]
+    assert (out["request_id"] != 2).all()
+    assert (out["request_id"] != 3).all()
