@@ -5948,6 +5948,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def mlt_unlike(sf_dir):
+        """more_like_this with ``unlike`` (ES MLT's negative side):
+        the unlike documents' distinct vocabulary is excluded from
+        each seed's interesting-term ranking BEFORE the head is cut
+        (the head REFILLS — pipelines/mlt.py); same seeds as
+        more_like_this with unlike docs chosen from the same corpus
+        so the exclusion provably reshapes the mined term sets."""
+        from mini_ivf_ray.pipelines.mlt import more_like_this
+
+        idx = _ensure_index(sf_dir)
+        res = more_like_this(
+            idx,
+            _documents(sf_dir),
+            [1, 5, 17, 42],
+            _CFG,
+            n_terms=5,
+            unlike_ids=[27],
+        )
+        return pa.table(
+            {
+                "seed_id": pa.array(
+                    res["seed_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def context_suggest_q(sf_dir):
         """Context-filtered completion (ES completion suggester
         contexts): per (prefix, lang-context) request the top-5
@@ -8470,6 +8506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery is top_terms_by_lang's (below-line green); the
         # context-conditioned ranking contract is what is new
         "context_suggest": context_suggest_q,
+        # mlt_unlike: ES more_like_this unlike — the mining + serving
+        # machinery is the MLT family (below-line green); the
+        # refilling exclusion is what is new
+        "mlt_unlike": mlt_unlike,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10843,6 +10883,48 @@ mined AS (SELECT s.seed, p.term,
           JOIN postings p ON p.doc_id = s.seed
           JOIN df d ON d.term = p.term
           CROSS JOIN stats st),
+q AS (SELECT seed AS query_id, term FROM mined WHERE rn <= 5),
+scores AS (
+  SELECT q.query_id, p.doc_id,
+         sum( ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+              * (p.tf * (1.2 + 1.0))
+              / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) ) AS score
+  FROM q
+  JOIN df d ON d.term = q.term
+  JOIN postings p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2),
+ranked AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id ASC) - 1 AS rank
+           FROM scores WHERE doc_id != query_id)
+SELECT query_id AS seed_id, CAST(rank AS BIGINT) AS rank, doc_id,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
+""",
+        # MLT unlike: the unlike docs' vocabulary anti-joined out
+        # of the mining BEFORE the rn window (the head refills)
+        "mlt_unlike": f"""
+WITH {_TOK_CTE},
+postings AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT count(*) FROM tok)::DOUBLE
+                   / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM postings GROUP BY 1),
+seeds(seed) AS (VALUES (1), (5), (17), (42)),
+unl AS (SELECT DISTINCT term FROM postings WHERE doc_id IN (27)),
+mined AS (SELECT s.seed, p.term,
+                 row_number() OVER (PARTITION BY s.seed
+                    ORDER BY p.tf * ln(1 + (st.n - d.df + 0.5) / (d.df + 0.5)) DESC,
+                             p.term ASC) AS rn
+          FROM seeds s
+          JOIN postings p ON p.doc_id = s.seed
+          JOIN df d ON d.term = p.term
+          LEFT JOIN unl ON unl.term = p.term
+          CROSS JOIN stats st
+          WHERE unl.term IS NULL),
 q AS (SELECT seed AS query_id, term FROM mined WHERE rn <= 5),
 scores AS (
   SELECT q.query_id, p.doc_id,

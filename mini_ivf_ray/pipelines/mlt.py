@@ -38,10 +38,16 @@ from mini_ivf_ray.state.stats import CorpusStats
 
 
 def mine_seed_terms(
-    docs_ds, seed_ids: list[int], stats: CorpusStats, n_terms: int = 5
+    docs_ds,
+    seed_ids: list[int],
+    stats: CorpusStats,
+    n_terms: int = 5,
+    exclude: set[str] | None = None,
 ) -> dict[int, list[str]]:
     """{seed -> top n_terms by (tf * idf desc, term asc)}, terms
-    restricted to the index vocabulary (df > 0)."""
+    restricted to the index vocabulary (df > 0).  ``exclude`` drops
+    terms BEFORE the head is taken (ES more_like_this ``unlike``:
+    the head refills with the next-best terms, it does not shrink)."""
     import ray
 
     seeds_ref = ray.put(np.unique(np.asarray(seed_ids, dtype=np.uint64)))
@@ -85,6 +91,10 @@ def mine_seed_terms(
         tfs = g["tf"].to_numpy().astype(np.float64)
         dfs = np.array([stats.df.get(t, 0) for t in terms], dtype=np.int64)
         keep = dfs > 0
+        if exclude:
+            keep &= np.array(
+                [t not in exclude for t in terms], dtype=bool
+            )
         terms, tfs, dfs = terms[keep], tfs[keep], dfs[keep]
         if not terms.size:
             out[int(seed)] = []
@@ -105,9 +115,19 @@ def more_like_this(
     seed_ids: list[int],
     cfg: PipelineConfig | None = None,
     n_terms: int = 5,
+    unlike_ids: list[int] | None = None,
 ) -> pd.DataFrame:
     """(seed_id, rank, doc_id, score) — top cfg.topk related docs per
-    seed (seed excluded), ranked by BM25 over the mined term set."""
+    seed (seed excluded), ranked by BM25 over the mined term set.
+
+    ``unlike_ids`` (ES more_like_this ``unlike``): the DISTINCT
+    vocabulary terms of those documents are removed from every seed's
+    interesting-term ranking BEFORE the ``n_terms`` head is cut, so
+    the head refills with the next-best terms — "like A, unlike B"
+    steers the query away from B's vocabulary without shrinking it.
+    One extra seed-mining pass over the unlike ids (same pruned-read
+    shape); a seed whose every candidate term is excluded emits no
+    results (pinned)."""
     import dataclasses
 
     import ray.data
@@ -116,7 +136,15 @@ def more_like_this(
 
     cfg = cfg if cfg is not None else PipelineConfig.from_index(index_dir)
     stats = CorpusStats.load(index_dir)
-    mined = mine_seed_terms(docs_ds, seed_ids, stats, n_terms=n_terms)
+    exclude: set[str] | None = None
+    if unlike_ids:
+        unl = mine_seed_terms(
+            docs_ds, unlike_ids, stats, n_terms=1 << 30
+        )
+        exclude = {t for ts in unl.values() for t in ts}
+    mined = mine_seed_terms(
+        docs_ds, seed_ids, stats, n_terms=n_terms, exclude=exclude
+    )
     # seeds are uint64 doc ids; the serving stack's query_id is int64 —
     # run under small surrogate ids and map back afterwards
     seeds_with_terms = [s for s, t in sorted(mined.items()) if t]

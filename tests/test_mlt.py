@@ -68,3 +68,46 @@ def test_unknown_seed_is_empty(tiny_index):
     docs_ds = ray.data.from_pandas(docs[["doc_id", "text"]])
     res = more_like_this(idx, docs_ds, [10_000_000], cfg)
     assert len(res) == 0
+
+
+def test_unlike_excludes_and_refills(tiny_index):
+    """unlike: the unlike doc's vocabulary vanishes from the mined
+    sets, the head REFILLS to n_terms when candidates remain, and an
+    all-excluded seed emits nothing."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.functions.tokenize import tokenize
+    from mini_ivf_ray.pipelines.mlt import (
+        mine_seed_terms,
+        more_like_this,
+    )
+    from mini_ivf_ray.state.stats import CorpusStats
+
+    idx, cfg, docs = tiny_index
+    stats = CorpusStats.load(idx)
+    dds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    ids = docs["doc_id"].to_numpy().astype(np.uint64)
+    seed, unlike = int(ids[0]), int(ids[1])
+    base = mine_seed_terms(dds, [seed], stats, n_terms=5)[seed]
+    unlike_vocab = set(
+        tokenize(docs.loc[docs["doc_id"] == unlike, "text"].iloc[0])
+    )
+    mined = mine_seed_terms(
+        dds, [seed], stats, n_terms=5, exclude=unlike_vocab
+    )[seed]
+    assert not (set(mined) & unlike_vocab)
+    # refilling: still 5 terms as long as the seed has >= 5 candidates
+    seed_vocab = {
+        t
+        for t in tokenize(docs.loc[docs["doc_id"] == seed, "text"].iloc[0])
+        if stats.df.get(t, 0) > 0 and t not in unlike_vocab
+    }
+    assert len(mined) == min(5, len(seed_vocab))
+    if set(base) & unlike_vocab:
+        assert mined != base  # the exclusion provably reshaped the head
+    # end-to-end: all-excluded seed emits no rows
+    res = more_like_this(
+        idx, dds, [seed], cfg, n_terms=5, unlike_ids=[seed]
+    )
+    assert len(res) == 0
