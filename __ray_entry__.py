@@ -5948,6 +5948,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def sig_terms_bg(sf_dir):
+        """significant_terms with background_filter (ES): lift of each
+        match-set term measured against the lang='en' background only
+        — df and N over English docs, foreground unchanged; terms
+        absent from the filtered background are excluded (no finite
+        lift — documented vs ES's smoothed heuristics)
+        (pipelines/sigterms.significant_terms_filtered_background)."""
+        from mini_ivf_ray.pipelines.sigterms import (
+            significant_terms_filtered_background,
+        )
+
+        idx = _ensure_index(sf_dir)
+        res = significant_terms_filtered_background(
+            idx, _documents_full(sf_dir), SIG_QUERIES, ("lang", "en"),
+            topn=10,
+        )
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "term": pa.array(res["term"].tolist(), type=pa.string()),
+                "fg": pa.array(
+                    res["fg"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "m": pa.array(
+                    res["m"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def mlt_unlike(sf_dir):
         """more_like_this with ``unlike`` (ES MLT's negative side):
         the unlike documents' distinct vocabulary is excluded from
@@ -8510,6 +8548,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery is the MLT family (below-line green); the
         # refilling exclusion is what is new
         "mlt_unlike": mlt_unlike,
+        # sig_terms_bg: ES significant_terms background_filter — the
+        # partial machinery is sig_terms' (below-line green, judge-
+        # verified); the filtered-background statistics are new
+        "sig_terms_bg": sig_terms_bg,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -10341,6 +10383,38 @@ matches AS (SELECT DISTINCT q.query_id, p.doc_id
 SELECT m.query_id, c.cell, count(*)::BIGINT AS n_docs
 FROM matches m JOIN cells c USING (doc_id)
 GROUP BY 1, 2
+""",
+        # significant terms vs a FILTERED background: df/N over
+        # lang='en' docs only; background-absent terms excluded by
+        # the inner join
+        "sig_terms_bg": f"""
+WITH {_TOK_CTE},
+dterms AS (SELECT DISTINCT doc_id, term FROM tok),
+bgdocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+dterms_bg AS (SELECT d.doc_id, d.term FROM dterms d
+              JOIN bgdocs USING (doc_id)),
+df AS (SELECT term, count(*) AS df FROM dterms_bg GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM bgdocs),
+q(query_id, term) AS (VALUES {_sig_values()}),
+match AS (SELECT DISTINCT q.query_id, d.doc_id
+          FROM q JOIN dterms d ON d.term = q.term),
+msize AS (SELECT query_id, count(*) AS m FROM match GROUP BY 1),
+fg AS (SELECT mt.query_id, d.term, count(*) AS fg
+       FROM match mt JOIN dterms d ON d.doc_id = mt.doc_id GROUP BY 1, 2),
+scored AS (SELECT fg.query_id, fg.term, fg.fg, ms.m,
+                  (fg.fg::DOUBLE / ms.m) / (df.df::DOUBLE / n.n) AS score
+           FROM fg
+           JOIN msize ms ON ms.query_id = fg.query_id
+           JOIN df ON df.term = fg.term
+           CROSS JOIN n),
+ranked AS (SELECT query_id, term, fg, m, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, term ASC) - 1 AS rank
+           FROM scored)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, term,
+       CAST(fg AS BIGINT) AS fg, CAST(m AS BIGINT) AS m,
+       round(score, 4) AS score_r
+FROM ranked WHERE rank < 10
 """,
         # context suggester: df within the context's docs only
         "context_suggest": f"""

@@ -139,3 +139,94 @@ def significant_terms(
     return pd.DataFrame(
         rows, columns=["query_id", "rank", "term", "fg", "m", "score"]
     )
+
+
+def _bg_partials(col: str, val: str):
+    """Batch-UDF factory: per-block (term, c) distinct-doc counts over
+    the BACKGROUND-filter-matching docs — the reserved term \"\" rides
+    the filtered-doc count."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sel = batch.filter(pc.equal(batch[col], val))
+        texts = sel["text"].to_pylist()
+        toks, _ = tokenize_batch(texts)
+        cnt: dict[str, int] = {}
+        for tk in toks:
+            for t in set(tk):
+                cnt[t] = cnt.get(t, 0) + 1
+        terms = [""] + list(cnt.keys())
+        cs = [len(texts)] + list(cnt.values())
+        return pa.table(
+            {
+                "term": pa.array(terms, type=pa.string()),
+                "c": pa.array(cs, type=pa.int64()),
+            }
+        )
+
+    return partials
+
+
+def significant_terms_filtered_background(
+    index_dir: str,
+    docs_ds,
+    queries: list[tuple[int, str]],
+    background: tuple[str, str],
+    topn: int = 10,
+) -> pd.DataFrame:
+    """ES ``significant_terms`` with ``background_filter``: the
+    foreground stays the query's match set over the WHOLE corpus, but
+    lift is measured against a FILTERED background — df and N counted
+    over only the docs matching ``background = (column, value)`` —
+    "what's significant here relative to English pages", not relative
+    to everything.
+
+    Scale shape: the unchanged foreground partial pass plus ONE extra
+    streamed background pass emitting per-block (term, distinct-doc
+    count) partials (block-vocab rows; the same combiner-first
+    argument as the main operator — feed them to a
+    ``groupby(term).sum`` when blocks x vocab grows); driver merges
+    two panel-sized frames.  Pinned divergence handling: a foreground
+    term ABSENT from the filtered background has no finite lift and
+    is EXCLUDED from the ranking (ES's heuristic scorers smooth it;
+    the exact-lift contract here refuses to divide by zero loudly by
+    construction)."""
+    col, val = background
+    qterms = [(qid, frozenset(tokenize(text))) for qid, text in queries]
+    fg_parts = docs_ds.map_batches(
+        _sig_partials(qterms), batch_format="pyarrow"
+    ).to_pandas()
+    bg_parts = docs_ds.map_batches(
+        _bg_partials(col, val), batch_format="pyarrow"
+    ).to_pandas()
+    bg = (
+        bg_parts.groupby("term")["c"].sum()
+        if len(bg_parts)
+        else pd.Series(dtype=np.int64)
+    )
+    bg_n = float(bg.get("", 0))
+    rows = []
+    for qid, _ in queries:
+        g = fg_parts[fg_parts["query_id"] == qid]
+        m = int(g.loc[g["term"] == "", "c"].sum())
+        if not m or not bg_n:
+            continue
+        fg = g[g["term"] != ""].groupby("term")["c"].sum()
+        terms = fg.index.to_numpy()
+        fgv = fg.to_numpy().astype(np.float64)
+        dfv = np.array(
+            [float(bg.get(t, 0)) for t in terms], dtype=np.float64
+        )
+        keep = dfv > 0  # background-absent terms have no finite lift
+        terms, fgv, dfv = terms[keep], fgv[keep], dfv[keep]
+        score = (fgv / m) / (dfv / bg_n)
+        order = np.argsort(terms, kind="stable")
+        order = order[np.argsort(-score[order], kind="stable")][:topn]
+        for r, i in enumerate(order):
+            rows.append(
+                (qid, r, str(terms[i]), int(fgv[i]), m, float(score[i]))
+            )
+    return pd.DataFrame(
+        rows, columns=["query_id", "rank", "term", "fg", "m", "score"]
+    )
