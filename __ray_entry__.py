@@ -5948,6 +5948,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def min_score_topk(sf_dir):
+        """Search ``min_score`` (ES's result floor): flagship BM25
+        top-20 with hits scoring below 2.0 DROPPED — like the knn
+        similarity cutoff, the floor removes a pure SUFFIX of the
+        score-descending list, so ranks stay dense and per-block
+        partial top-k can apply the same filter before any merge;
+        the workload's lists straddle the floor so per-query result
+        counts vary (the parameter provably bites)."""
+        import dataclasses
+
+        import ray.data
+
+        from mini_ivf_ray.pipelines.query import search
+
+        idx = _ensure_index(sf_dir)
+        qds = ray.data.from_items(
+            [{"query_id": q, "text": t} for q, t in BM25_QUERIES]
+        )
+        cfg20 = dataclasses.replace(_CFG, topk=20)
+        res = search(idx, qds, cfg20).to_pandas()
+        res = res[res["score"].to_numpy() >= 2.0]
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    res["query_id"].to_numpy(), type=pa.int64()
+                ),
+                "rank": pa.array(
+                    res["rank"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64), type=pa.int64()
+                ),
+                "score_r": pa.array(
+                    np.round(res["score"].to_numpy(), 4), type=pa.float64()
+                ),
+            }
+        )
+
     def sig_terms_bg(sf_dir):
         """significant_terms with background_filter (ES): lift of each
         match-set term measured against the lang='en' background only
@@ -8552,6 +8590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partial machinery is sig_terms' (below-line green, judge-
         # verified); the filtered-background statistics are new
         "sig_terms_bg": sig_terms_bg,
+        # min_score_topk: ES min_score — the suffix-cut/dense-rank
+        # argument is ann_threshold's, applied to the text scorer
+        "min_score_topk": min_score_topk,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -8794,6 +8835,7 @@ def _bm25_sql(
     rank_lo: int = 0,
     rank_hi: int = 10,
     tok_cte: str | None = None,
+    min_score: float | None = None,
 ) -> str:
     # conjunctive: a doc ranks only if it matched EVERY distinct query
     # term (count of matched q rows == the query's term count; q.term
@@ -8833,6 +8875,11 @@ def _bm25_sql(
     else:
         live_cte = ""
         tok_src, n_docs_src = "tok", "(SELECT count(*) FROM documents)"
+    # ES min_score: rank-then-filter == filter-then-rank (score-desc
+    # ordering makes the floor a pure suffix removal)
+    score_floor = (
+        f" AND score >= {min_score!r}" if min_score is not None else ""
+    )
     return f"""
 WITH {tok_cte or _TOK_CTE},
 {live_cte}
@@ -8862,7 +8909,7 @@ ranked AS (SELECT scores.query_id, scores.doc_id, scores.score,
                                               scores.doc_id ASC) - 1 AS rank
            FROM scores {conj_filter})
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, round(score, 4) AS score_r
-FROM ranked WHERE rank >= {rank_lo} AND rank < {rank_hi}
+FROM ranked WHERE rank >= {rank_lo} AND rank < {rank_hi}{score_floor}
 """
 
 
@@ -10810,6 +10857,7 @@ FROM documents
         # two half-indices under global DFS stats == the whole corpus
         "dfs_multi_topk": _bm25_sql(),
         "datastream_topk": _bm25_sql(),
+        "min_score_topk": _bm25_sql(rank_hi=20, min_score=2.0),
         "delete_by_query_topk": _bm25_sql(
             exclude_pred="EXISTS (SELECT 1 FROM tok tk "
             "WHERE tk.doc_id = tomb.doc_id AND tk.term = 'dup')"

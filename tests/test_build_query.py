@@ -337,3 +337,30 @@ def test_filtered_search_rank_identity(tiny_index):
         )
         np.testing.assert_array_equal(a["doc_id"].to_numpy(), b["doc_id"].to_numpy())
         np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
+def test_min_score_floor_is_suffix_cut(tiny_index):
+    """ES min_score: filtering the score-desc top-k by score >= t
+    removes a pure suffix — dense ranks, and every dropped row ranked
+    below every kept row."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.query import search
+
+    idx, cfg, docs = tiny_index
+    qds = ray.data.from_items(
+        [{"query_id": 0, "text": "the data web"},
+         {"query_id": 1, "text": "w00042 of"}]
+    )
+    res = search(idx, qds, cfg).to_pandas()
+    t = float(np.median(res["score"]))
+    kept = res[res["score"].to_numpy() >= t]
+    assert len(kept) and len(kept) < len(res)  # the floor bites
+    for qid, g in kept.groupby("query_id"):
+        r = np.sort(g["rank"].to_numpy())
+        assert np.array_equal(r, np.arange(r.size)), qid
+        dropped = res[(res["query_id"] == qid)
+                      & (res["score"].to_numpy() < t)]
+        if len(dropped):
+            assert dropped["rank"].min() > g["rank"].max()
