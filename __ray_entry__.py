@@ -5948,6 +5948,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def spell_suggest_freq(sf_dir):
+        """Term suggester, ``sort: frequency`` (ES's other sort mode):
+        the same SymSpell machinery as spell_suggest but ranked
+        (df desc, lev asc, term asc) — popular corrections beat close
+        ones; the workload's candidate sets contain lev-1 and lev-2
+        terms with inverted df order, so the two modes provably
+        disagree (pipelines/spell.py sort=\"frequency\")."""
+        from mini_ivf_ray.pipelines.spell import suggest_for_index
+
+        idx = _ensure_index(sf_dir)
+        out = suggest_for_index(
+            idx, SPELL_QUERIES, max_edits=2, topn=3, sort="frequency"
+        )
+        return pa.table(
+            {
+                "query": pa.array(out["query"], type=pa.string()),
+                "suggestion": pa.array(out["suggestion"], type=pa.string()),
+                "lev": pa.array(out["lev"].to_numpy(), type=pa.int64()),
+                "df": pa.array(out["df"].to_numpy(), type=pa.int64()),
+                "rank": pa.array(out["rank"].to_numpy(), type=pa.int64()),
+            }
+        )
+
     def min_score_topk(sf_dir):
         """Search ``min_score`` (ES's result floor): flagship BM25
         top-20 with hits scoring below 2.0 DROPPED — like the knn
@@ -8593,6 +8616,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # min_score_topk: ES min_score — the suffix-cut/dense-rank
         # argument is ann_threshold's, applied to the text scorer
         "min_score_topk": min_score_topk,
+        # spell_suggest_freq: ES term suggester sort=frequency — the
+        # SymSpell machinery is spell_suggest's (below-line green);
+        # only the rank-key order differs
+        "spell_suggest_freq": spell_suggest_freq,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9121,12 +9148,18 @@ FROM best WHERE rn = 1
 """
 
 
-def _spell_sql() -> str:
+def _spell_sql(sort: str = "score") -> str:
     """Did-you-mean replay: DuckDB's levenshtein() is the same
     standard insert/delete/substitute metric pipelines/spell.py
     computes; the vocabulary and df come from the shared tokenizer
-    CTE, matching the index dictionary exactly."""
+    CTE, matching the index dictionary exactly.  ``sort``: "score" =
+    (lev asc, df desc), "frequency" = (df desc, lev asc)."""
     vals = ", ".join(f"('{q}')" for q in SPELL_QUERIES)
+    order = (
+        "lev ASC, df DESC, suggestion ASC"
+        if sort == "score"
+        else "df DESC, lev ASC, suggestion ASC"
+    )
     return f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
@@ -9137,7 +9170,7 @@ cand AS (
   FROM q JOIN vocab v ON levenshtein(q.query, v.term) <= 2),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query
-                               ORDER BY lev ASC, df DESC, suggestion ASC)
+                               ORDER BY {order})
             - 1 AS rank
   FROM cand)
 SELECT query, suggestion, lev, df, CAST(rank AS BIGINT) AS rank
@@ -10903,6 +10936,7 @@ FROM orders"""
         "bm25_deleted": _bm25_sql(exclude_pred="tomb.doc_id % 10 = 3"),
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "spell_suggest": _spell_sql(),
+        "spell_suggest_freq": _spell_sql(sort="frequency"),
         "prefix_suggest": f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),

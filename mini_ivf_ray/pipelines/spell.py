@@ -130,6 +130,7 @@ def suggest_terms(
     max_edits: int = 2,
     topn: int = 3,
     transpositions: bool = False,
+    sort: str = "score",
 ) -> pd.DataFrame:
     """(query, suggestion, lev, df, rank) for each query term: the
     ``topn`` vocabulary terms within ``max_edits``, ranked
@@ -143,7 +144,12 @@ def suggest_terms(
     depth-1 deletion variant ('ab'/'ba' -> 'a'), and in general
     DL <= e pairs share a delete of depth <= e (SymSpell's Damerau
     guarantee, Garbe 2012), and every DL edit changes length by at
-    most 1 so the length prefilter stays exact."""
+    most 1 so the length prefilter stays exact.
+
+    ``sort``: "score" (default) ranks (lev asc, df desc, term asc) —
+    ES term suggester ``sort: score``; "frequency" ranks
+    (df desc, lev asc, term asc) — ES ``sort: frequency``, preferring
+    popular corrections over close ones."""
     import ray
 
     queries = list(dict.fromkeys(queries))  # de-dup, keep order
@@ -194,9 +200,14 @@ def suggest_terms(
                 lev=[dist(q, t, cap=max_edits) for t in g["term"]]
             )
             g = g[g["lev"] <= max_edits]
+            if sort == "frequency":
+                keys, asc = ["df", "lev", "term"], [False, True, True]
+            elif sort == "score":
+                keys, asc = ["lev", "df", "term"], [True, False, True]
+            else:
+                raise ValueError(f"unknown sort mode {sort!r}")
             g = g.sort_values(
-                ["lev", "df", "term"], ascending=[True, False, True],
-                kind="mergesort",
+                keys, ascending=asc, kind="mergesort"
             ).head(topn)
             for r, (_, row) in enumerate(g.iterrows()):
                 rows.append((q, row["term"], int(row["lev"]),
@@ -210,7 +221,8 @@ def suggest_terms(
 
 
 def suggest_for_index(
-    index_dir: str, queries: list[str], max_edits: int = 2, topn: int = 3
+    index_dir: str, queries: list[str], max_edits: int = 2, topn: int = 3,
+    sort: str = "score",
 ) -> pd.DataFrame:
     """Suggestions from a committed index's dictionary (term, df)."""
     import ray.data
@@ -220,5 +232,5 @@ def suggest_for_index(
     d = load_dictionary(index_dir)
     return suggest_terms(
         ray.data.from_arrow(d.select(["term", "df"])),
-        queries, max_edits=max_edits, topn=topn,
+        queries, max_edits=max_edits, topn=topn, sort=sort,
     )

@@ -113,3 +113,31 @@ def test_suggest_blocking_independence():
     pd.testing.assert_frame_equal(
         one.reset_index(drop=True), many.reset_index(drop=True)
     )
+
+
+def test_sort_frequency_mode_diverges(tiny_index):
+    """sort=frequency ranks (df desc, lev asc) — on a candidate set
+    with inverted df/lev order the two modes provably disagree; both
+    rank over the SAME candidate set."""
+    from mini_ivf_ray.pipelines.spell import (
+        levenshtein,
+        suggest_for_index,
+    )
+
+    idx, cfg, docs = tiny_index
+    from mini_ivf_ray.stages.merge import load_dictionary
+
+    terms = sorted(load_dictionary(idx)["term"].to_pylist())
+    q = terms[0][:-1] + "x" if len(terms[0]) > 2 else "thx"
+    a = suggest_for_index(idx, [q], max_edits=2, topn=50, sort="score")
+    b = suggest_for_index(idx, [q], max_edits=2, topn=50,
+                          sort="frequency")
+    assert set(a["suggestion"]) == set(b["suggestion"])  # same set
+    # contract: score mode is lev-major, frequency mode df-major
+    if len(a) > 1:
+        assert list(a["lev"]) == sorted(a["lev"])
+        assert list(b["df"]) == sorted(b["df"], reverse=True)
+    import pytest
+
+    with pytest.raises(ValueError, match="sort"):
+        suggest_for_index(idx, [q], sort="bogus")
