@@ -5948,6 +5948,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def lpa(sf_dir):
+        """Label-propagation communities (Raghavan 2007; GraphX /
+        GraphFrames LPA): 3 synchronous rounds over the undirected
+        synth_edges multigraph, most-frequent neighbor label with the
+        (count desc, label asc) tie rule, neighbor-less nodes keep
+        theirs — fixed-round semantics make the output a pure graph
+        function (pipelines/graph.lpa_communities; adaptive driver
+        shortcut at this scale, distributed path pytest-forced
+        identical)."""
+        from mini_ivf_ray.pipelines.graph import (
+            lpa_communities,
+            synth_edges,
+        )
+
+        docs = _documents(sf_dir).select_columns(["doc_id"])
+        res = (
+            lpa_communities(synth_edges(docs), docs, iters=3)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    res["doc_id"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "label": pa.array(
+                    res["label"].to_numpy().astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
     def spell_suggest_freq(sf_dir):
         """Term suggester, ``sort: frequency`` (ES's other sort mode):
         the same SymSpell machinery as spell_suggest but ranked
@@ -8620,6 +8653,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SymSpell machinery is spell_suggest's (below-line green);
         # only the rank-key order differs
         "spell_suggest_freq": spell_suggest_freq,
+        # lpa: GraphX-style label propagation — the BSP join/groupby
+        # machinery is the link-analysis family (pagerank/hits
+        # in-window); the mode-with-tie-rule recurrence is new
+        "lpa": lpa,
         "phrase_prefix_topk": phrase_prefix_topk,
         # -- r2-green SQL-oracled rows below the marker -------------------
         "fingerprint": fingerprint_q,
@@ -9697,6 +9734,55 @@ ranked AS (SELECT prefix, term, df, dl,
            FROM cand WHERE dl <= 1)
 SELECT prefix, CAST(rank AS BIGINT) AS rank, term, df, CAST(dl AS BIGINT) AS dl
 FROM ranked WHERE rank < {topn}
+"""
+
+
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled synchronous-LPA replay over the synth_edges
+    multigraph: per round one neighbor-label expansion + one
+    count/argmax window + one keep-label LEFT join; MATERIALIZED like
+    the kcore unroll (each round's label table is referenced twice)."""
+    steps = []
+    for t in range(iters):
+        steps.append(
+            f"nb{t} AS MATERIALIZED (SELECT e.dst AS node, l.label "
+            f"FROM und e JOIN l{t} l ON l.node = e.src)"
+        )
+        steps.append(
+            f"cnt{t} AS MATERIALIZED (SELECT node, label, count(*) AS c "
+            f"FROM nb{t} GROUP BY 1, 2)"
+        )
+        steps.append(
+            f"best{t} AS MATERIALIZED (SELECT node, label FROM ("
+            f"SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY c DESC, label ASC) AS rn FROM cnt{t}) WHERE rn = 1)"
+        )
+        steps.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT l.node, "
+            f"coalesce(b.label, l.label) AS label "
+            f"FROM l{t} l LEFT JOIN best{t} b ON b.node = l.node)"
+        )
+    body = ",\n".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+        FROM documents),
+degs AS (SELECT doc_id,
+                1 + CAST(CAST(('0x' || substr(md5(doc_id || ':pr-deg'), 1, 15))
+                              AS UBIGINT) AS BIGINT) % 3 AS deg
+         FROM documents),
+js(j) AS (VALUES (0), (1), (2)),
+lnk AS (SELECT d.doc_id AS src,
+               CAST(CAST(('0x' || substr(md5(d.doc_id || ':pr-dst:' || js.j), 1, 15))
+                         AS UBIGINT) AS BIGINT) % (SELECT n FROM nn) AS pos
+        FROM degs d JOIN js ON js.j < d.deg),
+edges AS (SELECT l.src, o.doc_id AS dst
+          FROM lnk l JOIN ord o ON o.pos = l.pos WHERE o.doc_id <> l.src),
+und AS MATERIALIZED (SELECT src, dst FROM edges
+                     UNION ALL SELECT dst AS src, src AS dst FROM edges),
+l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),
+{body}
+SELECT node AS doc_id, label FROM l{iters}
 """
 
 
@@ -10937,6 +11023,7 @@ FROM orders"""
         "bm25_compacted": _bm25_sql(live_pred="doc_id % 10 != 3"),
         "spell_suggest": _spell_sql(),
         "spell_suggest_freq": _spell_sql(sort="frequency"),
+        "lpa": _lpa_sql(3),
         "prefix_suggest": f"""
 WITH {_TOK_CTE},
 vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),

@@ -1660,3 +1660,182 @@ def ktruss(edges_ds, k: int, num_buckets: int | None = None,
         f"k-truss did not converge within {max_rounds} peeling rounds — "
         f"raise max_rounds for deeper graphs"
     )
+
+
+def _lpa_round_mode(
+    nodes_pos: np.ndarray, lab_pos: np.ndarray, n_nodes: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes_with_neighbors, their new label positions): per node the
+    most frequent incoming label position, ties -> min label position
+    — one lexsort + reduceat, no Python loop."""
+    if not nodes_pos.size:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    key = nodes_pos * np.int64(n_nodes) + lab_pos
+    uk, cnt = np.unique(key, return_counts=True)
+    nd = uk // n_nodes
+    lb = uk % n_nodes
+    # per node: argmax by (count desc, label asc); uk is sorted, so
+    # within a node labels are ascending — a stable sort by -count
+    # keeps the min label first among equal counts
+    order = np.argsort(-cnt, kind="stable")
+    nd_o, lb_o = nd[order], lb[order]
+    first_idx = np.unique(nd_o, return_index=True)[1]
+    return nd_o[first_idx], lb_o[first_idx]
+
+
+def _lpa_local(
+    src: np.ndarray, dst: np.ndarray, node_ids: np.ndarray, iters: int
+) -> pa.Table:
+    """Driver replay of synchronous LPA (vectorized rounds)."""
+    nodes = np.unique(node_ids.astype(np.int64))
+    n = nodes.size
+    # undirected multigraph view
+    u = np.concatenate([src, dst]).astype(np.int64)
+    v = np.concatenate([dst, src]).astype(np.int64)
+    up = np.searchsorted(nodes, u)
+    vp = np.searchsorted(nodes, v)
+    ok = (
+        (up < n) & (vp < n)
+        & (nodes[np.minimum(up, n - 1)] == u)
+        & (nodes[np.minimum(vp, n - 1)] == v)
+    )
+    up, vp = up[ok], vp[ok]
+    labels = np.arange(n, dtype=np.int64)  # label pos == node pos
+    for _ in range(iters):
+        nd, lb = _lpa_round_mode(vp, labels[up], n)
+        nxt = labels.copy()  # neighbor-less nodes keep their label
+        nxt[nd] = lb
+        labels = nxt
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, type=pa.int64()),
+            "label": pa.array(nodes[labels], type=pa.int64()),
+        }
+    )
+
+
+def lpa_communities(
+    edges_ds,
+    nodes_ds,
+    iters: int = 3,
+    num_buckets: int | None = None,
+    driver_threshold: int = 2_000_000,
+):
+    """Label propagation communities (Raghavan-Albert-Kumara 2007 —
+    the GraphX / GraphFrames LPA): init label(v) = v; each SYNCHRONOUS
+    round every node adopts the most frequent label among its
+    UNDIRECTED multigraph neighbors (count desc, label asc — the
+    deterministic tie rule), keeping its label when it has no
+    neighbors; exactly ``iters`` rounds -> (doc_id, label).
+
+    Fixed-round semantics are the point: classic sync LPA can
+    oscillate on bipartite structure, so termination-by-convergence
+    is ill-defined — the fixed-``iters`` contract (GraphX's
+    maxIterations) makes the output a pure function of the graph,
+    bit-identical across partitionings and replayable by an unrolled
+    SQL oracle.
+
+    Distributed shape per round (the pagerank/hits BSP discipline):
+    ONE bucketed hash join (labels onto the undirected edge list by
+    src) + ONE ``groupby(node).map_groups`` mode reduction + ONE
+    keep-labels merge groupby for neighbor-less nodes — state is one
+    slim (node, label) table, nothing corpus-sized on the driver.
+    Graphs at or below ``driver_threshold`` take the vectorized
+    driver replay (the connected_components_ds convention; the
+    distributed path is forced in tests and pinned identical)."""
+    import pandas as pd
+    import ray
+    import ray.data
+
+    from mini_ivf_ray.pipelines.relational import bucketed_hash_join
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    edges_cached = edges_ds.select_columns(["src", "dst"]).materialize()
+    node_arr = np.unique(
+        nodes_ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
+        .to_numpy()
+        .astype(np.int64)
+    )
+    if node_arr.size + edges_cached.count() <= driver_threshold:
+        e = edges_cached.to_pandas()
+        return ray.data.from_arrow(
+            _lpa_local(
+                e["src"].to_numpy().astype(np.int64),
+                e["dst"].to_numpy().astype(np.int64),
+                node_arr,
+                iters,
+            )
+        )
+
+    def _swap(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["dst"], "dst": batch["src"]})
+
+    und = edges_cached.union(
+        edges_cached.map_batches(_swap, batch_format="pyarrow")
+    ).materialize()
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(node_arr, type=pa.int64()),
+                "label": pa.array(node_arr, type=pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def _mode(group: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            group.groupby("label", as_index=False)
+            .size()
+            .sort_values(["size", "label"], ascending=[False, True],
+                         kind="mergesort")
+        )
+        return pd.DataFrame(
+            {"node": [int(group["node"].iloc[0])],
+             "new_label": [int(g["label"].iloc[0])]}
+        )
+
+    def _rename_for_join(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "dst": batch["dst"]})
+
+    for _ in range(iters):
+        nb = bucketed_hash_join(
+            und.map_batches(_rename_for_join, batch_format="pyarrow"),
+            labels,
+            on="node",
+            num_buckets=num_buckets,
+        ).map_batches(
+            lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        new = nb.groupby("node").map_groups(_mode, batch_format="pandas")
+        # keep-label merge: nodes with no incoming rows keep theirs
+        merged = bucketed_hash_join(
+            labels, new, on="node", how="left", num_buckets=num_buckets
+        )
+
+        def _pick(batch: pa.Table) -> pa.Table:
+            old = batch["label"].to_numpy(zero_copy_only=False)
+            newc = batch["new_label"].to_numpy(zero_copy_only=False)
+            lab = np.where(np.isnan(newc.astype(np.float64)),
+                           old.astype(np.int64),
+                           np.nan_to_num(newc).astype(np.int64))
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "label": pa.array(lab.astype(np.int64),
+                                      type=pa.int64()),
+                }
+            )
+
+        labels = merged.map_batches(
+            _pick, batch_format="pyarrow"
+        ).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["node"], "label": b["label"]}
+        ),
+        batch_format="pyarrow",
+    )

@@ -665,3 +665,88 @@ def test_ktruss_planted_clique_peels_the_tail():
     assert {int(x) for x in got["id_a"]} | {
         int(x) for x in got["id_b"]
     } <= core_nodes
+
+
+def test_lpa_clique_converges_and_tie_rule(ray_session):
+    """Two 4-cliques joined by one bridge edge: 3 sync rounds send
+    every clique member to its clique's min id; the deterministic
+    (count desc, label asc) tie rule is pinned on a 2-node path."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.graph import lpa_communities
+
+    def _edges(pairs):
+        return ray.data.from_items(
+            [{"src": a, "dst": b} for a, b in pairs]
+        )
+
+    c1 = [(10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)]
+    c2 = [(20, 21), (20, 22), (20, 23), (21, 22), (21, 23), (22, 23)]
+    bridge = [(13, 20)]
+    nodes = ray.data.from_items(
+        [{"doc_id": i} for i in [10, 11, 12, 13, 20, 21, 22, 23]]
+    )
+    out = (
+        lpa_communities(_edges(c1 + c2 + bridge), nodes, iters=3)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    lab = dict(zip(out["doc_id"].astype(int), out["label"].astype(int)))
+    assert all(lab[i] == 10 for i in (10, 11, 12, 13))
+    assert all(lab[i] in (10, 20) for i in (20, 21, 22, 23))
+    # pair graph: after 1 round each adopts the other's label; the
+    # mode over a single neighbor is that neighbor (tie rule trivial)
+    p = (
+        lpa_communities(
+            _edges([(1, 2)]),
+            ray.data.from_items([{"doc_id": 1}, {"doc_id": 2},
+                                 {"doc_id": 9}]),
+            iters=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    got = dict(zip(p["doc_id"].astype(int), p["label"].astype(int)))
+    assert got == {1: 2, 2: 1, 9: 9}  # isolated node 9 keeps its label
+
+
+def test_lpa_distributed_equals_local(ray_session):
+    """Forced-distributed LPA == the vectorized driver replay
+    bit-identically on a random multigraph."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.graph import lpa_communities
+
+    rng = np.random.RandomState(5)
+    n = 16
+    src = rng.randint(0, n, size=40)
+    dst = rng.randint(0, n, size=40)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = ray.data.from_items(
+        [{"src": int(a), "dst": int(b)} for a, b in zip(src, dst)]
+    )
+    nodes = ray.data.from_items([{"doc_id": i} for i in range(n)])
+    a = (
+        lpa_communities(edges, nodes, iters=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        lpa_communities(edges, nodes, iters=2, driver_threshold=0,
+                        num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert np.array_equal(
+        a["doc_id"].to_numpy().astype(np.int64),
+        b["doc_id"].to_numpy().astype(np.int64),
+    )
+    assert np.array_equal(
+        a["label"].to_numpy().astype(np.int64),
+        b["label"].to_numpy().astype(np.int64),
+    )
