@@ -885,8 +885,16 @@ class IVFSearcher:
             if not ids.size:
                 return np.empty(0, dtype=np.int64), np.empty(0), searched
         k = min(self.k, len(ids))
-        top = np.argpartition(-sims, k - 1)[:k]
-        top = top[np.lexsort((ids[top], -sims[top]))]
+        # boundary-tie-exact selection (the _topk_exact pattern): a
+        # bare argpartition could keep the wrong member of a tie at
+        # rank k (duplicate vectors tie exactly), violating the
+        # (value desc, id asc) contract the oracles replay
+        if len(sims) > k:
+            thr = np.partition(sims, len(sims) - k)[len(sims) - k]
+            cand = np.flatnonzero(sims >= thr)
+        else:
+            cand = np.arange(len(sims))
+        top = cand[np.lexsort((ids[cand], -sims[cand]))][:k]
         return ids[top], sims[top], searched
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1029,7 +1037,19 @@ class _BruteForceScorer:
         k = min(self.k, len(ids))
         for qi in range(len(self.qids)):
             s = sims[:, qi]
-            top = np.argpartition(-s, k - 1)[:k] if len(s) > k else np.arange(len(s))
+            # exact per-block top-k under the GLOBAL (value desc,
+            # vec_id asc) rule — the _topk_exact pattern: threshold
+            # partition KEEPING boundary ties, then compound lexsort.
+            # A bare argpartition drops an arbitrary member of a
+            # boundary tie (duplicate vectors tie exactly), and which
+            # member survives then depends on the block layout Ray
+            # chose this run — the flaky-hybrid_rrf bug.
+            if len(s) > k:
+                thr = np.partition(s, len(s) - k)[len(s) - k]
+                cand = np.flatnonzero(s >= thr)
+            else:
+                cand = np.arange(len(s))
+            top = cand[np.lexsort((ids[cand], -s[cand]))][:k]
             out["query_id"].extend([int(self.qids[qi])] * len(top))
             out["vec_id"].extend(ids[top].tolist())
             out["cosine"].extend(s[top].tolist())

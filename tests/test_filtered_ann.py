@@ -77,3 +77,47 @@ def test_similarity_threshold_is_suffix_cut(ray_session):
                       & (res["cosine"].to_numpy() < t)]
         if len(dropped):
             assert dropped["rank"].min() > r.max()
+
+
+def test_boundary_tie_exactness_across_block_layouts(ray_session):
+    """Duplicate vectors tie EXACTLY; when the tie straddles the k
+    boundary the survivor must be the (cosine desc, vec_id asc)
+    member regardless of how Ray blocks the corpus — the flaky
+    hybrid_rrf root cause (bare per-block argpartition kept an
+    arbitrary tied member depending on the run's block layout)."""
+    import numpy as np
+    import ray.data
+
+    from mini_ivf_ray.pipelines.similarity import brute_force_ann
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(30, 8)
+    # duplicate every vector once: ids 0..29 and 100..129 are exact
+    # duplicates (100+i == i), so EVERY rank boundary is a tie
+    emb = np.vstack([base, base])
+    ids = list(range(30)) + list(range(100, 130))
+    rows = [
+        {"vec_id": i, "embedding": emb[j].tolist()}
+        for j, i in enumerate(ids)
+    ]
+    q = base[:2]
+    # brute truth under the global rule
+    qa = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ea = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = qa @ ea.T
+    want = {}
+    for qi in range(2):
+        order = sorted(
+            range(len(ids)), key=lambda j: (-sims[qi, j], ids[j])
+        )[:7]
+        want[qi] = [(ids[j], round(float(sims[qi, j]), 6)) for j in order]
+    for nparts in (1, 3, 7, 13):
+        ds = ray.data.from_items(rows).repartition(nparts)
+        res = brute_force_ann(ds, q, [0, 1], k=7)
+        for qi in range(2):
+            g = res[res["query_id"] == qi].sort_values("rank")
+            got = [
+                (int(v), float(c))
+                for v, c in zip(g["vec_id"], g["cosine"])
+            ]
+            assert got == want[qi], (nparts, qi)
